@@ -1,0 +1,271 @@
+"""Regression kernels: OLS, logistic (Newton/IRLS), and Firth-penalized logistic.
+
+These reproduce the statistical contract of the reference engine
+(/root/reference/src/polars_mas/models.py:9-83) without its dependencies
+(statsmodels / firthmodels are not available here), using the published
+algorithms directly:
+
+- OLS: pseudo-inverse least squares; t-distributed Wald p-values and
+  confidence intervals with df = n - k (statsmodels.OLS semantics).
+- Logistic: Newton-Raphson on the log-likelihood (statsmodels.Logit's
+  default method), normal Wald p-values/CIs.
+- Firth: penalized-likelihood logistic regression (Firth 1993; Heinze &
+  Schemper 2002) with the R `logistf` default hyperparameters the
+  reference pins (models.py:33-40): max_iter=25, max_step=5.0,
+  gtol=1e-5, xtol=1e-5. The p-value is a penalized likelihood-ratio
+  test of the tested coefficient (models.py:41 `fl.lrt(0)`), which is
+  what makes small-sample/separated PheWAS fits well-behaved.
+
+Design-matrix convention (reference models.py:58,73): the *tested*
+predictor is column 0, covariates follow, and the intercept is appended
+LAST, so index 0 always addresses the predictor's coefficient.
+
+All functions take plain NumPy arrays and return plain dicts — they are
+called from inside `applyInPandas` pandas UDFs on executors and must not
+touch Spark.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from polars_mas_spark.functions.distributions import (
+    chi2_sf,
+    norm_ppf,
+    norm_sf,
+    t_ppf,
+    t_sf,
+)
+
+_Z975 = norm_ppf(0.975)
+
+
+def add_intercept(X: np.ndarray) -> np.ndarray:
+    """Append an intercept column (reference: sm.add_constant(prepend=False))."""
+    return np.column_stack([X, np.ones(X.shape[0])])
+
+
+# ---------------------------------------------------------------------------
+# OLS
+# ---------------------------------------------------------------------------
+
+
+def ols_fit(X: np.ndarray, y: np.ndarray) -> dict:
+    """Ordinary least squares with statsmodels-compatible inference.
+
+    Returns the reference's linear-model output fields
+    (/root/reference/src/polars_mas/models.py:72-83): pval/beta/se/
+    ci_low/ci_high for the coefficient at index 0, converged always True.
+    """
+    Xc = add_intercept(np.asarray(X, dtype=np.float64))
+    y = np.asarray(y, dtype=np.float64)
+    n, k = Xc.shape
+    if n <= k:
+        raise ValueError(f"OLS requires n > k (n={n}, k={k})")
+    beta, _, rank, _ = np.linalg.lstsq(Xc, y, rcond=None)
+    resid = y - Xc @ beta
+    df_resid = n - rank
+    sigma2 = resid @ resid / df_resid
+    xtx_inv = np.linalg.pinv(Xc.T @ Xc)
+    se = np.sqrt(np.maximum(np.diag(xtx_inv) * sigma2, 0.0))
+    tstat = beta[0] / se[0] if se[0] > 0 else math.nan
+    pval = 2.0 * t_sf(abs(tstat), df_resid) if not math.isnan(tstat) else math.nan
+    tq = t_ppf(0.975, df_resid)
+    return {
+        "pval": pval,
+        "beta": float(beta[0]),
+        "se": float(se[0]),
+        "converged": True,
+        "ci_low": float(beta[0] - tq * se[0]),
+        "ci_high": float(beta[0] + tq * se[0]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Logistic (maximum likelihood, Newton-Raphson)
+# ---------------------------------------------------------------------------
+
+
+def _sigmoid(eta: np.ndarray) -> np.ndarray:
+    out = np.empty_like(eta)
+    pos = eta >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-eta[pos]))
+    ez = np.exp(eta[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def _loglik(y: np.ndarray, p: np.ndarray) -> float:
+    eps = 1e-300
+    return float(y @ np.log(p + eps) + (1.0 - y) @ np.log(1.0 - p + eps))
+
+
+def logistic_mle(
+    Xc: np.ndarray,
+    y: np.ndarray,
+    max_iter: int = 35,
+    tol: float = 1e-8,
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Newton-Raphson logistic MLE on a design matrix that already has its
+    intercept. Returns (beta, cov, converged)."""
+    n, k = Xc.shape
+    beta = np.zeros(k)
+    converged = False
+    cov = np.full((k, k), np.nan)
+    for _ in range(max_iter):
+        p = _sigmoid(Xc @ beta)
+        w = p * (1.0 - p)
+        grad = Xc.T @ (y - p)
+        hess = (Xc * w[:, None]).T @ Xc
+        try:
+            step = np.linalg.solve(hess, grad)
+        except np.linalg.LinAlgError:
+            step = np.linalg.lstsq(hess, grad, rcond=None)[0]
+        beta = beta + step
+        if np.max(np.abs(step)) < tol:
+            converged = True
+            break
+    p = _sigmoid(Xc @ beta)
+    w = p * (1.0 - p)
+    hess = (Xc * w[:, None]).T @ Xc
+    try:
+        cov = np.linalg.inv(hess)
+    except np.linalg.LinAlgError:
+        cov = np.linalg.pinv(hess)
+    return beta, cov, converged
+
+
+def logistic_fit(X: np.ndarray, y: np.ndarray) -> dict:
+    """Plain logistic regression, Wald inference on coefficient 0.
+
+    Mirrors /root/reference/src/polars_mas/models.py:56-69
+    (statsmodels Logit defaults: Newton, Wald z p-values, normal CIs).
+    """
+    Xc = add_intercept(np.asarray(X, dtype=np.float64))
+    y = np.asarray(y, dtype=np.float64)
+    beta, cov, converged = logistic_mle(Xc, y)
+    se = math.sqrt(max(cov[0, 0], 0.0))
+    z = beta[0] / se if se > 0 else math.nan
+    pval = 2.0 * norm_sf(abs(z)) if not math.isnan(z) else math.nan
+    return {
+        "pval": pval,
+        "beta": float(beta[0]),
+        "se": se,
+        "OR": math.exp(beta[0]),
+        "converged": bool(converged),
+        "ci_low": float(beta[0] - _Z975 * se),
+        "ci_high": float(beta[0] + _Z975 * se),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Firth-penalized logistic
+# ---------------------------------------------------------------------------
+
+
+def _firth_penalized_loglik(Xc: np.ndarray, y: np.ndarray, beta: np.ndarray) -> float:
+    p = _sigmoid(Xc @ beta)
+    w = p * (1.0 - p)
+    fisher = (Xc * w[:, None]).T @ Xc
+    sign, logdet = np.linalg.slogdet(fisher)
+    if sign <= 0:
+        return -math.inf
+    return _loglik(y, p) + 0.5 * logdet
+
+
+def _firth_newton(
+    Xc: np.ndarray,
+    y: np.ndarray,
+    free: np.ndarray,
+    beta0: np.ndarray | None = None,
+    max_iter: int = 25,
+    max_step: float = 5.0,
+    gtol: float = 1e-5,
+    xtol: float = 1e-5,
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Firth-penalized Newton iteration over the `free` coefficient subset
+    (boolean mask); fixed coordinates stay at their beta0 value. Used for
+    both the full fit (all free) and the LRT-constrained fit (coef 0 fixed
+    at zero, penalty still from the full-model information matrix).
+
+    Hyperparameters match the reference's logistf-default pins
+    (/root/reference/src/polars_mas/models.py:33-40).
+    """
+    n, k = Xc.shape
+    beta = np.zeros(k) if beta0 is None else beta0.astype(np.float64).copy()
+    converged = False
+    fisher = np.eye(k)
+    for _ in range(max_iter):
+        p = _sigmoid(Xc @ beta)
+        w = p * (1.0 - p)
+        fisher = (Xc * w[:, None]).T @ Xc
+        try:
+            fisher_inv = np.linalg.inv(fisher)
+        except np.linalg.LinAlgError:
+            fisher_inv = np.linalg.pinv(fisher)
+        # Hat-matrix diagonal h_i = w_i * x_i' I^{-1} x_i.
+        h = w * np.einsum("ij,jk,ik->i", Xc, fisher_inv, Xc)
+        # Firth modified score: X' (y - p + h (1/2 - p)).
+        score = Xc.T @ (y - p + h * (0.5 - p))
+        score_f = score[free]
+        sub = fisher[np.ix_(free, free)]
+        try:
+            step = np.linalg.solve(sub, score_f)
+        except np.linalg.LinAlgError:
+            step = np.linalg.lstsq(sub, score_f, rcond=None)[0]
+        mx = np.max(np.abs(step)) if step.size else 0.0
+        if mx > max_step:
+            step = step * (max_step / mx)
+            mx = max_step
+        beta[free] += step
+        if mx <= xtol and np.max(np.abs(score_f), initial=0.0) <= gtol:
+            converged = True
+            break
+    p = _sigmoid(Xc @ beta)
+    w = p * (1.0 - p)
+    fisher = (Xc * w[:, None]).T @ Xc
+    try:
+        cov = np.linalg.inv(fisher)
+    except np.linalg.LinAlgError:
+        cov = np.linalg.pinv(fisher)
+    return beta, cov, converged
+
+
+def firth_fit(X: np.ndarray, y: np.ndarray) -> dict:
+    """Firth logistic regression with a penalized LRT p-value for coef 0.
+
+    Mirrors /root/reference/src/polars_mas/models.py:9-53: the p-value is
+    the penalized likelihood-ratio test obtained by refitting with the
+    tested coefficient constrained to zero; `converged` is False when
+    either fit exhausts its iterations (the reference detects this via
+    ConvergenceWarning, models.py:42-44). CIs here are Wald-based — a
+    documented deviation (reference delegates to firthmodels.conf_int).
+    """
+    Xc = add_intercept(np.asarray(X, dtype=np.float64))
+    y = np.asarray(y, dtype=np.float64)
+    k = Xc.shape[1]
+    all_free = np.ones(k, dtype=bool)
+    beta, cov, conv_full = _firth_newton(Xc, y, all_free)
+    pll_full = _firth_penalized_loglik(Xc, y, beta)
+
+    constrained = np.ones(k, dtype=bool)
+    constrained[0] = False
+    beta_null = beta.copy()
+    beta_null[0] = 0.0
+    beta0, _, conv_null = _firth_newton(Xc, y, constrained, beta0=beta_null)
+    pll_null = _firth_penalized_loglik(Xc, y, beta0)
+
+    lr = max(2.0 * (pll_full - pll_null), 0.0)
+    pval = chi2_sf(lr, 1.0)
+    se = math.sqrt(max(cov[0, 0], 0.0))
+    return {
+        "pval": pval,
+        "beta": float(beta[0]),
+        "se": se,
+        "OR": math.exp(beta[0]),
+        "converged": bool(conv_full and conv_null),
+        "ci_low": float(beta[0] - _Z975 * se),
+        "ci_high": float(beta[0] + _Z975 * se),
+    }

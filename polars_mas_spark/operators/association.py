@@ -1,0 +1,288 @@
+"""The association fan-out: every (predictor, dependent) pair fitted in
+one distributed pass.
+
+The reference fans out a Python loop of predictor x dependent tasks over
+joblib worker processes, each re-reading a memory-mapped IPC file
+(/root/reference/src/polars_mas/analysis.py:10-107). The Spark-native
+design replaces that wholesale (SURVEY.md §2.6 U1, §2.11 K6):
+
+    wide table
+      -> explode predictors (struct array, only when >1 predictor)
+      -> unpivot dependents            (one long table; covariates ride
+                                        along as id columns so each group
+                                        arrives fit-ready)
+      -> filter pred/dep not null      (map-side, BEFORE the shuffle —
+                                        null rows never cross the wire)
+      -> groupBy(predictor, dependent).applyInPandas(kernel)
+      -> right-join the full pair list to re-materialize pairs that
+         vanished entirely ("No data after dropping nulls." rows —
+         failures are rows, not exceptions: analysis.py:110-124)
+      -> orderBy(pval)                 (nulls last, polars parity)
+
+One shuffle keyed on the pair id distributes the regressions; Arrow
+batches feed the pandas kernels. Scale notes: group count = P x D is the
+parallelism; each group holds <= n rows. Skewed pair sizes are handled
+by AQE; for P*D >> shuffle partitions the groups pack densely.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polars_mas_spark.colutils import qcol, qname
+from polars_mas_spark.config import MASConfig
+from polars_mas_spark.functions.stats import firth_fit, logistic_fit, ols_fit
+
+PRED_VALUE = "__pred_value__"
+DEP_VALUE = "__dep_value__"
+
+BINARY_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("predictor", T.StringType()),
+        T.StructField("dependent", T.StringType()),
+        T.StructField("pval", T.DoubleType()),
+        T.StructField("beta", T.DoubleType()),
+        T.StructField("se", T.DoubleType()),
+        T.StructField("OR", T.DoubleType()),
+        T.StructField("ci_low", T.DoubleType()),
+        T.StructField("ci_high", T.DoubleType()),
+        T.StructField("cases", T.LongType()),
+        T.StructField("controls", T.LongType()),
+        T.StructField("total_n", T.LongType()),
+        T.StructField("converged", T.BooleanType()),
+        T.StructField("failed_reason", T.StringType()),
+        T.StructField("equation", T.StringType()),
+    ]
+)
+
+LINEAR_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("predictor", T.StringType()),
+        T.StructField("dependent", T.StringType()),
+        T.StructField("pval", T.DoubleType()),
+        T.StructField("beta", T.DoubleType()),
+        T.StructField("se", T.DoubleType()),
+        T.StructField("ci_low", T.DoubleType()),
+        T.StructField("ci_high", T.DoubleType()),
+        T.StructField("n_observations", T.LongType()),
+        T.StructField("converged", T.BooleanType()),
+        T.StructField("failed_reason", T.StringType()),
+        T.StructField("equation", T.StringType()),
+    ]
+)
+
+# Sentinel defaults for failure rows (reference analysis.py:228-260).
+_BINARY_DEFAULTS = {
+    "pval": math.nan, "beta": math.nan, "se": math.nan, "OR": math.nan,
+    "ci_low": math.nan, "ci_high": math.nan, "cases": -9, "controls": -9,
+    "total_n": -9, "converged": False, "failed_reason": "nan", "equation": "nan",
+}
+_LINEAR_DEFAULTS = {
+    "pval": math.nan, "beta": math.nan, "se": math.nan,
+    "ci_low": math.nan, "ci_high": math.nan, "n_observations": -9,
+    "converged": False, "failed_reason": "nan", "equation": "nan",
+}
+
+_MODEL_FUNCS: dict[str, Callable] = {
+    "firth": firth_fit,
+    "logistic": logistic_fit,
+    "linear": ols_fit,
+}
+
+
+def result_schema(model: str) -> T.StructType:
+    return LINEAR_RESULT_SCHEMA if model == "linear" else BINARY_RESULT_SCHEMA
+
+
+def safe_covariate_pairs(covariates: list[str]) -> list[tuple[str, str]]:
+    """(column_name_in_long_table, display_name) per covariate. Names with
+    dots/backticks are rewritten to ``__cov_i__``: PySpark's own
+    GroupedData.applyInPandas resolves columns unquoted (``df[col]``), so
+    unsafe names cannot survive into the grouped long table."""
+    return [
+        (c if ("." not in c and "`" not in c) else f"__cov_{i}__", c)
+        for i, c in enumerate(covariates)
+    ]
+
+
+def build_long_table(
+    df: DataFrame,
+    predictors: list[str],
+    dependents: list[str],
+    covariates: list[str],
+) -> DataFrame:
+    """Wide -> long: one row per (sample, predictor, dependent) with
+    covariates as id columns. The P-way predictor explode and D-way
+    dependent unpivot together express the reference's task fan-out
+    (analysis.py:13-15) as data, so Catalyst plans it as one pipeline."""
+    cov_pairs = safe_covariate_pairs(covariates)
+    cov_cols = [qcol(orig).alias(safe) for safe, orig in cov_pairs]
+    if len(predictors) == 1:
+        p = predictors[0]
+        exploded = df.select(
+            F.lit(p).alias("predictor"),
+            qcol(p).cast("double").alias(PRED_VALUE),
+            *cov_cols,
+            *[qcol(d).cast("double").alias(d) for d in dependents],
+        )
+    else:
+        pred_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("predictor"),
+                    qcol(p).cast("double").alias(PRED_VALUE),
+                )
+                for p in predictors
+            ]
+        )
+        exploded = df.select(
+            F.explode(pred_structs).alias("_p"),
+            *cov_cols,
+            *[qcol(d).cast("double").alias(d) for d in dependents],
+        ).select(
+            F.col("_p.predictor").alias("predictor"),
+            F.col(f"_p.{PRED_VALUE}").alias(PRED_VALUE),
+            *[qcol(safe) for safe, _ in cov_pairs],
+            *[qcol(d) for d in dependents],
+        )
+    long_df = exploded.unpivot(
+        ids=["predictor", PRED_VALUE, *[qname(safe) for safe, _ in cov_pairs]],
+        values=[qname(d) for d in dependents],
+        variableColumnName="dependent",
+        valueColumnName=DEP_VALUE,
+    )
+    return long_df
+
+
+def make_kernel(
+    model: str,
+    covariates: list[str],
+    quantitative: bool,
+    min_case_count: int,
+) -> Callable[[tuple, pd.DataFrame], pd.DataFrame]:
+    """Build the grouped-map pandas kernel reproducing the reference's
+    per-task pipeline: validation (analysis.py:110-193), per-subset
+    constant-covariate drop (analysis.py:196-206), design-matrix build +
+    fit (analysis.py:71-87), failure-as-row error channel
+    (analysis.py:89-102)."""
+    defaults = _LINEAR_DEFAULTS if model == "linear" else _BINARY_DEFAULTS
+    columns = [f.name for f in result_schema(model).fields]
+    fit_func = _MODEL_FUNCS[model]
+    cov_pairs = safe_covariate_pairs(covariates)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        predictor, dependent = key
+        row = dict(defaults)
+        row["predictor"] = predictor
+        row["dependent"] = dependent
+
+        def emit() -> pd.DataFrame:
+            return pd.DataFrame([{c: row[c] for c in columns}])
+
+        n_rows = len(pdf)
+        if n_rows == 0:
+            row["failed_reason"] = "No data after dropping nulls."
+            return emit()
+
+        y = pdf[DEP_VALUE].to_numpy(dtype=np.float64)
+        if not quantitative:
+            cases = int(y.sum())
+            controls = n_rows - cases
+            if cases < min_case_count:
+                row["failed_reason"] = f"Insufficient case count ({cases} cases)."
+                return emit()
+            if controls < min_case_count:
+                row["failed_reason"] = (
+                    f"Insufficient control count ({controls} controls)."
+                )
+                return emit()
+            if cases == n_rows:
+                row["failed_reason"] = "All observations are cases."
+                return emit()
+            row.update(cases=cases, controls=controls, total_n=n_rows)
+        else:
+            if n_rows < min_case_count:
+                row["failed_reason"] = f"Not enough observations ({n_rows})."
+                return emit()
+            row["n_observations"] = n_rows
+
+        # Per-subset constant-covariate drop (analysis.py:196-206).
+        active = [
+            (safe, orig)
+            for safe, orig in cov_pairs
+            if safe in pdf.columns and pdf[safe].nunique(dropna=False) > 1
+        ]
+        equation = (
+            f"{dependent} ~ {predictor} + {' + '.join(orig for _, orig in active)}"
+        )
+        row["equation"] = equation
+
+        X = pdf[[PRED_VALUE, *[safe for safe, _ in active]]].to_numpy(dtype=np.float64)
+        try:
+            stats = fit_func(X, y)
+            row.update(stats)
+        except Exception as exc:  # failures are rows, not exceptions
+            row["failed_reason"] = str(exc)
+        return emit()
+
+    return kernel
+
+
+def _pair_frame(
+    spark: SparkSession, predictors: Iterable[str], dependents: Iterable[str]
+) -> DataFrame:
+    pairs = [(p, d) for p in predictors for d in dependents]
+    return spark.createDataFrame(pairs, ["predictor", "dependent"])
+
+
+def run_associations(df: DataFrame, config: MASConfig) -> DataFrame:
+    """Distributed equivalent of run_associations_ipc (analysis.py:10-39)."""
+    spark = df.sparkSession
+    model = config.model
+    covariates = list(config.covariate_columns)
+    long_df = build_long_table(
+        df, config.predictor_columns, config.dependent_columns, covariates
+    )
+    # Map-side null drop (analysis.py:57) — nulls never reach the shuffle.
+    long_df = long_df.filter(
+        F.col(PRED_VALUE).isNotNull() & F.col(DEP_VALUE).isNotNull()
+    )
+    kernel = make_kernel(
+        model, covariates, config.quantitative, config.min_case_count
+    )
+    fitted = long_df.groupBy("predictor", "dependent").applyInPandas(
+        kernel, schema=result_schema(model)
+    )
+
+    # Pairs whose rows were all null-dropped produce no group at all;
+    # right-join the (tiny) full pair list to re-materialize their
+    # failure rows with reference sentinels (analysis.py:113-124).
+    pairs = _pair_frame(spark, config.predictor_columns, config.dependent_columns)
+    defaults = dict(_LINEAR_DEFAULTS if model == "linear" else _BINARY_DEFAULTS)
+    defaults["failed_reason"] = "No data after dropping nulls."
+    schema_types = {f.name: f.dataType for f in result_schema(model).fields}
+    present = fitted.withColumn("__present__", F.lit(True))
+    joined = present.join(F.broadcast(pairs), ["predictor", "dependent"], "right")
+    filled = joined.select(
+        "predictor",
+        "dependent",
+        *[
+            F.when(
+                F.col("__present__").isNull(),
+                F.lit(
+                    None if isinstance(v, float) and math.isnan(v) else v
+                ).cast(schema_types[c]),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            for c, v in defaults.items()
+        ],
+    )
+    return filled.orderBy(F.col("pval").asc_nulls_last())

@@ -1,0 +1,91 @@
+"""Postprocessing: multiple-testing correction, phenotype annotation, output.
+
+Reference surface: /root/reference/src/polars_mas/postprocessing.py:6-40.
+Bonferroni matches the reference exactly; Benjamini-Hochberg FDR is the
+first roadmap feature the reference declares but never implements
+(README.md:159,169; postprocessing.py:15 silently returns None for any
+method != "bonferroni") — here it is a real window-based operator.
+
+Scale note: the correction operates on the *results* table (one row per
+predictor x dependent pair), which is orders of magnitude smaller than
+the input data, so the global-order windows in BH are cheap even when
+the input is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bonferroni(
+    df: DataFrame, baseline_pval: float = 0.05, pval_col: str = "pval"
+) -> DataFrame:
+    """Add ``bonferroni_significant`` = pval < baseline / #valid-tests
+    (postprocessing.py:14-20). NaN p-values (failed fits) count as
+    invalid, like the reference's null check on the polars side."""
+    num_tests = df.filter(
+        F.col(pval_col).isNotNull() & ~F.isnan(F.col(pval_col))
+    ).count()
+    if num_tests == 0:
+        return df.withColumn("bonferroni_significant", F.lit(None).cast("boolean"))
+    threshold = baseline_pval / num_tests
+    return df.withColumn(
+        "bonferroni_significant", F.col(pval_col) < F.lit(threshold)
+    )
+
+
+def benjamini_hochberg(
+    df: DataFrame, pval_col: str = "pval", out_col: str = "pval_bh"
+) -> DataFrame:
+    """BH step-up adjusted p-values: adj_i = min_{j>=i}(p_(j) * n / j),
+    capped at 1, computed with two windows over the ascending p order.
+    Ranks are made deterministic by breaking ties on the full row via
+    row_number over (pval)."""
+    valid = F.col(pval_col).isNotNull() & ~F.isnan(F.col(pval_col))
+    n = df.filter(valid).count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    # Both windows must walk the SAME total order (one ascending, one
+    # exactly reversed), otherwise tied p-values can see inconsistent
+    # ranks and break the step-up running minimum. A unique tiebreaker id
+    # makes the order total; explicit null ordering keeps failed fits
+    # (null pvals) out of the rank sequence (Spark's asc default puts
+    # nulls FIRST, which would shift every valid rank).
+    tagged = df.withColumn("__bh_tid__", F.monotonically_increasing_id())
+    w_rank = Window.orderBy(F.col(pval_col).asc_nulls_last(), F.col("__bh_tid__").asc())
+    w_tail = Window.orderBy(
+        F.col(pval_col).desc_nulls_last(), F.col("__bh_tid__").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = tagged.withColumn(
+        "__bh_rank__", F.when(valid, F.row_number().over(w_rank))
+    )
+    adjusted = ranked.withColumn(
+        "__bh_raw__",
+        F.when(valid, F.least(F.col(pval_col) * F.lit(float(n)) / F.col("__bh_rank__"), F.lit(1.0))),
+    )
+    # Running minimum from the largest p downward implements the step-up rule.
+    out = adjusted.withColumn(
+        out_col, F.when(valid, F.min("__bh_raw__").over(w_tail))
+    ).drop("__bh_rank__", "__bh_raw__", "__bh_tid__")
+    return out
+
+
+def add_phecode_definitions(
+    df: DataFrame,
+    defs_df: DataFrame,
+    is_phewas: bool = False,
+    is_flipwas: bool = False,
+) -> DataFrame:
+    """Broadcast left join of the ~1.9k-row phecode definition table
+    (postprocessing.py:23-29): dependent=phecode for PheWAS, predictor=
+    phecode for flipWAS. Broadcast => no shuffle of the results table."""
+    if is_phewas:
+        key = "dependent"
+    elif is_flipwas:
+        key = "predictor"
+    else:
+        return df
+    return df.join(
+        F.broadcast(defs_df), on=df[key] == defs_df["phecode"], how="left"
+    ).drop("phecode")

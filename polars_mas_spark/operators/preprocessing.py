@@ -1,0 +1,157 @@
+"""Preprocessing operators: sex restriction, missing-covariate handling,
+constant-covariate drop, one-hot encoding.
+
+Reference surface: /root/reference/src/polars_mas/preprocessing.py:7-108.
+Every operator is a pure ``DataFrame -> DataFrame`` transformation built
+from Catalyst-optimizable expressions (no UDFs); the interleaved eager
+statistics the reference collects (null counts, distinct counts, level
+sets) become single aggregate jobs against the (ideally persisted) input
+rather than repeated file re-scans (SURVEY.md §3.2).
+
+Deviations from the reference, both documented in SURVEY.md §2.5/§2.6:
+- ``zero``/``one`` fill is scoped to the covariate columns (the reference
+  fills the whole frame — a latent bug; its own docstring says
+  covariates).
+- One-hot level order is sorted for determinism (the reference relies on
+  polars' unstable unique() order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from polars_mas_spark.colutils import qcol
+from polars_mas_spark.config import MASConfig
+from polars_mas_spark.operators.fills import backward_fill, forward_fill
+
+
+def limit_sex_specific(df: DataFrame, config: MASConfig) -> DataFrame:
+    """Keep only male or only female rows (preprocessing.py:43-62)."""
+    if not config.male_only and not config.female_only:
+        return df
+    if config.sex_col not in df.columns:
+        raise ValueError(
+            f"Sex column '{config.sex_col}' not found in included columns."
+        )
+    if config.male_only:
+        return df.filter(qcol(config.sex_col) != F.lit(config.female_code))
+    return df.filter(qcol(config.sex_col) == F.lit(config.female_code))
+
+
+def handle_missing_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
+    """Apply the configured missing-covariate strategy
+    (preprocessing.py:7-40; strategy list cli.py:119-126)."""
+    covs = config.covariate_columns
+    strategy = config.missing_covariate_values
+    if not covs:
+        return df
+    if strategy == "fail":
+        total = df.count()
+        null_counts = df.agg(
+            *[F.count(F.when(qcol(c).isNull(), 1)).alias(c) for c in covs]
+        ).first()
+        for c in covs:
+            if null_counts[c] == total:
+                raise ValueError(f"All values are missing in covariate column '{c}'.")
+            if null_counts[c] > 0:
+                raise ValueError(
+                    f"Missing values found in covariate column '{c}': "
+                    f"{null_counts[c]} missing values."
+                )
+        return df
+    if strategy == "drop":
+        return df.na.drop(subset=covs)
+    if strategy in ("forward", "backward"):
+        order_col = config.order_col
+        if order_col is None:
+            raise ValueError(
+                "forward/backward fill requires an explicit order column "
+                "(MASConfig.order_col): Spark tables have no inherent row "
+                "order. Add a stable id at ingest."
+            )
+        fill = forward_fill if strategy == "forward" else backward_fill
+        return fill(df, covs, order_col)
+    if strategy in ("min", "max", "mean"):
+        # Stat fills apply to numeric covariates only: ANSI Spark rejects
+        # avg(string), and polars' mean on a string column yields null
+        # (a silent no-op fill) — string-typed categoricals keep their
+        # nulls here and should use drop/fail instead.
+        numeric = {
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, NumericType)
+        }
+        targets = [c for c in covs if c in numeric]
+        if not targets:
+            return df
+        agg_fn = {"min": F.min, "max": F.max, "mean": F.avg}[strategy]
+        stats = df.agg(*[agg_fn(qcol(c)).alias(c) for c in targets]).first()
+        fill_map = {c: stats[c] for c in targets if stats[c] is not None}
+        return df.na.fill(fill_map)
+    if strategy in ("zero", "one"):
+        return df.na.fill(0 if strategy == "zero" else 1, subset=covs)
+    return df
+
+
+def drop_constant_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
+    """Drop covariates with <=1 distinct value (preprocessing.py:65-79);
+    updates ``config.covariate_columns`` in place like the reference.
+    Exact countDistinct — an approximate count that misjudges a constant
+    column would silently change the design matrix."""
+    covs = config.covariate_columns
+    if not covs:
+        return df
+    counts = df.agg(
+        *[F.countDistinct(qcol(c)).alias(c) for c in covs]
+    ).first()
+    constant = [c for c in covs if counts[c] <= 1]
+    if not constant:
+        return df
+    config.covariate_columns = [c for c in covs if c not in constant]
+    return df.drop(*constant)
+
+
+def create_dummy_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
+    """One-hot encode categorical covariates with >2 levels, dropping the
+    first (reference) level against multicollinearity
+    (preprocessing.py:82-108). Binary categoricals pass through unchanged.
+    Levels are collected in one aggregate job (collect_set) and sorted for
+    determinism; dummy columns are named ``{col}_{level}`` as the
+    reference does (preprocessing.py:97)."""
+    cats = [c for c in config.categorical_covariate_columns if c in df.columns]
+    if not cats:
+        return df
+    level_sets = df.agg(
+        *[F.sort_array(F.collect_set(qcol(c))).alias(c) for c in cats]
+    ).first()
+    new_cols: list[str] = []
+    encoded: list[str] = []
+    for c in cats:
+        levels = list(level_sets[c] or [])
+        if len(levels) <= 2:
+            continue
+        encoded.append(c)
+        for level in levels[1:]:
+            name = f"{c}_{level}"
+            new_cols.append(name)
+            df = df.withColumn(
+                name, F.when(qcol(c) == F.lit(level), 1).otherwise(0)
+            )
+    if encoded:
+        df = df.drop(*encoded)
+    config.covariate_columns = [
+        c for c in config.covariate_columns
+        if c not in config.categorical_covariate_columns
+    ] + new_cols
+    return df
+
+
+def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
+    """Full preprocessing chain in reference order (pipeline.py:22-27)."""
+    df = limit_sex_specific(df, config)
+    df = handle_missing_covariates(df, config)
+    df = drop_constant_covariates(df, config)
+    df = create_dummy_covariates(df, config)
+    return df

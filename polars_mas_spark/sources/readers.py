@@ -1,0 +1,109 @@
+"""Input readers: parquet / csv / tsv / txt, plus reference tables.
+
+Reference surface: /root/reference/src/polars_mas/config.py:103-124
+(format dispatch on suffix, multi-token null values) and constants.py:6-13
+(phecode definition table with a string-typed code column).
+
+Multi-token nulls: Spark's CSV reader accepts a single ``nullValue``
+token, while the reference accepts a comma-separated list (cli.py:54-60).
+We pass the first token to the scanner (so schema inference already sees
+it as null) and rewrite the remaining tokens post-read. Columns that were
+only inferred as strings *because* of the extra tokens are re-typed by a
+single try_cast pass — one extra aggregate job, driver-side schema fix,
+no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polars_mas_spark.colutils import qcol
+
+_SUFFIX_SEP = {".csv": ",", ".tsv": "\t", ".txt": "\t"}
+
+
+def read_input(
+    spark: SparkSession,
+    path: str,
+    null_values: list[str] | None = None,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Read a wide input table by file suffix (parquet/csv/tsv/txt)."""
+    suffix = "." + (fmt or path.rsplit(".", 1)[-1]).lower()
+    if suffix == ".parquet":
+        return spark.read.parquet(path)
+    if suffix not in _SUFFIX_SEP:
+        raise ValueError(f"Unsupported input file format: {suffix}")
+    tokens = list(null_values or [])
+    reader = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("sep", _SUFFIX_SEP[suffix])
+    )
+    if tokens:
+        reader = reader.option("nullValue", tokens[0])
+    df = reader.csv(path)
+    extra = tokens[1:]
+    if extra:
+        df = _rewrite_extra_null_tokens(df, extra)
+    return df
+
+
+def _rewrite_extra_null_tokens(df: DataFrame, tokens: list[str]) -> DataFrame:
+    """Null out additional tokens in string columns, then re-infer numeric
+    types for columns that are fully numeric once the tokens are gone."""
+    string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    if not string_cols:
+        return df
+    df = df.select(
+        *[
+            F.when(qcol(c).isin(tokens), F.lit(None)).otherwise(qcol(c)).alias(c)
+            if c in string_cols
+            else qcol(c)
+            for c in df.columns
+        ]
+    )
+    # One aggregate job decides which string columns became fully numeric.
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(
+                    qcol(c).isNotNull() & qcol(c).try_cast("double").isNull(), 1
+                ).otherwise(0)
+            ).alias(c)
+            for c in string_cols
+        ]
+    ).first()
+    numeric = [c for c in string_cols if counts[c] == 0]
+    if numeric:
+        df = df.select(
+            *[
+                qcol(c).cast("double").alias(c) if c in numeric else qcol(c)
+                for c in df.columns
+            ]
+        )
+    return df
+
+
+PHECODE_DEF_SCHEMA = T.StructType(
+    [
+        T.StructField("phecode", T.StringType()),
+        T.StructField("phenotype", T.StringType()),
+        T.StructField("phecode_exclude_range", T.StringType()),
+        T.StructField("sex", T.StringType()),
+        T.StructField("rollup", T.IntegerType()),
+        T.StructField("leaf", T.IntegerType()),
+        T.StructField("category_number", T.DoubleType()),
+        T.StructField("category", T.StringType()),
+    ]
+)
+
+
+def read_phecode_definitions(spark: SparkSession, path: str) -> DataFrame:
+    """Load a phecode definition CSV, forcing the code column to string so
+    '008.5' survives (reference constants.py:6-13). Returns the same
+    projection the reference keeps."""
+    df = spark.read.option("header", True).schema(PHECODE_DEF_SCHEMA).csv(path)
+    return df.select("phecode", "phenotype", "sex", "category", "category_number")

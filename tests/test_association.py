@@ -1,0 +1,153 @@
+"""Association fan-out: distributed results must equal a local serial
+fit of the same data, and the failure-as-row contract must hold
+(reference analysis.py:42-260)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_mas_spark.config import MASConfig
+from polars_mas_spark.functions.stats import logistic_fit, ols_fit
+from polars_mas_spark.operators.association import build_long_table, run_associations
+from polars_mas_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    rng = np.random.default_rng(42)
+    n = 600
+    pdf = pd.DataFrame(
+        {
+            "x": rng.normal(0, 1, n),
+            "age": rng.normal(50, 10, n),
+            "sex": rng.integers(0, 2, n),
+        }
+    )
+    for i, eff in enumerate([0.0, 0.8, 1.5]):
+        logit = -1.0 + eff * pdf["x"] + 0.01 * (pdf["age"] - 50)
+        pdf[f"ph_{i}"] = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype("int64")
+    # ph_rare: too few cases -> must fail validation
+    pdf["ph_rare"] = 0
+    pdf.loc[:4, "ph_rare"] = 1
+    # ph_null: all nulls -> pair disappears from the long table entirely
+    pdf["ph_null"] = pd.array([None] * n, dtype="Int64")
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_long_table_shape(synth, spark):
+    pdf, df = synth
+    long_df = build_long_table(df, ["x"], ["ph_0", "ph_1"], ["age", "sex"])
+    assert long_df.columns == [
+        "predictor", "__pred_value__", "age", "sex", "dependent", "__dep_value__",
+    ]
+    assert long_df.count() == 2 * len(pdf)
+    assert long_df.select("dependent").distinct().count() == 2
+
+
+def test_distributed_matches_serial_logistic(synth, spark):
+    pdf, df = synth
+    cfg = MASConfig(
+        predictors="x", dependents=["ph_0", "ph_1", "ph_2"],
+        covariates=["age", "sex"], model="logistic", min_case_count=5,
+    )
+    res = run_pipeline(spark, cfg, df=df).toPandas().set_index("dependent")
+    for dep in ["ph_0", "ph_1", "ph_2"]:
+        X = pdf[["x", "age", "sex"]].to_numpy(float)
+        y = pdf[dep].to_numpy(float)
+        serial = logistic_fit(X, y)
+        got = res.loc[dep]
+        assert got["beta"] == pytest.approx(serial["beta"], abs=1e-9)
+        assert got["pval"] == pytest.approx(serial["pval"], rel=1e-9, abs=1e-300)
+        assert got["se"] == pytest.approx(serial["se"], abs=1e-9)
+        assert got["cases"] == int(y.sum())
+        assert got["total_n"] == len(y)
+        assert got["equation"] == f"{dep} ~ x + age + sex"
+    # sorted by pval ascending
+    pvals = res["pval"].dropna().to_list()
+    assert pvals == sorted(pvals)
+
+
+def test_failure_rows_not_exceptions(synth, spark):
+    pdf, df = synth
+    cfg = MASConfig(
+        predictors="x", dependents=["ph_0", "ph_rare", "ph_null"],
+        covariates=["age", "sex"], model="firth", min_case_count=20,
+    )
+    res = run_associations(df, cfg.resolve(df.columns)).toPandas().set_index("dependent")
+    rare = res.loc["ph_rare"]
+    assert rare["failed_reason"] == "Insufficient case count (5 cases)."
+    assert math.isnan(rare["pval"]) or rare["pval"] is None
+    assert rare["cases"] == -9 and rare["converged"] == False  # noqa: E712
+    nul = res.loc["ph_null"]
+    assert nul["failed_reason"] == "No data after dropping nulls."
+    ok = res.loc["ph_0"]
+    assert ok["failed_reason"] == "nan"
+    assert ok["converged"] == True  # noqa: E712
+
+
+def test_multi_predictor_fanout(synth, spark):
+    pdf, df = synth
+    cfg = MASConfig(
+        predictors=["x", "age"], dependents=["ph_0", "ph_1"],
+        covariates=["sex"], model="logistic", min_case_count=5,
+    )
+    res = run_associations(df, cfg.resolve(df.columns)).toPandas()
+    assert len(res) == 4
+    assert set(zip(res["predictor"], res["dependent"])) == {
+        ("x", "ph_0"), ("x", "ph_1"), ("age", "ph_0"), ("age", "ph_1"),
+    }
+
+
+def test_quantitative_linear(synth, spark):
+    pdf, df = synth
+    cfg = MASConfig(
+        predictors="x", dependents=["age"], covariates=["sex"],
+        model="linear", quantitative=True, min_case_count=20,
+    )
+    res = run_associations(df, cfg.resolve(df.columns)).toPandas().iloc[0]
+    serial = ols_fit(pdf[["x", "sex"]].to_numpy(float), pdf["age"].to_numpy(float))
+    assert res["beta"] == pytest.approx(serial["beta"], abs=1e-9)
+    assert res["pval"] == pytest.approx(serial["pval"], rel=1e-9)
+    assert res["n_observations"] == len(pdf)
+
+
+def test_constant_covariate_dropped_per_group(spark):
+    # sex is constant within this subset -> must vanish from the equation
+    pdf = pd.DataFrame(
+        {
+            "x": np.r_[np.zeros(40), np.ones(40)],
+            "sex": np.ones(80),
+            "y": np.r_[np.zeros(20), np.ones(20), np.zeros(10), np.ones(30)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=["y"], covariates=["sex"],
+        model="logistic", min_case_count=5,
+    )
+    res = run_associations(df, cfg.resolve(df.columns)).toPandas().iloc[0]
+    assert res["equation"] == "y ~ x + "
+    assert np.isfinite(res["beta"])
+
+
+def test_dotted_phecode_column_names(spark):
+    # PheWAS dependents are phecode-named ("250.0") — dots must not be
+    # parsed as struct accessors anywhere in the engine (colutils.qcol).
+    pdf = pd.DataFrame(
+        {
+            "geno": np.r_[np.zeros(50), np.ones(50), 2 * np.ones(50)],
+            "age.x": np.linspace(40, 60, 150),
+            "250.0": np.tile([0, 1, 0], 50),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="geno", dependents=["250.0"], covariates=["age.x"],
+        model="logistic", min_case_count=5,
+    )
+    res = run_pipeline(spark, cfg, df=df).toPandas().iloc[0]
+    assert res["dependent"] == "250.0"
+    assert res["equation"] == "250.0 ~ geno + age.x"
+    assert np.isfinite(res["beta"])

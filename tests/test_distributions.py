@@ -1,0 +1,50 @@
+"""Golden-value tests for the pure-Python distribution functions.
+
+Reference values are standard published quantiles/probabilities (R /
+scipy agree on all of them to the digits given).
+"""
+
+import math
+
+import pytest
+
+from polars_mas_spark.functions import distributions as d
+
+
+@pytest.mark.parametrize(
+    "func,args,expected,tol",
+    [
+        (d.norm_ppf, (0.975,), 1.959963984540054, 1e-12),
+        (d.norm_ppf, (0.025,), -1.959963984540054, 1e-12),
+        (d.norm_ppf, (0.5,), 0.0, 1e-15),
+        (d.norm_sf, (1.959963984540054,), 0.025, 1e-12),
+        (d.norm_cdf, (0.0,), 0.5, 1e-15),
+        (d.chi2_sf, (3.841458820694124, 1.0), 0.05, 1e-12),
+        (d.chi2_sf, (6.634896601021213, 1.0), 0.01, 1e-12),
+        (d.t_sf, (2.2281388519649385, 10), 0.025, 1e-10),
+        (d.t_ppf, (0.975, 10), 2.2281388519649385, 1e-9),
+        (d.t_ppf, (0.975, 3), 3.182446305284263, 1e-9),
+        (d.t_ppf, (0.975, 1000), 1.9623390808264078, 1e-8),
+    ],
+)
+def test_golden_values(func, args, expected, tol):
+    assert func(*args) == pytest.approx(expected, abs=tol)
+
+
+def test_ppf_cdf_roundtrip():
+    for p in [1e-10, 1e-6, 0.01, 0.3, 0.5, 0.7, 0.99, 1 - 1e-6]:
+        assert d.norm_cdf(d.norm_ppf(p)) == pytest.approx(p, rel=1e-10)
+    for p in [0.001, 0.05, 0.5, 0.95, 0.999]:
+        for df in [1, 5, 30, 200]:
+            assert 1 - d.t_sf(d.t_ppf(p, df), df) == pytest.approx(p, rel=1e-7)
+
+
+def test_t_approaches_normal():
+    assert d.t_sf(1.96, 1e7) == pytest.approx(d.norm_sf(1.96), abs=1e-6)
+
+
+def test_chi2_sf_general_df():
+    # chi2.sf(10, 3) from standard tables
+    assert d.chi2_sf(10, 3) == pytest.approx(0.018565812, abs=5e-7)
+    assert d.chi2_sf(0.0, 5) == 1.0
+    assert math.isnan(d.chi2_sf(float("nan")))

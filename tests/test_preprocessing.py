@@ -1,0 +1,143 @@
+"""Preprocessing operator semantics (reference preprocessing.py:7-108)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_mas_spark.config import MASConfig
+from polars_mas_spark.operators.fills import backward_fill, forward_fill
+from polars_mas_spark.operators.preprocessing import (
+    create_dummy_covariates,
+    drop_constant_covariates,
+    handle_missing_covariates,
+    limit_sex_specific,
+)
+
+
+@pytest.fixture()
+def wide_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "rid": range(8),
+            "sex": [1, 0, 1, 0, 1, 0, 1, 0],
+            "age": [30.0, None, 50.0, 60.0, None, 40.0, 45.0, 55.0],
+            "grp": ["a", "b", "c", "a", "b", "c", "a", "a"],
+            "const": [7.0] * 8,
+            "y": [0, 1, 0, 1, 0, 1, 0, 1],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _cfg(**kw):
+    base = dict(predictors="rid", dependents="y", covariates=["sex", "age"])
+    base.update(kw)
+    cfg = MASConfig(**base)
+    return cfg
+
+
+def test_sex_filter_female_only(wide_df):
+    cfg = _cfg(female_only=True, sex_col="sex", female_code=1)
+    cfg.resolve(wide_df.columns)
+    out = limit_sex_specific(wide_df, cfg)
+    assert out.count() == 4
+    assert out.agg(F.min("sex"), F.max("sex")).first() == (1, 1)
+
+
+def test_sex_filter_male_only(wide_df):
+    cfg = _cfg(male_only=True)
+    cfg.resolve(wide_df.columns)
+    assert limit_sex_specific(wide_df, cfg).count() == 4
+
+
+def test_missing_fail_raises(wide_df):
+    cfg = _cfg(missing_covariate_values="fail")
+    cfg.resolve(wide_df.columns)
+    with pytest.raises(ValueError, match="Missing values found in covariate column 'age'"):
+        handle_missing_covariates(wide_df, cfg)
+
+
+def test_missing_drop(wide_df):
+    cfg = _cfg(missing_covariate_values="drop")
+    cfg.resolve(wide_df.columns)
+    assert handle_missing_covariates(wide_df, cfg).count() == 6
+
+
+@pytest.mark.parametrize(
+    "strategy,expected",
+    [("mean", 46.666666666666664), ("min", 30.0), ("max", 60.0)],
+)
+def test_missing_stat_fills(wide_df, strategy, expected):
+    cfg = _cfg(missing_covariate_values=strategy)
+    cfg.resolve(wide_df.columns)
+    out = handle_missing_covariates(wide_df, cfg)
+    vals = {r["rid"]: r["age"] for r in out.select("rid", "age").collect()}
+    assert vals[1] == pytest.approx(expected)
+    assert vals[4] == pytest.approx(expected)
+    assert vals[0] == 30.0  # untouched
+
+
+def test_missing_zero_fill_scoped_to_covariates(wide_df):
+    cfg = _cfg(missing_covariate_values="zero")
+    cfg.resolve(wide_df.columns)
+    out = handle_missing_covariates(wide_df, cfg)
+    vals = {r["rid"]: r["age"] for r in out.select("rid", "age").collect()}
+    assert vals[1] == 0.0 and vals[4] == 0.0
+
+
+def test_forward_fill_requires_order_col(wide_df):
+    cfg = _cfg(missing_covariate_values="forward")
+    cfg.resolve(wide_df.columns)
+    with pytest.raises(ValueError, match="order column"):
+        handle_missing_covariates(wide_df, cfg)
+
+
+def test_forward_fill_matches_sequential_semantics(spark):
+    pdf = pd.DataFrame(
+        {"ord": range(10), "v": [None, 1.0, None, None, 4.0, None, 6.0, None, None, None]}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = forward_fill(df, ["v"], "ord", num_blocks=3)
+    got = [r["v"] for r in out.orderBy("ord").collect()]
+    assert got == [None, 1.0, 1.0, 1.0, 4.0, 4.0, 6.0, 6.0, 6.0, 6.0]
+
+
+def test_backward_fill_matches_sequential_semantics(spark):
+    pdf = pd.DataFrame(
+        {"ord": range(10), "v": [None, 1.0, None, None, 4.0, None, 6.0, None, None, None]}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = backward_fill(df, ["v"], "ord", num_blocks=3)
+    got = [r["v"] for r in out.orderBy("ord").collect()]
+    assert got == [1.0, 1.0, 4.0, 4.0, 4.0, 6.0, 6.0, None, None, None]
+
+
+def test_drop_constant_covariates_updates_config(wide_df):
+    cfg = _cfg(covariates=["sex", "const"], missing_covariate_values="zero")
+    cfg.resolve(wide_df.columns)
+    out = drop_constant_covariates(wide_df, cfg)
+    assert "const" not in out.columns
+    assert cfg.covariate_columns == ["sex"]
+
+
+def test_one_hot_drop_first_sorted_levels(wide_df):
+    cfg = _cfg(covariates=["sex", "grp"], categorical_covariates=["grp"])
+    cfg.resolve(wide_df.columns)
+    out = create_dummy_covariates(wide_df, cfg)
+    assert "grp" not in out.columns
+    assert "grp_b" in out.columns and "grp_c" in out.columns
+    assert "grp_a" not in out.columns  # first sorted level dropped
+    assert set(cfg.covariate_columns) == {"sex", "grp_b", "grp_c"}
+    row = {r["rid"]: (r["grp_b"], r["grp_c"]) for r in out.collect()}
+    assert row[1] == (1, 0) and row[2] == (0, 1) and row[0] == (0, 0)
+
+
+def test_one_hot_binary_categorical_passthrough(spark):
+    pdf = pd.DataFrame({"rid": range(4), "y": [0, 1, 0, 1], "bin": ["m", "f", "m", "f"]})
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="rid", dependents="y", covariates=["bin"], categorical_covariates=["bin"]
+    )
+    cfg.resolve(df.columns)
+    out = create_dummy_covariates(df, cfg)
+    assert "bin" in out.columns  # <=2 levels: untouched (preprocessing.py:95)
