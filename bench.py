@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: relational composites, dedup, text, similarity, windows,
+# streaming-batch, and the MAS fan-out itself.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "exact_dedup",
+    "minhash_dedup",
+    "text_quality",
+    "token_count",
+    "lang_id",
+    "ann_bruteforce_topk",
+    "sessionize",
+    "asof_join",
+    "windowed_event_counts",
+    "mas_logistic_fanout",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("polars-mas-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a failed query is reported, not fatal
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,12 +14,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from polars_mas_spark.colutils import qcol
 from polars_mas_spark.functions.distributions import norm_ppf
 
 
-@pandas_udf("double")
+# DataType instance (not a DDL string) so the UDF can be defined at import
+# time without an active SparkSession.
+@pandas_udf(DoubleType())
 def _probit(p: pd.Series) -> pd.Series:
     return p.map(lambda v: norm_ppf(v) if v is not None and not pd.isna(v) else None)
 

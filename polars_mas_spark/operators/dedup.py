@@ -1,0 +1,282 @@
+"""Deduplication operators for large-scale document corpora.
+
+Beyond-reference surface (the reference engine has no dedup; these are
+the training-data-pipeline operators the 100 TB target needs). All hash
+computations use md5 (JVM built-in, deterministic, dialect-portable so
+DuckDB oracles can reproduce them exactly) and run JVM-side — no Python
+UDFs anywhere in this module.
+
+Scale design notes:
+- exact dedup: one hash-shuffle on the content digest.
+- MinHash: tokens explode map-side; ONE groupBy(id) computes all K
+  min-hashes as parallel aggregates (single shuffle, map-side partial
+  aggregation does the heavy lifting).
+- LSH banding: band signatures explode to (band, hash) keys; the
+  self-join on bucket keys is a shuffle join on small keys. Bucket skew
+  (a degenerate band hash) is handled by AQE skew-join splitting.
+- SimHash: 64 bit-sum aggregates over exploded tokens, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_mas_spark.colutils import qcol
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_digest(col) -> "F.Column":
+    return F.md5(col.cast("string"))
+
+
+def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content hash: representative (min) id and
+    duplicate count. Hash-groupBy; single shuffle on the digest."""
+    return (
+        df.select(qcol(id_col).alias("doc_id"), content_digest(qcol(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative of each exact-duplicate group."""
+    keep = exact_dedup_summary(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Tokenization shared by MinHash / SimHash / Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, token) with per-document distinct word tokens."""
+    return df.select(
+        qcol(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(qcol(text_col)), r"\s+"))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, built JVM-side with a
+    transform over token index arrays."""
+    toks = F.split(F.lower(qcol(text_col)), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return df.select(
+        qcol(id_col).alias("doc_id"), F.explode(shingles).alias("shingle")
+    ).filter(F.size(F.split(F.col("shingle"), " ")) == n)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc_id, sig) where sig is an array of `num_hashes` hex minhash
+    values: min over tokens of md5(seed || '|' || token). All K hashes
+    are computed as parallel aggregates of ONE groupBy — a single
+    shuffle with map-side combine, the scalable shape for 100 TB."""
+    toks = _distinct_tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("token")))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = toks.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing >= 1 band
+    bucket. Pairs are (doc_a < doc_b), distinct."""
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Greedy near-dup removal: drop every document that appears as the
+    larger id in some candidate pair. (One-pass approximation of
+    connected-component dedup — full CC needs iteration; greedy keeps
+    at least one representative per duplicate cluster and is the
+    standard single-pass choice for web-scale corpora.)"""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) 64-bit document fingerprint. Token hash = first
+    16 hex chars of md5 (64 bits via conv base16); the classic bit-vote:
+    bit_i(simhash) = 1 iff sum over tokens of (+1 if token bit_i else -1)
+    is positive. All `bits` votes are parallel aggregates of one
+    groupBy."""
+    toks = _distinct_tokens(df, id_col, text_col)
+    # Two 32-bit halves of the md5 prefix avoid signed-long overflow on
+    # the high bit while keeping everything in JVM integer math.
+    h_hi = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
+    toks = toks.select("doc_id", h_hi.alias("hi"), h_lo.alias("lo"))
+    votes = []
+    for i in range(bits):
+        if i < 32:
+            bit = F.shiftrightunsigned(F.col("lo"), i).bitwiseAND(F.lit(1))
+        else:
+            bit = F.shiftrightunsigned(F.col("hi"), i - 32).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bit * 2 - 1).alias(f"b{i}"))
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    # Assemble the fingerprint as a 16-char hex string (4 bits per nibble)
+    # to stay overflow-free and comparable across engines.
+    nibbles = []
+    for nib in range(bits // 4 - 1, -1, -1):
+        val = sum(
+            (F.when(F.col(f"b{nib * 4 + k}") > 0, 1).otherwise(0) * (1 << k))
+            for k in range(4)
+        )
+        nibbles.append(F.conv(val.cast("string"), 10, 16))
+    return per_doc.select(
+        "doc_id", F.lower(F.concat(*nibbles)).alias("simhash")
+    )
+
+
+def simhash_hamming_pairs(
+    sim: DataFrame, max_distance: int = 3, prefix_nibbles: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs by hamming distance on the simhash,
+    blocked on a shared hex prefix to avoid the full cross join (at
+    scale, use multiple rotations; one prefix block is the demo shape).
+    Hamming distance is computed nibble-wise JVM-side."""
+    a = sim.alias("a")
+    b = sim.alias("b")
+    pref = lambda side: F.substring(F.col(f"{side}.simhash"), 1, prefix_nibbles)  # noqa: E731
+    joined = a.join(
+        b,
+        (pref("a") == pref("b")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # popcount(xor) via nibble lookup
+    dist = None
+    for i in range(1, 17):
+        na = F.conv(F.substring(F.col("a.simhash"), i, 1), 16, 10).cast("int")
+        nb = F.conv(F.substring(F.col("b.simhash"), i, 1), 16, 10).cast("int")
+        x = na.bitwiseXOR(nb)
+        pc = (
+            x.bitwiseAND(F.lit(1))
+            + F.shiftrightunsigned(x, 1).bitwiseAND(F.lit(1))
+            + F.shiftrightunsigned(x, 2).bitwiseAND(F.lit(1))
+            + F.shiftrightunsigned(x, 3).bitwiseAND(F.lit(1))
+        )
+        dist = pc if dist is None else dist + pc
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        dist.alias("hamming"),
+    ).filter(F.col("hamming") <= max_distance)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    length_col: str | None = None,
+    length_tolerance: float = 0.2,
+) -> DataFrame:
+    """Word-set Jaccard similarity over candidate pairs. Candidates are
+    pruned by an equality block (e.g. language) and a relative length
+    band before any set math — the standard way to keep the pair count
+    sub-quadratic. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    base = df.select(
+        qcol(id_col).alias("doc_id"),
+        F.array_sort(
+            F.array_distinct(F.split(F.lower(qcol(text_col)), r"\s+"))
+        ).alias("words"),
+        *( [qcol(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
+        *( [qcol(length_col).alias("len")] if length_col else [F.size(F.split(qcol(text_col), r"\s+")).alias("len")] ),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.len") >= F.col("a.len") * (1 - length_tolerance))
+        & (F.col("b.len") <= F.col("a.len") * (1 + length_tolerance)),
+    )
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (inter.cast("double") / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Beyond-reference surface. The design treats image/audio/video as
+``binary`` columns with a metadata struct alongside; decode/feature
+steps run as Arrow-batched ``mapInPandas`` so each Python worker sees
+whole record batches, never single rows.
+
+The actual media decoding libraries (PIL/ffmpeg/librosa) are NOT
+available in this environment, so the decode internals are stubbed:
+``decoder="fake"`` (default) parses a deterministic fake header so the
+Spark-side plumbing — schema, batching, partitioning, UDF signature —
+is fully real and testable; ``decoder="real"`` raises
+NotImplementedError at the exact point a real decoder would plug in.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polars_mas_spark.colutils import qcol
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, content_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Add the typed metadata struct next to a binary payload column —
+    pure JVM expressions, no Python."""
+    content = qcol(content_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(content).cast("long").alias("n_bytes"),
+            F.md5(content).alias("digest"),
+        ),
+    )
+
+
+def text_as_binary(df: DataFrame, text_col: str, out_col: str = "content") -> DataFrame:
+    """Test helper: materialize a binary payload column from text."""
+    return df.withColumn(out_col, F.encode(qcol(text_col), "UTF-8"))
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode + feature-extract over binary payloads via mapInPandas.
+
+    The fake decoder derives deterministic width/height from the first
+    bytes of the payload, standing in where PIL.Image.open would go; the
+    rest of the operator (Arrow batching, schema, per-batch loop) is the
+    real production shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "Real media decoding requires PIL/ffmpeg on executors; "
+                    "plug the decoder in here."
+                )
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(payload or b"")
+                n = len(b)
+                width = (b[0] if n > 0 else 0) + 1
+                height = (b[1] if n > 1 else 0) + 1
+                mean_byte = float(sum(b) / n) if n else 0.0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": int(width),
+                        "height": int(height),
+                        "n_bytes": n,
+                        "mean_byte": mean_byte,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return df.select(qcol(id_col).alias(id_col), qcol(content_col).alias(content_col)).mapInPandas(
+        batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames_col: str = "n_frames",
+    every_k: int = 10,
+) -> DataFrame:
+    """Expand a video row into (doc_id, frame_index) sampling rows —
+    the shuffle-free JVM side of frame extraction; the binary frame
+    decode would be a mapInPandas like extract_image_features."""
+    return df.select(
+        qcol(id_col).alias(id_col),
+        F.explode(
+            F.sequence(F.lit(0), qcol(n_frames_col) - 1, F.lit(every_k))
+        ).alias("frame_index"),
+    )

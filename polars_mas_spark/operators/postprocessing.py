@@ -40,25 +40,28 @@ def benjamini_hochberg(
 ) -> DataFrame:
     """BH step-up adjusted p-values: adj_i = min_{j>=i}(p_(j) * n / j),
     capped at 1, computed with two windows over the ascending p order.
-    Ranks are made deterministic by breaking ties on the full row via
-    row_number over (pval)."""
+
+    Ties: every row of a tied p-value group uses the group's MAXIMUM
+    ascending rank (a RANGE-frame count of pvals <= p). This is the
+    canonical tie-invariant form — the step-up running minimum collapses
+    tied groups to p*n/maxrank anyway, so using maxrank directly makes
+    the result independent of any within-tie row order (row_number-based
+    ranks are engine-nondeterministic under ties)."""
     valid = F.col(pval_col).isNotNull() & ~F.isnan(F.col(pval_col))
     n = df.filter(valid).count()
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("double"))
-    # Both windows must walk the SAME total order (one ascending, one
-    # exactly reversed), otherwise tied p-values can see inconsistent
-    # ranks and break the step-up running minimum. A unique tiebreaker id
-    # makes the order total; explicit null ordering keeps failed fits
-    # (null pvals) out of the rank sequence (Spark's asc default puts
-    # nulls FIRST, which would shift every valid rank).
-    tagged = df.withColumn("__bh_tid__", F.monotonically_increasing_id())
-    w_rank = Window.orderBy(F.col(pval_col).asc_nulls_last(), F.col("__bh_tid__").asc())
-    w_tail = Window.orderBy(
-        F.col(pval_col).desc_nulls_last(), F.col("__bh_tid__").desc()
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    ranked = tagged.withColumn(
-        "__bh_rank__", F.when(valid, F.row_number().over(w_rank))
+    # Explicit null ordering keeps failed fits (null pvals) out of the
+    # rank sequence (Spark's asc default puts nulls FIRST, which would
+    # shift every valid rank).
+    w_rank = Window.orderBy(F.col(pval_col).asc_nulls_last()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tail = Window.orderBy(F.col(pval_col).desc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = df.withColumn(
+        "__bh_rank__", F.when(valid, F.count(F.when(valid, 1)).over(w_rank))
     )
     adjusted = ranked.withColumn(
         "__bh_raw__",
@@ -67,7 +70,7 @@ def benjamini_hochberg(
     # Running minimum from the largest p downward implements the step-up rule.
     out = adjusted.withColumn(
         out_col, F.when(valid, F.min("__bh_raw__").over(w_tail))
-    ).drop("__bh_rank__", "__bh_raw__", "__bh_tid__")
+    ).drop("__bh_rank__", "__bh_raw__")
     return out
 
 

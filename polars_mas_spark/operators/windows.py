@@ -1,0 +1,146 @@
+"""Window-family operators: sessionization, rolling aggregates, grouped
+top-k, and a distributed as-of join.
+
+Beyond-reference surface (the reference has no window functions at all,
+SURVEY.md §2.10). Every window here is PARTITIONED (by user/key) — no
+global single-partition windows — so each scales with the key
+cardinality.
+
+The as-of join uses the classic union-sentinel algorithm instead of a
+range join: tag both sides, union, sort within key, and carry the last
+right-side payload forward. One shuffle on (key, ts); no quadratic
+candidate explosion, no interval join. DuckDB's native ASOF JOIN is the
+test oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_mas_spark.colutils import qcol
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign per-user session ids: a new session starts when the gap
+    from the previous event exceeds `gap_seconds`. Adds ``session_id``
+    (1-based per user)."""
+    w = Window.partitionBy(qcol(user_col)).orderBy(qcol(ts_col))
+    prev_ts = F.lag(qcol(ts_col)).over(w)
+    gap = qcol(ts_col).cast("long") - prev_ts.cast("long")
+    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_summary(
+    df: DataFrame, user_col: str, ts_col: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """(user, session_id, n_events, session_start, session_end)."""
+    s = sessionize(df, user_col, ts_col, gap_seconds)
+    return s.groupBy(qcol(user_col), F.col("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min(qcol(ts_col)).alias("session_start"),
+        F.max(qcol(ts_col)).alias("session_end"),
+    )
+
+
+def rolling_agg(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 5,
+) -> DataFrame:
+    """Rolling mean/sum over the last `window_rows` rows per partition."""
+    w = (
+        Window.partitionBy(qcol(partition_col))
+        .orderBy(qcol(order_col))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.select(
+        *df.columns,
+        F.avg(qcol(value_col)).over(w).alias("rolling_avg"),
+        F.sum(qcol(value_col)).over(w).alias("rolling_sum"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int = 3, tiebreak_col: str | None = None
+) -> DataFrame:
+    """Top-k rows per group by descending order_col (deterministic via
+    tiebreak)."""
+    order = [qcol(order_col).desc()]
+    if tiebreak_col:
+        order.append(qcol(tiebreak_col).asc())
+    w = Window.partitionBy(qcol(group_col)).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the right row with the
+    largest right_ts <= left_ts (backward) or smallest right_ts >=
+    left_ts (forward), per key.
+
+    Union-sentinel implementation: one shuffle on (key, ts); scales with
+    key cardinality, never materializes candidate pairs."""
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    lcols = left.columns
+
+    l_tag = left.select(
+        qcol(on).alias("__key__"),
+        qcol(left_ts).alias("__ts__"),
+        F.lit(1).alias("__is_left__"),
+        F.struct(*[qcol(c) for c in lcols]).alias("__lrow__"),
+        F.lit(None).cast(
+            right.select(F.struct(*[qcol(c) for c in [right_ts, *value_cols]]).alias("s"))
+            .schema["s"].dataType
+        ).alias("__rrow__"),
+    )
+    r_tag = right.select(
+        qcol(on).alias("__key__"),
+        qcol(right_ts).alias("__ts__"),
+        F.lit(0).alias("__is_left__"),
+        F.lit(None).cast(
+            left.select(F.struct(*[qcol(c) for c in lcols]).alias("s")).schema["s"].dataType
+        ).alias("__lrow__"),
+        F.struct(*[qcol(c) for c in [right_ts, *value_cols]]).alias("__rrow__"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # Right rows sort before left rows at equal ts so ties match.
+        w = Window.partitionBy("__key__").orderBy(
+            F.col("__ts__").asc(), F.col("__is_left__").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+    elif direction == "forward":
+        w = Window.partitionBy("__key__").orderBy(
+            F.col("__ts__").desc(), F.col("__is_left__").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+    else:
+        raise ValueError(f"Unknown direction: {direction}")
+    carried = unioned.withColumn(
+        "__match__", F.last("__rrow__", ignorenulls=True).over(w)
+    ).filter(F.col("__is_left__") == 1)
+    out_cols = [F.col("__lrow__")[c].alias(c) for c in lcols]
+    out_cols.append(F.col("__match__")[right_ts].alias(f"asof_{right_ts}"))
+    out_cols.extend(F.col("__match__")[c].alias(c) for c in value_cols)
+    return carried.select(*out_cols)

@@ -63,5 +63,10 @@ def run_pipeline(
             results, phecode_defs, config.is_phewas, config.is_flipwas
         )
     if output_path is not None:
-        write_output(results, output_path, config.output_type)
+        # Like the reference, the writer is picked by the output path's
+        # suffix (postprocessing.py:33-40); config.output_type is the
+        # fallback for suffix-less paths.
+        suffix = output_path.rsplit(".", 1)[-1].lower() if "." in output_path else ""
+        out_type = suffix if suffix in ("parquet", "csv", "tsv", "txt") else config.output_type
+        write_output(results, output_path, out_type)
     return results

@@ -1,0 +1,633 @@
+"""The engine's query registry: every operator from SURVEY.md §2 (plus
+the beyond-reference extension operators) expressed as a named query
+over the driver's test tables, each with a DuckDB-runnable ANSI-SQL
+oracle where SQL can express the semantics.
+
+Contract (see /root/repo/__spark_entry__.py): each entry maps
+``name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)``.
+Column names are aliased identically on both sides; floating-point
+results are rounded on both sides so the driver's value-hash compare is
+stable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_mas_spark.operators import dedup as dd
+from polars_mas_spark.operators import multimodal as mm
+from polars_mas_spark.operators import similarity as sim
+from polars_mas_spark.operators import text as tx
+from polars_mas_spark.operators import windows as wd
+from polars_mas_spark.operators.fills import forward_fill
+from polars_mas_spark.operators.postprocessing import benjamini_hochberg, bonferroni
+from polars_mas_spark.functions.transforms import rint
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which
+        # Spark's vectorized reader refuses by default. Read the raw
+        # nanos as long, then truncate to a micros TimestampType with
+        # exact integer division (`div`, not `/`: a double divide loses
+        # the last microsecond on epoch-scale nanos). DuckDB truncates
+        # NS->US identically on CAST(ts AS TIMESTAMP)/epoch_us.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# §2.1/§2.2 — scans, projections, filters (S1, P1, P5)
+# ===========================================================================
+
+
+@query(
+    "scan_project",
+    "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders",
+)
+def q_scan_project(spark, sf_dir):
+    """S1+P1: parquet scan with projection pushdown (reference
+    config.py:112-113, config.py:260)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+
+@query(
+    "filter_predicate",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 100""",
+)
+def q_filter_predicate(spark, sf_dir):
+    """P5-style equality/range predicates pushed into the scan."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 100)
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "sex_restrict_filter",
+    "SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey <> 3",
+)
+def q_sex_restrict(spark, sf_dir):
+    """P5: the male_only filter shape (preprocessing.py:43-62) — keep
+    rows where code column != the excluded code."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") != F.lit(3))
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+@query(
+    "multi_token_nulls",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderpriority IN ('URGENT','HIGH') THEN NULL
+                   ELSE o_orderpriority END AS priority_clean
+       FROM orders""",
+)
+def q_multi_token_nulls(spark, sf_dir):
+    """S2: the multi-token null rewrite applied post-read
+    (readers._rewrite_extra_null_tokens semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("URGENT", "HIGH"), F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority_clean"),
+    )
+
+
+# ===========================================================================
+# §2.4 — aggregations (A1-A6)
+# ===========================================================================
+
+
+@query(
+    "null_counts",
+    """SELECT count(*) AS n_rows,
+              count(*) FILTER (WHERE o_orderpriority IN ('URGENT','HIGH')) AS n_null_priority
+       FROM orders""",
+)
+def q_null_counts(spark, sf_dir):
+    """A1+A2: row count and per-column null count (config.py:270,
+    preprocessing.py:10-17) over the null-rewritten column."""
+    o = _t(spark, sf_dir, "orders")
+    cleaned = F.when(
+        F.col("o_orderpriority").isin("URGENT", "HIGH"), F.lit(None)
+    ).otherwise(F.col("o_orderpriority"))
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(cleaned.isNull(), 1)).alias("n_null_priority"),
+    )
+
+
+@query(
+    "distinct_counts",
+    """SELECT count(DISTINCT l_returnflag) AS n_returnflag,
+              count(DISTINCT l_linestatus) AS n_linestatus,
+              count(DISTINCT l_suppkey) AS n_suppkey
+       FROM lineitem""",
+)
+def q_distinct_counts(spark, sf_dir):
+    """A3: exact per-column distinct counts (constant detection,
+    preprocessing.py:68)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_returnflag").alias("n_returnflag"),
+        F.countDistinct("l_linestatus").alias("n_linestatus"),
+        F.countDistinct("l_suppkey").alias("n_suppkey"),
+    )
+
+
+@query(
+    "min_max_mean",
+    """SELECT round(min(l_quantity), 6) AS min_qty,
+              round(max(l_quantity), 6) AS max_qty,
+              round(avg(l_quantity), 6) AS mean_qty,
+              round(avg(l_discount), 6) AS mean_disc
+       FROM lineitem""",
+)
+def q_min_max_mean(spark, sf_dir):
+    """A4: fill-value statistics (preprocessing.py:32-34)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.min("l_quantity"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity"), 6).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.avg("l_discount"), 6).alias("mean_disc"),
+    )
+
+
+@query(
+    "group_levels",
+    "SELECT DISTINCT o_orderpriority AS level FROM orders ORDER BY level",
+)
+def q_group_levels(spark, sf_dir):
+    """A6: categorical level discovery, sorted for determinism
+    (preprocessing.py:87-97 + SURVEY.md §2.4 A6 note)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("level"))
+        .distinct()
+        .orderBy("level")
+    )
+
+
+# ===========================================================================
+# §2.5 — fills (F2/F5/F6 + scalable F3)
+# ===========================================================================
+
+_NULLIFIED_DISC = "CASE WHEN l_discount < 0.03 THEN NULL ELSE l_discount END"
+
+
+@query(
+    "fill_mean",
+    f"""WITH base AS (
+          SELECT l_orderkey, l_linenumber, {_NULLIFIED_DISC} AS disc FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+               round(coalesce(disc, (SELECT avg(disc) FROM base)), 6) AS disc_filled
+        FROM base""",
+)
+def q_fill_mean(spark, sf_dir):
+    """F5: mean imputation = one aggregate + na.fill
+    (preprocessing.py:32-34)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") < 0.03, F.lit(None))
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+    )
+    mean_val = base.agg(F.avg("disc")).first()[0]
+    return base.na.fill({"disc": mean_val}).select(
+        "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc_filled")
+    )
+
+
+@query(
+    "fill_zero",
+    f"""SELECT l_orderkey, l_linenumber,
+               round(coalesce({_NULLIFIED_DISC}, 0.0), 6) AS disc_filled
+        FROM lineitem""",
+)
+def q_fill_zero(spark, sf_dir):
+    """F6: zero fill scoped to target columns (preprocessing.py:35-36,
+    with the whole-frame bug fixed per SURVEY.md §2.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") < 0.03, F.lit(None))
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+    )
+    return base.na.fill({"disc": 0.0}).select(
+        "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc_filled")
+    )
+
+
+@query(
+    "forward_fill",
+    """SELECT event_id,
+              round(last_value(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
+                    OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS value_ffilled
+       FROM events""",
+)
+def q_forward_fill(spark, sf_dir):
+    """F3: ordered forward fill via the distributed block-prefix
+    algorithm (operators/fills.py) — oracle is the sequential
+    IGNORE NULLS window."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    filled = forward_fill(base, ["v"], "event_id")
+    return filled.select(
+        "event_id", F.round(F.col("v"), 6).alias("value_ffilled")
+    )
+
+
+# ===========================================================================
+# §2.6 — encoding / reshaping (E1, U1)
+# ===========================================================================
+
+
+@query(
+    "one_hot",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS "prio_2-HIGH",
+              CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS "prio_3-MEDIUM",
+              CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END
+                AS "prio_4-NOT SPECIFIED",
+              CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS "prio_5-LOW"
+       FROM orders""",
+)
+def q_one_hot(spark, sf_dir):
+    """E1: drop-first one-hot over sorted levels (preprocessing.py:
+    82-108; first sorted level is the reference level)."""
+    o = _t(spark, sf_dir, "orders")
+    levels = sorted(
+        r[0] for r in o.select("o_orderpriority").distinct().collect()
+    )
+    return o.select(
+        "o_orderkey",
+        *[
+            F.when(F.col("o_orderpriority") == lv, 1).otherwise(0).alias(f"prio_{lv}")
+            for lv in levels[1:]
+        ],
+    )
+
+
+@query(
+    "unpivot_long",
+    """SELECT l_orderkey, l_linenumber, measure, round(value, 6) AS value
+       FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                             l_discount, l_tax FROM lineitem)
+             ON l_quantity, l_extendedprice, l_discount, l_tax
+             INTO NAME measure VALUE value)""",
+)
+def q_unpivot_long(spark, sf_dir):
+    """U1: the central wide->long unpivot that replaces the reference's
+    task loop (SURVEY.md §2.6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value_raw",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure",
+        F.round(F.col("value_raw"), 6).alias("value"),
+    )
+
+
+@query(
+    "drop_constant_diag",
+    """SELECT 'l_returnflag' AS column_name, count(DISTINCT l_returnflag) AS n_distinct,
+              count(DISTINCT l_returnflag) <= 1 AS is_constant FROM lineitem
+       UNION ALL
+       SELECT 'l_linestatus', count(DISTINCT l_linestatus),
+              count(DISTINCT l_linestatus) <= 1 FROM lineitem
+       UNION ALL
+       SELECT 'l_tax', count(DISTINCT l_tax), count(DISTINCT l_tax) <= 1 FROM lineitem""",
+)
+def q_drop_constant_diag(spark, sf_dir):
+    """P3/A3: the constant-column diagnostic that drives
+    drop_constant_covariates (preprocessing.py:65-79)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[
+            F.countDistinct(c).alias(c)
+            for c in ["l_returnflag", "l_linestatus", "l_tax"]
+        ]
+    )
+    rows = [
+        agg.select(
+            F.lit(c).alias("column_name"),
+            F.col(c).alias("n_distinct"),
+            (F.col(c) <= 1).alias("is_constant"),
+        )
+        for c in ["l_returnflag", "l_linestatus", "l_tax"]
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ===========================================================================
+# §2.3 — joins (J1)
+# ===========================================================================
+
+
+@query(
+    "annotation_join",
+    """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+)
+def q_annotation_join(spark, sf_dir):
+    """J1: broadcast left equi-join (postprocessing.py:23-29 shape —
+    results annotated from a small dimension table)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+# ===========================================================================
+# §2.7/§2.9/postprocessing — bonferroni, BH, scaling, transforms
+# ===========================================================================
+
+_PVAL_PROXY = """SELECT p_partkey AS test_id, round(avg(l_discount), 6) AS pval
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 GROUP BY p_partkey"""
+
+
+@query(
+    "bonferroni",
+    f"""WITH tests AS ({_PVAL_PROXY})
+        SELECT test_id, pval,
+               pval < 0.05 / (SELECT count(*) FROM tests WHERE pval IS NOT NULL)
+                 AS bonferroni_significant
+        FROM tests""",
+)
+def q_bonferroni(spark, sf_dir):
+    """X2+P8+P10: bonferroni over a per-test p-value table
+    (postprocessing.py:14-20). The 'p-values' are a deterministic proxy
+    built from the test tables."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    tests = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_partkey").alias("test_id"))
+        .agg(F.round(F.avg("l_discount"), 6).alias("pval"))
+    )
+    return bonferroni(tests)
+
+
+@query(
+    "bh_fdr",
+    f"""WITH tests AS ({_PVAL_PROXY}),
+        ranked AS (
+          SELECT test_id, pval,
+                 count(*) OVER (ORDER BY pval ASC
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk,
+                 count(*) OVER () AS n
+          FROM tests WHERE pval IS NOT NULL)
+        SELECT test_id, pval,
+               round(min(least(pval * n / rk, 1.0))
+                 OVER (ORDER BY pval DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                 AS pval_bh
+        FROM ranked""",
+)
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR — the reference's declared-but-
+    unimplemented roadmap feature (README.md:159), as windows."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    tests = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_partkey").alias("test_id"))
+        .agg(F.round(F.avg("l_discount"), 6).alias("pval"))
+    )
+    out = benjamini_hochberg(tests)
+    return out.select(
+        "test_id", "pval", F.round(F.col("pval_bh"), 6).alias("pval_bh")
+    )
+
+
+@query(
+    "standard_scale",
+    """SELECT l_orderkey, l_linenumber,
+              round((l_extendedprice - (SELECT avg(l_extendedprice) FROM lineitem))
+                    / (SELECT stddev_samp(l_extendedprice) FROM lineitem), 6) AS price_scaled
+       FROM lineitem""",
+)
+def q_standard_scale(spark, sf_dir):
+    """Covariate standardization (reference roadmap README.md:161)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.avg("l_extendedprice").alias("m"), F.stddev_samp("l_extendedprice").alias("s")
+    ).first()
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round((F.col("l_extendedprice") - stats["m"]) / stats["s"], 6).alias(
+            "price_scaled"
+        ),
+    )
+
+
+@query(
+    "log_transform",
+    "SELECT o_orderkey, round(ln(o_totalprice), 6) AS log_price FROM orders",
+)
+def q_log_transform(spark, sf_dir):
+    """--logt transform (cli.py:99-103, declared surface)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.log("o_totalprice"), 6).alias("log_price")
+    )
+
+
+@query(
+    "rint_blom",
+    """WITH v AS (SELECT p_partkey, p_retailprice FROM part),
+       r AS (SELECT p_partkey,
+                    avg(rn) OVER (PARTITION BY p_retailprice) AS avg_rank,
+                    (SELECT count(*) FROM v) AS n
+             FROM (SELECT p_partkey, p_retailprice,
+                          row_number() OVER (ORDER BY p_retailprice ASC) AS rn
+                   FROM v))
+       SELECT p_partkey, round((avg_rank - 0.375) / (n + 0.25), 6) AS blom_frac
+       FROM r""",
+)
+def q_rint_blom(spark, sf_dir):
+    """--rint rank step (cli.py:93-98): the Blom rank fraction, which is
+    SQL-expressible (the probit on top is checked in q_rint_full's
+    rows-only entry and unit tests)."""
+    p = _t(spark, sf_dir, "part")
+    n = p.count()
+    w = Window.orderBy(F.col("p_retailprice").asc())
+    rn = F.row_number().over(w)
+    avg_rank = F.avg(rn).over(Window.partitionBy("p_retailprice"))
+    return p.select(
+        "p_partkey",
+        F.round((avg_rank - F.lit(0.375)) / F.lit(n + 0.25), 6).alias("blom_frac"),
+    )
+
+
+@query("rint_full")  # probit not expressible in DuckDB -> rows-only check
+def q_rint_full(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    out = rint(p.select("p_partkey", "p_retailprice"), "p_retailprice", "price_rint")
+    return out.select("p_partkey", F.round(F.col("price_rint"), 6).alias("price_rint"))
+
+
+@query(
+    "json_extract",
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+       FROM events""",
+)
+def q_json_extract(spark, sf_dir):
+    """Scalar JSON extraction from the events props column."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# ===========================================================================
+# TPC-H-style relational composites (joins + aggregates at bench scale)
+# ===========================================================================
+
+
+@query(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 4) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_extendedprice), 6) AS avg_price,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark, sf_dir):
+    """Pricing-summary aggregate: the map-side-combine shape every MAS
+    preprocessing statistic reduces to."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3",
+    """SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+              o.o_orderdate
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < DATE '1998-03-15'
+       GROUP BY o.o_orderkey, o.o_orderdate""",
+)
+def q_tpch_q3(spark, sf_dir):
+    """Join + filtered aggregate; customer dimension broadcasts."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "tpch_q5ish",
+    """SELECT n.n_name AS nation, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM lineitem l
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name IN ('ASIA', 'EUROPE')
+       GROUP BY n.n_name""",
+)
+def q_tpch_q5ish(spark, sf_dir):
+    """Multi-dimension star join: all three dims broadcast — zero
+    shuffles on the fact side before the final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )

@@ -1,0 +1,595 @@
+"""Extension-operator queries: dedup, similarity search, text analysis,
+multimodal plumbing, window-family ops, streaming batch-equivalents, and
+the MAS fan-out itself — each registered in the same ``QUERIES``/
+``ORACLES`` registry as the relational queries (see queries.py).
+
+Oracles are ANSI/DuckDB SQL reproducing the Spark semantics exactly:
+identical tokenization regexes, identical md5-based hashing, identical
+tie-breaks, and double-precision math on both sides so the driver's
+value-hash compare is stable. Ops whose semantics SQL cannot express
+(LSH with driver-seeded hyperplanes, iterative model fits, Pandas-UDF
+byte decoding) are registered without an oracle → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_mas_spark.config import MASConfig
+from polars_mas_spark.operators import dedup as dd
+from polars_mas_spark.operators import multimodal as mm
+from polars_mas_spark.operators import similarity as sim
+from polars_mas_spark.operators import text as tx
+from polars_mas_spark.operators import windows as wd
+from polars_mas_spark.operators.association import run_associations
+from polars_mas_spark.pipeline import run_pipeline
+from polars_mas_spark.queries import _t, query
+from polars_mas_spark.streaming.events import windowed_event_counts
+
+# DuckDB token CTE mirroring dedup._distinct_tokens (same regex, same
+# empty-token filter, per-document distinct).
+_TOKS = r"""toks AS (
+    SELECT DISTINCT doc_id, t.token
+    FROM documents, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t(token)
+    WHERE t.token <> ''
+)"""
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@query(
+    "exact_dedup_summary",
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+       FROM documents GROUP BY md5(text)""",
+)
+def q_exact_dedup_summary(spark, sf_dir):
+    """Exact dedup: one hash-shuffle on the content digest."""
+    return dd.exact_dedup_summary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "exact_dedup",
+    """SELECT doc_id FROM documents
+       WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+)
+def q_exact_dedup(spark, sf_dir):
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
+        "doc_id"
+    )
+
+
+@query(
+    "minhash_signatures",
+    f"""WITH {_TOKS}
+        SELECT doc_id,
+               {', '.join(f"min(md5('{s}|' || token)) AS h{s}" for s in range(8))}
+        FROM toks GROUP BY doc_id""",
+)
+def q_minhash_signatures(spark, sf_dir):
+    """All 8 min-hashes as parallel aggregates of ONE groupBy."""
+    sigs = dd.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8
+    )
+    return sigs.select(
+        "doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(8)]
+    )
+
+
+def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{s}|' || token)) AS h{s}" for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
+            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {_TOKS},
+        sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
+        bands AS ({band_selects}),
+        losers AS (
+            SELECT DISTINCT b.doc_id FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
+
+
+@query("minhash_dedup", _minhash_dedup_oracle())
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup removal end-to-end (16 hashes, 4 bands x 4)."""
+    return dd.minhash_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=4, rows_per_band=4,
+    ).select("doc_id")
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(((lo >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(bits)
+    )
+    nibbles = []
+    for nib in range(bits // 4 - 1, -1, -1):
+        val = " + ".join(
+            f"(CASE WHEN b{nib * 4 + k} > 0 THEN 1 ELSE 0 END) * {1 << k}"
+            for k in range(4)
+        )
+        nibbles.append(f"printf('%x', {val})")
+    return f"""WITH {_TOKS},
+        h AS (SELECT doc_id,
+                     CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS lo
+              FROM toks),
+        votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, {' || '.join(nibbles)} AS simhash FROM votes"""
+
+
+@query("simhash", _simhash_oracle())
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprint (bit-vote aggregates, one shuffle)."""
+    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+@query(
+    "jaccard_pairs",
+    r"""WITH base AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS words,
+                 lang AS block, n_chars AS len
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.words, b.words))::DOUBLE
+                     / len(list_distinct(a.words || b.words)), 6) AS jaccard
+        FROM base a JOIN base b
+          ON a.block = b.block AND a.doc_id < b.doc_id
+         AND b.len >= a.len * 0.8 AND b.len <= a.len * 1.2
+        WHERE len(list_intersect(a.words, b.words))::DOUBLE
+              / len(list_distinct(a.words || b.words)) >= 0.6""",
+)
+def q_jaccard_pairs(spark, sf_dir):
+    """Word-set Jaccard near-dup pairs, blocked on lang + length band."""
+    out = dd.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        threshold=0.6, block_col="lang", length_col="n_chars",
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+def _occ_sql(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{esc}', ''))) / "
+        f"{len(needle)} AS BIGINT)"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql("padded", m) for m in tx.LANG_MARKERS[lang])
+
+
+_LANG_ID_ORACLE = f"""WITH p AS (
+    SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents),
+  s AS (SELECT doc_id, lang,
+               {', '.join(f'{_lang_score_sql(lg)} AS s_{lg}' for lg in tx.LANG_MARKERS)}
+        FROM p)
+  SELECT doc_id, lang,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              {' '.join(f"WHEN s_{lg} = greatest(s_en, s_de, s_fr, s_es) THEN '{lg}'" for lg in tx.LANG_MARKERS)}
+              ELSE 'und' END AS lang_guess
+  FROM s"""
+
+
+@query("lang_id", _LANG_ID_ORACLE)
+def q_lang_id(spark, sf_dir):
+    """Marker-word language ID vs the table's true lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.lang_id(docs, "text").select("doc_id", "lang", "lang_guess")
+
+
+_STOP_HITS = " + ".join(_occ_sql("padded", f" {w} ") for w in tx.STOPWORDS_EN)
+
+_TEXT_STATS_ORACLE = rf"""WITH p AS (
+    SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+           length(text) AS n_chars,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
+           length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+           length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers
+    FROM documents),
+  r AS (SELECT doc_id, n_chars, n_words,
+               CASE WHEN n_words > 0 THEN n_chars::DOUBLE / n_words ELSE 0.0 END AS awl,
+               CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END AS pr,
+               CASE WHEN n_chars > 0 THEN uppers::DOUBLE / n_chars ELSE 0.0 END AS ur,
+               CASE WHEN n_words > 0 THEN ({_STOP_HITS})::DOUBLE / n_words ELSE 0.0 END AS sr
+        FROM p)
+  SELECT doc_id, n_chars AS n_chars_computed, n_words,
+         round(awl, 6) AS avg_word_len,
+         round(pr, 6) AS punct_ratio,
+         round(ur, 6) AS upper_ratio,
+         round(sr, 6) AS stopword_ratio,
+         round(least(n_words::DOUBLE / 20.0, 1.0) * 0.4
+               + least(sr * 4.0, 1.0) * 0.3
+               + (1.0 - least(pr * 5.0, 1.0)) * 0.2
+               + (1.0 - least(ur * 5.0, 1.0)) * 0.1, 6) AS quality_score
+  FROM r"""
+
+
+@query("text_quality", _TEXT_STATS_ORACLE)
+def q_text_quality(spark, sf_dir):
+    """Length/punct/stopword quality features + composite score."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.text_stats(docs, "text").drop("text")
+
+
+@query(
+    "token_count",
+    r"""SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                 AS n_tokens_ws,
+               len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'), x -> x <> ''))
+               + len(list_filter(regexp_split_to_array(text, '[^0-9]+'), x -> x <> ''))
+               + (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                 AS n_tokens_bpeish
+        FROM documents""",
+)
+def q_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish pre-tokenization counts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.token_count(docs, "text").drop("text")
+
+
+@query(
+    "fingerprint",
+    r"""SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents""",
+)
+def q_fingerprint(spark, sf_dir):
+    """Normalized-content document fingerprint (rolling-hash analog)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.fingerprint(docs, "text").drop("text")
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+@query(
+    "ann_bruteforce_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+           FROM q, c WHERE neighbor_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rk
+           FROM scored)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos
+       FROM ranked WHERE rk <= 5""",
+)
+def q_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-5: query set broadcast, corpus streams."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5
+    )
+    return out.select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
+@query(
+    "embedding_neardup",
+    """SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+              round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 4) AS cos
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) >= 0.3""",
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked on label."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = sim.embedding_neardup_pairs(
+        emb, threshold=0.3, id_col="vec_id", block_col="label"
+    )
+    return out.select("doc_a", "doc_b", F.round("cos", 4).alias("cos"))
+
+
+@query("ann_lsh_topk")  # seeded-hyperplane LSH: not SQL-expressible → rows-only
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, num_planes=6, dim=64
+    ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
+# ===========================================================================
+# Window-family operators
+# ===========================================================================
+
+
+@query(
+    "sessionize",
+    """WITH s AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+       SELECT user_id, session_id, count(*) AS n_events,
+              epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end
+       FROM (SELECT user_id, ts,
+                    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM s)
+       GROUP BY user_id, session_id""",
+)
+def q_sessionize(spark, sf_dir):
+    """Per-user 30-min-gap sessionization summary (timestamps compared
+    as epoch-micros so no engine-local rendering is involved)."""
+    out = wd.session_summary(
+        _t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800
+    )
+    return out.select(
+        "user_id", "session_id", "n_events",
+        F.unix_micros("session_start").alias("session_start"),
+        F.unix_micros("session_end").alias("session_end"),
+    )
+
+
+@query(
+    "rolling_agg",
+    """SELECT user_id, event_id,
+              round(avg(value) OVER w, 6) AS rolling_avg,
+              round(sum(value) OVER w, 6) AS rolling_sum
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+)
+def q_rolling_agg(spark, sf_dir):
+    """Rolling 5-row mean/sum per user."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = wd.rolling_agg(ev, "user_id", "event_id", "value", window_rows=5)
+    return out.select(
+        "user_id", "event_id",
+        F.round("rolling_avg", 6).alias("rolling_avg"),
+        F.round("rolling_sum", 6).alias("rolling_sum"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """SELECT user_id, event_id, round(value, 6) AS value, rank FROM (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id ASC) AS rank
+         FROM events)
+       WHERE rank <= 3""",
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 events per user by value (deterministic tie-break)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = wd.topk_per_group(ev, "user_id", "value", k=3, tiebreak_col="event_id")
+    return out.select(
+        "user_id", "event_id", F.round("value", 6).alias("value"), "rank"
+    )
+
+
+@query(
+    "asof_join",
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts,
+              round(l.value, 6) AS click_value,
+              epoch_us(r.ts) AS asof_ts, round(r.purchase_value, 6) AS purchase_value
+       FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+             WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value
+                       FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_asof_join(spark, sf_dir):
+    """Distributed as-of join (union-sentinel): last purchase at or
+    before each click, per user. DuckDB's native ASOF JOIN is the
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = wd.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"], direction="backward",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts"),
+        F.round("click_value", 6).alias("click_value"),
+        F.unix_micros("asof_ts").alias("asof_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+# ===========================================================================
+# Streaming transformations, batch-checked
+# ===========================================================================
+
+
+@query(
+    "windowed_event_counts",
+    """SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS window_start,
+              epoch_us(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes')
+                AS window_end,
+              event_type, count(*) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY 1, 2, 3""",
+)
+def q_windowed_counts(spark, sf_dir):
+    """The Structured Streaming windowed-count transformation run in
+    batch mode (same code path drives readStream in streaming/events.py);
+    the oracle is DuckDB time_bucket. Window bounds compared as
+    epoch-micros."""
+    out = windowed_event_counts(
+        _t(spark, sf_dir, "events"), window_duration="10 minutes"
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start"),
+        F.unix_micros("window_end").alias("window_end"),
+        "event_type", "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+
+@query(
+    "media_metadata",
+    """SELECT doc_id, 'image' AS media_type,
+              octet_length(text::BLOB)::BIGINT AS n_bytes,
+              md5(text) AS digest
+       FROM documents""",
+)
+def q_media_metadata(spark, sf_dir):
+    """Binary payload + typed metadata struct (flattened for compare)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = mm.text_as_binary(docs, "text")
+    out = mm.attach_media_metadata(with_bin, "content", media_type="image")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.digest").alias("digest"),
+    )
+
+
+@query(
+    "frame_sample_plan",
+    """SELECT doc_id, f.frame_index
+       FROM documents, UNNEST(range(0, n_chars, 10)) AS f(frame_index)""",
+)
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling expansion (JVM-side explode of sequence)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_frames")
+    )
+    return mm.frame_sample_plan(docs, "doc_id", "n_frames", every_k=10)
+
+
+@query("image_features_fake")  # mapInPandas byte decode → rows-only
+def q_image_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = mm.text_as_binary(docs, "text").select("doc_id", "content")
+    out = mm.extract_image_features(with_bin, "doc_id", "content")
+    return out.select(
+        "doc_id", "width", "height", "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
+# ===========================================================================
+# The MAS fan-out itself (applyInPandas), SQL-checked via closed-form OLS
+# ===========================================================================
+
+_OLS_PAIR = """SELECT '{x}' AS predictor, '{y}' AS dependent,
+       round(regr_slope({y}, {x}), 6) AS beta,
+       round(sqrt((regr_syy({y}, {x}) - regr_slope({y}, {x}) * (regr_syy({y}, {x})
+                    - regr_syy({y}, {x}) + regr_slope({y}, {x}) * regr_sxx({y}, {x})))
+                  / (regr_count({y}, {x}) - 2) / regr_sxx({y}, {x})), 6) AS se,
+       regr_count({y}, {x})::BIGINT AS n_observations
+       FROM lineitem"""
+
+
+def _ols_oracle() -> str:
+    pairs = [("l_quantity", y) for y in ("l_extendedprice", "l_discount", "l_tax")]
+    return " UNION ALL ".join(_OLS_PAIR.format(x=x, y=y) for x, y in pairs)
+
+
+@query("mas_linear_fanout", _ols_oracle())
+def q_mas_linear_fanout(spark, sf_dir):
+    """The distributed association fan-out (unpivot → groupBy →
+    applyInPandas OLS kernel) checked against DuckDB's closed-form
+    regression aggregates: beta = regr_slope, se = sqrt(SSE/(n-2)/Sxx)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    cfg = MASConfig(
+        predictors="l_quantity",
+        dependents=["l_extendedprice", "l_discount", "l_tax"],
+        model="linear", quantitative=True, min_case_count=10,
+    )
+    res = run_associations(li, cfg.resolve(li.columns))
+    return res.select(
+        "predictor", "dependent",
+        F.round("beta", 6).alias("beta"),
+        F.round("se", 6).alias("se"),
+        "n_observations",
+    )
+
+
+@query("mas_logistic_fanout")  # iterative MLE → rows-only + golden unit tests
+def q_mas_logistic_fanout(spark, sf_dir):
+    """Full MAS pipeline (logistic) on a wide table derived from orders:
+    binary outcomes ~ totalprice with lineitem-derived covariates."""
+    wide = _mas_wide_table(spark, sf_dir)
+    cfg = MASConfig(
+        predictors="price_k",
+        dependents=["is_returned", "is_urgent", "many_lines"],
+        covariates=["sum_qty", "avg_disc"],
+        model="logistic", min_case_count=10,
+    )
+    res = run_pipeline(spark, cfg, df=wide)
+    return res.select(
+        "predictor", "dependent",
+        F.round("beta", 6).alias("beta"),
+        F.round("se", 6).alias("se"),
+        F.round("pval", 6).alias("pval"),
+        "cases", "controls", "total_n", "converged", "failed_reason",
+        "bonferroni_significant",
+    )
+
+
+def _mas_wide_table(spark, sf_dir):
+    """Deterministic PheWAS-shaped wide table from the TPC-H-ish data:
+    one row per order, binary dependents, continuous covariates."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        orders.join(li_agg, orders["o_orderkey"] == li_agg["l_orderkey"], "inner")
+        .select(
+            (F.col("o_totalprice") / 1000.0).alias("price_k"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("is_returned"),
+            F.col("o_orderpriority").isin("URGENT", "HIGH").cast("long")
+            .alias("is_urgent"),
+            (F.col("n_lines") >= 4).cast("long").alias("many_lines"),
+            "sum_qty", "avg_disc",
+        )
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming operators over an events stream.
+
+Beyond-reference surface (the reference is batch-only, SURVEY.md §2.10).
+These transformations are source-agnostic: they take any streaming
+DataFrame with (ts, user_id, event_type, value) columns — file source,
+Kafka, rate — and return streaming DataFrames ready for writeStream.
+Watermarks bound state for late data; all aggregations are keyed so
+state partitions across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_mas_spark.colutils import qcol
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Watermarks only apply to streaming plans; in batch mode the same
+    transformation runs watermark-free so one definition serves both the
+    stream and its batch/backfill (and DuckDB-oracle) form."""
+    return df.withWatermark(ts_col, watermark) if df.isStreaming else df
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-event-type tumbling/sliding window counts with a watermark
+    for late-data state eviction."""
+    win = (
+        F.window(qcol(ts_col), window_duration, slide)
+        if slide
+        else F.window(qcol(ts_col), window_duration)
+    )
+    return (
+        _with_watermark(stream, ts_col, watermark)
+        .groupBy(win.alias("window"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session windows via the built-in session_window — the
+    streaming analog of operators.windows.sessionize."""
+    return (
+        _with_watermark(stream, ts_col, watermark)
+        .groupBy(F.session_window(qcol(ts_col), gap).alias("session"), qcol(user_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            qcol(user_col),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key event dedup within the watermark horizon."""
+    return _with_watermark(stream, ts_col, watermark).dropDuplicates(
+        [*key_cols, ts_col]
+    )
