@@ -238,8 +238,20 @@ def make_kernel(
 def _pair_frame(
     spark: SparkSession, predictors: Iterable[str], dependents: Iterable[str]
 ) -> DataFrame:
-    pairs = [(p, d) for p in predictors for d in dependents]
-    return spark.createDataFrame(pairs, ["predictor", "dependent"])
+    """The P x D pair list as a PURE-JVM single-partition DataFrame.
+
+    NOT spark.createDataFrame(list_of_tuples): that parallelizes a
+    pickled Python RDD across defaultParallelism partitions, and every
+    partition launches a Python worker just to unpickle a couple of
+    strings — measured at ~2 s of dead wait per task on a busy daemon
+    (64 s of wall for a 3-row table on local[32])."""
+    preds = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in predictors])).alias("predictor")
+    )
+    deps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in dependents])).alias("dependent")
+    )
+    return preds.crossJoin(deps)
 
 
 def run_associations(df: DataFrame, config: MASConfig) -> DataFrame:
@@ -257,19 +269,32 @@ def run_associations(df: DataFrame, config: MASConfig) -> DataFrame:
     kernel = make_kernel(
         model, covariates, config.quantitative, config.min_case_count
     )
+    # Explicitly size the fan-out shuffle: one partition per pair up to
+    # the cluster parallelism. Deliberately NOT left to AQE — adaptive
+    # coalescing merges partitions by BYTES, and regression groups are
+    # byte-small but compute-heavy, so AQE would happily serialize 1,800
+    # fits into one Python worker. The explicit repartition also keeps
+    # empty shuffle partitions (each of which launches a Python worker
+    # for FlatMapGroupsInPandas) to zero when P*D < parallelism.
+    num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
+    n_parts = max(1, min(num_pairs, spark.sparkContext.defaultParallelism))
+    long_df = long_df.repartition(n_parts, "predictor", "dependent")
     fitted = long_df.groupBy("predictor", "dependent").applyInPandas(
         kernel, schema=result_schema(model)
     )
 
     # Pairs whose rows were all null-dropped produce no group at all;
-    # right-join the (tiny) full pair list to re-materialize their
-    # failure rows with reference sentinels (analysis.py:113-124).
+    # left-join the full pair list against the (tiny) fitted results to
+    # re-materialize their failure rows with reference sentinels
+    # (analysis.py:113-124). `fitted` is the broadcast side: results are
+    # P x D rows, and broadcasting keeps the Python stage free of any
+    # co-partitioning requirement a sort-merge join would impose on it.
     pairs = _pair_frame(spark, config.predictor_columns, config.dependent_columns)
     defaults = dict(_LINEAR_DEFAULTS if model == "linear" else _BINARY_DEFAULTS)
     defaults["failed_reason"] = "No data after dropping nulls."
     schema_types = {f.name: f.dataType for f in result_schema(model).fields}
     present = fitted.withColumn("__present__", F.lit(True))
-    joined = present.join(F.broadcast(pairs), ["predictor", "dependent"], "right")
+    joined = pairs.join(F.broadcast(present), ["predictor", "dependent"], "left")
     filled = joined.select(
         "predictor",
         "dependent",
@@ -285,4 +310,11 @@ def run_associations(df: DataFrame, config: MASConfig) -> DataFrame:
             for c, v in defaults.items()
         ],
     )
-    return filled.orderBy(F.col("pval").asc_nulls_last())
+    # Sort the (tiny: P x D rows) results table. NOT orderBy: a global
+    # orderBy range-samples its input, which would execute the entire
+    # regression fan-out a second time just to pick partition bounds.
+    # repartition(1) is a real shuffle boundary (upstream parallelism
+    # intact), and the single-partition sort is trivial at results scale.
+    return filled.repartition(1).sortWithinPartitions(
+        F.col("pval").asc_nulls_last()
+    )

@@ -105,8 +105,23 @@ def _ordered_fill(
     carry_schema = blocked.select(
         F.col(_BLOCK), *[qcol(c).alias(c + _CARRY_SUFFIX) for c in cols]
     ).schema
-    carry_df = spark.createDataFrame(
-        [tuple(d[f.name] for f in carry_schema.fields) for d in carries], carry_schema
+    # Build the tiny carry table JVM-side (explode of literal structs).
+    # spark.createDataFrame(list) would ship it as a pickled Python RDD
+    # over defaultParallelism partitions — one Python worker launch per
+    # partition just to unpickle a few rows.
+    structs = [
+        F.struct(
+            *[
+                F.lit(d[f.name]).cast(f.dataType).alias(f.name)
+                for f in carry_schema.fields
+            ]
+        )
+        for d in carries
+    ]
+    carry_df = (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("__s__"))
+        .select("__s__.*")
     )
 
     result = (

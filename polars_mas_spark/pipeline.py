@@ -47,17 +47,24 @@ def run_pipeline(
     config.resolve(df.columns)
     df = df.select(*[qcol(c) for c in config.included_columns])
 
-    df = preprocess(df, config)
+    # Cache the projected input FIRST: preprocess collects eager
+    # statistics (null counts, countDistinct, level sets) and each one is
+    # an action — uncached, every stat job would re-execute the upstream
+    # plan (source scan or caller-supplied join) from scratch.
+    raw = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pre = preprocess(raw, config)
     # The persisted preprocessed table is the analog of the reference's
     # shared-memory IPC checkpoint (preprocessing.py:111-132).
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+    pre.count()  # materialize before the fan-out; frees the raw cache
+    raw.unpersist()
 
     # Persist the (small) results table: bonferroni's valid-test count is
     # an action, and without the cache the whole regression fan-out would
     # run twice (once for the count, once for the caller's collect).
-    results = run_associations(df, config).persist(StorageLevel.MEMORY_AND_DISK)
+    results = run_associations(pre, config).persist(StorageLevel.MEMORY_AND_DISK)
     results = bonferroni(results)
-    df.unpersist()  # results are cached; the wide table is no longer needed
+    pre.unpersist()  # results are cached; the wide table is no longer needed
     if phecode_defs is not None:
         results = add_phecode_definitions(
             results, phecode_defs, config.is_phewas, config.is_flipwas
