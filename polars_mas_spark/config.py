@@ -105,6 +105,11 @@ class MASConfig:
     male_only: bool = False
     female_only: bool = False
     output_type: Literal["parquet", "csv", "tsv", "txt"] = "csv"
+    # Multiple-testing correction. The reference hardcodes bonferroni and
+    # silently returns None for anything else (postprocessing.py:15, a
+    # latent bug); "bh" implements its declared-but-unbuilt FDR roadmap
+    # item (README.md:159,169) as window functions.
+    correction: Literal["bonferroni", "bh"] = "bonferroni"
     # Spark-specific: explicit row-order column for forward/backward fill.
     order_col: str | None = None
 

@@ -206,7 +206,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_hamming_pairs(
-    sim: DataFrame, max_distance: int = 3, prefix_nibbles: int = 4
+    sim: DataFrame, max_distance: int = 3, prefix_nibbles: int = 4, bits: int = 64
 ) -> DataFrame:
     """Candidate near-dup pairs by hamming distance on the simhash,
     blocked on a shared hex prefix to avoid the full cross join (at
@@ -219,9 +219,9 @@ def simhash_hamming_pairs(
         b,
         (pref("a") == pref("b")) & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    # popcount(xor) via nibble lookup
+    # popcount(xor) via nibble lookup; nibble count follows the hash width
     dist = None
-    for i in range(1, 17):
+    for i in range(1, bits // 4 + 1):
         na = F.conv(F.substring(F.col("a.simhash"), i, 1), 16, 10).cast("int")
         nb = F.conv(F.substring(F.col("b.simhash"), i, 1), 16, 10).cast("int")
         x = na.bitwiseXOR(nb)

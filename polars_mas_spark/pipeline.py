@@ -19,6 +19,7 @@ from polars_mas_spark.config import MASConfig
 from polars_mas_spark.operators.association import run_associations
 from polars_mas_spark.operators.postprocessing import (
     add_phecode_definitions,
+    benjamini_hochberg,
     bonferroni,
 )
 from polars_mas_spark.operators.preprocessing import preprocess
@@ -64,6 +65,8 @@ def run_pipeline(
     # run twice (once for the count, once for the caller's collect).
     results = run_associations(pre, config).persist(StorageLevel.MEMORY_AND_DISK)
     results = bonferroni(results)
+    if config.correction == "bh":
+        results = benjamini_hochberg(results)
     pre.unpersist()  # results are cached; the wide table is no longer needed
     if phecode_defs is not None:
         results = add_phecode_definitions(

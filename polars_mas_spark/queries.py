@@ -22,7 +22,7 @@ from polars_mas_spark.operators import multimodal as mm
 from polars_mas_spark.operators import similarity as sim
 from polars_mas_spark.operators import text as tx
 from polars_mas_spark.operators import windows as wd
-from polars_mas_spark.operators.fills import forward_fill
+from polars_mas_spark.operators.fills import backward_fill, forward_fill
 from polars_mas_spark.operators.postprocessing import benjamini_hochberg, bonferroni
 from polars_mas_spark.functions.transforms import rint
 
@@ -269,6 +269,71 @@ def q_forward_fill(spark, sf_dir):
     filled = forward_fill(base, ["v"], "event_id")
     return filled.select(
         "event_id", F.round(F.col("v"), 6).alias("value_ffilled")
+    )
+
+
+@query(
+    "backward_fill",
+    """SELECT event_id,
+              round(first_value(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
+                    OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+                AS value_bfilled
+       FROM events""",
+)
+def q_backward_fill(spark, sf_dir):
+    """F4: ordered backward fill, same distributed block-prefix algorithm
+    as F3 run in reverse (operators/fills.py)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    filled = backward_fill(base, ["v"], "event_id")
+    return filled.select("event_id", F.round(F.col("v"), 6).alias("value_bfilled"))
+
+
+@query(
+    "fill_min",
+    f"""WITH base AS (
+          SELECT l_orderkey, l_linenumber, {_NULLIFIED_DISC} AS disc FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+               round(coalesce(disc, (SELECT min(disc) FROM base)), 6) AS disc_filled
+        FROM base""",
+)
+def q_fill_min(spark, sf_dir):
+    """F5: min imputation (preprocessing.py:32)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") < 0.03, F.lit(None))
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+    )
+    min_val = base.agg(F.min("disc")).first()[0]
+    return base.na.fill({"disc": min_val}).select(
+        "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc_filled")
+    )
+
+
+@query(
+    "drop_null_covariates",
+    f"""SELECT l_orderkey, l_linenumber, round(disc, 6) AS disc
+        FROM (SELECT l_orderkey, l_linenumber, {_NULLIFIED_DISC} AS disc FROM lineitem)
+        WHERE disc IS NOT NULL""",
+)
+def q_drop_null_covariates(spark, sf_dir):
+    """P6/F2: drop rows with null covariates (preprocessing.py:19-27)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") < 0.03, F.lit(None))
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+    )
+    return base.na.drop(subset=["disc"]).select(
+        "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc")
     )
 
 

@@ -24,7 +24,11 @@ from polars_mas_spark.operators import windows as wd
 from polars_mas_spark.operators.association import run_associations
 from polars_mas_spark.pipeline import run_pipeline
 from polars_mas_spark.queries import _t, query
-from polars_mas_spark.streaming.events import windowed_event_counts
+from polars_mas_spark.streaming.events import (
+    session_windows,
+    stream_dedup,
+    windowed_event_counts,
+)
 
 # DuckDB token CTE mirroring dedup._distinct_tokens (same regex, same
 # empty-token filter, per-document distinct).
@@ -131,6 +135,45 @@ def _simhash_oracle(bits: int = 16) -> str:
 def q_simhash(spark, sf_dir):
     """16-bit SimHash fingerprint (bit-vote aggregates, one shuffle)."""
     return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+
+
+def _simhash_hamming_oracle(bits: int = 16, prefix: int = 2, maxd: int = 3) -> str:
+    ham = " + ".join(
+        f"bit_count(xor(CAST('0x' || substring(a.simhash, {i}, 1) AS INT), "
+        f"CAST('0x' || substring(b.simhash, {i}, 1) AS INT)))"
+        for i in range(1, bits // 4 + 1)
+    )
+    return f"""WITH sh AS ({_simhash_oracle(bits)})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming
+        FROM sh a JOIN sh b
+          ON substring(a.simhash, 1, {prefix}) = substring(b.simhash, 1, {prefix})
+         AND a.doc_id < b.doc_id
+        WHERE {ham} <= {maxd}"""
+
+
+@query("simhash_hamming_pairs", _simhash_hamming_oracle())
+def q_simhash_hamming(spark, sf_dir):
+    """Near-dup candidate pairs by SimHash hamming distance, blocked on a
+    shared hex prefix (nibble-wise popcount, all JVM-side)."""
+    sims = dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=16)
+    out = dd.simhash_hamming_pairs(sims, max_distance=3, prefix_nibbles=2, bits=16)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "word_shingles",
+    r"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+                   FROM documents),
+         s AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS shingle
+               FROM t, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS u(i))
+       SELECT doc_id, shingle FROM s
+       WHERE len(string_split(shingle, ' ')) = 3""",
+)
+def q_word_shingles(spark, sf_dir):
+    """Distinct word 3-grams per document (dedup.word_shingles), built
+    JVM-side with transform over token index sequences."""
+    return dd.word_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
 
 
 @query(
@@ -461,6 +504,55 @@ def q_windowed_counts(spark, sf_dir):
     )
 
 
+@query(
+    "stream_dedup",
+    """SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts FROM events""",
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming per-key dedup (dropDuplicates within watermark) run in
+    batch mode; only key columns are output so the arbitrary-survivor
+    choice among payload duplicates cannot affect the compare."""
+    out = stream_dedup(
+        _t(spark, sf_dir, "events"), key_cols=["user_id", "event_type"]
+    )
+    return out.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts")
+    ).distinct()
+
+
+@query(
+    "session_window_agg",
+    """WITH s AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+       SELECT epoch_us(min(ts)) AS session_start,
+              epoch_us(max(ts)) + 1800000000 AS session_end,
+              user_id, count(*) AS n_events,
+              round(sum(value), 4) AS total_value
+       FROM (SELECT user_id, ts, value,
+                    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM s)
+       GROUP BY user_id, sid""",
+)
+def q_session_window_agg(spark, sf_dir):
+    """The built-in F.session_window aggregation (streaming session
+    windows) in batch mode. Spark merges an event into a session iff its
+    ts is strictly inside prev_ts + gap, so the oracle's new-session rule
+    is diff >= gap; session_end = last event + gap."""
+    out = session_windows(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        F.unix_micros("session_start").alias("session_start"),
+        F.unix_micros("session_end").alias("session_end"),
+        "user_id", "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================
@@ -560,6 +652,29 @@ def q_mas_logistic_fanout(spark, sf_dir):
         dependents=["is_returned", "is_urgent", "many_lines"],
         covariates=["sum_qty", "avg_disc"],
         model="logistic", min_case_count=10,
+    )
+    res = run_pipeline(spark, cfg, df=wide)
+    return res.select(
+        "predictor", "dependent",
+        F.round("beta", 6).alias("beta"),
+        F.round("se", 6).alias("se"),
+        F.round("pval", 6).alias("pval"),
+        "cases", "controls", "total_n", "converged", "failed_reason",
+        "bonferroni_significant",
+    )
+
+
+@query("mas_firth_fanout")  # penalized iterative MLE → rows-only + golden unit tests
+def q_mas_firth_fanout(spark, sf_dir):
+    """Full MAS pipeline with the reference's DEFAULT model: Firth
+    penalized logistic with LRT p-values (reference models.py:9-53,
+    logistf-default hyperparameters)."""
+    wide = _mas_wide_table(spark, sf_dir)
+    cfg = MASConfig(
+        predictors="price_k",
+        dependents=["is_returned", "is_urgent", "many_lines"],
+        covariates=["sum_qty", "avg_disc"],
+        model="firth", min_case_count=10,
     )
     res = run_pipeline(spark, cfg, df=wide)
     return res.select(

@@ -78,3 +78,25 @@ def test_phecode_annotation_join_noop_without_mode(spark, results_df):
     )
     out = add_phecode_definitions(results_df, defs)
     assert out.columns == results_df.columns
+
+
+def test_pipeline_bh_correction(spark):
+    """config.correction='bh' adds pval_bh via the window-based BH
+    operator (the reference's declared-but-unimplemented FDR roadmap)."""
+    import pandas as pd
+    from polars_mas_spark.config import MASConfig
+    from polars_mas_spark.pipeline import run_pipeline
+
+    rng = __import__("random").Random(3)
+    rows = []
+    for i in range(400):
+        x = rng.gauss(0, 1)
+        rows.append((x, 1 if rng.random() < 1 / (1 + 2.718 ** -(2 * x)) else 0,
+                     1 if rng.random() < 0.4 else 0))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["x", "d1", "d2"]))
+    cfg = MASConfig(predictors="x", dependents=["d1", "d2"], model="logistic",
+                    min_case_count=5, correction="bh")
+    out = run_pipeline(spark, cfg, df=df).toPandas().set_index("dependent")
+    assert "pval_bh" in out.columns
+    assert out.loc["d1", "pval_bh"] >= out.loc["d1", "pval"] - 1e-12
+    assert out["pval_bh"].max() <= 1.0

@@ -1,0 +1,94 @@
+"""Structured Streaming tests: the transformations in streaming/events.py
+must run as REAL streams (readStream file source → memory sink), not just
+in their batch form, and the streaming results must agree with batch.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_mas_spark.streaming.events import (
+    session_windows,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """A small static events table written as parquet for the file source."""
+    tmp = tempfile.mkdtemp(prefix="pms_stream_")
+    df = spark.createDataFrame(
+        [
+            (i, f"2024-01-01 00:{i % 60:02d}:{(i * 7) % 60:02d}", i % 5,
+             ["click", "view", "purchase"][i % 3], float(i))
+            for i in range(300)
+        ],
+        "event_id long, ts_str string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    df.coalesce(2).write.mode("overwrite").parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_stream(spark, events_dir, transform, name):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = transform(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name != "dedup_sink" else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir):
+    result = _run_stream(
+        spark, events_dir,
+        lambda s: windowed_event_counts(s, window_duration="10 minutes"),
+        "windowed_sink",
+    )
+    batch = windowed_event_counts(
+        spark.read.parquet(events_dir), window_duration="10 minutes"
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_session_windows_stream_runs(spark, events_dir):
+    result = _run_stream(
+        spark, events_dir,
+        lambda s: session_windows(s, gap="5 minutes"),
+        "session_sink",
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    # session invariant: end - start >= gap and n_events >= 1
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert (r["session_end"] - r["session_start"]).total_seconds() >= 300
+
+
+def test_stream_dedup_append(spark, events_dir):
+    result = _run_stream(
+        spark, events_dir,
+        lambda s: stream_dedup(s, key_cols=["user_id", "event_type"]),
+        "dedup_sink",
+    )
+    n = result.count()
+    batch_n = (
+        spark.read.parquet(events_dir)
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .count()
+    )
+    assert n == batch_n > 0
