@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the properties that make these operators
+survive a 100x scale-up are checked, not assumed.
+
+- projection pruning reaches the parquet scan (ReadSchema)
+- predicate pushdown reaches the scan (PushedFilters)
+- dimension joins broadcast instead of shuffling the fact side
+- the MAS fan-out has exactly one exchange feeding the Python stage
+- relational stages run inside WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_projection_pruned_to_scan(spark, qs):
+    plan = plan_of(qs["scan_project"](spark, SF_DIR))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema  # untouched column must not be read
+
+
+def test_filter_pushed_to_scan(spark, qs):
+    plan = plan_of(qs["filter_predicate"](spark, SF_DIR))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "c_mktsegment" in pushed and "c_acctbal" in pushed
+
+
+def _op_count(plan: str, op: str) -> int:
+    """Count operator DETAIL headers ('(N) OpName') — formatted plans list
+    each operator twice (tree line + detail section)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {re.escape(op)}\b", plan))
+
+
+def test_dimension_joins_broadcast(spark, qs):
+    plan = plan_of(qs["tpch_q5ish"](spark, SF_DIR))
+    assert _op_count(plan, "BroadcastHashJoin") == 3  # supplier, nation, region
+    assert "SortMergeJoin" not in plan  # fact side must never shuffle for dims
+
+
+def test_annotation_join_broadcasts(spark, qs):
+    plan = plan_of(qs["annotation_join"](spark, SF_DIR))
+    assert _op_count(plan, "BroadcastHashJoin") == 1
+
+
+def test_aggregate_is_two_phase(spark, qs):
+    """tpch_q1 must plan map-side partial aggregation (two HashAggregates
+    around one exchange) — the shape that keeps a 100 TB groupBy's
+    shuffle proportional to groups, not rows."""
+    plan = plan_of(qs["tpch_q1"](spark, SF_DIR))
+    assert _op_count(plan, "HashAggregate") == 2
+    assert _op_count(plan, "Exchange") == 1
+
+
+def test_mas_fanout_single_exchange_to_python(spark):
+    """The long table must reach FlatMapGroupsInPandas through exactly one
+    hash exchange on the pair key — no extra co-partitioning shuffle, no
+    range-sample of the Python stage."""
+    from polars_mas_spark.config import MASConfig
+    from polars_mas_spark.operators.association import (
+        build_long_table, make_kernel, result_schema, PRED_VALUE, DEP_VALUE,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    cfg = MASConfig(
+        predictors="l_quantity",
+        dependents=["l_extendedprice", "l_discount", "l_tax"],
+        model="linear", quantitative=True, min_case_count=10,
+    )
+    cfg.resolve(li.columns)
+    long_df = build_long_table(
+        li, cfg.predictor_columns, cfg.dependent_columns, []
+    ).filter(F.col(PRED_VALUE).isNotNull() & F.col(DEP_VALUE).isNotNull())
+    long_df = long_df.repartition(3, "predictor", "dependent")
+    fitted = long_df.groupBy("predictor", "dependent").applyInPandas(
+        make_kernel("linear", [], True, 10), schema=result_schema("linear")
+    )
+    plan = plan_of(fitted)
+    assert _op_count(plan, "FlatMapGroupsInPandas") == 1
+    assert _op_count(plan, "Exchange") == 1  # the explicit pair repartition only
+
+
+def test_unpivot_is_jvm_expand(spark, qs):
+    """U1 must compile to the JVM Expand operator (one pipelined
+    whole-stage-codegen pass), not a union of per-column scans."""
+    plan = plan_of(qs["unpivot_long"](spark, SF_DIR))
+    assert _op_count(plan, "Expand") == 1
+    assert "* Expand" in plan  # inside a WholeStageCodegen span
+    assert _op_count(plan, "Scan parquet") + _op_count(plan, "BatchScan") == 1
