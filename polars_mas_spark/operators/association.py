@@ -254,11 +254,49 @@ def _pair_frame(
     return preds.crossJoin(deps)
 
 
-def run_associations(df: DataFrame, config: MASConfig) -> DataFrame:
-    """Distributed equivalent of run_associations_ipc (analysis.py:10-39)."""
+def run_associations(
+    df: DataFrame,
+    config: MASConfig,
+    strategy: str = "auto",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Distributed equivalent of run_associations_ipc (analysis.py:10-39).
+
+    Two physical strategies, picked by shape:
+
+    - ``unpivot`` (tall tables): wide -> long unpivot, one shuffle keyed
+      on (predictor, dependent), grouped pandas kernel. Scales with row
+      count — the 100 TB path, where each pair's rows must be gathered.
+    - ``columnar`` (wide, short tables — the PheWAS shape: 5k-500k
+      samples x ~1,800 phecodes): checkpoint the preprocessed table to
+      parquet once (the exact analog of the reference's Arrow-IPC sink +
+      per-worker mmap column reads, preprocessing.py:111-132 /
+      analysis.py:54-59), then fan the PAIR LIST out and let each task
+      do a column-pruned parquet read of just its dependents + the
+      shared design columns. ZERO shuffle of sample data; the long-table
+      unpivot would move n_rows x n_deps duplicated covariates through a
+      shuffle for a table that reads back in kilobytes per task.
+
+    ``auto`` uses columnar when the duplicated-long-table cell count
+    (rows x pairs) is large relative to the table itself — i.e. when the
+    shuffle would amplify the data — and the table is small enough that
+    a per-task full-column read is cheap (<= ~100M rows).
+    """
     spark = df.sparkSession
     model = config.model
     covariates = list(config.covariate_columns)
+    num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
+    if strategy == "auto":
+        n_rows = df.count()
+        strategy = (
+            "columnar"
+            if num_pairs >= 8 and n_rows <= 100_000_000
+            else "unpivot"
+        )
+    if strategy == "columnar":
+        fitted = _fit_columnar(df, config, checkpoint_dir)
+        return _complete_pairs(spark, fitted, config)
+
     long_df = build_long_table(
         df, config.predictor_columns, config.dependent_columns, covariates
     )
@@ -283,12 +321,19 @@ def run_associations(df: DataFrame, config: MASConfig) -> DataFrame:
         kernel, schema=result_schema(model)
     )
 
-    # Pairs whose rows were all null-dropped produce no group at all;
-    # left-join the full pair list against the (tiny) fitted results to
-    # re-materialize their failure rows with reference sentinels
-    # (analysis.py:113-124). `fitted` is the broadcast side: results are
-    # P x D rows, and broadcasting keeps the Python stage free of any
-    # co-partitioning requirement a sort-merge join would impose on it.
+    return _complete_pairs(spark, fitted, config)
+
+
+def _complete_pairs(
+    spark: SparkSession, fitted: DataFrame, config: MASConfig
+) -> DataFrame:
+    """Pairs whose rows were all null-dropped produce no fit row at all;
+    left-join the full pair list against the (tiny) fitted results to
+    re-materialize their failure rows with reference sentinels
+    (analysis.py:113-124). ``fitted`` is the broadcast side: results are
+    P x D rows, and broadcasting keeps the Python stage free of any
+    co-partitioning requirement a sort-merge join would impose on it."""
+    model = config.model
     pairs = _pair_frame(spark, config.predictor_columns, config.dependent_columns)
     defaults = dict(_LINEAR_DEFAULTS if model == "linear" else _BINARY_DEFAULTS)
     defaults["failed_reason"] = "No data after dropping nulls."
@@ -318,3 +363,82 @@ def run_associations(df: DataFrame, config: MASConfig) -> DataFrame:
     return filled.repartition(1).sortWithinPartitions(
         F.col("pval").asc_nulls_last()
     )
+
+
+def _fit_columnar(
+    df: DataFrame, config: MASConfig, checkpoint_dir: str | None
+) -> DataFrame:
+    """Column-parallel fan-out: checkpoint the preprocessed table to
+    parquet, distribute the PAIR list, and let every task column-prune
+    its own parquet read (design columns + its slice of dependents).
+
+    This is the Spark-native re-expression of the reference's physical
+    strategy — sink_ipc + per-worker memory-mapped column reads
+    (preprocessing.py:111-132, analysis.py:54-59) — and moves zero
+    sample data through a shuffle. Parquet being columnar, each task's
+    read is proportional to the columns it fits, exactly like the
+    reference's mmap column access."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    model = config.model
+    covariates = list(config.covariate_columns)
+    cov_pairs = safe_covariate_pairs(covariates)
+    predictors = list(config.predictor_columns)
+    dependents = list(config.dependent_columns)
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.gettempdir()
+    path = f"{checkpoint_dir.rstrip('/')}/pms_ckpt_{uuid.uuid4().hex}"
+    # Keep every column under its original (possibly dotted) name —
+    # parquet has no column-name restrictions and pyarrow reads by exact
+    # name, so no rename dance is needed.
+    df.write.mode("overwrite").parquet(path)
+    if checkpoint_dir == tempfile.gettempdir():
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+    kernel = make_kernel(model, covariates, config.quantitative, config.min_case_count)
+    schema = result_schema(model)
+    n_parts = max(1, min(len(predictors) * len(dependents),
+                         spark.sparkContext.defaultParallelism))
+    pairs = _pair_frame(spark, predictors, dependents).repartition(n_parts)
+
+    cov_names = [(safe, orig) for safe, orig in cov_pairs]
+
+    def fit_partition(batches):
+        import numpy as np  # noqa: F401  (kernel dependency)
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        todo = []
+        for pdf in batches:
+            todo.extend(zip(pdf["predictor"], pdf["dependent"]))
+        if not todo:
+            return
+        by_pred: dict[str, list[str]] = {}
+        for p, d in todo:
+            by_pred.setdefault(p, []).append(d)
+        for p, deps in by_pred.items():
+            cols = [p, *[orig for _, orig in cov_names], *deps]
+            tbl = pq.read_table(path, columns=list(dict.fromkeys(cols)))
+            data = tbl.to_pandas()
+            x = pd.to_numeric(data[p], errors="coerce")
+            covs_frame = {
+                safe: data[orig] for safe, orig in cov_names
+            }
+            for d in deps:
+                y = pd.to_numeric(data[d], errors="coerce")
+                mask = x.notna() & y.notna()
+                pdf = pd.DataFrame(
+                    {
+                        PRED_VALUE: x[mask].astype("float64"),
+                        DEP_VALUE: y[mask].astype("float64"),
+                        **{safe: s[mask] for safe, s in covs_frame.items()},
+                    }
+                )
+                yield kernel((p, d), pdf)
+
+    return pairs.mapInPandas(fit_partition, schema=schema)

@@ -687,6 +687,73 @@ def q_mas_firth_fanout(spark, sf_dir):
     )
 
 
+def _phewas_wide_table(spark, sf_dir, n_samples=5000, n_phecodes=1800, n_covariates=5):
+    """The reference benchmark's PheWAS shape (BASELINE.md: 5,000 samples
+    x ~1,800 binary phecode dependents x 5 covariates, 1 predictor),
+    derived deterministically from the orders table: every cell is a pure
+    hash expression of o_orderkey, so the table is reproducible across
+    engines and scale factors without shipping any synthetic file."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.orderBy("o_orderkey").limit(n_samples)
+    h = lambda salt: F.abs(F.hash(F.col("o_orderkey"), F.lit(salt)))  # noqa: E731
+    cols = [
+        ((h("pred") % 1000) / 500.0 - 1.0 + (F.col("o_totalprice") / 400000.0))
+        .alias("exposure"),
+    ]
+    cols += [
+        ((h(f"cov{c}") % 1000) / 1000.0).alias(f"cov_{c}") for c in range(n_covariates)
+    ]
+    # ~6% base prevalence, with the predictor leaking into a 10% slice of
+    # phecodes so the run has true hits to rank.
+    for i in range(n_phecodes):
+        prev = h(f"dep{i}") % 1000
+        signal = (
+            (F.col("o_totalprice") > 250000).cast("int")
+            if i % 10 == 0
+            else F.lit(0)
+        )
+        cols.append(
+            ((prev < 50) | ((signal == 1) & (prev < 250)))
+            .cast("long")
+            .alias(f"phecode_{i:04d}")
+        )
+    return base.select(*cols)
+
+
+@query("mas_phewas_firth_180")  # BASELINE workload shape at 1/10 width → rows-only
+def q_mas_phewas_firth_180(spark, sf_dir):
+    """The reference benchmark workload (Firth PheWAS) at one-tenth width
+    (180 phecodes) so the correctness driver exercises the wide fan-out;
+    bench.py runs the full 1,800-phecode shape."""
+    return _run_phewas(spark, sf_dir, n_phecodes=180)
+
+
+@query("mas_phewas_firth_1800")  # full BASELINE workload → rows-only
+def q_mas_phewas_firth_1800(spark, sf_dir):
+    """BASELINE.md headline workload: Firth regressions of 1 predictor
+    against 1,800 binary phecodes with 5 covariates on 5,000 samples
+    (reference: 22.2 s on 8 threads, benchmarks/README.md:16)."""
+    return _run_phewas(spark, sf_dir, n_phecodes=1800)
+
+
+def _run_phewas(spark, sf_dir, n_phecodes):
+    wide = _phewas_wide_table(spark, sf_dir, n_phecodes=n_phecodes)
+    deps = [c for c in wide.columns if c.startswith("phecode_")]
+    covs = [c for c in wide.columns if c.startswith("cov_")]
+    cfg = MASConfig(
+        predictors="exposure", dependents=deps, covariates=covs,
+        model="firth", min_case_count=20,
+    )
+    res = run_pipeline(spark, cfg, df=wide)
+    return res.select(
+        "predictor", "dependent",
+        F.round("beta", 6).alias("beta"),
+        F.round("pval", 6).alias("pval"),
+        "cases", "controls", "converged", "failed_reason",
+        "bonferroni_significant",
+    )
+
+
 def _mas_wide_table(spark, sf_dir):
     """Deterministic PheWAS-shaped wide table from the TPC-H-ish data:
     one row per order, binary dependents, continuous covariates."""

@@ -132,6 +132,24 @@ def test_constant_covariate_dropped_per_group(spark):
     assert np.isfinite(res["beta"])
 
 
+def test_columnar_strategy_matches_unpivot(synth, spark, tmp_path):
+    # The columnar (checkpoint + column-pruned per-task parquet read)
+    # physical strategy must be result-identical to the unpivot/shuffle
+    # strategy — including failure rows and all-null pairs.
+    pdf, df = synth
+    cfg = MASConfig(
+        predictors="x", dependents=["ph_0", "ph_1", "ph_2", "ph_rare", "ph_null"],
+        covariates=["age", "sex"], model="firth", min_case_count=20,
+    ).resolve(df.columns)
+    sel = ["predictor", "dependent", "pval", "beta", "se", "cases",
+           "controls", "converged", "failed_reason", "equation"]
+    a = (run_associations(df, cfg, strategy="unpivot")
+         .select(*sel).toPandas().sort_values("dependent").reset_index(drop=True))
+    b = (run_associations(df, cfg, strategy="columnar", checkpoint_dir=str(tmp_path))
+         .select(*sel).toPandas().sort_values("dependent").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
+
+
 def test_dotted_phecode_column_names(spark):
     # PheWAS dependents are phecode-named ("250.0") — dots must not be
     # parsed as struct accessors anywhere in the engine (colutils.qcol).
