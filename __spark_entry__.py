@@ -7,8 +7,17 @@ pair; the driver compares them via DuckDB at sf=0.01.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
+
+# Cap BLAS threading before any Spark JVM (and hence any local-mode
+# Python worker) spawns: one worker per core + multithreaded BLAS on the
+# regression kernels' tiny matrices oversubscribes the machine
+# (polars_mas_spark.session._BLAS_ENV has the measurements).
+for _k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_k, "1")
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -42,6 +42,13 @@ HEADLINE = [
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    # Single-threaded BLAS per Python worker — with one worker per core,
+    # multithreaded BLAS on the kernels' tiny matrices oversubscribes the
+    # machine (see polars_mas_spark.session._BLAS_ENV).
+    for _k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+               "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(_k, "1")
+
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("polars-mas-spark-bench")

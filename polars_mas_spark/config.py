@@ -112,6 +112,11 @@ class MASConfig:
     correction: Literal["bonferroni", "bh"] = "bonferroni"
     # Spark-specific: explicit row-order column for forward/backward fill.
     order_col: str | None = None
+    # Spark-specific: directory for the columnar fan-out's parquet
+    # checkpoint (the analog of the reference's IPC temp file,
+    # preprocessing.py:111-132). None = system temp dir, auto-cleaned.
+    # On a multi-node cluster this must be shared storage.
+    checkpoint_dir: str | None = None
 
     # Resolved state (populated by `resolve`).
     column_names: list[str] = field(default_factory=list, init=False)

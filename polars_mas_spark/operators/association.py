@@ -254,11 +254,92 @@ def _pair_frame(
     return preds.crossJoin(deps)
 
 
+def choose_strategy(num_pairs: int, n_rows: int) -> str:
+    """Pick the physical fan-out strategy from the table shape: columnar
+    when the pair fan-out would amplify the data through a shuffle
+    (many pairs) and the table is small enough for per-task full-column
+    reads; unpivot otherwise (the tall-table / 100 TB path)."""
+    return "columnar" if num_pairs >= 8 and n_rows <= 100_000_000 else "unpivot"
+
+
+def checkpoint_wide(df: DataFrame, checkpoint_dir: str | None = None) -> str:
+    """Write ``df`` to a parquet directory via per-partition pyarrow
+    writers (one file per partition, streamed batch-by-batch), returning
+    the path.
+
+    This is the engine's analog of the reference's Arrow-IPC sink
+    (preprocessing.py:111-132). It deliberately bypasses
+    ``df.write.parquet``: Spark's row-based parquet writer pays a
+    per-column setup + row-pivot cost that is pathological for
+    ~1,800-column PheWAS tables (measured ~8-14 s for a 5k x 1,806 table
+    that pyarrow writes in ~0.5 s). The mapInArrow path keeps the data
+    columnar end-to-end. Distribution-safe: each task writes only its own
+    partition to ``part-<partitionId>.parquet`` (idempotent under task
+    retry); on a multi-node cluster the directory must be on shared
+    storage — or use ``df.write.parquet`` there instead."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    in_tmp = checkpoint_dir is None
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.gettempdir()
+    path = f"{checkpoint_dir.rstrip('/')}/pms_ckpt_{uuid.uuid4().hex}"
+    os.makedirs(path, exist_ok=True)
+    if in_tmp:
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+    # pyspark's mapInArrow resolves columns UNQUOTED internally
+    # (map_ops.py: `self[col]`), so dotted phecode names ("250.1") would
+    # be parsed as struct access. Route the boundary through positional
+    # safe names and restore the originals on the pyarrow side.
+    orig_names = list(df.columns)
+    safe = [f"__c{i}__" for i in range(len(orig_names))]
+
+    def write_parts(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writer = None
+        n = 0
+        try:
+            for batch in batches:
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns), names=orig_names
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        f"{path}/part-{pid:05d}.parquet", batch.schema
+                    )
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], type=pa.int64())], names=["rows"]
+        )
+
+    # The marker count is also the materialization barrier.
+    df.toDF(*safe).mapInArrow(write_parts, "rows long").groupBy().sum(
+        "rows"
+    ).collect()
+    return path
+
+
 def run_associations(
     df: DataFrame,
     config: MASConfig,
     strategy: str = "auto",
     checkpoint_dir: str | None = None,
+    checkpoint_path: str | None = None,
+    n_rows: int | None = None,
+    recipe=None,
+    source_files: list[str] | None = None,
 ) -> DataFrame:
     """Distributed equivalent of run_associations_ipc (analysis.py:10-39).
 
@@ -287,14 +368,13 @@ def run_associations(
     covariates = list(config.covariate_columns)
     num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
     if strategy == "auto":
-        n_rows = df.count()
-        strategy = (
-            "columnar"
-            if num_pairs >= 8 and n_rows <= 100_000_000
-            else "unpivot"
-        )
+        if n_rows is None:
+            n_rows = df.count()
+        strategy = choose_strategy(num_pairs, n_rows)
     if strategy == "columnar":
-        fitted = _fit_columnar(df, config, checkpoint_dir)
+        fitted = _fit_columnar(
+            df, config, checkpoint_dir, checkpoint_path, recipe, source_files
+        )
         return _complete_pairs(spark, fitted, config)
 
     long_df = build_long_table(
@@ -365,24 +445,78 @@ def _complete_pairs(
     )
 
 
+def reusable_scan_files(df: DataFrame) -> list[str] | None:
+    """If ``df`` is nothing but a (projected) parquet scan, return its
+    local data files so the columnar fan-out can read the SOURCE directly
+    instead of writing a redundant checkpoint copy. Conservative: any
+    computed expression, filter, or non-parquet source returns None."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    if not lines:
+        return None
+    rel = lines[-1].strip(" +-:")
+    if not rel.startswith("Relation") or "parquet" not in rel.lower():
+        return None
+    for ln in lines[:-1]:
+        stripped = ln.strip(" +-:")
+        if not stripped.startswith("Project ["):
+            return None
+        inner = stripped[len("Project ["): stripped.rindex("]")]
+        if "(" in inner or " AS " in inner:
+            return None  # computed or renamed column
+    try:
+        files = [
+            f[len("file:"):] if f.startswith("file:") else f
+            for f in df.inputFiles()
+        ]
+    except Exception:
+        return None
+    if not files or any("://" in f for f in files):
+        return None  # non-local storage: fall back to checkpoint
+    return sorted(files)
+
+
+def _parquet_files(path: str) -> list[str]:
+    """Driver-side listing of the data files in a parquet directory, so
+    task readers never trip over _SUCCESS / .crc sidecar files."""
+    import os
+
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        f"{path}/{f}"
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
 def _fit_columnar(
-    df: DataFrame, config: MASConfig, checkpoint_dir: str | None
+    df: DataFrame,
+    config: MASConfig,
+    checkpoint_dir: str | None,
+    checkpoint_path: str | None = None,
+    recipe=None,
+    source_files: list[str] | None = None,
 ) -> DataFrame:
-    """Column-parallel fan-out: checkpoint the preprocessed table to
-    parquet, distribute the PAIR list, and let every task column-prune
-    its own parquet read (design columns + its slice of dependents).
+    """Column-parallel fan-out: checkpoint the table to parquet (via
+    checkpoint_wide, unless the caller already has parquet files),
+    distribute the PAIR list, and let every task column-prune its own
+    parquet read (design columns + its slice of dependents).
 
     This is the Spark-native re-expression of the reference's physical
     strategy — sink_ipc + per-worker memory-mapped column reads
     (preprocessing.py:111-132, analysis.py:54-59) — and moves zero
     sample data through a shuffle. Parquet being columnar, each task's
     read is proportional to the columns it fits, exactly like the
-    reference's mmap column access."""
-    import atexit
-    import shutil
-    import tempfile
-    import uuid
+    reference's mmap column access.
 
+    With ``recipe`` (a PrepRecipe), ``df``/the files hold the RAW
+    included table and each task applies preprocessing to its slice in
+    pandas — the preprocessed wide table never exists as a JVM schema.
+    Without one, the input must already be preprocessed."""
     spark = df.sparkSession
     model = config.model
     covariates = list(config.covariate_columns)
@@ -390,15 +524,12 @@ def _fit_columnar(
     predictors = list(config.predictor_columns)
     dependents = list(config.dependent_columns)
 
-    if checkpoint_dir is None:
-        checkpoint_dir = tempfile.gettempdir()
-    path = f"{checkpoint_dir.rstrip('/')}/pms_ckpt_{uuid.uuid4().hex}"
-    # Keep every column under its original (possibly dotted) name —
-    # parquet has no column-name restrictions and pyarrow reads by exact
-    # name, so no rename dance is needed.
-    df.write.mode("overwrite").parquet(path)
-    if checkpoint_dir == tempfile.gettempdir():
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if source_files is None:
+        # Keep every column under its original (possibly dotted) name —
+        # parquet has no column-name restrictions and pyarrow reads by
+        # exact name, so no rename dance is needed.
+        path = checkpoint_path or checkpoint_wide(df, checkpoint_dir)
+        source_files = _parquet_files(path)
 
     kernel = make_kernel(model, covariates, config.quantitative, config.min_case_count)
     schema = result_schema(model)
@@ -407,11 +538,12 @@ def _fit_columnar(
     pairs = _pair_frame(spark, predictors, dependents).repartition(n_parts)
 
     cov_names = [(safe, orig) for safe, orig in cov_pairs]
+    extra_cols = list(recipe.read_cols) if recipe is not None else []
 
     def fit_partition(batches):
         import numpy as np  # noqa: F401  (kernel dependency)
         import pandas as pd
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as pads
 
         todo = []
         for pdf in batches:
@@ -422,9 +554,23 @@ def _fit_columnar(
         for p, d in todo:
             by_pred.setdefault(p, []).append(d)
         for p, deps in by_pred.items():
-            cols = [p, *[orig for _, orig in cov_names], *deps]
-            tbl = pq.read_table(path, columns=list(dict.fromkeys(cols)))
-            data = tbl.to_pandas()
+            cols = [p, *[orig for _, orig in cov_names], *extra_cols, *deps]
+            # use_threads=False: with one Python worker already pinned to
+            # every core, pyarrow's own thread pool (default = all cores)
+            # only adds contention — same reasoning as the BLAS cap in
+            # session._BLAS_ENV.
+            dummy_names = (
+                {f"{c}_{lv}" for c, lvs in recipe.onehot.items() for lv in lvs[1:]}
+                if recipe is not None
+                else set()
+            )
+            read_cols = [c for c in dict.fromkeys(cols) if c not in dummy_names]
+            tbl = pads.dataset(source_files).to_table(
+                columns=read_cols, use_threads=False
+            )
+            data = tbl.to_pandas(use_threads=False)
+            if recipe is not None:
+                data = recipe.apply_pandas(data)
             x = pd.to_numeric(data[p], errors="coerce")
             covs_frame = {
                 safe: data[orig] for safe, orig in cov_names

@@ -18,6 +18,8 @@ Deviations from the reference, both documented in SURVEY.md §2.5/§2.6:
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
@@ -155,3 +157,178 @@ def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
     df = drop_constant_covariates(df, config)
     df = create_dummy_covariates(df, config)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Prep recipe: preprocessing as DATA for the columnar fan-out
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PrepRecipe:
+    """The full preprocessing chain reduced to a small, serializable
+    recipe that fan-out tasks apply in pandas to their column slice.
+
+    Rationale (SURVEY.md §4, scale note): for the wide-short PheWAS shape
+    the preprocessed table must never flow through the JVM row format —
+    a ~1,800-column schema costs tens of seconds per pass in codegen /
+    Arrow-to-row pivots. Preprocessing only ever touches the handful of
+    covariate columns, so its *semantics* compress into constants:
+    a row-filter spec, fill values, one-hot level sets. Those are
+    computed here by narrow column-pruned aggregate jobs (the same
+    eager stats the reference collects, preprocessing.py:10-92) and the
+    wide data itself is read only inside the fan-out tasks.
+    """
+
+    # (sex_col, keep_equal_to_code, female_code) or None
+    sex_filter: tuple[str, bool, object] | None = None
+    # Row mask: drop rows null in any of these (strategy "drop").
+    drop_null_covs: list[str] = field(default_factory=list)
+    # Column -> fill constant (strategies min/max/mean/zero/one).
+    fill_values: dict[str, object] = field(default_factory=dict)
+    # Categorical column -> full sorted level list (only >2-level cats).
+    onehot: dict[str, list] = field(default_factory=dict)
+    # Design covariates after constant-drop + one-hot (original names).
+    final_covariates: list[str] = field(default_factory=list)
+    # Original columns the task reader must fetch beyond pred+deps.
+    read_cols: list[str] = field(default_factory=list)
+
+    def apply_pandas(self, data):
+        """Apply the recipe to a pandas DataFrame slice. Must reproduce
+        preprocess() row-for-row (enforced by the strategy-parity test)."""
+        if self.sex_filter is not None:
+            col, keep_equal, code = self.sex_filter
+            mask = (data[col] == code) if keep_equal else (data[col] != code)
+            data = data[mask.fillna(False)]
+        if self.drop_null_covs:
+            data = data[data[self.drop_null_covs].notna().all(axis=1)]
+        if self.fill_values:
+            import pandas as pd
+
+            for c, v in self.fill_values.items():
+                if pd.api.types.is_integer_dtype(data[c].dtype):
+                    # Spark's na.fill casts the fill value to the column
+                    # type (double -> int truncates); match it.
+                    data = data.assign(**{c: data[c].fillna(int(v))})
+                else:
+                    data = data.assign(**{c: data[c].fillna(v)})
+        for c, levels in self.onehot.items():
+            for level in levels[1:]:
+                data = data.assign(
+                    **{f"{c}_{level}": (data[c] == level).astype("int64")}
+                )
+        return data
+
+
+def build_prep_recipe(df: DataFrame, config: MASConfig) -> PrepRecipe:
+    """Compute a PrepRecipe with narrow aggregate jobs against ``df``
+    (ideally a parquet scan, so every job is column-pruned down to the
+    covariates). Mutates ``config.covariate_columns`` exactly like
+    ``preprocess`` does, so the downstream kernel sees the same design."""
+    covs = list(config.covariate_columns)
+    strategy = config.missing_covariate_values
+    recipe = PrepRecipe(onehot={})
+
+    if config.male_only or config.female_only:
+        if config.sex_col not in df.columns:
+            raise ValueError(
+                f"Sex column '{config.sex_col}' not found in included columns."
+            )
+        recipe.sex_filter = (config.sex_col, config.female_only, config.female_code)
+        df = limit_sex_specific(df, config)
+
+    if covs:
+        if strategy == "fail":
+            # Same two eager stats + messages as handle_missing_covariates.
+            total = df.count()
+            null_counts = df.agg(
+                *[F.count(F.when(qcol(c).isNull(), 1)).alias(c) for c in covs]
+            ).first()
+            for c in covs:
+                if null_counts[c] == total:
+                    raise ValueError(
+                        f"All values are missing in covariate column '{c}'."
+                    )
+                if null_counts[c] > 0:
+                    raise ValueError(
+                        f"Missing values found in covariate column '{c}': "
+                        f"{null_counts[c]} missing values."
+                    )
+        elif strategy == "drop":
+            recipe.drop_null_covs = list(covs)
+            df = df.na.drop(subset=covs)
+        elif strategy in ("forward", "backward"):
+            raise ValueError(
+                "forward/backward fill is order-dependent and cannot be "
+                "expressed as a per-task recipe; use the unpivot strategy."
+            )
+        elif strategy in ("min", "max", "mean"):
+            numeric = {
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, NumericType)
+            }
+            targets = [c for c in covs if c in numeric]
+            if targets:
+                agg_fn = {"min": F.min, "max": F.max, "mean": F.avg}[strategy]
+                stats = df.agg(*[agg_fn(qcol(c)).alias(c) for c in targets]).first()
+                recipe.fill_values = {
+                    c: stats[c] for c in targets if stats[c] is not None
+                }
+                df = df.na.fill(recipe.fill_values)
+        elif strategy in ("zero", "one"):
+            numeric = {
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, NumericType)
+            }
+            v = 0 if strategy == "zero" else 1
+            recipe.fill_values = {c: v for c in covs if c in numeric}
+            df = df.na.fill(v, subset=covs)
+
+    # Constant-covariate detection + categorical level sets in ONE job.
+    cats = [c for c in config.categorical_covariate_columns if c in covs]
+    if covs:
+        aggs = [F.countDistinct(qcol(c)).alias(f"__nd_{c}") for c in covs]
+        aggs += [
+            F.sort_array(F.collect_set(qcol(c))).alias(f"__lv_{c}") for c in cats
+        ]
+        row = df.agg(*aggs).first()
+        constant = [c for c in covs if row[f"__nd_{c}"] <= 1]
+        covs = [c for c in covs if c not in constant]
+        cats = [c for c in cats if c not in constant]
+        new_cols: list[str] = []
+        for c in cats:
+            levels = list(row[f"__lv_{c}"] or [])
+            if len(levels) <= 2:
+                continue
+            recipe.onehot[c] = levels
+            new_cols.extend(f"{c}_{level}" for level in levels[1:])
+        if cats:
+            covs = [
+                c for c in covs
+                if c not in config.categorical_covariate_columns
+            ] + new_cols
+
+    recipe.final_covariates = covs
+    config.covariate_columns = list(covs)
+
+    # Fills on columns that left the design (constant-dropped) are dead
+    # work — and dead reads — in the tasks; keep only design-relevant
+    # ones (incl. one-hot sources: their level sets were computed on the
+    # FILLED data, so the in-task fill must still precede the encoding).
+    keep = set(covs) | set(recipe.onehot)
+    recipe.fill_values = {
+        c: v for c, v in recipe.fill_values.items() if c in keep
+    }
+
+    read = list(dict.fromkeys(
+        list(config.covariate_columns)
+        + recipe.drop_null_covs
+        + list(recipe.onehot)
+        + ([recipe.sex_filter[0]] if recipe.sex_filter else [])
+    ))
+    # Dummy columns are created in-task, not read from the file.
+    dummy_names = {
+        f"{c}_{level}" for c, levels in recipe.onehot.items() for level in levels[1:]
+    }
+    recipe.read_cols = [c for c in read if c not in dummy_names]
+    return recipe

@@ -16,13 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from polars_mas_spark.colutils import qcol
 from polars_mas_spark.config import MASConfig
-from polars_mas_spark.operators.association import run_associations
+from polars_mas_spark.operators.association import (
+    checkpoint_wide,
+    choose_strategy,
+    reusable_scan_files,
+    run_associations,
+)
 from polars_mas_spark.operators.postprocessing import (
     add_phecode_definitions,
     benjamini_hochberg,
     bonferroni,
 )
-from polars_mas_spark.operators.preprocessing import preprocess
+from polars_mas_spark.operators.preprocessing import build_prep_recipe, preprocess
 from polars_mas_spark.sources.readers import read_input
 from polars_mas_spark.sources.writers import write_output
 
@@ -34,12 +39,14 @@ def run_pipeline(
     input_path: str | None = None,
     output_path: str | None = None,
     phecode_defs: DataFrame | None = None,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Run the full MAS dataflow; returns the results DataFrame.
 
     Programmatic-first API (the reference is CLI-only; a Python API is on
     its declared roadmap, README.md:163): pass either an already-loaded
-    wide DataFrame or an input path.
+    wide DataFrame or an input path. ``strategy`` forces the fan-out's
+    physical strategy ("columnar"/"unpivot"); default picks by shape.
     """
     if df is None:
         if input_path is None:
@@ -48,22 +55,58 @@ def run_pipeline(
     config.resolve(df.columns)
     df = df.select(*[qcol(c) for c in config.included_columns])
 
-    # Cache the projected input FIRST: preprocess collects eager
-    # statistics (null counts, countDistinct, level sets) and each one is
-    # an action — uncached, every stat job would re-execute the upstream
-    # plan (source scan or caller-supplied join) from scratch.
-    raw = df.persist(StorageLevel.MEMORY_AND_DISK)
-    pre = preprocess(raw, config)
-    # The persisted preprocessed table is the analog of the reference's
-    # shared-memory IPC checkpoint (preprocessing.py:111-132).
-    pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
-    pre.count()  # materialize before the fan-out; frees the raw cache
-    raw.unpersist()
+    num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
+    if strategy is None:
+        n_rows = df.count()
+        strategy = choose_strategy(num_pairs, n_rows)
+    if strategy == "columnar" and config.missing_covariate_values in (
+        "forward", "backward",
+    ):
+        strategy = "unpivot"  # ordered fills need the Spark window path
+
+    if strategy == "columnar":
+        # Wide-short shape (the PheWAS benchmark): the preprocessed wide
+        # table must never exist as a JVM schema — caching or row-pivoting
+        # ~1,800 columns costs tens of seconds per pass in codegen and
+        # Arrow<->row conversion. Instead: (1) land the RAW included table
+        # as parquet — reusing the source files directly when the input
+        # already is a plain parquet scan, else one pyarrow checkpoint;
+        # (2) reduce preprocessing to a PrepRecipe via narrow
+        # column-pruned stats jobs; (3) fan out the pair list, each task
+        # reading only its columns and applying the recipe in pandas —
+        # exactly how the reference's workers mmap its IPC file
+        # (analysis.py:54-59).
+        files = reusable_scan_files(df)
+        if files is None:
+            ckpt = checkpoint_wide(df, config.checkpoint_dir)
+            stats_df = spark.read.parquet(ckpt)
+        else:
+            ckpt = None
+            stats_df = df
+        recipe = build_prep_recipe(stats_df, config)
+        results = run_associations(
+            stats_df, config, strategy="columnar",
+            checkpoint_path=ckpt, recipe=recipe, source_files=files,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pre = stats_df  # for the shared unpersist below (no-op on scans)
+    else:
+        # Tall shape: cache the projected input (preprocess collects
+        # eager statistics — uncached, every stat job would re-execute
+        # the upstream plan), then persist the preprocessed table as the
+        # analog of the reference's shared-memory IPC checkpoint
+        # (preprocessing.py:111-132) and run the unpivot fan-out from it.
+        raw = df.persist(StorageLevel.MEMORY_AND_DISK)
+        pre = preprocess(raw, config)
+        pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+        pre.count()  # materialize before the fan-out; frees the raw cache
+        raw.unpersist()
+        results = run_associations(
+            pre, config, strategy="unpivot"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Persist the (small) results table: bonferroni's valid-test count is
     # an action, and without the cache the whole regression fan-out would
     # run twice (once for the count, once for the caller's collect).
-    results = run_associations(pre, config).persist(StorageLevel.MEMORY_AND_DISK)
     results = bonferroni(results)
     if config.correction == "bh":
         results = benjamini_hochberg(results)

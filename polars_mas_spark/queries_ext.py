@@ -687,37 +687,91 @@ def q_mas_firth_fanout(spark, sf_dir):
     )
 
 
-def _phewas_wide_table(spark, sf_dir, n_samples=5000, n_phecodes=1800, n_covariates=5):
-    """The reference benchmark's PheWAS shape (BASELINE.md: 5,000 samples
-    x ~1,800 binary phecode dependents x 5 covariates, 1 predictor),
-    derived deterministically from the orders table: every cell is a pure
-    hash expression of o_orderkey, so the table is reproducible across
-    engines and scale factors without shipping any synthetic file."""
+_PHEWAS_CACHE: dict = {}
+
+
+def _phewas_wide_parquet(spark, sf_dir, n_samples=5000, n_phecodes=1800, n_covariates=5):
+    """Generate the reference benchmark's PheWAS-shaped wide table
+    (BASELINE.md: 5,000 samples x ~1,800 binary phecode dependents x 5
+    covariates, 1 predictor) STRAIGHT TO PARQUET, returning the path.
+
+    The ~1,800-column table deliberately never exists as a JVM schema:
+    each mapInArrow task hashes its slice of o_orderkey with vectorized
+    splitmix64 and writes its own parquet file via pyarrow (a Catalyst
+    expression tree of this width costs ~30 s of py4j plan construction
+    and every subsequent pass ~15 s in Arrow<->row pivots). Every cell is
+    a pure function of o_orderkey, so the table is reproducible without
+    shipping any synthetic file. (Rows-only driver check — no oracle SQL
+    needs to replicate the generator.)"""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = (sf_dir, n_samples, n_phecodes, n_covariates)
+    cached = _PHEWAS_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    path = tempfile.mkdtemp(prefix="pms_phewas_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    base = orders.orderBy("o_orderkey").limit(n_samples)
-    h = lambda salt: F.abs(F.hash(F.col("o_orderkey"), F.lit(salt)))  # noqa: E731
-    cols = [
-        ((h("pred") % 1000) / 500.0 - 1.0 + (F.col("o_totalprice") / 400000.0))
-        .alias("exposure"),
-    ]
-    cols += [
-        ((h(f"cov{c}") % 1000) / 1000.0).alias(f"cov_{c}") for c in range(n_covariates)
-    ]
-    # ~6% base prevalence, with the predictor leaking into a 10% slice of
-    # phecodes so the run has true hits to rank.
-    for i in range(n_phecodes):
-        prev = h(f"dep{i}") % 1000
-        signal = (
-            (F.col("o_totalprice") > 250000).cast("int")
-            if i % 10 == 0
-            else F.lit(0)
+    base = orders.orderBy("o_orderkey").limit(n_samples).repartition(8)
+
+    def _salt64(salt: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(salt.encode(), digest_size=8).digest(), "big"
         )
-        cols.append(
-            ((prev < 50) | ((signal == 1) & (prev < 250)))
-            .cast("long")
-            .alias(f"phecode_{i:04d}")
-        )
-    return base.select(*cols)
+
+    def gen_write(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        def h(keys, salt):
+            # splitmix64 finalizer over orderkey + salted offset.
+            z = keys + np.uint64(_salt64(salt))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            return (z % np.uint64(1000)).astype(np.float64)
+
+        pid = TaskContext.get().partitionId()
+        writer = None
+        n = 0
+        with np.errstate(over="ignore"):
+            for batch in batches:
+                keys = batch.column("o_orderkey").to_numpy().astype(np.uint64)
+                tp = batch.column("o_totalprice").to_numpy().astype(np.float64)
+                names = ["exposure"]
+                arrays = [pa.array(h(keys, "pred") / 500.0 - 1.0 + tp / 400000.0)]
+                for c in range(n_covariates):
+                    names.append(f"cov_{c}")
+                    arrays.append(pa.array(h(keys, f"cov{c}") / 1000.0))
+                # ~6% base prevalence, with the predictor leaking into a
+                # 10% slice of phecodes so the run has true hits to rank.
+                signal = tp > 250000.0
+                for i in range(n_phecodes):
+                    prev = h(keys, f"dep{i}")
+                    hit = (prev < 50) if i % 10 else ((prev < 50) | (signal & (prev < 250)))
+                    names.append(f"phecode_{i:04d}")
+                    arrays.append(pa.array(hit.astype(np.int64)))
+                out = pa.RecordBatch.from_arrays(arrays, names=names)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        f"{path}/part-{pid:05d}.parquet", out.schema
+                    )
+                writer.write_batch(out)
+                n += out.num_rows
+        if writer is not None:
+            writer.close()
+        yield pa.RecordBatch.from_arrays([pa.array([n], type=pa.int64())], ["rows"])
+
+    base.mapInArrow(gen_write, "rows long").groupBy().sum("rows").collect()
+    _PHEWAS_CACHE[key] = path
+    return path
 
 
 @query("mas_phewas_firth_180")  # BASELINE workload shape at 1/10 width → rows-only
@@ -737,7 +791,9 @@ def q_mas_phewas_firth_1800(spark, sf_dir):
 
 
 def _run_phewas(spark, sf_dir, n_phecodes):
-    wide = _phewas_wide_table(spark, sf_dir, n_phecodes=n_phecodes)
+    wide = spark.read.parquet(
+        _phewas_wide_parquet(spark, sf_dir, n_phecodes=n_phecodes)
+    )
     deps = [c for c in wide.columns if c.startswith("phecode_")]
     covs = [c for c in wide.columns if c.startswith("cov_")]
     cfg = MASConfig(

@@ -18,12 +18,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+# One BLAS/OpenMP thread per task: the regression kernels solve tiny
+# (n x ~10) systems where multithreaded BLAS is pure overhead, and with
+# every core already running its own Python worker, k workers x k BLAS
+# threads oversubscribes the machine k-fold (measured 7.7x slowdown on
+# the 1,800-fit PheWAS fan-out). Same role as the reference's
+# threadpool_limits(num_threads) (analysis.py:50) — SURVEY.md §2.11 K6.
+_BLAS_ENV = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+
+
 def get_spark(
     app_name: str = "polars-mas-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Local-mode Python workers inherit the driver process environment;
+    # cluster executors get the same caps via spark.executorEnv below.
+    for key, value in _BLAS_ENV.items():
+        os.environ.setdefault(key, value)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -44,6 +63,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for key, value in _BLAS_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{key}", value)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

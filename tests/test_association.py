@@ -150,6 +150,81 @@ def test_columnar_strategy_matches_unpivot(synth, spark, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
 
 
+def test_recipe_pipeline_matches_unpivot(spark, tmp_path):
+    # The columnar run_pipeline path reduces preprocessing (sex filter,
+    # mean-fill, constant-drop, one-hot) to a PrepRecipe applied in-task
+    # in pandas; it must be row-for-row identical to the Spark
+    # preprocess() + unpivot path on a messy table.
+    rng = np.random.default_rng(7)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "x": rng.normal(0, 1, n),
+            "age": rng.normal(50, 10, n),
+            "const_cov": 1.0,
+            "site": rng.choice(["a", "b", "c"], n),
+            "sex": rng.integers(0, 2, n).astype("int64"),
+        }
+    )
+    pdf.loc[rng.choice(n, 40, replace=False), "age"] = np.nan
+    for i in range(10):
+        logit = -1.2 + (0.9 if i % 2 else 0.0) * pdf["x"]
+        pdf[f"ph_{i}"] = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype("int64")
+    deps = [f"ph_{i}" for i in range(10)]
+    sel = ["predictor", "dependent", "pval", "beta", "se", "cases",
+           "controls", "converged", "failed_reason", "equation",
+           "bonferroni_significant"]
+
+    def run(strategy):
+        cfg = MASConfig(
+            predictors="x", dependents=deps,
+            covariates=["age", "const_cov", "site", "sex"],
+            categorical_covariates=["site"],
+            model="firth", min_case_count=10,
+            missing_covariate_values="mean", female_only=True,
+        )
+        df = spark.createDataFrame(pdf)
+        out = run_pipeline(spark, cfg, df=df, strategy=strategy)
+        return (out.select(*sel).toPandas()
+                .sort_values("dependent").reset_index(drop=True))
+
+    a = run("unpivot")
+    b = run("columnar")
+    assert "site_b" in a.loc[0, "equation"] and "const_cov" not in a.loc[0, "equation"]
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
+
+
+def test_recipe_pipeline_parquet_scan_reuse(spark, tmp_path):
+    # When the input is a plain parquet file, the columnar path must
+    # read the SOURCE files directly (no checkpoint copy) and still
+    # produce correct results end-to-end.
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    for i in range(9):
+        logit = -1.0 + (1.2 if i == 0 else 0.0) * pdf["x"]
+        pdf[f"ph_{i}"] = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype("int64")
+    src = str(tmp_path / "wide.parquet")
+    spark.createDataFrame(pdf).write.parquet(src)
+    cfg = MASConfig(
+        predictors="x", dependents=[f"ph_{i}" for i in range(9)],
+        covariates=[], model="logistic", min_case_count=10,
+    )
+    from polars_mas_spark.operators.association import reusable_scan_files
+
+    df = spark.read.parquet(src)
+    cfg2 = MASConfig(
+        predictors="x", dependents=[f"ph_{i}" for i in range(9)],
+        covariates=[], model="logistic", min_case_count=10,
+    ).resolve(df.columns)
+    assert reusable_scan_files(df.select(*cfg2.included_columns)) is not None
+
+    res = run_pipeline(spark, cfg, input_path=src, strategy="columnar").toPandas()
+    assert len(res) == 9
+    top = res.sort_values("pval").iloc[0]
+    assert top["dependent"] == "ph_0" and top["pval"] < 1e-6
+
+
 def test_dotted_phecode_column_names(spark):
     # PheWAS dependents are phecode-named ("250.0") — dots must not be
     # parsed as struct accessors anywhere in the engine (colutils.qcol).
