@@ -117,6 +117,12 @@ class MASConfig:
     # preprocessing.py:111-132). None = system temp dir, auto-cleaned.
     # On a multi-node cluster this must be shared storage.
     checkpoint_dir: str | None = None
+    # Sex-specific phecode restriction (the reference's dead code at
+    # constants.py:14-16; R PheWAS semantics): dependent column ->
+    # required value of the ``sex_col`` covariate. Restricted dependents
+    # are fitted only on matching-sex rows. Build from phecode
+    # definitions with postprocessing.sex_restrictions_from_defs.
+    sex_restrictions: dict | None = None
 
     # Resolved state (populated by `resolve`).
     column_names: list[str] = field(default_factory=list, init=False)
@@ -154,6 +160,12 @@ class MASConfig:
         if cats and not (cats & covs):
             raise ValueError(
                 "Categorical covariate columns must be a subset of covariate columns"
+            )
+
+        if self.sex_restrictions and self.sex_col not in covs:
+            raise ValueError(
+                "sex_restrictions requires the sex column "
+                f"'{self.sex_col}' to be among the covariates."
             )
 
         included = preds | deps | covs

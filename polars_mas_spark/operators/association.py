@@ -166,16 +166,31 @@ def make_kernel(
     covariates: list[str],
     quantitative: bool,
     min_case_count: int,
+    sex_restrictions: dict | None = None,
+    sex_col: str | None = None,
 ) -> Callable[[tuple, pd.DataFrame], pd.DataFrame]:
     """Build the grouped-map pandas kernel reproducing the reference's
     per-task pipeline: validation (analysis.py:110-193), per-subset
     constant-covariate drop (analysis.py:196-206), design-matrix build +
     fit (analysis.py:71-87), failure-as-row error channel
-    (analysis.py:89-102)."""
+    (analysis.py:89-102).
+
+    ``sex_restrictions`` implements the reference's declared-but-dead
+    sex-specific phecode sets (constants.py:14-16, SURVEY.md §2.12): a
+    map of dependent -> required value of the ``sex_col`` covariate.
+    Restricted dependents are fitted only on matching-sex rows (R PheWAS
+    semantics); the sex covariate then goes constant in that subset and
+    the per-group constant drop removes it from the design naturally."""
     defaults = _LINEAR_DEFAULTS if model == "linear" else _BINARY_DEFAULTS
     columns = [f.name for f in result_schema(model).fields]
     fit_func = _MODEL_FUNCS[model]
     cov_pairs = safe_covariate_pairs(covariates)
+    sex_safe = None
+    if sex_restrictions and sex_col is not None:
+        for safe, orig in cov_pairs:
+            if orig == sex_col:
+                sex_safe = safe
+                break
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         predictor, dependent = key
@@ -185,6 +200,9 @@ def make_kernel(
 
         def emit() -> pd.DataFrame:
             return pd.DataFrame([{c: row[c] for c in columns}])
+
+        if sex_safe is not None and sex_restrictions.get(dependent) is not None:
+            pdf = pdf[pdf[sex_safe] == sex_restrictions[dependent]]
 
         n_rows = len(pdf)
         if n_rows == 0:
@@ -385,7 +403,8 @@ def run_associations(
         F.col(PRED_VALUE).isNotNull() & F.col(DEP_VALUE).isNotNull()
     )
     kernel = make_kernel(
-        model, covariates, config.quantitative, config.min_case_count
+        model, covariates, config.quantitative, config.min_case_count,
+        config.sex_restrictions, config.sex_col,
     )
     # Explicitly size the fan-out shuffle: one partition per pair up to
     # the cluster parallelism. Deliberately NOT left to AQE — adaptive
@@ -531,7 +550,10 @@ def _fit_columnar(
         path = checkpoint_path or checkpoint_wide(df, checkpoint_dir)
         source_files = _parquet_files(path)
 
-    kernel = make_kernel(model, covariates, config.quantitative, config.min_case_count)
+    kernel = make_kernel(
+        model, covariates, config.quantitative, config.min_case_count,
+        config.sex_restrictions, config.sex_col,
+    )
     schema = result_schema(model)
     n_parts = max(1, min(len(predictors) * len(dependents),
                          spark.sparkContext.defaultParallelism))

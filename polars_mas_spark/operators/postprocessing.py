@@ -18,6 +18,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sex_restrictions_from_defs(
+    defs_df: DataFrame,
+    female_code: int = 1,
+    male_code: int = 0,
+    phecode_col: str = "phecode",
+    sex_col: str = "sex",
+) -> dict:
+    """Build a MASConfig.sex_restrictions map from a phecode definition
+    table whose ``sex`` column holds Both/Female/Male (the reference
+    computes exactly these sets and never uses them, constants.py:14-16).
+    The defs table is ~1,866 rows — a driver-side collect is correct."""
+    rows = defs_df.select(phecode_col, sex_col).collect()
+    out = {}
+    for r in rows:
+        s = (r[sex_col] or "").strip().lower()
+        if s == "female":
+            out[r[phecode_col]] = female_code
+        elif s == "male":
+            out[r[phecode_col]] = male_code
+    return out
+
+
 def bonferroni(
     df: DataFrame, baseline_pval: float = 0.05, pval_col: str = "pval"
 ) -> DataFrame:

@@ -533,6 +533,29 @@ def q_standard_scale(spark, sf_dir):
 
 
 @query(
+    "min_max_scale",
+    """SELECT l_orderkey, l_linenumber,
+              round((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
+                    / ((SELECT max(l_extendedprice) FROM lineitem)
+                       - (SELECT min(l_extendedprice) FROM lineitem)), 6) AS price_scaled
+       FROM lineitem""",
+)
+def q_min_max_scale(spark, sf_dir):
+    """Min-max covariate scaling (reference roadmap README.md:161),
+    via functions.transforms.min_max_scale."""
+    from polars_mas_spark.functions.transforms import min_max_scale
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = min_max_scale(li, ["l_extendedprice"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice"), 6).alias("price_scaled"),
+    )
+
+
+@query(
     "log_transform",
     "SELECT o_orderkey, round(ln(o_totalprice), 6) AS log_price FROM orders",
 )

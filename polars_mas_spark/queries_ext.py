@@ -355,6 +355,19 @@ def q_embedding_neardup(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("cos", 4).alias("cos"))
 
 
+@query("ann_ivf_topk")  # k-means refinement: not SQL-expressible → rows-only
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-5 (deterministic seeded centroids + one
+    distributed k-means round + n_probe bucket probing); recall vs the
+    brute-force baseline asserted in tests/test_similarity_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
 @query("ann_lsh_topk")  # seeded-hyperplane LSH: not SQL-expressible → rows-only
 def q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -638,6 +651,47 @@ def q_mas_linear_fanout(spark, sf_dir):
         "predictor", "dependent",
         F.round("beta", 6).alias("beta"),
         F.round("se", 6).alias("se"),
+        "n_observations",
+    )
+
+
+_SEX_OLS_PAIR = """SELECT 'l_quantity' AS predictor, '{y}' AS dependent,
+       round(regr_slope({y}, l_quantity), 6) AS beta,
+       regr_count({y}, l_quantity)::BIGINT AS n_observations
+       FROM lineitem WHERE l_suppkey % 2 = {code}"""
+
+
+def _sex_specific_oracle() -> str:
+    pairs = [("l_extendedprice", 1), ("l_discount", 0), ("l_tax", 1)]
+    return " UNION ALL ".join(
+        _SEX_OLS_PAIR.format(y=y, code=c) for y, c in pairs
+    )
+
+
+@query("mas_sex_specific_linear", _sex_specific_oracle())
+def q_mas_sex_specific_linear(spark, sf_dir):
+    """Sex-specific dependent restriction (the reference's dead code at
+    constants.py:14-16, SURVEY.md §2.12): each restricted dependent is
+    fitted only on rows whose sex covariate matches; the sex covariate
+    then goes constant in the subset and is dropped from the design, so
+    DuckDB's closed-form simple regression over the same WHERE clause is
+    an exact oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        (F.col("l_suppkey") % 2).alias("sexc"),
+        "l_extendedprice", "l_discount", "l_tax",
+    )
+    cfg = MASConfig(
+        predictors="l_quantity",
+        dependents=["l_extendedprice", "l_discount", "l_tax"],
+        covariates=["sexc"], sex_col="sexc",
+        sex_restrictions={"l_extendedprice": 1, "l_discount": 0, "l_tax": 1},
+        model="linear", quantitative=True, min_case_count=10,
+    )
+    res = run_associations(li, cfg.resolve(li.columns))
+    return res.select(
+        "predictor", "dependent",
+        F.round("beta", 6).alias("beta"),
         "n_observations",
     )
 

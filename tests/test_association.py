@@ -225,6 +225,48 @@ def test_recipe_pipeline_parquet_scan_reuse(spark, tmp_path):
     assert top["dependent"] == "ph_0" and top["pval"] < 1e-6
 
 
+def test_sex_specific_restrictions(spark):
+    # Sex-restricted dependents must be fitted only on matching-sex rows
+    # (SURVEY.md §2.12), identically in both physical strategies.
+    rng = np.random.default_rng(3)
+    n = 800
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "sex": rng.integers(0, 2, n).astype("int64"),
+    })
+    for i in range(9):
+        logit = -1.0 + 0.8 * pdf["x"] + (0.7 if i == 0 else 0.0) * pdf["sex"]
+        pdf[f"ph_{i}"] = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype("int64")
+    deps = [f"ph_{i}" for i in range(9)]
+    restrict = {"ph_0": 1, "ph_1": 0}
+
+    def run(strategy):
+        cfg = MASConfig(
+            predictors="x", dependents=deps, covariates=["sex"],
+            sex_col="sex", sex_restrictions=restrict,
+            model="logistic", min_case_count=5,
+        ).resolve(pdf.columns.tolist())
+        return (run_associations(spark.createDataFrame(pdf), cfg, strategy=strategy)
+                .toPandas().set_index("dependent"))
+
+    a, b = run("unpivot"), run("columnar")
+    # Restricted pair counts = matching-sex rows only.
+    n_f = int((pdf["sex"] == 1).sum())
+    assert a.loc["ph_0", "total_n"] == n_f
+    assert a.loc["ph_1", "total_n"] == n - n_f
+    assert a.loc["ph_2", "total_n"] == n
+    # Sex goes constant in the restricted subset -> out of the equation.
+    assert "sex" not in a.loc["ph_0", "equation"]
+    assert "sex" in a.loc["ph_2", "equation"]
+    # Serial oracle on the restricted subset.
+    sub = pdf[pdf["sex"] == 1]
+    serial = logistic_fit(sub[["x"]].to_numpy(float), sub["ph_0"].to_numpy(float))
+    assert abs(a.loc["ph_0", "beta"] - serial["beta"]) < 1e-8
+    pd.testing.assert_frame_equal(
+        a.sort_index(), b.sort_index(), check_exact=False, rtol=1e-9
+    )
+
+
 def test_dotted_phecode_column_names(spark):
     # PheWAS dependents are phecode-named ("250.0") — dots must not be
     # parsed as struct accessors anywhere in the engine (colutils.qcol).

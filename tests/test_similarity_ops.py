@@ -1,0 +1,75 @@
+"""Similarity-search operators: exact brute force is the oracle; the
+approximate variants (LSH, IVF) must reach a minimum recall against it
+on the driver-generated embeddings table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_mas_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return df.cache()
+
+
+def _topk_sets(df):
+    pdf = df.toPandas()
+    return {
+        q: set(g.sort_values("rank")["neighbor_id"])
+        for q, g in pdf.groupby("query_id")
+    }
+
+
+def test_brute_force_matches_numpy(emb, spark):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sim.brute_force_topk(emb, queries, k=3).toPandas()
+    all_pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.array(all_pdf["embedding"].tolist())
+    ids = all_pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(5):
+        qi = np.where(ids == qid)[0][0]
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))[:3]
+        expect = [int(ids[i]) for i in order]
+        mine = got[got.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == expect
+
+
+@pytest.mark.parametrize("method", ["lsh", "ivf"])
+def test_approx_recall(emb, spark, method):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(sim.brute_force_topk(emb, queries, k=5))
+    if method == "lsh":
+        approx = _topk_sets(
+            sim.lsh_topk(emb, queries, k=5, num_planes=4, num_tables=6, dim=64)
+        )
+    else:
+        approx = _topk_sets(
+            sim.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=6)
+        )
+    hits = total = 0
+    for q, expect in exact.items():
+        got = approx.get(q, set())
+        hits += len(expect & got)
+        total += len(expect)
+    recall = hits / total
+    assert recall >= 0.5, f"{method} recall@5 too low: {recall:.2f}"
+
+
+def test_ivf_deterministic(emb, spark):
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sim.ivf_topk(emb, queries, k=3).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = sim.ivf_topk(emb, queries, k=3).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
