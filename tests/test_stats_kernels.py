@@ -109,3 +109,36 @@ def test_ols_perfect_fit_p_near_zero():
     y = 3.0 * X[:, 0] + 1.0
     res = ols_fit(X, y)
     assert res["beta"] == pytest.approx(3.0, abs=1e-8)
+
+
+def test_firth_sex2_golden():
+    """Golden parity on the `logistf` sex2 dataset — THE standard Firth
+    validation fixture (239 rows; bundled unused by the reference at
+    src/polars_mas/data/sex2.csv). Expected coefficients are the
+    published logistf results (Heinze & Schemper 2002; logistf package
+    docs), which the reference's own oracle (firthmodels) also
+    reproduces. Loaded from the read-only reference tree; skipped if
+    absent."""
+    import os
+
+    path = "/root/reference/src/polars_mas/data/sex2.csv"
+    if not os.path.exists(path):
+        pytest.skip("sex2 fixture not available")
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    y = df["case"].to_numpy(float)
+    X = df[["age", "oc", "vic", "vicl", "vis", "dia"]].to_numpy(float)
+    published = {
+        "age": -1.10563, "oc": -0.06881, "vic": 2.26887,
+        "vicl": -2.11141, "vis": -0.78831, "dia": 3.09601,
+    }
+    names = list(published)
+    for i, nm in enumerate(names):
+        cols = [i] + [j for j in range(6) if j != i]
+        res = firth_fit(X[:, cols], y)
+        assert res["converged"] is True
+        assert res["beta"] == pytest.approx(published[nm], abs=2e-3), nm
+    # Published LRT p-values (logistf summary): age 0.00616, vic <1e-5.
+    res_age = firth_fit(X[:, [0, 1, 2, 3, 4, 5]], y)
+    assert res_age["pval"] == pytest.approx(0.00616, abs=5e-4)
