@@ -85,6 +85,12 @@ def create_parser() -> argparse.ArgumentParser:
     sx = ph.add_mutually_exclusive_group()
     sx.add_argument("--male-only", action="store_true")
     sx.add_argument("--female-only", action="store_true")
+    ph.add_argument("--sex-specific", action="store_true",
+                    help="Restrict male/female-only phecodes (per the defs "
+                         "table's sex column) to matching-sex rows; requires "
+                         "--phecode-defs and the sex column as a covariate")
+    ph.add_argument("--male-code", type=int, default=0,
+                    help="Sex-column value meaning male (for --sex-specific)")
 
     sp = p.add_argument_group("Spark Options")
     sp.add_argument("--master", type=str, default=None,
@@ -155,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
         from polars_mas_spark.pipeline import run_pipeline
 
         defs_df = None
-        if args.phecode_defs and (args.phewas or args.flipwas):
+        if args.phecode_defs and (args.phewas or args.flipwas or args.sex_specific):
             from pyspark.sql import functions as F
 
             defs_df = spark.read.options(header=True, inferSchema=True).csv(
@@ -164,6 +170,19 @@ def main(argv: list[str] | None = None) -> int:
             # phecode keys must stay strings: "008.5" is not 8.5
             # (reference constants.py:9)
             defs_df = defs_df.withColumn("phecode", F.col("phecode").cast("string"))
+
+        if args.sex_specific:
+            if defs_df is None:
+                print("error: --sex-specific requires --phecode-defs",
+                      file=sys.stderr)
+                return 2
+            from polars_mas_spark.operators.postprocessing import (
+                sex_restrictions_from_defs,
+            )
+
+            config.sex_restrictions = sex_restrictions_from_defs(
+                defs_df, female_code=args.female_code, male_code=args.male_code
+            )
 
         results = run_pipeline(
             spark, config, input_path=args.input,

@@ -566,6 +566,53 @@ def q_session_window_agg(spark, sf_dir):
     )
 
 
+@query(
+    "stateful_user_stats",
+    """SELECT user_id, count(value)::BIGINT AS n_events,
+              round(sum(value), 4) AS total,
+              round(avg(value), 4) AS mean,
+              round(max(value), 4) AS max_value
+       FROM events GROUP BY user_id""",
+)
+def q_stateful_user_stats(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/events.py running_user_stats) driven as a REAL stream with
+    an availableNow trigger; the last emitted row per user equals the
+    lifetime batch aggregate, which is the DuckDB oracle."""
+    import uuid
+
+    from polars_mas_spark.streaming.events import running_user_stats
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    # events.parquet stores ts as TIMESTAMP(NANOS); read nanos as long
+    # (same handling as the batch _t helper) — the stateful op only
+    # needs user_id/value, the watermark is a no-op pre-aggregation here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    # The file-source needs a DIRECTORY; events.parquet is a single file,
+    # so stream the parent dir with a glob pinned to it.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    name = f"stateful_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT user_id, n_events, round(total, 4) AS total,
+                   round(mean, 4) AS mean, round(max_value, 4) AS max_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) AS rk FROM {name})
+            WHERE rk = 1"""
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

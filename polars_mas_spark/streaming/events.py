@@ -87,3 +87,61 @@ def stream_dedup(
     return _with_watermark(stream, ts_col, watermark).dropDuplicates(
         [*key_cols, ts_col]
     )
+
+
+def running_user_stats(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom STATEFUL operator via applyInPandasWithState: per-user
+    running (count, sum, mean, max) maintained in explicit group state
+    across micro-batches — the mechanism for operators Spark's built-in
+    streaming aggregations can't express (SURVEY.md §2.10 note; at scale
+    the state store partitions by user across executors and the
+    watermark bounds it for idle keys).
+
+    Emits one row per user per micro-batch in which that user appeared,
+    carrying the lifetime-so-far statistics (update semantics)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, n_events long, total double, "
+        "mean double, max_value double"
+    )
+    state_schema = "n long, total double, max_value double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            v = pdf[value_col]
+            n += int(v.count())
+            total += float(v.sum())
+            if len(v):
+                mx = max(mx, float(v.max()))
+        state.update((n, total, mx))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "n_events": [n],
+                "total": [total],
+                "mean": [total / n if n else None],
+                "max_value": [mx if n else None],
+            }
+        )
+
+    return (
+        _with_watermark(stream, ts_col, watermark)
+        .groupBy(qcol(user_col))
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

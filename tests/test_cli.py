@@ -74,3 +74,14 @@ def test_cli_dry_run(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "predictor" in r.stdout.lower() or "x" in r.stdout
+
+
+def test_sex_specific_flag_parses():
+    p = create_parser()
+    args = p.parse_args([
+        "-i", "in.csv", "-p", "x", "-d", "250.1", "-c", "sex",
+        "--phecode-defs", "defs.csv", "--sex-specific", "--male-code", "2",
+    ])
+    assert args.sex_specific and args.male_code == 2
+    cfg = config_from_args(args)
+    assert cfg.sex_restrictions is None  # built later, from the defs table

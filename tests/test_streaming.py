@@ -92,3 +92,44 @@ def test_stream_dedup_append(spark, events_dir):
         .count()
     )
     assert n == batch_n > 0
+
+
+def test_running_user_stats_stateful(spark, events_dir):
+    # applyInPandasWithState: lifetime per-user stats must match a batch
+    # groupBy over the same data once the stream drains.
+    from polars_mas_spark.streaming.events import running_user_stats
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = running_user_stats(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_stats_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Last emitted row per user = lifetime totals.
+    got = spark.sql(
+        """SELECT user_id, n_events, total, mean, max_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY n_events DESC) AS rk FROM user_stats_sink)
+           WHERE rk = 1"""
+    ).toPandas().set_index("user_id").sort_index()
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n_events"),
+            F.sum("value").alias("total"),
+            F.avg("value").alias("mean"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas().set_index("user_id").sort_index()
+    )
+    assert (got["n_events"] == batch["n_events"]).all()
+    assert abs(got["total"] - batch["total"]).max() < 1e-9
+    assert abs(got["mean"] - batch["mean"]).max() < 1e-9
+    assert abs(got["max_value"] - batch["max_value"]).max() < 1e-9
