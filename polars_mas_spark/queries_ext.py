@@ -567,6 +567,37 @@ def q_session_window_agg(spark, sf_dir):
 
 
 @query(
+    "winnow_fingerprints",
+    """WITH g AS (
+         SELECT doc_id,
+                CASE WHEN length(text) >= 8
+                     THEN [substr(md5(substr(text, i, 8)), 1, 8)
+                           for i in range(1, length(text) - 8 + 2)]
+                     ELSE CAST([] AS VARCHAR[]) END AS hashes
+         FROM documents),
+       w AS (
+         SELECT doc_id,
+                CASE WHEN len(hashes) >= 4
+                     THEN [list_min(hashes[j:j+3])
+                           for j in range(1, len(hashes) - 4 + 2)]
+                     ELSE CAST([] AS VARCHAR[]) END AS mins
+         FROM g)
+       SELECT doc_id,
+              list_sort(list_distinct(mins))[1:12] AS fingerprints
+       FROM w""",
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling k-gram hash, per-window min) document
+    fingerprints; first 12 kept so the compare stays light. The md5-hex
+    "hash" makes the window minimum engine-portable."""
+    from polars_mas_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = winnow_fingerprints(docs, "text", k=8, window=4)
+    return out.select("doc_id", F.slice("fingerprints", 1, 12).alias("fingerprints"))
+
+
+@query(
     "stateful_user_stats",
     """SELECT user_id, count(value)::BIGINT AS n_events,
               round(sum(value), 4) AS total,

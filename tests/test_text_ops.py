@@ -1,0 +1,41 @@
+"""Text-analysis operators: edge cases the DuckDB-oracle queries can't
+probe (empty/short documents, duplicate-content invariants)."""
+
+
+def test_winnow_fingerprints_edges(spark):
+    from polars_mas_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "short"),                      # < k chars -> no k-grams
+         (2, "exactly8"),                   # one k-gram, < window -> empty
+         (3, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+         (4, "")],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, "text", k=8, window=4).toPandas().set_index("doc_id")
+    assert list(out.loc[1, "fingerprints"]) == []
+    assert list(out.loc[2, "fingerprints"]) == []
+    assert list(out.loc[4, "fingerprints"]) == []
+    assert len(out.loc[0, "fingerprints"]) > 0
+    assert list(out.loc[0, "fingerprints"]) == list(out.loc[3, "fingerprints"])
+    # A shared long substring must share at least one fingerprint.
+    df2 = spark.createDataFrame(
+        [(0, "AAAA the quick brown fox BBBB"),
+         (1, "CCCCCC the quick brown fox DD")],
+        "doc_id long, text string",
+    )
+    o2 = winnow_fingerprints(df2, "text", k=8, window=4).toPandas().set_index("doc_id")
+    assert set(o2.loc[0, "fingerprints"]) & set(o2.loc[1, "fingerprints"])
+
+
+def test_fingerprint_normalization(spark):
+    from polars_mas_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different text")],
+        "doc_id long, text string",
+    )
+    out = fingerprint(df, "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
