@@ -193,6 +193,9 @@ def make_kernel(
                 break
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from polars_mas_spark.functions.native_threads import limit_native_threads
+
+        limit_native_threads(1)  # no-op after first call per process
         predictor, dependent = key
         row = dict(defaults)
         row["predictor"] = predictor
@@ -566,6 +569,10 @@ def _fit_columnar(
         import numpy as np  # noqa: F401  (kernel dependency)
         import pandas as pd
         import pyarrow.dataset as pads
+
+        from polars_mas_spark.functions.native_threads import limit_native_threads
+
+        limit_native_threads(1)
 
         todo = []
         for pdf in batches:
