@@ -122,3 +122,62 @@ def frame_sample_plan(
             F.sequence(F.lit(0), qcol(n_frames_col) - 1, F.lit(every_k))
         ).alias("frame_index"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Audio twin of extract_image_features: decode + summarize binary
+    audio payloads via mapInPandas. The fake decoder treats the payload
+    as 8-bit PCM at a header-derived sample rate (standing in where
+    librosa/ffmpeg would go); batching, schema, and the vectorized
+    numpy feature math are the real production shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "Real audio decoding requires librosa/ffmpeg on "
+                    "executors; plug the decoder in here."
+                )
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
+                b = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                n = int(b.size)
+                sample_rate = 8000 + (int(b[0]) if n else 0) * 32
+                signal = (b.astype(np.float64) - 128.0) / 128.0
+                rms = float(np.sqrt(np.mean(signal**2))) if n else 0.0
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": n,
+                        "sample_rate": sample_rate,
+                        "n_samples": n,
+                        "duration_s": n / sample_rate,
+                        "rms": rms,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(
+        qcol(id_col).alias(id_col), qcol(content_col).alias(content_col)
+    ).mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)

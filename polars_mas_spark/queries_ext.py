@@ -693,6 +693,20 @@ def q_image_features(spark, sf_dir):
     )
 
 
+@query("audio_features_fake")  # stubbed decode → rows-only; math unit-tested
+def q_audio_features(spark, sf_dir):
+    """Audio decode/feature plumbing (mapInPandas over binary payloads,
+    deterministic fake decoder — librosa/ffmpeg not in this container)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = mm.text_as_binary(docs, "text").select("doc_id", "content")
+    out = mm.extract_audio_features(with_bin, "doc_id", "content")
+    return out.select(
+        "doc_id", "n_bytes", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 # ===========================================================================
 # The MAS fan-out itself (applyInPandas), SQL-checked via closed-form OLS
 # ===========================================================================

@@ -39,3 +39,40 @@ def test_fingerprint_normalization(spark):
     out = fingerprint(df, "text").toPandas().set_index("doc_id")
     assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
     assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
+
+
+def test_audio_features_fake_decoder(spark):
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        extract_audio_features, text_as_binary,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abcd"), (1, "")], "doc_id long, text string"
+    )
+    out = (
+        extract_audio_features(text_as_binary(df, "text"), "doc_id", "content")
+        .toPandas().set_index("doc_id")
+    )
+    b = np.frombuffer(b"abcd", dtype=np.uint8)
+    sig = (b.astype(float) - 128.0) / 128.0
+    assert out.loc[0, "n_bytes"] == 4
+    assert out.loc[0, "sample_rate"] == 8000 + ord("a") * 32
+    assert abs(out.loc[0, "rms"] - float(np.sqrt((sig**2).mean()))) < 1e-12
+    assert out.loc[1, "n_bytes"] == 0 and out.loc[1, "rms"] == 0.0
+
+
+def test_audio_real_decoder_raises(spark):
+    import pytest as _pytest
+
+    from polars_mas_spark.operators.multimodal import (
+        extract_audio_features, text_as_binary,
+    )
+
+    df = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
+    out = extract_audio_features(
+        text_as_binary(df, "text"), "doc_id", "content", decoder="real"
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|decoding"):
+        out.collect()
