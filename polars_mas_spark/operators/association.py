@@ -436,12 +436,17 @@ def _complete_pairs(
     P x D rows, and broadcasting keeps the Python stage free of any
     co-partitioning requirement a sort-merge join would impose on it."""
     model = config.model
+    num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
     pairs = _pair_frame(spark, config.predictor_columns, config.dependent_columns)
     defaults = dict(_LINEAR_DEFAULTS if model == "linear" else _BINARY_DEFAULTS)
     defaults["failed_reason"] = "No data after dropping nulls."
     schema_types = {f.name: f.dataType for f in result_schema(model).fields}
     present = fitted.withColumn("__present__", F.lit(True))
-    joined = pairs.join(F.broadcast(present), ["predictor", "dependent"], "left")
+    # Broadcast only while the results table is actually broadcastable;
+    # past ~500k pairs (wide stats rows add up) fall back to a shuffle
+    # join — at that scale the pair list is also worth distributing.
+    right = F.broadcast(present) if num_pairs <= 500_000 else present
+    joined = pairs.join(right, ["predictor", "dependent"], "left")
     filled = joined.select(
         "predictor",
         "dependent",
