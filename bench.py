@@ -25,6 +25,7 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5ish",
+    "tpch_q6",
     "exact_dedup",
     "minhash_dedup",
     "text_quality",

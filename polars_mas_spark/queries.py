@@ -719,3 +719,31 @@ def q_tpch_q5ish(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "tpch_q6",
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= DATE '1996-01-01'
+         AND l_shipdate < DATE '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): pure filter+aggregate; every
+    predicate reaches the parquet scan (PushedFilters) and the aggregate
+    is map-side partial — the minimal full-scan pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue")
+        )
+    )
