@@ -13,8 +13,10 @@ Differences, all documented:
 - ``--correction bh`` enables the Benjamini-Hochberg FDR the reference
   declares on its roadmap but never implements (README.md:159).
 - ``--phecode-defs`` points at a phecode definition CSV for the
-  ``--phewas``/``--flipwas`` annotation join (the reference bundles one;
-  we take a path so any definitions version can be used).
+  ``--phewas``/``--flipwas`` annotation join. Like the reference
+  (constants.py:6-13) a copy of the public PheWAS-catalog definitions
+  table is bundled and used by default; the flag overrides it so any
+  definitions version can be used.
 """
 
 from __future__ import annotations
@@ -79,7 +81,8 @@ def create_parser() -> argparse.ArgumentParser:
     pw.add_argument("--flipwas", action="store_true",
                     help="PheCodes are the predictor variables")
     ph.add_argument("--phecode-defs", type=str, default=None,
-                    help="Phecode definitions CSV for the annotation join")
+                    help="Phecode definitions CSV for the annotation join "
+                         "(default: the bundled PheWAS-catalog v1.2 table)")
     ph.add_argument("--sex-col", type=str, default="sex")
     ph.add_argument("--female-code", type=int, default=1)
     sx = ph.add_mutually_exclusive_group()
@@ -161,21 +164,18 @@ def main(argv: list[str] | None = None) -> int:
         from polars_mas_spark.pipeline import run_pipeline
 
         defs_df = None
-        if args.phecode_defs and (args.phewas or args.flipwas or args.sex_specific):
-            from pyspark.sql import functions as F
+        if args.phewas or args.flipwas or args.sex_specific:
+            from polars_mas_spark.sources.readers import read_phecode_definitions
 
-            defs_df = spark.read.options(header=True, inferSchema=True).csv(
-                args.phecode_defs
-            )
-            # phecode keys must stay strings: "008.5" is not 8.5
-            # (reference constants.py:9)
-            defs_df = defs_df.withColumn("phecode", F.col("phecode").cast("string"))
+            # read_phecode_definitions forces an explicit STRING schema on
+            # the code column: inferSchema would read '008' as 8.0 and the
+            # annotation join / sex-restriction map would silently match
+            # nothing (reference constants.py:9 schema_overrides). With no
+            # --phecode-defs the bundled public PheWAS-catalog table is
+            # used, matching the reference's out-of-the-box --phewas.
+            defs_df = read_phecode_definitions(spark, args.phecode_defs)
 
         if args.sex_specific:
-            if defs_df is None:
-                print("error: --sex-specific requires --phecode-defs",
-                      file=sys.stderr)
-                return 2
             from polars_mas_spark.operators.postprocessing import (
                 sex_restrictions_from_defs,
             )

@@ -2,44 +2,123 @@
 up (cli.py:93-103, README.md:160-161): rank-based inverse-normal
 transform (RINT), log transform, and covariate scaling.
 
-All are expressed with built-in Spark functions except the probit, for
-which Spark has no builtin — that single step is a vectorized Arrow
-pandas UDF over the already-computed rank fraction (the heavy part, the
-global rank, stays JVM-side).
+RINT is the one transform that needs a GLOBAL rank, and a naive
+``row_number() over (order by col)`` funnels the whole table through a
+single task. The scale-safe implementation here is a two-phase
+distributed rank (the same deterministic range-block pattern as
+operators.fills):
+
+1. ~equi-depth block boundaries from one ``approxQuantile`` job; block
+   id is a pure expression of the value, so equal values share a block
+   and nothing needs persisting;
+2. one hash shuffle on the block id, then a *partitioned* window sort
+   per block computing the tie-min rank (``rank()``) and tie-max rank
+   (RANGE-frame count) in one sorted pass;
+3. per-block row counts (tiny aggregate) -> driver prefix sum -> global
+   rank offsets applied as an array literal lookup;
+4. average tie rank = (min + max) / 2 + offset, then the Blom fraction.
+
+The probit on top is a vectorized Arrow pandas UDF over numpy
+(functions.distributions.norm_ppf_vec) — no per-element Python loop.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, FloatType
 
 from polars_mas_spark.colutils import qcol
-from polars_mas_spark.functions.distributions import norm_ppf
+from polars_mas_spark.functions.distributions import norm_ppf_vec
+from polars_mas_spark.operators.fills import range_block_column
+
+_RB = "__pms_rint_block__"
 
 
 # DataType instance (not a DDL string) so the UDF can be defined at import
 # time without an active SparkSession.
 @pandas_udf(DoubleType())
 def _probit(p: pd.Series) -> pd.Series:
-    return p.map(lambda v: norm_ppf(v) if v is not None and not pd.isna(v) else None)
+    arr = p.to_numpy(dtype=np.float64, na_value=np.nan)
+    return pd.Series(norm_ppf_vec(arr))
 
 
-def rint(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
-    """Blom-offset rank-based inverse normal transform:
-    probit((rank - 0.375) / (n + 0.25)). Rank ties use average rank
-    (matching R's rank default used by standard RINT implementations)."""
-    out_col = out_col or col
+def _valid_value(df: DataFrame, col: str):
+    """Non-null (and non-NaN for float columns) predicate. Spark sorts
+    NaN above every real number, so letting NaNs through would hand them
+    the top ranks; the reference's polars rank leaves them out."""
     valid = qcol(col).isNotNull()
-    n = df.filter(valid).count()
-    w = Window.orderBy(qcol(col).asc())
-    # Average rank over ties: avg of row_number within equal values.
-    rn = F.row_number().over(w)
-    avg_rank = F.avg(rn).over(Window.partitionBy(qcol(col)))
-    blom = (avg_rank - F.lit(0.375)) / F.lit(n + 0.25)
-    return df.withColumn(out_col, F.when(valid, _probit(blom)))
+    if isinstance(df.schema[col].dataType, (DoubleType, FloatType)):
+        valid = valid & ~F.isnan(qcol(col))
+    return valid
+
+
+def blom_fractions(
+    df: DataFrame, col: str, frac_col: str, num_blocks: int | None = None
+) -> DataFrame:
+    """Add ``frac_col`` = (avg_tie_rank - 0.375) / (n + 0.25) over the
+    valid values of ``col`` (null for invalid rows), with the distributed
+    two-phase rank described in the module docstring. Row order of the
+    output is not preserved (valid and invalid slices are unioned)."""
+    spark = df.sparkSession
+    if num_blocks is None:
+        num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    valid = _valid_value(df, col)
+    vdf = df.filter(valid)
+    n = vdf.count()
+    if n == 0:
+        return df.withColumn(frac_col, F.lit(None).cast("double"))
+
+    block_expr, n_blocks = range_block_column(vdf, col, num_blocks)
+    blocked = vdf.withColumn(_RB, block_expr).repartition(n_blocks, F.col(_RB))
+
+    # Tiny per-block count job -> driver prefix sum -> offset lookup.
+    # Deterministic block assignment makes the recompute safe (fills.py).
+    counts = {r[_RB]: r["cnt"] for r in
+              blocked.groupBy(_RB).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets = [0] * n_blocks
+    running = 0
+    for b in range(n_blocks):
+        offsets[b] = running
+        running += counts.get(b, 0)
+    offset = F.element_at(
+        F.array(*[F.lit(int(o)) for o in offsets]), F.col(_RB) + 1
+    )
+
+    # One sorted pass per block: rank() is the tie-minimum rank and the
+    # RANGE-frame count is the tie-maximum rank; their mean equals the
+    # average of the tied rows' consecutive global ranks.
+    w = Window.partitionBy(_RB).orderBy(qcol(col).asc())
+    w_range = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    min_rank = F.rank().over(w) + offset
+    max_rank = F.count(F.lit(1)).over(w_range) + offset
+    avg_rank = (min_rank.cast("double") + max_rank.cast("double")) / F.lit(2.0)
+    blom = (avg_rank - F.lit(0.375)) / F.lit(float(n) + 0.25)
+
+    out_valid = blocked.withColumn(frac_col, blom).drop(_RB)
+    out_invalid = df.filter(~valid).withColumn(
+        frac_col, F.lit(None).cast("double")
+    )
+    return out_valid.unionByName(out_invalid)
+
+
+def rint(
+    df: DataFrame, col: str, out_col: str | None = None,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Blom-offset rank-based inverse normal transform:
+    probit((avg_rank - 0.375) / (n + 0.25)). Rank ties use the average
+    rank (matching R's rank default used by standard RINT
+    implementations); null/NaN inputs yield null."""
+    out_col = out_col or col
+    frac = "__pms_blom_frac__"
+    out = blom_fractions(df, col, frac, num_blocks=num_blocks)
+    return out.withColumn(
+        out_col, F.when(F.col(frac).isNotNull(), _probit(F.col(frac)))
+    ).drop(frac)
 
 
 def log_transform(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:

@@ -10,15 +10,22 @@ of plan that dies at 100 TB.
 
 Scalable algorithm (classic distributed prefix-scan):
 
-1. ``repartitionByRange(order_col)`` so partition id is monotone in the
-   order column (range exchange, one shuffle).
-2. Within each partition, fill with a *partitioned* window — parallel.
-3. Per partition, take the last non-null value (tiny aggregate), collect
+1. Compute ~equi-depth block boundaries for the order column with ONE
+   column-pruned ``approxQuantile`` job, and assign each row a block id
+   as a pure function of its order value. Deterministic by construction:
+   re-evaluating the plan reproduces identical blocks, so nothing needs
+   to be persisted (``repartitionByRange`` + ``spark_partition_id`` would
+   need a cache pin to keep its sampled boundaries stable across the
+   summary job and the fill job).
+2. One hash shuffle on the block id; within each block, fill with a
+   *partitioned* window — parallel.
+3. Per block, take the last non-null value (tiny aggregate), collect
    the P-row summary to the driver, compute the running carry-in prefix,
    and broadcast-join it back.
-4. ``coalesce(within-partition fill, carry_in)``.
+4. ``coalesce(within-block fill, carry_in)``.
 
-Cost: one range shuffle + one tiny broadcast join, fully parallel.
+Cost: one quantile scan + one hash shuffle + one tiny broadcast join,
+fully parallel, no persisted state left behind.
 """
 
 from __future__ import annotations
@@ -44,6 +51,41 @@ def backward_fill(
     return _ordered_fill(df, cols, order_col, backward=True, num_blocks=num_blocks)
 
 
+def range_block_column(
+    df: DataFrame,
+    order_col: str,
+    num_blocks: int,
+    descending: bool = False,
+    relative_error: float = 0.001,
+):
+    """(block_expr, n_blocks): a deterministic ~equi-depth block id that
+    is monotone in ``order_col`` (reversed when ``descending``).
+
+    Boundaries come from one ``approxQuantile`` job on the (possibly
+    cast-to-double) order column — column-pruned, no shuffle. The block
+    id is then a pure expression of the row's value: equal values always
+    land in the same block, and re-evaluation is reproducible, unlike
+    ``repartitionByRange``'s run-time boundary sampling. Shared by the
+    ordered fills and the distributed rank in functions.transforms."""
+    probs = [i / num_blocks for i in range(1, num_blocks)]
+    ordd = qcol(order_col).cast("double")
+    cuts = (
+        df.select(ordd.alias("__pms_ord__"))
+        .dropna()
+        .stat.approxQuantile("__pms_ord__", probs, relative_error)
+    )
+    uniq = sorted(set(cuts))
+    if not uniq:
+        return F.lit(0), 1
+    n_blocks = len(uniq) + 1
+    asc_block = sum(
+        (F.when(ordd > F.lit(c), 1).otherwise(0) for c in uniq), F.lit(0)
+    )
+    if descending:
+        return F.lit(len(uniq)) - asc_block, n_blocks
+    return asc_block, n_blocks
+
+
 def _ordered_fill(
     df: DataFrame,
     cols: list[str],
@@ -59,10 +101,12 @@ def _ordered_fill(
         num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     order = qcol(order_col).desc() if backward else qcol(order_col).asc()
-    blocked = df.repartitionByRange(num_blocks, order).withColumn(
-        _BLOCK, F.spark_partition_id()
+    block_expr, n_blocks = range_block_column(
+        df, order_col, num_blocks, descending=backward
     )
-    blocked = blocked.persist()
+    blocked = df.withColumn(_BLOCK, block_expr).repartition(
+        n_blocks, F.col(_BLOCK)
+    )
 
     win = (
         Window.partitionBy(_BLOCK)
@@ -79,6 +123,8 @@ def _ordered_fill(
     )
 
     # Per-block last non-null value in scan order (max_by skips null keys).
+    # Recomputing `blocked` here is safe BECAUSE block assignment is a
+    # deterministic expression — no persist, nothing leaks.
     order_key = (-qcol(order_col)) if backward else qcol(order_col)
     summaries = (
         blocked.groupBy(_BLOCK)

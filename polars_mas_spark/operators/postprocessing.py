@@ -41,14 +41,19 @@ def sex_restrictions_from_defs(
 
 
 def bonferroni(
-    df: DataFrame, baseline_pval: float = 0.05, pval_col: str = "pval"
+    df: DataFrame,
+    baseline_pval: float = 0.05,
+    pval_col: str = "pval",
+    num_tests: int | None = None,
 ) -> DataFrame:
-    """Add ``bonferroni_significant`` = pval < baseline / #valid-tests
-    (postprocessing.py:14-20). NaN p-values (failed fits) count as
-    invalid, like the reference's null check on the polars side."""
-    num_tests = df.filter(
-        F.col(pval_col).isNotNull() & ~F.isnan(F.col(pval_col))
-    ).count()
+    """Add ``bonferroni_significant`` = pval < baseline / #non-null-tests
+    (postprocessing.py:14-20). Reference parity: polars' ``is_not_null()``
+    is True for float NaN, so failed fits (which carry NaN p-values)
+    COUNT toward the test total — only true nulls are excluded. Pass
+    ``num_tests`` to reuse an already-computed count (one aggregate job
+    can serve both corrections, see run_pipeline)."""
+    if num_tests is None:
+        num_tests = df.filter(F.col(pval_col).isNotNull()).count()
     if num_tests == 0:
         return df.withColumn("bonferroni_significant", F.lit(None).cast("boolean"))
     threshold = baseline_pval / num_tests
@@ -58,7 +63,10 @@ def bonferroni(
 
 
 def benjamini_hochberg(
-    df: DataFrame, pval_col: str = "pval", out_col: str = "pval_bh"
+    df: DataFrame,
+    pval_col: str = "pval",
+    out_col: str = "pval_bh",
+    num_valid: int | None = None,
 ) -> DataFrame:
     """BH step-up adjusted p-values: adj_i = min_{j>=i}(p_(j) * n / j),
     capped at 1, computed with two windows over the ascending p order.
@@ -68,9 +76,14 @@ def benjamini_hochberg(
     canonical tie-invariant form — the step-up running minimum collapses
     tied groups to p*n/maxrank anyway, so using maxrank directly makes
     the result independent of any within-tie row order (row_number-based
-    ranks are engine-nondeterministic under ties)."""
+    ranks are engine-nondeterministic under ties).
+
+    Unlike bonferroni's reference-parity count, BH's n counts only
+    *usable* p-values (NaN excluded): a NaN entering p*n/rank would
+    poison the running minimum. Pass ``num_valid`` to reuse a
+    precomputed count."""
     valid = F.col(pval_col).isNotNull() & ~F.isnan(F.col(pval_col))
-    n = df.filter(valid).count()
+    n = num_valid if num_valid is not None else df.filter(valid).count()
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("double"))
     # Explicit null ordering keeps failed fits (null pvals) out of the

@@ -104,12 +104,23 @@ def run_pipeline(
             pre, config, strategy="unpivot"
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Persist the (small) results table: bonferroni's valid-test count is
-    # an action, and without the cache the whole regression fan-out would
+    # Persist the (small) results table: the correction counts are an
+    # action, and without the cache the whole regression fan-out would
     # run twice (once for the count, once for the caller's collect).
-    results = bonferroni(results)
+    # ONE aggregate job serves both corrections: bonferroni's
+    # reference-parity count (non-null, NaN included) and BH's usable
+    # count (NaN excluded).
+    from pyspark.sql import functions as F
+
+    counts = results.agg(
+        F.count(F.when(F.col("pval").isNotNull(), 1)).alias("nn"),
+        F.count(
+            F.when(F.col("pval").isNotNull() & ~F.isnan(F.col("pval")), 1)
+        ).alias("valid"),
+    ).first()
+    results = bonferroni(results, num_tests=counts["nn"])
     if config.correction == "bh":
-        results = benjamini_hochberg(results)
+        results = benjamini_hochberg(results, num_valid=counts["valid"])
     pre.unpersist()  # results are cached; the wide table is no longer needed
     if phecode_defs is not None:
         results = add_phecode_definitions(

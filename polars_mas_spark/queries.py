@@ -581,15 +581,15 @@ def q_log_transform(spark, sf_dir):
 def q_rint_blom(spark, sf_dir):
     """--rint rank step (cli.py:93-98): the Blom rank fraction, which is
     SQL-expressible (the probit on top is checked in q_rint_full's
-    rows-only entry and unit tests)."""
-    p = _t(spark, sf_dir, "part")
-    n = p.count()
-    w = Window.orderBy(F.col("p_retailprice").asc())
-    rn = F.row_number().over(w)
-    avg_rank = F.avg(rn).over(Window.partitionBy("p_retailprice"))
-    return p.select(
-        "p_partkey",
-        F.round((avg_rank - F.lit(0.375)) / F.lit(n + 0.25), 6).alias("blom_frac"),
+    rows-only entry and unit tests). Runs through the distributed
+    two-phase rank (functions.transforms.blom_fractions) — no
+    single-partition global sort."""
+    from polars_mas_spark.functions.transforms import blom_fractions
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    out = blom_fractions(p, "p_retailprice", "blom_frac")
+    return out.select(
+        "p_partkey", F.round(F.col("blom_frac"), 6).alias("blom_frac")
     )
 
 

@@ -388,8 +388,8 @@ def q_ann_lsh(spark, sf_dir):
     """WITH s AS (
          SELECT user_id, event_id, ts,
                 CASE WHEN lag(ts) OVER w IS NULL
-                       OR CAST(floor(epoch(ts)) AS BIGINT)
-                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                       OR (epoch_ns(ts) // 1000000000)
+                          - (epoch_ns(lag(ts) OVER w) // 1000000000) > 1800
                      THEN 1 ELSE 0 END AS is_new
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts))

@@ -101,9 +101,29 @@ PHECODE_DEF_SCHEMA = T.StructType(
 )
 
 
-def read_phecode_definitions(spark: SparkSession, path: str) -> DataFrame:
+def bundled_phecode_definitions_path() -> str:
+    """Path of the bundled phecode definitions table.
+
+    This is the PUBLIC PheWAS Catalog "phecode_definitions1.2.csv" data
+    table (a published research data artifact, not engine code); the
+    reference ships the identical file (constants.py:6-13,
+    src/polars_mas/data/) so ``--phewas`` annotates out of the box, and
+    shipping it here restores that parity."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "phecode_definitions1.2.csv",
+    )
+
+
+def read_phecode_definitions(spark: SparkSession, path: str | None = None) -> DataFrame:
     """Load a phecode definition CSV, forcing the code column to string so
-    '008.5' survives (reference constants.py:6-13). Returns the same
-    projection the reference keeps."""
+    '008.5' survives (reference constants.py:6-13). With no path, loads
+    the bundled public PheWAS-catalog table — the reference's default.
+    Returns the same projection the reference keeps."""
+    if path is None:
+        path = bundled_phecode_definitions_path()
     df = spark.read.option("header", True).schema(PHECODE_DEF_SCHEMA).csv(path)
     return df.select("phecode", "phenotype", "sex", "category", "category_number")

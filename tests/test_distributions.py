@@ -48,3 +48,30 @@ def test_chi2_sf_general_df():
     assert d.chi2_sf(10, 3) == pytest.approx(0.018565812, abs=5e-7)
     assert d.chi2_sf(0.0, 5) == 1.0
     assert math.isnan(d.chi2_sf(float("nan")))
+
+
+def test_erfc_vec_matches_math_erfc():
+    import numpy as np
+
+    from polars_mas_spark.functions.distributions import erfc_vec
+
+    xs = np.linspace(-28.0, 28.0, 50001)
+    ref = np.array([math.erfc(float(v)) for v in xs])
+    got = erfc_vec(xs)
+    assert np.abs(got - ref).max() < 1e-13
+    nz = ref > 1e-280
+    assert (np.abs(got[nz] - ref[nz]) / ref[nz]).max() < 1e-12
+
+
+def test_norm_ppf_vec_matches_scalar():
+    import numpy as np
+
+    from polars_mas_spark.functions.distributions import norm_ppf, norm_ppf_vec
+
+    ps = np.linspace(1e-10, 1 - 1e-10, 20001)
+    scal = np.array([norm_ppf(float(p)) for p in ps])
+    vec = norm_ppf_vec(ps)
+    assert np.abs(scal - vec).max() < 1e-12
+    edge = norm_ppf_vec(np.array([0.0, 1.0, np.nan, -0.1, 1.1]))
+    assert edge[0] == -math.inf and edge[1] == math.inf
+    assert all(math.isnan(v) for v in edge[2:])

@@ -107,3 +107,18 @@ def test_unpivot_is_jvm_expand(spark, qs):
     assert _op_count(plan, "Expand") == 1
     assert "* Expand" in plan  # inside a WholeStageCodegen span
     assert _op_count(plan, "Scan parquet") + _op_count(plan, "BatchScan") == 1
+
+
+def test_rint_has_no_single_partition_stage(spark):
+    """VERDICT r1 'What's wrong #2': RINT must not funnel the table
+    through one task. The distributed two-phase rank keeps every window
+    partitioned by block; no Exchange SinglePartition may appear."""
+    from polars_mas_spark.functions.transforms import rint
+
+    df = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_retailprice"
+    )
+    out = rint(df, "p_retailprice", "price_rint")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:4000]
+    assert "windowspecdefinition" not in plan or "Window" in plan
