@@ -233,15 +233,104 @@ def _firth_newton(
     return beta, cov, converged
 
 
-def firth_fit(X: np.ndarray, y: np.ndarray) -> dict:
+def _profile_pll(
+    Xc: np.ndarray, y: np.ndarray, j: int, b: float, beta_start: np.ndarray
+) -> tuple[float, np.ndarray]:
+    """Penalized log-likelihood profiled over all coefficients except j,
+    which is fixed at b. Warm-started from beta_start (continuation along
+    the profile makes each inner Newton converge in a few steps)."""
+    free = np.ones(Xc.shape[1], dtype=bool)
+    free[j] = False
+    beta0 = beta_start.astype(np.float64).copy()
+    beta0[j] = b
+    beta_c, _, _ = _firth_newton(Xc, y, free, beta0=beta0)
+    return _firth_penalized_loglik(Xc, y, beta_c), beta_c
+
+
+def firth_profile_ci(
+    Xc: np.ndarray,
+    y: np.ndarray,
+    beta_hat: np.ndarray,
+    pll_full: float,
+    se: float,
+    j: int = 0,
+    alpha: float = 0.05,
+    tol: float = 1e-6,
+    max_expand: int = 40,
+) -> tuple[float, float]:
+    """Profile penalized-likelihood CI for coefficient j (the method
+    behind R logistf's default ``conf_int`` and firthmodels', which the
+    reference uses — models.py:45-53): the bound is the value of
+    beta_j at which the profiled penalized log-likelihood drops by
+    chi2_{1,1-alpha}/2 from its maximum (Venzon & Moolgavkar 1988).
+
+    Bracket each side starting from the Wald bound, then close in with
+    bisection + secant interpolation on the (monotone along each
+    direction) profile. Every inner refit warm-starts from the nearest
+    profile solution, so each side typically costs ~6-10 cheap Newton
+    continuations. Returns (low, high); an unbracketable side (profile
+    never drops far enough within the expansion budget) yields ±inf."""
+    zq = norm_ppf(1.0 - alpha / 2.0)
+    target = pll_full - 0.5 * zq * zq
+    step0 = zq * se if (se > 0 and math.isfinite(se)) else 1.0
+    bounds = [math.nan, math.nan]
+    for side, direction in ((0, -1.0), (1, 1.0)):
+        # Expand outward from beta_hat_j until the profile falls below
+        # the target (f is decreasing as we move away from the optimum).
+        b_in, f_in = float(beta_hat[j]), pll_full
+        warm = beta_hat
+        step = step0
+        b_out, f_out = None, None
+        b = float(beta_hat[j])
+        for _ in range(max_expand):
+            b = b + direction * step
+            f, warm = _profile_pll(Xc, y, j, b, warm)
+            if f < target:
+                b_out, f_out = b, f
+                break
+            b_in, f_in = b, f
+            step *= 1.6
+        if b_out is None:
+            bounds[side] = direction * math.inf
+            continue
+        # Hybrid secant/bisection on [b_in, b_out] (f_in > target > f_out).
+        # One-sided secant stagnation (regula falsi's classic failure:
+        # the far bracket never moves) makes the bracket midpoint a BAD
+        # answer — return the best evaluated point instead, and fall
+        # back to plain bisection every third step to keep the bracket
+        # shrinking from both sides.
+        best_b, best_gap = b_in, abs(f_in - target)
+        for it in range(80):
+            if it % 3 == 2 or abs(f_in - f_out) <= 1e-12:
+                b_mid = 0.5 * (b_in + b_out)
+            else:
+                b_mid = b_in + (f_in - target) * (b_out - b_in) / (f_in - f_out)
+                lo, hi = sorted((b_in, b_out))
+                if not (lo < b_mid < hi):
+                    b_mid = 0.5 * (b_in + b_out)
+            f_mid, warm = _profile_pll(Xc, y, j, b_mid, warm)
+            if abs(f_mid - target) < best_gap:
+                best_b, best_gap = b_mid, abs(f_mid - target)
+            if f_mid >= target:
+                b_in, f_in = b_mid, f_mid
+            else:
+                b_out, f_out = b_mid, f_mid
+            if abs(f_mid - target) < tol or abs(b_out - b_in) < 1e-10:
+                break
+        bounds[side] = best_b
+    return bounds[0], bounds[1]
+
+
+def firth_fit(X: np.ndarray, y: np.ndarray, ci_method: str = "profile") -> dict:
     """Firth logistic regression with a penalized LRT p-value for coef 0.
 
     Mirrors /root/reference/src/polars_mas/models.py:9-53: the p-value is
     the penalized likelihood-ratio test obtained by refitting with the
     tested coefficient constrained to zero; `converged` is False when
     either fit exhausts its iterations (the reference detects this via
-    ConvergenceWarning, models.py:42-44). CIs here are Wald-based — a
-    documented deviation (reference delegates to firthmodels.conf_int).
+    ConvergenceWarning, models.py:42-44). ``ci_method="profile"``
+    (default) computes profile penalized-likelihood CIs exactly like the
+    reference's firthmodels delegate; ``"wald"`` is the cheap fallback.
     """
     Xc = add_intercept(np.asarray(X, dtype=np.float64))
     y = np.asarray(y, dtype=np.float64)
@@ -260,12 +349,16 @@ def firth_fit(X: np.ndarray, y: np.ndarray) -> dict:
     lr = max(2.0 * (pll_full - pll_null), 0.0)
     pval = chi2_sf(lr, 1.0)
     se = math.sqrt(max(cov[0, 0], 0.0))
+    if ci_method == "profile":
+        ci_low, ci_high = firth_profile_ci(Xc, y, beta, pll_full, se)
+    else:
+        ci_low, ci_high = beta[0] - _Z975 * se, beta[0] + _Z975 * se
     return {
         "pval": pval,
         "beta": float(beta[0]),
         "se": se,
         "OR": math.exp(beta[0]),
         "converged": bool(conv_full and conv_null),
-        "ci_low": float(beta[0] - _Z975 * se),
-        "ci_high": float(beta[0] + _Z975 * se),
+        "ci_low": float(ci_low),
+        "ci_high": float(ci_high),
     }

@@ -129,16 +129,25 @@ def test_firth_sex2_golden():
     df = pd.read_csv(path)
     y = df["case"].to_numpy(float)
     X = df[["age", "oc", "vic", "vicl", "vis", "dia"]].to_numpy(float)
-    published = {
-        "age": -1.10563, "oc": -0.06881, "vic": 2.26887,
-        "vicl": -2.11141, "vis": -0.78831, "dia": 3.09601,
+    published = {  # coef, (profile-PL ci_low, ci_high) from logistf docs
+        "age": (-1.1059740, (-1.9731003, -0.3074811)),
+        "oc": (-0.0688167, (-0.9414205, 0.7891819)),
+        "vic": (2.2688664, (1.2730214, 3.4371827)),
+        "vicl": (-2.1114140, (-3.2596825, -1.1173943)),
+        "vis": (-0.7883200, (-1.6080510, 0.0151846)),
+        "dia": (3.0960104, (0.7745682, 8.0302808)),
     }
-    names = list(published)
-    for i, nm in enumerate(names):
+    for i, nm in enumerate(published):
         cols = [i] + [j for j in range(6) if j != i]
         res = firth_fit(X[:, cols], y)
+        coef, (lo, hi) = published[nm]
         assert res["converged"] is True
-        assert res["beta"] == pytest.approx(published[nm], abs=2e-3), nm
-    # Published LRT p-values (logistf summary): age 0.00616, vic <1e-5.
+        assert res["beta"] == pytest.approx(coef, abs=1e-4), nm
+        # Profile penalized-likelihood CIs (reference delegates these to
+        # firthmodels, models.py:45-53); 5e-3 covers logistf's own
+        # root-finding tolerance.
+        assert res["ci_low"] == pytest.approx(lo, abs=5e-3), nm
+        assert res["ci_high"] == pytest.approx(hi, abs=5e-3), nm
+    # Published LRT p-value (logistf summary): age 6.148205e-03.
     res_age = firth_fit(X[:, [0, 1, 2, 3, 4, 5]], y)
-    assert res_age["pval"] == pytest.approx(0.00616, abs=5e-4)
+    assert res_age["pval"] == pytest.approx(6.148205e-03, abs=1e-4)
