@@ -89,22 +89,39 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 # ---------------------------------------------------------------------------
 
 
+_MINHASH_MOD = 1 << 32
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(doc_id, sig) where sig is an array of `num_hashes` hex minhash
-    values: min over tokens of md5(seed || '|' || token). All K hashes
-    are computed as parallel aggregates of ONE groupBy — a single
-    shuffle with map-side combine, the scalable shape for 100 TB."""
+    """(doc_id, sig) where sig is an array of `num_hashes` 32-bit minhash
+    values. ONE md5 per token, split into two 32-bit halves, expanded to
+    K hash families by Kirsch-Mitzenmacher double hashing
+    (h_i = (h1 + i*h2) mod 2^32 — "Less Hashing, Same Performance",
+    ESA 2006): K independent-enough families for the price of one
+    cryptographic hash, ~K-fold less hashing CPU than md5-per-seed.
+    All K mins are parallel aggregates of ONE groupBy — a single shuffle
+    with map-side combine, the scalable shape for 100 TB. Exact integer
+    math end-to-end, so a DuckDB oracle reproduces it bit-for-bit."""
     toks = _distinct_tokens(df, id_col, text_col)
+    md5 = F.md5(F.col("token"))
+    halves = toks.select(
+        "doc_id",
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    # h1 + 15*h2 < 2^36 — no 64-bit overflow before the mod.
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("token")))).alias(f"h{seed}")
-        for seed in range(num_hashes)
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(_MINHASH_MOD)).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
     ]
-    sigs = toks.groupBy("doc_id").agg(*aggs)
+    sigs = halves.groupBy("doc_id").agg(*aggs)
     return sigs.select(
         "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
     )
@@ -124,7 +141,13 @@ def lsh_candidate_pairs(
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat_ws(
-                                ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
                             )
                         ).alias("bucket"),
                     )

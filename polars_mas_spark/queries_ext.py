@@ -65,12 +65,24 @@ def q_exact_dedup(spark, sf_dir):
     )
 
 
+_MINHASH_HALVES = """h AS (SELECT doc_id,
+            CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) AS h1,
+            CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS h2
+        FROM toks)"""
+
+
+def _minhash_sig_cols(num_hashes: int) -> str:
+    # Kirsch-Mitzenmacher double hashing, mirroring dedup.minhash_signatures.
+    return ", ".join(
+        f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(num_hashes)
+    )
+
+
 @query(
     "minhash_signatures",
-    f"""WITH {_TOKS}
-        SELECT doc_id,
-               {', '.join(f"min(md5('{s}|' || token)) AS h{s}" for s in range(8))}
-        FROM toks GROUP BY doc_id""",
+    f"""WITH {_TOKS}, {_MINHASH_HALVES}
+        SELECT doc_id, {_minhash_sig_cols(8)}
+        FROM h GROUP BY doc_id""",
 )
 def q_minhash_signatures(spark, sf_dir):
     """All 8 min-hashes as parallel aggregates of ONE groupBy."""
@@ -83,17 +95,15 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
-    sig_cols = ", ".join(
-        f"min(md5('{s}|' || token)) AS h{s}" for s in range(num_hashes)
-    )
+    sig_cols = _minhash_sig_cols(num_hashes)
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
             b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
         )
         for b in range(bands)
     )
-    return f"""WITH {_TOKS},
-        sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
+    return f"""WITH {_TOKS}, {_MINHASH_HALVES},
+        sigs AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
         bands AS ({band_selects}),
         losers AS (
             SELECT DISTINCT b.doc_id FROM bands a
@@ -113,9 +123,7 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def _minhash_dedup_cc_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
-    sig_cols = ", ".join(
-        f"min(md5('{s}|' || token)) AS h{s}" for s in range(num_hashes)
-    )
+    sig_cols = _minhash_sig_cols(num_hashes)
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
             b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
@@ -124,8 +132,8 @@ def _minhash_dedup_cc_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4
     )
     # Transitive closure over the symmetric candidate graph: a doc is a
     # loser iff any strictly smaller doc is reachable (same component).
-    return f"""WITH RECURSIVE {_TOKS},
-        sigs AS (SELECT doc_id, {sig_cols} FROM toks GROUP BY doc_id),
+    return f"""WITH RECURSIVE {_TOKS}, {_MINHASH_HALVES},
+        sigs AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
         bands AS ({band_selects}),
         cand AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
