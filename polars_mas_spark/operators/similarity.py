@@ -200,6 +200,105 @@ def _probe_udf(bc, n_probe: int):
     return probes
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column, returning
+    the k x dim centroid list (driver-tiny).
+
+    Deterministic by construction: seeds are the ``k`` lowest-id
+    vectors, assignment ties break to the lowest centroid index, and
+    each refinement is one distributed pass — assign map-side against a
+    BROADCAST centroid matrix (vectorized Arrow batches, no shuffle),
+    then per-(cluster, dim) means via posexplode + groupBy (ONE shuffle
+    of scalar triples with map-side partial aggregation). A cluster
+    that captures no points keeps its previous centroid. Total driver
+    traffic per iteration is k x dim values — independent of corpus
+    size, the 100 TB-safe shape."""
+    spark = df.sparkSession
+    c0 = df.select(qcol(id_col).alias("id"), qcol(vec_col).alias("v"))
+    centroids = [
+        [float(x) for x in r["v"]]
+        for r in c0.orderBy("id").limit(k).collect()
+    ]
+    for _ in range(refine_iters):
+        bc_it = _centroid_matrix_bc(spark, centroids)
+        assigned = c0.select(
+            _assign_udf(bc_it)(F.col("v")).alias("c"),
+            F.posexplode(F.col("v")).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("c", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_c[i][p] for p in sorted(by_c[i])] if i in by_c else centroids[i]
+            for i in range(len(centroids))
+        ]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """(id, cluster) assignment under ``kmeans_centroids``; the final
+    assignment pass is map-only against the broadcast centroids."""
+    centroids = kmeans_centroids(df, k, refine_iters, id_col, vec_col)
+    bc = _centroid_matrix_bc(df.sparkSession, centroids)
+    return df.select(
+        qcol(id_col).alias(id_col),
+        _assign_udf(bc)(qcol(vec_col)).alias(out_col),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.97,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means-cluster the embeddings, then drop every vector that has a
+    SMALLER-id neighbor with cosine >= threshold INSIDE its cluster.
+
+    The cluster blocking bounds the pair join to within-cluster
+    candidates (the whole point of SemDeDup — near-dups land in the
+    same cluster, so the cross-cluster pairs never materialize). The
+    within-cluster loser test reuses the greedy bucket-min semantics of
+    ``minhash_dedup``: keep a vector iff no smaller same-cluster id is
+    within the threshold."""
+    assigned = kmeans_assign(df, k, refine_iters, id_col, vec_col)
+    base = df.select(
+        qcol(id_col).alias("vid"), qcol(vec_col).alias("vec")
+    ).join(assigned.withColumnRenamed(id_col, "vid"), on="vid")
+    a, b = base.alias("a"), base.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
+        .select(F.col("b.vid").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -230,29 +329,10 @@ def ivf_topk(
     centroids). The pair scoring that follows stays JVM-side
     (higher-order functions)."""
     spark = corpus.sparkSession
-    c0 = corpus.select(qcol(id_col).alias("id"), qcol(vec_col).alias("v"))
-    centroids = [
-        [float(x) for x in r["v"]]
-        for r in c0.orderBy("id").limit(n_centroids).collect()
-    ]
-    for _ in range(refine_iters):
-        bc_it = _centroid_matrix_bc(spark, centroids)
-        assigned = c0.select(
-            _assign_udf(bc_it)(F.col("v")).alias("c"),
-            F.posexplode(F.col("v")).alias("pos", "x"),
-        )
-        means = (
-            assigned.groupBy("c", "pos").agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_c: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_c.setdefault(r["c"], {})[r["pos"]] = r["m"]
-        centroids = [
-            [by_c[i][p] for p in sorted(by_c[i])] if i in by_c else centroids[i]
-            for i in range(len(centroids))
-        ]
-
+    centroids = kmeans_centroids(
+        corpus, k=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
     bc = _centroid_matrix_bc(spark, centroids)
     c = corpus.select(
         qcol(id_col).alias("neighbor_id"),

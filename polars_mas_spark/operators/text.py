@@ -119,6 +119,166 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    duplicate-word fraction, most-frequent-word fraction and
+    most-frequent-bigram fraction per document.
+
+    Computed entirely ROW-LOCAL with higher-order array functions — a
+    map-only plan with zero shuffles, the best possible 100 TB shape for
+    per-document signals (contrast an explode + groupBy(doc, gram)
+    formulation, which shuffles every token). The distinct-gram count
+    loop is O(distinct x total) per document; for book-length outliers
+    cap the scan with a substring, or fall back to the explode path."""
+    text = qcol(text_col)
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    staged = df.select(
+        qcol(id_col).alias("doc_id"), words.alias("__words__")
+    )
+    w = F.col("__words__")
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    top_word = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda u: F.size(F.filter(w, lambda x: x == u)),
+        )
+    )
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("__bigrams__", bigrams)
+    bg = F.col("__bigrams__")
+    n_bigrams = F.size(bg)
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda u: F.size(F.filter(bg, lambda x: x == u)),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.when(
+                n_words > 0,
+                1.0 - n_distinct.cast("double") / n_words,
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(
+                n_words > 0, top_word.cast("double") / n_words
+            ).otherwise(0.0),
+            6,
+        ).alias("top_word_frac"),
+        F.round(
+            F.when(
+                n_bigrams > 0, top_bigram.cast("double") / n_bigrams
+            ).otherwise(0.0),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+# (pattern, replacement) in application order; patterns restricted to
+# syntax that Java regex and RE2 (DuckDB) interpret identically so the
+# SQL oracle reproduces the scrub byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\+?[0-9][0-9 .-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Mask email addresses, URLs and phone-number-shaped digit runs —
+    the masking pass every training-data pipeline runs before a corpus
+    leaves curation. Pure regexp_replace chain: row-local, map-only,
+    stays in whole-stage codegen."""
+    col = qcol(text_col)
+    for pat, rep in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, rep)
+    return df.withColumn(out_col or text_col, col)
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    keep_lang: str = "en",
+    min_words: int = 20,
+    max_words: int = 50_000,
+    min_stopword_ratio: float = 0.01,
+    max_dup_word_frac: float = 0.9,
+) -> DataFrame:
+    """FineWeb/C4-style document filter chain: language, length band,
+    stopword floor, repetition ceiling. Returns one row per document
+    with each rule's verdict and the final ``kept`` flag — keeping the
+    per-rule flags is deliberate (corpus curation wants removal-reason
+    histograms, not just the survivor set). Map-only plan."""
+    text = qcol(text_col)
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    staged = df.select(
+        qcol(id_col).alias("doc_id"),
+        *( [qcol(lang_col).alias("__lang__")] if lang_col else [F.lit(keep_lang).alias("__lang__")] ),
+        words.alias("__words__"),
+        _padded(text).alias("__padded__"),
+    )
+    w = F.col("__words__")
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    stop_hits = sum(
+        occurrence_count(F.col("__padded__"), f" {s} ") for s in STOPWORDS_EN
+    )
+    stopword_ratio = F.when(
+        n_words > 0, stop_hits.cast("double") / n_words
+    ).otherwise(0.0)
+    dup_word_frac = F.when(
+        n_words > 0, 1.0 - n_distinct.cast("double") / n_words
+    ).otherwise(0.0)
+    lang_ok = F.col("__lang__") == keep_lang
+    len_ok = (n_words >= min_words) & (n_words <= max_words)
+    stop_ok = stopword_ratio >= min_stopword_ratio
+    rep_ok = dup_word_frac <= max_dup_word_frac
+    return staged.select(
+        "doc_id",
+        lang_ok.alias("lang_ok"),
+        len_ok.alias("len_ok"),
+        stop_ok.alias("stop_ok"),
+        rep_ok.alias("rep_ok"),
+        (lang_ok & len_ok & stop_ok & rep_ok).alias("kept"),
+    )
+
+
+def corpus_source_stats(
+    df: DataFrame, source_col: str, text_col: str, lang_col: str | None = None
+) -> DataFrame:
+    """Per-source corpus report: document count, char-volume stats and
+    language spread — the first dashboard any crawl-scale curation run
+    produces. One hash aggregation with map-side combine; distinct
+    language counting is exact (per-source cardinalities are tiny even
+    when the corpus is not)."""
+    text = qcol(text_col)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(text)).alias("total_chars"),
+        F.round(F.avg(F.length(text)), 6).alias("avg_chars"),
+        F.min(F.length(text)).alias("min_chars"),
+        F.max(F.length(text)).alias("max_chars"),
+    ]
+    if lang_col:
+        aggs.append(F.countDistinct(qcol(lang_col)).alias("n_langs"))
+    return df.groupBy(qcol(source_col).alias("source")).agg(*aggs)
+
+
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
     """Normalized-content digest: lowercase, collapse whitespace, strip
     punctuation, md5. Whitespace/punct variants of the same text map to

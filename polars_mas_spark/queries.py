@@ -747,3 +747,122 @@ def q_tpch_q6(spark, sf_dir):
             .alias("revenue")
         )
     )
+
+
+@query(
+    "tpch_q4ish",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
+       GROUP BY o_orderpriority""",
+)
+def q_tpch_q4ish(spark, sf_dir):
+    """TPC-H Q4 shape adapted to the trimmed schema (no commit/receipt
+    dates): orders with at least one line shipped >80 days after the
+    order date, counted by priority. The EXISTS compiles to a LEFT SEMI
+    join — no row amplification however many lines match — followed by
+    a map-side-combined count."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 80)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q13ish",
+    """WITH per_cust AS (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+         GROUP BY c_custkey)
+       SELECT c_count, count(*) AS custdist
+       FROM per_cust GROUP BY c_count""",
+)
+def q_tpch_q13ish(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    keeping order-less customers, then two cascaded aggregations. The
+    outer join shuffles on custkey; the second aggregate's keys are the
+    tiny count domain, so its shuffle is negligible."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q16ish",
+    """SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_size >= 20
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+       GROUP BY p_brand""",
+)
+def q_tpch_q16ish(spark, sf_dir):
+    """TPC-H Q16 shape with lineitem as the part-supplier bridge (the
+    trimmed schema has no partsupp): distinct suppliers per brand,
+    excluding negative-balance suppliers. The NOT IN compiles to a LEFT
+    ANTI join (broadcast — the exclusion list is tiny), the part
+    dimension is broadcast, and count(DISTINCT) runs as Spark's
+    two-phase Expand aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q18ish",
+    """SELECT c_name, o_orderkey,
+              round(o_totalprice, 4) AS o_totalprice,
+              round(sum_qty, 4) AS sum_qty
+       FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > 250) big
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey""",
+)
+def q_tpch_q18ish(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): groupBy-HAVING over lineitem
+    first — the aggregation shrinks the fact table to the handful of
+    qualifying orders BEFORE any join, so both joins broadcast the
+    aggregated side instead of shuffling orders/customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+    )

@@ -354,6 +354,127 @@ def q_fingerprint(spark, sf_dir):
     return tx.fingerprint(docs, "text").drop("text")
 
 
+@query(
+    "repetition_signals",
+    r"""WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t <> '') AS words
+          FROM documents),
+        s AS (
+          SELECT doc_id, words,
+                 CASE WHEN len(words) >= 2
+                      THEN list_transform(range(1, len(words)),
+                                          i -> words[i] || ' ' || words[i+1])
+                      ELSE CAST([] AS VARCHAR[]) END AS bigrams
+          FROM w)
+        SELECT doc_id,
+               len(words) AS n_words,
+               round(CASE WHEN len(words) > 0
+                     THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                     ELSE 0.0 END, 6) AS dup_word_frac,
+               round(CASE WHEN len(words) > 0
+                     THEN CAST(list_max(list_transform(list_distinct(words),
+                          u -> len(list_filter(words, x -> x = u)))) AS DOUBLE) / len(words)
+                     ELSE 0.0 END, 6) AS top_word_frac,
+               round(CASE WHEN len(bigrams) > 0
+                     THEN CAST(list_max(list_transform(list_distinct(bigrams),
+                          u -> len(list_filter(bigrams, x -> x = u)))) AS DOUBLE) / len(bigrams)
+                     ELSE 0.0 END, 6) AS top_bigram_frac
+        FROM s""",
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition filters: dup-word / top-word / top-bigram
+    fractions, map-only (zero shuffle)."""
+    return tx.repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "pii_scrub",
+    r"""WITH inj AS (
+          SELECT doc_id,
+                 text || ' reach user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com or http://site.example/page?id='
+                      || CAST(doc_id AS VARCHAR) || ' tel +1 555 010 '
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+                 '\+?[0-9][0-9 .-]{7,}[0-9]', '<PHONE>', 'g') AS text
+        FROM inj""",
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII masking (emails, URLs, phone-shaped digit runs). The corpus
+    contains none, so the query deterministically injects PII derived
+    from doc_id before scrubbing — the regexes are genuinely exercised
+    and the oracle must reproduce the scrub byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or http://site.example/page?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +1 555 010 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return tx.pii_scrub(injected, "text")
+
+
+@query(
+    "quality_filter",
+    rf"""WITH p AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             t -> t <> '') AS words,
+                 ' ' || lower(text) || ' ' AS padded
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 lang = 'en' AS lang_ok,
+                 len(words) BETWEEN 20 AND 50000 AS len_ok,
+                 CASE WHEN len(words) > 0
+                      THEN ({{stop_hits}})::DOUBLE / len(words) ELSE 0.0 END
+                   >= 0.01 AS stop_ok,
+                 CASE WHEN len(words) > 0
+                      THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                      ELSE 0.0 END <= 0.9 AS rep_ok
+          FROM p)
+        SELECT doc_id, lang_ok, len_ok, stop_ok, rep_ok,
+               lang_ok AND len_ok AND stop_ok AND rep_ok AS kept
+        FROM s""".replace(
+        "{stop_hits}",
+        " + ".join(_occ_sql("padded", f" {w} ") for w in tx.STOPWORDS_EN),
+    ),
+)
+def q_quality_filter(spark, sf_dir):
+    """FineWeb/C4-style filter chain with per-rule removal flags."""
+    return tx.quality_filter(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", lang_col="lang"
+    )
+
+
+@query(
+    "source_stats",
+    """SELECT source, count(*) AS n_docs,
+              sum(length(text)) AS total_chars,
+              round(avg(length(text)), 6) AS avg_chars,
+              min(length(text)) AS min_chars,
+              max(length(text)) AS max_chars,
+              count(DISTINCT lang) AS n_langs
+       FROM documents GROUP BY source""",
+)
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus report (one hash agg, map-side combine)."""
+    return tx.corpus_source_stats(
+        _t(spark, sf_dir, "documents"), "source", "text", lang_col="lang"
+    )
+
+
 # ===========================================================================
 # Similarity search
 # ===========================================================================
@@ -406,6 +527,73 @@ def q_embedding_neardup(spark, sf_dir):
         emb, threshold=0.3, id_col="vec_id", block_col="label"
     )
     return out.select("doc_a", "doc_b", F.round("cos", 4).alias("cos"))
+
+
+# Shared CTE chain replicating kmeans_centroids/kmeans_assign at k=8,
+# refine_iters=1: deterministic lowest-id seeds, cosine argmax with
+# ties -> lowest centroid index, one distributed mean round (empty
+# clusters keep their seed), final assignment. Cross-engine FP safety:
+# measured min argmax margin on this corpus is ~7e-5 — nine orders
+# above double-rounding noise, so the integer cluster ids hash-match.
+_KMEANS_CTES = """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v AS sv
+      FROM base ORDER BY vec_id LIMIT 8),
+    a0 AS (
+      SELECT b.vec_id, b.v, s.c,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY list_cosine_similarity(b.v, s.sv) DESC,
+                                         s.c ASC) AS rk
+      FROM base b CROSS JOIN seeds s),
+    assigned0 AS (SELECT vec_id, v, c FROM a0 WHERE rk = 1),
+    dims AS (SELECT c, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
+             FROM assigned0),
+    m AS (SELECT c, pos, avg(x) AS mx FROM dims GROUP BY c, pos),
+    cent1 AS (SELECT c, list(mx ORDER BY pos) AS sv FROM m GROUP BY c),
+    cent AS (SELECT s.c, COALESCE(c1.sv, s.sv) AS sv
+             FROM seeds s LEFT JOIN cent1 c1 ON s.c = c1.c),
+    a1 AS (
+      SELECT b.vec_id, b.v, cent.c,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY list_cosine_similarity(b.v, cent.sv) DESC,
+                                         cent.c ASC) AS rk
+      FROM base b CROSS JOIN cent),
+    assigned1 AS (SELECT vec_id, v, c AS cluster FROM a1 WHERE rk = 1)"""
+
+
+@query(
+    "kmeans_assign",
+    f"WITH {_KMEANS_CTES} SELECT vec_id, cluster FROM assigned1",
+)
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, one refine round): broadcast
+    centroid matrix, map-side vectorized assignment, one scalar-triple
+    shuffle per refine round."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.kmeans_assign(emb, k=8, refine_iters=1)
+
+
+@query(
+    "semantic_dedup",
+    f"""WITH {_KMEANS_CTES},
+    losers AS (SELECT DISTINCT b.vec_id
+               FROM assigned1 a JOIN assigned1 b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM losers)""",
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means blocking + within-cluster cosine threshold,
+    greedy smallest-id survivor."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.semantic_dedup(emb, k=8, threshold=0.35, refine_iters=1).select(
+        "vec_id", "label"
+    )
 
 
 @query("ann_ivf_topk")  # k-means refinement: not SQL-expressible → rows-only

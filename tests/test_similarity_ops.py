@@ -97,3 +97,59 @@ def test_ivf_plan_size_flat_in_centroid_count(emb, spark):
         hits += len(expect & got)
         total += len(expect)
     assert hits / total >= 0.5, f"ivf@256 recall too low: {hits / total:.2f}"
+
+
+def test_kmeans_assign_matches_numpy(spark):
+    """Golden parity: Spark's distributed Lloyd round must reproduce a
+    straight numpy implementation (same seeds, same tie-breaks)."""
+    import numpy as np
+
+    from polars_mas_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in sim.kmeans_assign(df, k=4, refine_iters=1).collect()
+    }
+
+    def norm(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return M / n
+
+    C = X[:4].copy()
+    a0 = np.argmax(norm(X) @ norm(C).T, axis=1)
+    C1 = np.vstack([
+        X[a0 == i].mean(axis=0) if (a0 == i).any() else C[i] for i in range(4)
+    ])
+    a1 = np.argmax(norm(X) @ norm(C1).T, axis=1)
+    assert got == {i: int(a1[i]) for i in range(60)}
+
+
+def test_semantic_dedup_drops_planted_neardups(spark):
+    """Three exact-duplicate pairs planted in distinct clusters: the
+    larger id of each pair must be dropped, everything else kept."""
+    import numpy as np
+
+    from polars_mas_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(30, 8)
+    X[10] = X[3]          # dup pair (3, 10)
+    X[21] = X[7] * 2.0    # same direction -> cosine 1 with (7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {
+        r.vec_id
+        for r in sim.semantic_dedup(df, k=3, threshold=0.999).collect()
+    }
+    assert 3 in kept and 10 not in kept
+    assert 7 in kept and 21 not in kept
+    assert len(kept) == 28

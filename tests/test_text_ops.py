@@ -118,3 +118,73 @@ def test_connected_min_labels_transitive(spark):
         for r in dd.connected_min_labels(pairs).collect()
     }
     assert labels == {1: 1, 2: 1, 3: 1}
+
+
+def test_repetition_signals_known_fractions(spark):
+    """'a a b c' -> 4 words, dup 1/4, top word 2/4; bigrams
+    ['a a','a b','b c'] all distinct -> top bigram 1/3."""
+    from polars_mas_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in tx.repetition_signals(df, "doc_id", "text").collect()
+    }
+    assert rows[1].n_words == 4
+    assert rows[1].dup_word_frac == 0.25
+    assert rows[1].top_word_frac == 0.5
+    assert abs(rows[1].top_bigram_frac - round(1 / 3, 6)) < 1e-9
+    assert rows[2].n_words == 1 and rows[2].top_bigram_frac == 0.0
+    assert rows[3].n_words == 0 and rows[3].dup_word_frac == 0.0
+
+
+def test_pii_scrub_masks_all_three(spark):
+    from polars_mas_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org see https://a.b/c?d=1 "
+             "call +1 555 010-1234 done")],
+        "doc_id long, text string",
+    )
+    out = tx.pii_scrub(df, "text").first().text
+    assert out == "mail <EMAIL> see <URL> call <PHONE> done"
+
+
+def test_quality_filter_per_rule_flags(spark):
+    from polars_mas_spark.operators import text as tx
+
+    good = "the cat and the dog went to the market in town " * 3  # 36 words
+    short = "the cat"
+    repeated = " ".join(["the"] * 40)  # dup frac 39/40 > 0.9
+    df = spark.createDataFrame(
+        [(1, good, "en"), (2, short, "en"), (3, repeated, "en"),
+         (4, good, "de"), (5, "zz qq ww " * 10, "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in tx.quality_filter(df, "doc_id", "text", lang_col="lang").collect()
+    }
+    assert rows[1].kept
+    assert not rows[2].len_ok and not rows[2].kept
+    assert not rows[3].rep_ok and not rows[3].kept
+    assert not rows[4].lang_ok and not rows[4].kept
+    assert not rows[5].stop_ok and not rows[5].kept
+
+
+def test_corpus_source_stats(spark):
+    from polars_mas_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "aaaa", "s1", "en"), (2, "bb", "s1", "de"), (3, "c", "s2", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    rows = {
+        r.source: r
+        for r in tx.corpus_source_stats(df, "source", "text", "lang").collect()
+    }
+    assert rows["s1"].n_docs == 2 and rows["s1"].total_chars == 6
+    assert rows["s1"].avg_chars == 3.0 and rows["s1"].n_langs == 2
+    assert rows["s2"].min_chars == rows["s2"].max_chars == 1
