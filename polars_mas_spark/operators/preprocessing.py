@@ -97,17 +97,23 @@ def handle_missing_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
     return df
 
 
-def drop_constant_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
+def drop_constant_covariates(
+    df: DataFrame, config: MASConfig, counts: dict | None = None
+) -> DataFrame:
     """Drop covariates with <=1 distinct value (preprocessing.py:65-79);
     updates ``config.covariate_columns`` in place like the reference.
     Exact countDistinct — an approximate count that misjudges a constant
-    column would silently change the design matrix."""
+    column would silently change the design matrix. ``counts`` lets
+    ``preprocess`` supply the distinct counts from its fused stats job
+    instead of running a dedicated pass."""
     covs = config.covariate_columns
     if not covs:
         return df
-    counts = df.agg(
-        *[F.countDistinct(qcol(c)).alias(c) for c in covs]
-    ).first()
+    if counts is None:
+        row = df.agg(
+            *[F.countDistinct(qcol(c)).alias(c) for c in covs]
+        ).first()
+        counts = {c: row[c] for c in covs}
     constant = [c for c in covs if counts[c] <= 1]
     if not constant:
         return df
@@ -115,19 +121,24 @@ def drop_constant_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
     return df.drop(*constant)
 
 
-def create_dummy_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
+def create_dummy_covariates(
+    df: DataFrame, config: MASConfig, level_sets: dict | None = None
+) -> DataFrame:
     """One-hot encode categorical covariates with >2 levels, dropping the
     first (reference) level against multicollinearity
     (preprocessing.py:82-108). Binary categoricals pass through unchanged.
     Levels are collected in one aggregate job (collect_set) and sorted for
     determinism; dummy columns are named ``{col}_{level}`` as the
-    reference does (preprocessing.py:97)."""
+    reference does (preprocessing.py:97). ``level_sets`` lets
+    ``preprocess`` supply the levels from its fused stats job."""
     cats = [c for c in config.categorical_covariate_columns if c in df.columns]
     if not cats:
         return df
-    level_sets = df.agg(
-        *[F.sort_array(F.collect_set(qcol(c))).alias(c) for c in cats]
-    ).first()
+    if level_sets is None:
+        row = df.agg(
+            *[F.sort_array(F.collect_set(qcol(c))).alias(c) for c in cats]
+        ).first()
+        level_sets = {c: row[c] for c in cats}
     new_cols: list[str] = []
     encoded: list[str] = []
     for c in cats:
@@ -151,11 +162,32 @@ def create_dummy_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
 
 
 def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
-    """Full preprocessing chain in reference order (pipeline.py:22-27)."""
+    """Full preprocessing chain in reference order (pipeline.py:22-27).
+
+    Constant detection and categorical level collection are FUSED into
+    one aggregate job (same trick as ``build_prep_recipe``): at scale
+    each eager stat is a full pass over the table, so two separate
+    actions here would double the preprocessing scan cost."""
     df = limit_sex_specific(df, config)
     df = handle_missing_covariates(df, config)
-    df = drop_constant_covariates(df, config)
-    df = create_dummy_covariates(df, config)
+    covs = config.covariate_columns
+    if not covs:
+        return df
+    cats = [c for c in config.categorical_covariate_columns if c in df.columns]
+    aggs = [F.countDistinct(qcol(c)).alias(f"__nd_{c}") for c in covs]
+    aggs += [
+        F.sort_array(F.collect_set(qcol(c))).alias(f"__lv_{c}") for c in cats
+    ]
+    row = df.agg(*aggs).first()
+    df = drop_constant_covariates(
+        df, config, counts={c: row[f"__nd_{c}"] for c in covs}
+    )
+    # Constant categoricals were just dropped from df; create_dummy
+    # re-filters its cat list against df.columns, so supplying the
+    # pre-drop level sets keyed by name is safe.
+    df = create_dummy_covariates(
+        df, config, level_sets={c: row[f"__lv_{c}"] for c in cats}
+    )
     return df
 
 
