@@ -10,7 +10,7 @@ engine-specific regex counting).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_mas_spark.colutils import qcol
@@ -255,6 +255,117 @@ def quality_filter(
         stop_ok.alias("stop_ok"),
         rep_ok.alias("rep_ok"),
         (lang_ok & len_ok & stop_ok & rep_ok).alias("kept"),
+    )
+
+
+def token_histogram(df: DataFrame, text_col: str, top_n: int = 100) -> DataFrame:
+    """Corpus-wide token frequency top-N (the vocabulary report every
+    tokenizer-training / corpus-QA run starts from). Explode -> ONE
+    hash aggregation with map-side combine (each task pre-counts its
+    tokens, so the shuffle carries one row per distinct token per task,
+    not one per occurrence) -> global top-N via a single-partition sort
+    of the aggregated (tiny) table. Ties break lexicographically for
+    determinism."""
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(top_n)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, scikit-learn's smooth_idf). Term
+    frequencies explode once and aggregate per (doc, token); document
+    frequencies aggregate from the SAME (doc, token) table (one
+    additional shuffle over distinct doc-token pairs, not occurrences);
+    the idf join is on the token-level aggregate. Per-doc top-k is a
+    bounded window. Ties -> lexicographic token order."""
+    spark_n = df.count()
+    tf = (
+        df.select(
+            qcol(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != ""
+                )
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = dfreq.select(
+        "token",
+        (F.log((F.lit(float(spark_n + 1))) / (F.col("df") + 1)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(idf, on="token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .drop("rank")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Train-test contamination check (the n-gram-overlap test every
+    LLM data pipeline runs before shipping a corpus): for each corpus
+    document, how many of its distinct word n-grams also appear in the
+    benchmark set, plus its own n-gram count for an overlap fraction.
+
+    Shape: both sides reduce to distinct (doc, shingle) via
+    ``word_shingles``; the benchmark side collapses to a DISTINCT
+    shingle set (tiny relative to the corpus — benchmarks are small by
+    definition) and is BROADCAST, so the corpus side never shuffles;
+    the per-doc overlap count is one map-side-combined aggregation.
+    Returns (doc_id, n_grams, n_contaminated, contamination_frac)."""
+    from polars_mas_spark.operators.dedup import word_shingles
+
+    corpus_sh = word_shingles(corpus, id_col, text_col, n)
+    bench_sh = (
+        word_shingles(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    flagged = corpus_sh.join(
+        F.broadcast(bench_sh.withColumn("__hit__", F.lit(1))),
+        on="shingle",
+        how="left",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams"), 6
+            ).alias("contamination_frac"),
+        )
     )
 
 

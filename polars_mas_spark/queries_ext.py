@@ -458,6 +458,82 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+# Shingle CTE matching dedup.word_shingles / the word_shingles oracle,
+# parameterized over the input relation.
+def _shingle_sql(rel: str, n: int = 3) -> str:
+    return rf"""(WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(lower(text), '\s+') AS toks
+                 FROM {rel}),
+         s AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i + 1, i + {n}), ' ') AS shingle
+               FROM t, UNNEST(range(0, greatest(len(toks) - {n}, 0) + 1)) AS u(i))
+       SELECT doc_id, shingle FROM s
+       WHERE len(string_split(shingle, ' ')) = {n})"""
+
+
+@query(
+    "token_histogram",
+    r"""WITH toks AS (
+          SELECT t.token FROM documents,
+               UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t(token)
+          WHERE t.token <> '')
+        SELECT token, count(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 100""",
+)
+def q_token_histogram(spark, sf_dir):
+    """Corpus vocabulary top-100 (map-side-combined count, tiny sort)."""
+    return tx.token_histogram(_t(spark, sf_dir, "documents"), "text", top_n=100)
+
+
+@query(
+    "tfidf_top_terms",
+    r"""WITH tf AS (
+          SELECT doc_id, t.token, count(*) AS tf
+          FROM documents,
+               UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t(token)
+          WHERE t.token <> ''
+          GROUP BY doc_id, t.token),
+        n AS (SELECT count(*) AS n FROM documents),
+        idf AS (
+          SELECT token, ln((n.n + 1.0) / (count(*) + 1)) + 1.0 AS idf
+          FROM tf, n GROUP BY token, n.n),
+        scored AS (
+          SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS tfidf
+          FROM tf JOIN idf USING (token)),
+        ranked AS (
+          SELECT doc_id, token, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token ASC) AS rk
+          FROM scored)
+        SELECT doc_id, token, tfidf FROM ranked WHERE rk <= 3""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc, smoothed TF-IDF."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "ngram_contamination",
+    f"""WITH corp AS (SELECT * FROM {_shingle_sql('documents')} c),
+        bench AS (SELECT DISTINCT shingle
+                  FROM {_shingle_sql('(SELECT * FROM documents WHERE doc_id < 20)')} b),
+        flagged AS (
+          SELECT c.doc_id, c.shingle,
+                 CASE WHEN bench.shingle IS NULL THEN 0 ELSE 1 END AS hit
+          FROM corp c LEFT JOIN bench ON c.shingle = bench.shingle)
+        SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_contaminated,
+               round(sum(hit)::DOUBLE / count(*), 6) AS contamination_frac
+        FROM flagged GROUP BY doc_id""",
+)
+def q_ngram_contamination(spark, sf_dir):
+    """Train-test contamination: per-doc 3-gram overlap against a
+    benchmark set (here: docs 0-19 stand in for the benchmark). The
+    benchmark shingle set is broadcast; the corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    return tx.ngram_contamination(docs, bench, "doc_id", "text", n=3)
+
+
 @query(
     "source_stats",
     """SELECT source, count(*) AS n_docs,

@@ -122,3 +122,20 @@ def test_rint_has_no_single_partition_stage(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:4000]
     assert "windowspecdefinition" not in plan or "Window" in plan
+
+
+def test_curation_signals_are_map_only(spark, qs):
+    """repetition_signals / quality_filter / pii_scrub must compile to a
+    single-scan map-only plan: NO Exchange of any kind. Per-document
+    signals that shuffle do not survive 100 TB."""
+    for name in ("repetition_signals", "quality_filter", "pii_scrub"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_contamination_broadcasts_benchmark(spark, qs):
+    """The benchmark shingle set must broadcast; the corpus side must
+    not appear under any shuffle Exchange before the join."""
+    plan = plan_of(qs["ngram_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -188,3 +188,49 @@ def test_corpus_source_stats(spark):
     assert rows["s1"].n_docs == 2 and rows["s1"].total_chars == 6
     assert rows["s1"].avg_chars == 3.0 and rows["s1"].n_langs == 2
     assert rows["s2"].min_chars == rows["s2"].max_chars == 1
+
+
+def test_token_histogram_counts_and_order(spark):
+    from polars_mas_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a c B")], "doc_id long, text string"
+    )
+    rows = tx.token_histogram(df, "text", top_n=2).collect()
+    assert [(r.token, r.n) for r in rows] == [("a", 3), ("b", 2)]
+
+
+def test_tfidf_rare_term_wins(spark):
+    """A term unique to one doc must outscore corpus-wide terms there."""
+    from polars_mas_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common common x"), (3, "common y z")],
+        "doc_id long, text string",
+    )
+    top = {
+        r.doc_id: r.token
+        for r in tx.tfidf_top_terms(df, "doc_id", "text", top_k=1).collect()
+    }
+    # equal tf=1 in doc 1: idf('rare')=ln(4/2)+1 > idf('common')=ln(4/4)+1
+    assert top[1] == "rare"
+
+
+def test_ngram_contamination_fraction(spark):
+    from polars_mas_spark.operators import text as tx
+
+    corpus = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"), (11, "entirely clean words here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in tx.ngram_contamination(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    # corpus doc 10 trigrams: 'the quick brown','quick brown fox','brown fox jumps'
+    assert rows[10].n_grams == 3 and rows[10].n_contaminated == 2
+    assert rows[10].contamination_frac == round(2 / 3, 6)
+    assert rows[11].n_contaminated == 0
