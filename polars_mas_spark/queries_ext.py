@@ -458,6 +458,40 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+_DOCS_COLS = "doc_id, text, lang, source, n_chars"
+
+
+def _roundtrip(spark, sf_dir, fmt):
+    """Write documents through write_output in ``fmt``, read back via
+    read_input's suffix dispatch. The oracle is the original table, so
+    the check proves the sink+scan pair is lossless."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from polars_mas_spark.sources.readers import read_input
+    from polars_mas_spark.sources.writers import write_output
+
+    docs = _t(spark, sf_dir, "documents").select(*_DOCS_COLS.split(", "))
+    path = tempfile.mkdtemp(prefix=f"pms_rt_{fmt}_") + f"/docs.{fmt}"
+    atexit.register(shutil.rmtree, path.rsplit("/", 1)[0], ignore_errors=True)
+    write_output(docs, path, fmt, single_file=False)
+    return read_input(spark, path).select(*_DOCS_COLS.split(", "))
+
+
+@query("json_roundtrip", f"SELECT {_DOCS_COLS} FROM documents")
+def q_json_roundtrip(spark, sf_dir):
+    """S-family beyond-reference: newline-delimited JSON sink + scan,
+    proven lossless against the source table."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@query("orc_roundtrip", f"SELECT {_DOCS_COLS} FROM documents")
+def q_orc_roundtrip(spark, sf_dir):
+    """S-family beyond-reference: ORC sink + scan, lossless."""
+    return _roundtrip(spark, sf_dir, "orc")
+
+
 # Shingle CTE matching dedup.word_shingles / the word_shingles oracle,
 # parameterized over the input relation.
 def _shingle_sql(rel: str, n: int = 3) -> str:

@@ -30,10 +30,18 @@ def read_input(
     null_values: list[str] | None = None,
     fmt: str | None = None,
 ) -> DataFrame:
-    """Read a wide input table by file suffix (parquet/csv/tsv/txt)."""
+    """Read a wide input table by file suffix
+    (parquet/orc/json-lines/csv/tsv/txt). Beyond the reference's
+    format list (config.py:103-124), orc and newline-delimited json are
+    supported — both splittable, scan-parallel formats Spark reads
+    natively, common as interchange at corpus scale."""
     suffix = "." + (fmt or path.rsplit(".", 1)[-1]).lower()
     if suffix == ".parquet":
         return spark.read.parquet(path)
+    if suffix == ".orc":
+        return spark.read.orc(path)
+    if suffix in (".json", ".jsonl", ".ndjson"):
+        return spark.read.json(path)
     if suffix not in _SUFFIX_SEP:
         raise ValueError(f"Unsupported input file format: {suffix}")
     tokens = list(null_values or [])

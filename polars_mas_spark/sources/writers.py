@@ -35,6 +35,14 @@ def write_output(
         out = df.coalesce(1) if single_file else df
         out.write.mode(mode).parquet(path)
         return
+    if output_type == "orc":
+        out = df.coalesce(1) if single_file else df
+        out.write.mode(mode).orc(path)
+        return
+    if output_type in ("json", "jsonl", "ndjson"):
+        out = df.coalesce(1) if single_file else df
+        out.write.mode(mode).json(path)
+        return
     if output_type in _TEXT_SEPS:
         if single_file is None:
             single_file = True
