@@ -995,6 +995,30 @@ def q_stateful_user_stats(spark, sf_dir):
     )
 
 
+@query(
+    "enrich_events",
+    """SELECT e.event_id, e.user_id, e.event_type,
+              round(e.value, 6) AS value, c.c_name, c.c_mktsegment
+       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+)
+def q_enrich_events(spark, sf_dir):
+    """Stream-static enrichment join in its batch/backfill form: the
+    customer dimension is broadcast, so the (unbounded) event side
+    never shuffles and streaming needs no state store. The identical
+    transformation runs as a real stream in
+    tests/test_streaming.py::test_enrich_events_stream_matches_batch."""
+    from polars_mas_spark.streaming.events import enrich_events
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return enrich_events(
+        ev, cust, dim_cols=["c_name", "c_mktsegment"]
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 6).alias("value"), "c_name", "c_mktsegment",
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

@@ -89,6 +89,28 @@ def stream_dedup(
     )
 
 
+def enrich_events(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to
+    each event. The static side is explicitly broadcast — in streaming,
+    a stream-static join re-evaluates the static side per micro-batch,
+    and broadcasting keeps it a map-side hash join with NO state store
+    and no shuffle of the (unbounded) stream side; the same plan shape
+    is exactly what a 100 TB batch wants for a small dimension. Works
+    identically on batch frames (the backfill/oracle form)."""
+    cols = dim_cols or [c for c in dim.columns if c != dim_key]
+    right = dim.select(
+        qcol(dim_key).alias(stream_key), *[qcol(c) for c in cols]
+    )
+    return stream.join(F.broadcast(right), on=stream_key, how=how)
+
+
 def running_user_stats(
     stream: DataFrame,
     user_col: str = "user_id",

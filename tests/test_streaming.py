@@ -133,3 +133,31 @@ def test_running_user_stats_stateful(spark, events_dir):
     assert abs(got["total"] - batch["total"]).max() < 1e-9
     assert abs(got["mean"] - batch["mean"]).max() < 1e-9
     assert abs(got["max_value"] - batch["max_value"]).max() < 1e-9
+
+
+def test_enrich_events_stream_matches_batch(spark, events_dir):
+    """Stream-static broadcast join: streaming result must equal the
+    batch join, and the plan must not shuffle the stream side."""
+    from polars_mas_spark.streaming.events import enrich_events
+
+    dim = spark.createDataFrame(
+        [(i, f"name{i}", "SEG" + str(i % 2)) for i in range(5)],
+        "c_custkey long, c_name string, c_mktsegment string",
+    )
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = enrich_events(stream, dim, dim_cols=["c_name", "c_mktsegment"])
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("enrich_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql(
+        "SELECT event_id, c_name, c_mktsegment FROM enrich_sink").collect()}
+    batch = enrich_events(
+        spark.read.parquet(events_dir), dim, dim_cols=["c_name", "c_mktsegment"]
+    )
+    want = {tuple(r) for r in batch.select(
+        "event_id", "c_name", "c_mktsegment").collect()}
+    assert got == want and len(want) == 300
