@@ -996,6 +996,54 @@ def q_stateful_user_stats(spark, sf_dir):
 
 
 @query(
+    "event_rollup",
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+              GROUPING(event_type, CAST(ts AS DATE)) AS gid,
+              count(*) AS n_rows,
+              round(sum(value), 6) AS total_value,
+              round(avg(value), 6) AS avg_value
+       FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""",
+)
+def q_event_rollup(spark, sf_dir):
+    """Hierarchical (event_type, day) rollup: one Expand + ONE hash
+    aggregation for all three grouping levels (operators/olap.py)."""
+    from polars_mas_spark.operators.olap import rollup_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = rollup_report(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
+    )
+    return out.select(
+        "event_type", "day", "gid", "n_rows", "total_value", "avg_value"
+    )
+
+
+@query(
+    "event_cube",
+    """SELECT event_type, user_id % 10 AS user_bucket,
+              GROUPING(event_type, user_id % 10) AS gid,
+              count(*) AS n_rows,
+              round(sum(value), 6) AS total_value,
+              round(avg(value), 6) AS avg_value
+       FROM events GROUP BY CUBE(event_type, user_id % 10)""",
+)
+def q_event_cube(spark, sf_dir):
+    """Full (event_type x user-bucket) cube — all four grouping sets
+    from a single Expand+aggregate."""
+    from polars_mas_spark.operators.olap import cube_report
+
+    ev = _t(spark, sf_dir, "events")
+    out = cube_report(
+        ev.withColumn("user_bucket", F.col("user_id") % 10),
+        ["event_type", "user_bucket"],
+        "value",
+    )
+    return out.select(
+        "event_type", "user_bucket", "gid", "n_rows", "total_value", "avg_value"
+    )
+
+
+@query(
     "enrich_events",
     """SELECT e.event_id, e.user_id, e.event_type,
               round(e.value, 6) AS value, c.c_name, c.c_mktsegment

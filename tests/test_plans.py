@@ -139,3 +139,15 @@ def test_contamination_broadcasts_benchmark(spark, qs):
     plan = plan_of(qs["ngram_contamination"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rollup_is_one_expand_one_aggregate(spark, qs):
+    """rollup/cube must compile to a single Expand + one aggregation
+    pair (one shuffle for ALL grouping levels), not per-level scans."""
+    import re
+
+    for name in ("event_rollup", "event_cube"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "Expand" in plan, plan
+        scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(scan_nodes) == 1, f"{name} rescans:\n{plan}"
