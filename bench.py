@@ -26,15 +26,20 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5ish",
     "tpch_q6",
+    "tpch_q18ish",
     "exact_dedup",
     "minhash_dedup",
+    "semantic_dedup",
     "text_quality",
+    "quality_filter",
     "token_count",
+    "token_histogram",
     "lang_id",
     "ann_bruteforce_topk",
     "sessionize",
     "asof_join",
     "windowed_event_counts",
+    "event_rollup",
     "mas_logistic_fanout",
     "mas_firth_fanout",
     # The reference's own benchmark workload (BASELINE.md): 1,800 Firth

@@ -1044,6 +1044,39 @@ def q_event_cube(spark, sf_dir):
 
 
 @query(
+    "users_intersect",
+    """SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'purchase'""",
+)
+def q_users_intersect(spark, sf_dir):
+    """INTERSECT (Spark compiles it to a distinct left-semi join):
+    users with both a click and a purchase."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@query(
+    "users_except",
+    """SELECT user_id FROM events
+       WHERE event_type = 'click' AND event_id < 500
+       EXCEPT
+       SELECT user_id FROM events
+       WHERE event_type = 'purchase' AND event_id < 500""",
+)
+def q_users_except(spark, sf_dir):
+    """EXCEPT (distinct left-anti join): early clickers who had not yet
+    purchased (windowed to the first events so the difference is
+    non-empty — over the whole corpus every user does everything)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)  # EXCEPT DISTINCT
+
+
+@query(
     "enrich_events",
     """SELECT e.event_id, e.user_id, e.event_type,
               round(e.value, 6) AS value, c.c_name, c.c_mktsegment
