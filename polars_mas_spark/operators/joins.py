@@ -1,0 +1,81 @@
+"""Join utilities for hostile key distributions at cluster scale.
+
+Beyond-reference surface. AQE's skew-join split (enabled in
+session.get_spark) handles moderate skew at runtime; ``salted_join`` is
+the explicit tool for the pathological case — one key carrying a double
+digit percent of a 100 TB fact table, where a single post-shuffle
+partition would spill or straggle for hours. ``bucketed_table`` writes
+a table pre-partitioned AND pre-sorted by join key so repeated joins on
+that key are exchange-free (the classic warehouse trick: pay the
+shuffle once at write time, amortize it over every subsequent join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_mas_spark.colutils import qcol
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "inner",
+    salts: int = 8,
+) -> DataFrame:
+    """Equi-join with the fact side's hot keys SPREAD over ``salts``
+    sub-partitions and the dim side replicated ``salts`` times.
+
+    The fact side's salt is derived by hashing the whole row
+    (xxhash64 of all columns), so a key that hashes 500M rows to one
+    shuffle partition in a plain join lands in ``salts`` roughly equal
+    partitions instead. The join RESULT is identical to the unsalted
+    join whatever the salt assignment — salting only moves rows between
+    partitions — which is what makes the plain join a valid oracle.
+    Cost: the dim side is materialized ``salts`` x (use for big-fact /
+    small-ish-dim skew; for dims small enough to broadcast, broadcast
+    instead — no salt needed)."""
+    salt = F.pmod(F.xxhash64(*[qcol(c) for c in fact.columns]), F.lit(salts))
+    fact_s = fact.withColumn("__salt__", salt)
+    dim_s = dim.withColumn(
+        "__salt__",
+        F.explode(F.array(*[F.lit(i) for i in range(salts)])),
+    )
+    return fact_s.join(dim_s, on=[on, "__salt__"], how=how).drop("__salt__")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed
+    table: rows are hash-partitioned into ``num_buckets`` files per
+    partition by ``bucket_col`` at WRITE time. Two tables bucketed the
+    same way join with NO Exchange and (if sorted) no Sort — the
+    pay-once-shuffle-forever layout for fact tables that are joined on
+    the same key daily. Requires a session with a warehouse dir (any
+    default local session has one)."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # saveAsTable(overwrite) still fails on an ORPHANED location (a
+        # warehouse dir left by a crashed writer with no catalog entry);
+        # clear both the catalog entry and, for local-filesystem
+        # warehouses, the stale directory.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:") or wh.startswith("/"):
+            import shutil
+            from urllib.parse import urlparse
+
+            loc = urlparse(wh).path if wh.startswith("file:") else wh
+            shutil.rmtree(f"{loc.rstrip('/')}/{table.lower()}", ignore_errors=True)
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)

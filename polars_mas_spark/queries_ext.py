@@ -1044,6 +1044,30 @@ def q_event_cube(spark, sf_dir):
 
 
 @query(
+    "salted_join_events",
+    """SELECT e.event_id, e.user_id, round(e.value, 6) AS value,
+              c.c_name, c.c_mktsegment
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+)
+def q_salted_join_events(spark, sf_dir):
+    """Skew-safe salted join (operators/joins.py): the fact side's hot
+    keys spread over 8 salt sub-partitions, dim replicated 8x. The
+    UNSALTED join is the oracle — salting only moves rows between
+    partitions, never changes the result."""
+    from polars_mas_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    out = salted_join(ev, cust, on="user_id", salts=8)
+    return out.select(
+        "event_id", "user_id", F.round("value", 6).alias("value"),
+        "c_name", "c_mktsegment",
+    )
+
+
+@query(
     "users_intersect",
     """SELECT user_id FROM events WHERE event_type = 'click'
        INTERSECT

@@ -151,3 +151,53 @@ def test_rollup_is_one_expand_one_aggregate(spark, qs):
         assert "Expand" in plan, plan
         scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
         assert len(scan_nodes) == 1, f"{name} rescans:\n{plan}"
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed+sorted on the join key must sort-merge join
+    with NO shuffle Exchange (the pay-the-shuffle-once-at-write-time
+    layout). Auto-broadcast is disabled so the planner actually takes
+    the bucketed SMJ path — at real scale neither side broadcasts."""
+    from polars_mas_spark.operators.joins import write_bucketed
+
+    a = spark.range(0, 1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") * 3)
+    write_bucketed(a, "bkt_a", "id", num_buckets=4)
+    write_bucketed(b, "bkt_b", "id", num_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), on="id")
+        plan = plan_of(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A 90%-hot key must land in multiple partitions after salting,
+    and the salted result must equal the plain join."""
+    from polars_mas_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(50)], "k long, attr string"
+    )
+    out = salted_join(fact, dim, on="k", salts=8)
+    plain = fact.join(dim, on="k")
+    assert out.count() == plain.count() == 2000
+    got = {(r.k, r.payload, r.attr) for r in out.collect()}
+    want = {(r.k, r.payload, r.attr) for r in plain.collect()}
+    assert got == want
+    # the hot key's rows must occupy several distinct salt values
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8))
+    n_salts = (
+        fact.filter(F.col("k") == 7).select(salt.alias("s")).distinct().count()
+    )
+    assert n_salts >= 4

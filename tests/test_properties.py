@@ -1,0 +1,109 @@
+"""Property-based invariants (hypothesis): structural truths that must
+hold on ANY corpus, not just the fixtures — idempotence of scrubbing and
+dedup, containment between the two minhash survivor policies, bounds on
+quality signals, rank preservation of RINT.
+
+Examples are kept small and few (each example runs real Spark jobs);
+the point is the breadth of generated corpora, not volume.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+
+texts = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs(spark, txts):
+    return spark.createDataFrame(
+        list(enumerate(txts)), "doc_id long, text string"
+    )
+
+
+@given(txts=texts)
+@SETTINGS
+def test_pii_scrub_idempotent(spark, txts):
+    """scrub(scrub(x)) == scrub(x): placeholders must never re-match."""
+    from polars_mas_spark.operators.text import pii_scrub
+
+    df = _docs(spark, [t + " u@ex.com http://a.b +1 555 010 9999" for t in txts])
+    once = pii_scrub(df, "text")
+    twice = pii_scrub(once, "text")
+    assert [r.text for r in once.orderBy("doc_id").collect()] == [
+        r.text for r in twice.orderBy("doc_id").collect()
+    ]
+
+
+@given(txts=texts)
+@SETTINGS
+def test_exact_dedup_idempotent(spark, txts):
+    from polars_mas_spark.operators.dedup import exact_dedup
+
+    df = _docs(spark, txts)
+    once = exact_dedup(df, "doc_id", "text")
+    twice = exact_dedup(once, "doc_id", "text")
+    assert sorted(r.doc_id for r in once.collect()) == sorted(
+        r.doc_id for r in twice.collect()
+    )
+
+
+@given(txts=texts)
+@SETTINGS
+def test_cc_survivors_subset_of_greedy(spark, txts):
+    """A greedy loser has a smaller DIRECT bucket neighbor, hence a
+    smaller id in its component — so CC must drop it too:
+    cc_survivors ⊆ greedy_survivors on every corpus."""
+    from polars_mas_spark.operators.dedup import minhash_dedup, minhash_dedup_cc
+
+    df = _docs(spark, txts)
+    greedy = {r.doc_id for r in minhash_dedup(df, "doc_id", "text").collect()}
+    cc = {r.doc_id for r in minhash_dedup_cc(df, "doc_id", "text").collect()}
+    assert cc <= greedy
+    assert 0 in cc  # the smallest id can never lose
+
+
+@given(txts=texts)
+@SETTINGS
+def test_repetition_signal_bounds(spark, txts):
+    from polars_mas_spark.operators.text import repetition_signals
+
+    out = repetition_signals(_docs(spark, txts), "doc_id", "text").collect()
+    for r in out:
+        assert 0.0 <= r.dup_word_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        if r.n_words > 0:
+            assert 0.0 < r.top_word_frac <= 1.0
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=3, max_size=40, unique=True
+    )
+)
+@SETTINGS
+def test_rint_preserves_order(spark, vals):
+    """RINT is a rank transform: on distinct inputs it must be strictly
+    monotone (order-isomorphic to the input)."""
+    from polars_mas_spark.functions.transforms import rint
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    out = rint(df, "v", "z").orderBy("v").collect()
+    zs = [r.z for r in out]
+    assert all(a < b for a, b in zip(zs, zs[1:]))
