@@ -275,26 +275,47 @@ def semantic_dedup(
     k-means-cluster the embeddings, then drop every vector that has a
     SMALLER-id neighbor with cosine >= threshold INSIDE its cluster.
 
-    The cluster blocking bounds the pair join to within-cluster
+    The cluster blocking bounds the pair work to within-cluster
     candidates (the whole point of SemDeDup — near-dups land in the
     same cluster, so the cross-cluster pairs never materialize). The
-    within-cluster loser test reuses the greedy bucket-min semantics of
-    ``minhash_dedup``: keep a vector iff no smaller same-cluster id is
-    within the threshold."""
+    within-cluster loser test keeps the greedy bucket-min semantics of
+    ``minhash_dedup`` — a vector loses iff ANY smaller same-cluster id
+    is within the threshold — but runs as ONE applyInPandas stage per
+    cluster: ids sort ascending, the similarity matrix is computed as
+    blocked numpy matmuls (block x cluster, memory capped), and
+    loser_i = any(sim[i, :i] >= t). One shuffle on the cluster key and
+    vectorized BLAS instead of a pair self-join evaluating a JVM cosine
+    expression per pair — identical result set, ~an order of magnitude
+    less CPU. Choose k so a cluster's vectors fit executor memory
+    (SemDeDup's own operating requirement: cluster size ~ N/k)."""
     assigned = kmeans_assign(df, k, refine_iters, id_col, vec_col)
     base = df.select(
         qcol(id_col).alias("vid"), qcol(vec_col).alias("vec")
     ).join(assigned.withColumnRenamed(id_col, "vid"), on="vid")
-    a, b = base.alias("a"), base.alias("b")
-    losers = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vid") < F.col("b.vid")),
+
+    thr = float(threshold)
+
+    def find_losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vid"].to_numpy(), kind="stable")
+        ids = pdf["vid"].to_numpy()[order]
+        X = _normalize_rows(
+            np.vstack(pdf["vec"].to_numpy()[order]).astype(np.float64)
         )
-        .filter(cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
-        .select(F.col("b.vid").alias(id_col))
-        .distinct()
+        m = len(ids)
+        loser = np.zeros(m, dtype=bool)
+        block = 1024
+        for s in range(1, m, block):
+            e = min(s + block, m)
+            sims = X[s:e] @ X[: e - 1].T  # rows s..e-1 vs all earlier-or-equal
+            for r in range(s, e):
+                if (sims[r - s, :r] >= thr).any():
+                    loser[r] = True
+        return pd.DataFrame({"vid": ids[loser]})
+
+    losers = (
+        base.groupBy("cluster")
+        .applyInPandas(find_losers, schema=f"vid {dict(base.dtypes)['vid']}")
+        .withColumnRenamed("vid", id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
 
