@@ -1043,6 +1043,35 @@ def q_event_cube(spark, sf_dir):
     )
 
 
+def _profile_col_sql(c: str) -> str:
+    return f"""SELECT '{c}' AS column, count({c}) AS n,
+       count(*) - count({c}) AS nulls,
+       round(CAST(min({c}) AS DOUBLE), 6) AS min,
+       round(CAST(max({c}) AS DOUBLE), 6) AS max,
+       round(avg({c}), 6) AS mean,
+       round(stddev_samp({c}), 6) AS stddev,
+       round(quantile_cont({c}, 0.5), 6) AS median
+       FROM lineitem"""
+
+
+@query(
+    "table_profile",
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ),
+)
+def q_table_profile(spark, sf_dir):
+    """Per-column profile of lineitem's measures — all statistics from
+    ONE aggregation pass (operators/profile.py)."""
+    from polars_mas_spark.operators.profile import profile_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 @query(
     "salted_join_events",
     """SELECT e.event_id, e.user_id, round(e.value, 6) AS value,

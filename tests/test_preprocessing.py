@@ -141,3 +141,17 @@ def test_one_hot_binary_categorical_passthrough(spark):
     cfg.resolve(df.columns)
     out = create_dummy_covariates(df, cfg)
     assert "bin" in out.columns  # <=2 levels: untouched (preprocessing.py:95)
+
+
+def test_profile_table_one_pass(spark):
+    from polars_mas_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, None), (3.0, 30), (None, 20)],
+        "a double, b int",
+    )
+    rows = {r.column: r for r in profile_table(df).collect()}
+    assert rows["a"].n == 3 and rows["a"].nulls == 1
+    assert rows["a"].min == 1.0 and rows["a"].max == 3.0
+    assert rows["a"].mean == 2.0 and rows["a"].median == 2.0
+    assert rows["b"].median == 20.0
