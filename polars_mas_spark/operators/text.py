@@ -287,8 +287,10 @@ def tfidf_top_terms(
     frequencies aggregate from the SAME (doc, token) table (one
     additional shuffle over distinct doc-token pairs, not occurrences);
     the idf join is on the token-level aggregate. Per-doc top-k is a
-    bounded window. Ties -> lexicographic token order."""
-    spark_n = df.count()
+    bounded window. Ties -> lexicographic token order. The corpus size
+    N enters as a broadcast 1-row crossJoin, NOT an eager count() —
+    the whole report stays one lazy plan with no extra action."""
+    n_df = df.agg(F.count("*").alias("__N__"))
     tf = (
         df.select(
             qcol(id_col).alias("doc_id"),
@@ -302,9 +304,11 @@ def tfidf_top_terms(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    idf = dfreq.select(
+    idf = dfreq.crossJoin(F.broadcast(n_df)).select(
         "token",
-        (F.log((F.lit(float(spark_n + 1))) / (F.col("df") + 1)) + 1.0).alias("idf"),
+        (
+            F.log((F.col("__N__") + 1).cast("double") / (F.col("df") + 1)) + 1.0
+        ).alias("idf"),
     )
     scored = tf.join(idf, on="token").select(
         "doc_id",
