@@ -373,6 +373,56 @@ def ngram_contamination(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style substring-overlap pairs: documents sharing >=
+    ``min_shared`` winnowing fingerprints (i.e. sharing long character
+    substrings regardless of position). The explode -> bucket self-join
+    -> pair-count shape is the standard collision detector; buckets on
+    COMMON substrings go quadratic, so ``max_df`` drops fingerprints
+    appearing in more than that many documents (the stop-gram filter
+    every plagiarism/near-dup system applies at corpus scale) before
+    the join."""
+    base = df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__"))
+    fps = winnow_fingerprints(base, "__t__", k=k, window=window)
+    # Materialize the exploded fingerprint table ONCE: it feeds both
+    # sides of the self-join (and the max_df filter), and without
+    # truncation each branch re-evaluates the md5-per-position
+    # fingerprint expression — measured 35s -> 3s on 100 docs. The
+    # table is tiny (a few fingerprints per document).
+    ex = fps.select(
+        "doc_id", F.explode("fingerprints").alias("f")
+    ).localCheckpoint(eager=True)
+    if max_df is not None:
+        keep = (
+            ex.groupBy("f")
+            .agg(F.count("*").alias("__df__"))
+            .filter(F.col("__df__") <= max_df)
+            .select("f")
+        )
+        ex = ex.join(keep, on="f", how="left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def corpus_source_stats(
     df: DataFrame, source_col: str, text_col: str, lang_col: str | None = None
 ) -> DataFrame:

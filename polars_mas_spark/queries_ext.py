@@ -949,6 +949,43 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 @query(
+    "winnow_pairs",
+    """WITH g AS (
+         SELECT doc_id,
+                CASE WHEN length(text) >= 8
+                     THEN [substr(md5(substr(text, i, 8)), 1, 8)
+                           for i in range(1, length(text) - 8 + 2)]
+                     ELSE CAST([] AS VARCHAR[]) END AS hashes
+         FROM documents WHERE doc_id < 100),
+       w AS (
+         SELECT doc_id,
+                CASE WHEN len(hashes) >= 4
+                     THEN [list_min(hashes[j:j+3])
+                           for j in range(1, len(hashes) - 4 + 2)]
+                     ELSE CAST([] AS VARCHAR[]) END AS mins
+         FROM g),
+       fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM w),
+       kept AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 20),
+       fpk AS (SELECT fp.doc_id, fp.f FROM fp JOIN kept USING (f)),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         FROM fpk a JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 2""",
+)
+def q_winnow_pairs(spark, sf_dir):
+    """Substring-overlap pairs via winnowing-fingerprint collisions,
+    with the stop-gram filter (max_df=20) dropping fingerprints common
+    to >20 docs; docs 0-99 keep the oracle's pair count bounded."""
+    from polars_mas_spark.operators.text import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_pairs(
+        docs, "doc_id", "text", k=8, window=4, min_shared=2, max_df=20
+    )
+
+
+@query(
     "stateful_user_stats",
     """SELECT user_id, count(value)::BIGINT AS n_events,
               round(sum(value), 4) AS total,

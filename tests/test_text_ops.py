@@ -234,3 +234,19 @@ def test_ngram_contamination_fraction(spark):
     assert rows[10].n_grams == 3 and rows[10].n_contaminated == 2
     assert rows[10].contamination_frac == round(2 / 3, 6)
     assert rows[11].n_contaminated == 0
+
+
+def test_winnow_pairs_detects_shared_substring(spark):
+    """Two docs sharing a long substring must pair; unrelated must not."""
+    from polars_mas_spark.operators.text import winnow_pairs
+
+    shared = "the identical shared substring block"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, shared + " suffix two"),
+         (3, "completely different content here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in
+             winnow_pairs(df, "doc_id", "text", min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
