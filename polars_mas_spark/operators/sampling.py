@@ -1,0 +1,97 @@
+"""Deterministic hash-based sampling: reproducible corpus subsets,
+stratified rates, and train/eval splits keyed on a stable id.
+
+Why not ``df.sample()`` / ``rand()`` at 100 TB: Spark may recompute a
+lost partition at any time, and a ``rand()``-derived sample resamples
+*different rows* on recomputation — downstream joins against the sample
+silently see a shifting row set. A hash-bucket sample is a pure
+projection of the key: the same rows are selected on every
+recomputation, every rerun, every engine (the DuckDB oracles compute
+the identical bucket), and the filter is map-only — zero shuffle, fully
+pushdown-friendly (Catalyst folds it into the scan's data filters).
+
+Bucket function (engine-portable): the first 8 hex digits of
+``md5(salt || cast(key as string))`` read as an integer, mod ``buckets``.
+DuckDB mirror: ``('0x' || substring(md5(salt || CAST(k AS VARCHAR)),1,8))::BIGINT % buckets``.
+
+The salt decorrelates independent samples drawn from the same keys
+(e.g. a 10% eval split and a 1% debug sample must not nest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_mas_spark.colutils import qcol
+
+DEFAULT_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = DEFAULT_BUCKETS, salt: str = "") -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from a key column.
+
+    Stays entirely in whole-stage codegen (md5/conv/pmod are JVM
+    built-ins); 8 hex digits = 32 bits of hash, so per-bucket rate error
+    at 10k buckets is ~2^-18 — far below any sampling use case's noise.
+    """
+    s = F.concat(F.lit(salt), key.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Keep rows whose bucket falls below ``fraction`` of the bucket
+    space. Same key ⇒ same verdict, forever — a document sampled into a
+    training mix stays sampled when the corpus is re-run."""
+    k = int(round(fraction * buckets))
+    return df.filter(hash_bucket(qcol(key_col), buckets, salt) < F.lit(k))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. downweight a crawl source,
+    upweight curated text) as ONE map-only filter: the threshold is a
+    when/otherwise ladder over the strata column, so there is no join,
+    no shuffle, and unlisted strata fall back to ``default_fraction``.
+
+    ``df.sampleBy`` offers the same semantics but via ``rand()`` —
+    irreproducible under partition recomputation (module docstring).
+    """
+    thresh: Column = F.lit(int(round(default_fraction * buckets)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            qcol(strata_col) == F.lit(value), F.lit(int(round(frac * buckets)))
+        ).otherwise(thresh)
+    return df.filter(hash_bucket(qcol(key_col), buckets, salt) < thresh)
+
+
+def train_eval_split(
+    df: DataFrame,
+    key_col: str,
+    eval_fraction: float = 0.01,
+    salt: str = "split",
+    buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row ``train``/``eval`` by key hash. Keyed assignment
+    means the split survives corpus re-ingestion: a document never
+    migrates between sides, which is the property that keeps eval sets
+    uncontaminated across pipeline versions."""
+    k = int(round(eval_fraction * buckets))
+    b = hash_bucket(qcol(key_col), buckets, salt)
+    return df.withColumn(
+        out_col, F.when(b < F.lit(k), F.lit("eval")).otherwise(F.lit("train"))
+    )

@@ -1,0 +1,89 @@
+"""Deterministic sampling + sequence packing invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_mas_spark.operators import packing as pk
+from polars_mas_spark.operators import sampling as smp
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "key").withColumn(
+        "grp", (F.col("key") % 4).cast("string")
+    )
+
+
+def test_sample_reproducible_and_rate(ids):
+    a = smp.deterministic_sample(ids, "key", 0.2)
+    b = smp.deterministic_sample(ids, "key", 0.2)
+    rows_a = {r.key for r in a.collect()}
+    rows_b = {r.key for r in b.collect()}
+    assert rows_a == rows_b
+    # 32-bit hash over 2000 keys: rate within a loose binomial band.
+    assert 0.15 < len(rows_a) / 2000 < 0.25
+
+
+def test_sample_nesting_monotone(ids):
+    """A 10% sample is a subset of the 20% sample at the same salt —
+    the bucket-threshold property rate ramps rely on."""
+    small = {r.key for r in smp.deterministic_sample(ids, "key", 0.1).collect()}
+    large = {r.key for r in smp.deterministic_sample(ids, "key", 0.2).collect()}
+    assert small <= large
+
+
+def test_salt_decorrelates(ids):
+    a = {r.key for r in smp.deterministic_sample(ids, "key", 0.2, salt="a").collect()}
+    b = {r.key for r in smp.deterministic_sample(ids, "key", 0.2, salt="b").collect()}
+    assert a != b
+
+
+def test_stratified_rates(ids):
+    out = smp.stratified_sample(
+        ids, "key", "grp", {"0": 1.0, "1": 0.0}, default_fraction=0.5
+    )
+    by_grp = {
+        r.grp: r.n
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp["0"] == 500
+    assert "1" not in by_grp
+    for g in ("2", "3"):
+        assert 0.35 * 500 < by_grp[g] < 0.65 * 500
+
+
+def test_split_partitions_everything(ids):
+    out = smp.train_eval_split(ids, "key", eval_fraction=0.1)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "eval"}
+    assert counts["train"] + counts["eval"] == 2000
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, 10 + (i * 37) % 90) for i in range(300)]
+    df = spark.createDataFrame(rows, "key long, n_tokens long")
+    packed = pk.pack_sequences(df, "key", "n_tokens", budget=128, n_shards=4)
+    data = packed.orderBy("shard", "key").collect()
+    assert len(data) == 300
+    for r in data:
+        assert 0 <= r.pack_offset < 128
+        assert r.pack_id >= 0
+    # Within a shard, (pack_id, pack_offset) is non-decreasing in key order
+    # and equals the running token prefix exactly.
+    by_shard = {}
+    for r in data:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        prefix = 0
+        for r in shard_rows:
+            assert r.pack_id == prefix // 128
+            assert r.pack_offset == prefix % 128
+            prefix += r.n_tokens
+
+
+def test_pack_utilization_totals(spark):
+    rows = [(i, 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "key long, n_tokens long")
+    util = pk.pack_utilization(df, "key", "n_tokens", budget=100, n_shards=2)
+    total = util.agg(F.sum("tokens_started").alias("t")).first().t
+    assert total == 5000
