@@ -34,15 +34,22 @@ ORACLES: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as parquet TIMESTAMP(NANOS), which
-        # Spark's vectorized reader refuses by default. Read the raw
-        # nanos as long, then truncate to a micros TimestampType with
-        # exact integer division (`div`, not `/`: a double divide loses
-        # the last microsecond on epoch-scale nanos). DuckDB truncates
-        # NS->US identically on CAST(ts AS TIMESTAMP)/epoch_us.
+        # The generated events.parquet has shipped ts as either
+        # TIMESTAMP(NANOS) or TIMESTAMP(MICROS) across driver versions;
+        # normalize both to a session-tz (UTC) TimestampType so every
+        # downstream query sees one stable type. NANOS: Spark's
+        # vectorized reader refuses it unless read as a raw long, then
+        # truncated with exact integer division (`div`, not `/`: a
+        # double divide loses the last microsecond on epoch-scale
+        # nanos) — DuckDB truncates NS->US identically. MICROS without
+        # isAdjustedToUTC arrives as TIMESTAMP_NTZ; a cast under the
+        # UTC session tz is epoch-identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1005,9 +1005,10 @@ def q_stateful_user_stats(spark, sf_dir):
     from polars_mas_spark.streaming.events import running_user_stats
 
     src = f"{sf_dir.rstrip('/')}/events.parquet"
-    # events.parquet stores ts as TIMESTAMP(NANOS); read nanos as long
-    # (same handling as the batch _t helper) — the stateful op only
-    # needs user_id/value, the watermark is a no-op pre-aggregation here.
+    # ts normalization mirrors the batch _t helper: NANOS layouts are
+    # read as raw longs and truncated; MICROS layouts arrive as
+    # TIMESTAMP_NTZ and cast under the UTC session tz. The stateful op
+    # only needs user_id/value, the watermark is a no-op here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(src).schema
     # The file-source needs a DIRECTORY; events.parquet is a single file,
@@ -1016,8 +1017,11 @@ def q_stateful_user_stats(spark, sf_dir):
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     name = f"stateful_sink_{uuid.uuid4().hex[:8]}"
     q = (
         running_user_stats(stream)
