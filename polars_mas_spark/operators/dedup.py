@@ -19,7 +19,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_mas_spark.colutils import qcol
@@ -52,6 +52,86 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("keep_id").alias(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame, seen_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Dedup a NEW ingestion batch against an already-accepted corpus:
+    collapse within-batch exact duplicates to their lowest-id
+    representative, then drop every document whose content digest is
+    already present in ``seen_df``.
+
+    Scale shape: the seen side is reduced to a distinct digest column
+    before the join, so the anti-join shuffles 16-byte digests — never
+    the accepted corpus's text. At 100 TB the natural layout is a
+    digest-only bloom/parquet side table maintained across ingestions;
+    this operator is the query against it. Both the within-batch
+    collapse and the anti-join are single hash shuffles on the digest.
+    """
+    seen_digests = seen_df.select(
+        content_digest(qcol(text_col)).alias("__digest__")
+    ).distinct()
+    return (
+        exact_dedup(new_df, id_col, text_col)
+        .withColumn("__digest__", content_digest(qcol(text_col)))
+        .join(seen_digests, on="__digest__", how="left_anti")
+        .drop("__digest__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide k-word span dedup (C4-style line/span dedup)
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, k: int = 10
+) -> DataFrame:
+    """Remove REPEATED k-word spans corpus-wide, keeping only the first
+    occurrence (lowest ``(doc_id, chunk_idx)``) of each span — the same
+    shape as C4's repeated-line/three-sentence-span dedup, adapted to
+    newline-free text: documents are cut into consecutive k-word chunks
+    and every later occurrence of an identical chunk is deleted from its
+    document. Returns ``(doc_id, text_dedup)`` for ALL input documents
+    (a document whose every chunk was seen earlier comes back empty).
+
+    Scale shape: chunking is a map-only array program (split → slice →
+    join, all JVM higher-order functions; one exploded row per CHUNK,
+    k× fewer than per word). Global first-occurrence selection is one
+    hash shuffle on the chunk text; document reassembly is one more on
+    doc id. No pairwise comparisons anywhere, so cost is linear in
+    corpus tokens — the property that lets line-dedup run on raw-crawl
+    scale where near-dup methods (minhash et al) need candidate
+    generation.
+    """
+    words = F.filter(F.split(qcol(text_col), r"\s+"), lambda t: t != "")
+    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    chunks = F.when(F.size(words) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        qcol(id_col).alias("doc_id"), F.posexplode(chunks).alias("cidx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
+    kept = (
+        exploded.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cidx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup")
+    )
+    ids = df.select(qcol(id_col).alias("doc_id"))
+    return ids.join(reassembled, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("text_dedup", F.lit("")).alias("text_dedup")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,46 @@ def salted_join(
     return fact_s.join(dim_s, on=[on, "__salt__"], how=how).drop("__salt__")
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``points.ts BETWEEN intervals.start AND
+    intervals.end`` with an equi-key) WITHOUT the cartesian blowup a
+    naive theta-join plans: both sides are bucketed onto a time grid of
+    ``bin_seconds`` — a point lands in exactly one bin, an interval is
+    exploded into every bin it covers — and the join becomes an
+    equi-join on ``(key, bin)`` with a residual BETWEEN filter.
+
+    Correct by construction: ``start <= ts <= end`` implies the point's
+    bin lies inside the interval's bin range, so no true match is lost;
+    each surviving pair appears exactly once because the point owns one
+    bin. Scale: shuffle is hash-partitioned on (key, bin) — time-local
+    instead of key-global, so one hot key spread over a month of bins no
+    longer lands on one reducer. Cost knob: the interval side inflates
+    by span/bin_seconds rows; pick the bin near the median interval
+    span. Spark's own range-join planning would produce a broadcast
+    nested loop here — fine for a broadcastable side, quadratic when
+    both sides are big, which is exactly when this operator is the
+    right physical plan.
+    """
+    pt_bin = F.floor(qcol(ts_col).cast("long") / F.lit(bin_seconds))
+    lo = F.floor(qcol(start_col).cast("long") / F.lit(bin_seconds))
+    hi = F.floor(qcol(end_col).cast("long") / F.lit(bin_seconds))
+    pts = points.withColumn("__bin__", pt_bin)
+    ivs = intervals.withColumn("__bin__", F.explode(F.sequence(lo, hi)))
+    joined = pts.join(ivs, on=[on, "__bin__"], how=how).filter(
+        qcol(ts_col).between(qcol(start_col), qcol(end_col))
+    )
+    return joined.drop("__bin__")
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

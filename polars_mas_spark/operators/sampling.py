@@ -78,6 +78,48 @@ def stratified_sample(
     return df.filter(hash_bucket(qcol(key_col), buckets, salt) < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Resample strata to a TARGET MIXTURE (domain weighting for a
+    pretraining mix: "40% web, 30% code, 30% curated"): compute the
+    largest output that honors the target proportions WITHOUT
+    upsampling any stratum, derive each stratum's acceptance rate, and
+    apply it as one deterministic hash filter. Strata not named in
+    ``weights`` are excluded.
+
+    The only non-map work is one tiny per-stratum count aggregation
+    (rows = number of distinct strata — driver-safe at any corpus
+    size); the sample itself is the same zero-shuffle bucket filter as
+    ``stratified_sample``. Thresholds are integers computed as
+    ``floor(x + 0.5)`` so an engine-portable oracle reproduces the
+    exact row set.
+    """
+    import math
+
+    counts = {
+        row[0]: row[1]
+        for row in df.groupBy(qcol(strata_col)).count().collect()
+    }
+    total_w = sum(weights.values())
+    shares = {s: w / total_w for s, w in weights.items()}
+    # Largest total honoring every share with the rows each stratum has.
+    feasible = min(
+        counts.get(s, 0) / share for s, share in shares.items() if share > 0
+    )
+    thresh: Column = F.lit(0)
+    for value, share in sorted(shares.items()):
+        n = counts.get(value, 0)
+        k = int(math.floor(share * feasible / n * buckets + 0.5)) if n else 0
+        thresh = F.when(qcol(strata_col) == F.lit(value), F.lit(k)).otherwise(thresh)
+    return df.filter(hash_bucket(qcol(key_col), buckets, salt) < thresh)
+
+
 def train_eval_split(
     df: DataFrame,
     key_col: str,

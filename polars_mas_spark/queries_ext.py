@@ -1667,3 +1667,147 @@ def _mas_wide_table(spark, sf_dir):
             "sum_qty", "avg_disc",
         )
     )
+
+
+# ===========================================================================
+# Round-2 additions: span dedup, incremental dedup, mixture sampling,
+# interval join
+# ===========================================================================
+
+
+@query(
+    "chunk_dedup",
+    r"""WITH wd AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS words
+            FROM documents),
+        dc AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(0,
+                           CAST(ceil(len(words) / 10.0) AS INT) - 1),
+                       i -> array_to_string(
+                               list_slice(words, i * 10 + 1, i * 10 + 10),
+                               ' ')) AS chunks
+            FROM wd),
+        ch AS (
+            SELECT doc_id,
+                   unnest(chunks) AS chunk,
+                   unnest(generate_series(1, len(chunks))) AS cidx
+            FROM dc),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+            FROM ch),
+        surv AS (
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS txt
+            FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(s.txt, '') AS text_dedup
+        FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id""",
+)
+def q_chunk_dedup(spark, sf_dir):
+    """C4-style repeated-span removal: delete every later occurrence of
+    an identical 10-word chunk corpus-wide (operators/dedup.chunk_dedup;
+    cost linear in corpus tokens — no candidate pairs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.chunk_dedup(docs, "doc_id", "text", k=10)
+
+
+@query(
+    "incremental_dedup",
+    f"""WITH b AS (
+            SELECT doc_id, text, source,
+                   {_bucket_sql('doc_id', 10000)} AS bkt
+            FROM documents),
+        seen AS (
+            SELECT DISTINCT md5(text) AS dg FROM b WHERE bkt < 5000),
+        new AS (
+            SELECT doc_id, text, source, md5(text) AS dg
+            FROM b WHERE bkt >= 3000),
+        keep AS (SELECT min(doc_id) AS doc_id FROM new GROUP BY dg)
+        SELECT n.doc_id, n.source FROM new n
+        JOIN keep k ON n.doc_id = k.doc_id
+        WHERE n.dg NOT IN (SELECT dg FROM seen)""",
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Batch-vs-corpus dedup (operators/dedup.incremental_exact_dedup):
+    the "new" batch overlaps the "seen" corpus (bucket ranges [0,5000)
+    vs [3000,10000)) so the digest anti-join actually fires; the seen
+    side is reduced to distinct digests before the join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    b = smp.hash_bucket(F.col("doc_id"), 10000)
+    seen = docs.filter(b < 5000)
+    new = docs.filter(b >= 3000)
+    return dd.incremental_exact_dedup(new, seen, "doc_id", "text").select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "mixture_sample_docs",
+    f"""WITH cnt AS (
+            SELECT source, CAST(count(*) AS DOUBLE) AS n
+            FROM documents GROUP BY source),
+        w(source, share) AS (
+            VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                   ('src1', CAST(0.25 AS DOUBLE)),
+                   ('src2', CAST(0.25 AS DOUBLE))),
+        feas AS (SELECT min(n / share) AS t FROM cnt JOIN w USING (source)),
+        thr AS (
+            SELECT w.source,
+                   CAST(floor(share * (SELECT t FROM feas) / n * 10000 + 0.5)
+                        AS BIGINT) AS k
+            FROM cnt JOIN w ON cnt.source = w.source)
+        SELECT d.doc_id, d.source FROM documents d
+        JOIN thr ON d.source = thr.source
+        WHERE {_bucket_sql('doc_id', 10000, 'mix')} < k""",
+)
+def q_mixture_sample_docs(spark, sf_dir):
+    """Domain-mixture resampling (operators/sampling.mixture_sample):
+    target 50/25/25 over three sources, acceptance rates derived from
+    one tiny count aggregation, sample applied as a zero-shuffle
+    deterministic hash filter. The oracle recomputes the identical
+    floor(x+0.5) thresholds from SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return smp.mixture_sample(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    )
+
+
+@query(
+    "purchases_in_click_sessions",
+    """WITH iv AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   min(ts) AS span_start, max(ts) AS span_end
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, CAST(ts AS DATE))
+        SELECT e.event_id, e.user_id, e.ts,
+               iv.day, iv.span_start, iv.span_end
+        FROM events e JOIN iv
+          ON e.user_id = iv.user_id
+         AND e.ts BETWEEN iv.span_start AND iv.span_end
+        WHERE e.event_type = 'purchase'""",
+)
+def q_purchases_in_click_sessions(spark, sf_dir):
+    """Point-in-interval join via time-grid binning
+    (operators/joins.interval_join): purchases matched into each user's
+    daily click span with an equi-join on (user, hour-bin) + residual
+    BETWEEN — no broadcast nested loop, shuffle keyed on (user, bin)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    iv = clicks.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("span_start"), F.max("ts").alias("span_end"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    from polars_mas_spark.operators.joins import interval_join
+
+    res = interval_join(
+        purchases, iv, on="user_id", ts_col="ts",
+        start_col="span_start", end_col="span_end", bin_seconds=3600,
+    )
+    return res.select(
+        "event_id", "user_id", "ts", "day", "span_start", "span_end"
+    )

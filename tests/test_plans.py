@@ -201,3 +201,11 @@ def test_salted_join_spreads_hot_key(spark):
         fact.filter(F.col("k") == 7).select(salt.alias("s")).distinct().count()
     )
     assert n_salts >= 4
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, qs):
+    """The binned interval join must plan as an equi-join (hash/SMJ/
+    broadcast-hash) on (key, bin) — never the BroadcastNestedLoopJoin
+    Spark gives a raw theta BETWEEN join."""
+    plan = plan_of(qs["purchases_in_click_sessions"](spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan

@@ -87,3 +87,22 @@ def test_pack_utilization_totals(spark):
     util = pk.pack_utilization(df, "key", "n_tokens", budget=100, n_shards=2)
     total = util.agg(F.sum("tokens_started").alias("t")).first().t
     assert total == 5000
+
+
+def test_mixture_sample_hits_target_proportions(ids):
+    """Largest no-upsampling output honoring 50/25/25 over four equal
+    strata of 500: the scarce stratum caps the total, so the 0.5-share
+    stratum keeps everything and the 0.25 shares keep about half."""
+    out = smp.mixture_sample(ids, "key", "grp", {"0": 0.5, "1": 0.25, "2": 0.25})
+    by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert "3" not in by  # unlisted stratum excluded
+    assert by["0"] == 500  # share 0.5 * feasible 1000 / 500 = rate 1.0
+    assert 0.4 < by["1"] / 500 < 0.6
+    assert 0.4 < by["2"] / 500 < 0.6
+
+
+def test_mixture_sample_deterministic(ids):
+    w = {"0": 0.6, "1": 0.4}
+    a = {r.key for r in smp.mixture_sample(ids, "key", "grp", w).collect()}
+    b = {r.key for r in smp.mixture_sample(ids, "key", "grp", w).collect()}
+    assert a == b and a

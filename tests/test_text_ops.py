@@ -250,3 +250,59 @@ def test_winnow_pairs_detects_shared_substring(spark):
              winnow_pairs(df, "doc_id", "text", min_shared=2).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# chunk_dedup (C4-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_removes_later_occurrence(spark):
+    from polars_mas_spark.operators.dedup import chunk_dedup
+
+    span = "a b c d e f g h i j"  # exactly one 10-word chunk
+    df = spark.createDataFrame(
+        [(1, span + " unique tail words here now ok yes no maybe end"),
+         (2, span),  # doc 2 is exactly the duplicated span
+         (3, "completely different words that survive entirely fine")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text_dedup"] for r in chunk_dedup(df, "doc_id", "text").collect()}
+    assert out[1].startswith(span)          # first occurrence kept
+    assert out[2] == ""                     # later occurrence deleted
+    assert out[3].startswith("completely")  # untouched
+
+
+def test_chunk_dedup_keeps_all_docs_and_is_idempotent(spark):
+    from polars_mas_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x " * 25), (2, "x " * 25), (3, "")], ["doc_id", "text"]
+    )
+    once = chunk_dedup(df, "doc_id", "text")
+    assert once.count() == 3  # empty/fully-deduped docs still present
+    again = chunk_dedup(
+        once.withColumnRenamed("text_dedup", "text"), "doc_id", "text"
+    )
+    # within-doc repeated chunks collapse on the first pass...
+    first = {r["doc_id"]: r["text_dedup"] for r in once.collect()}
+    second = {r["doc_id"]: r["text_dedup"] for r in again.collect()}
+    # ...and a second pass changes nothing
+    assert first == second
+
+
+def test_incremental_dedup_drops_seen_digests(spark):
+    from polars_mas_spark.operators.dedup import incremental_exact_dedup
+
+    seen = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "beta")],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(new, seen, "doc_id", "text").collect()
+    )
+    # alpha/beta already seen; gamma collapses to its min id
+    assert out == [11]
+
