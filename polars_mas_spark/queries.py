@@ -873,3 +873,215 @@ def q_tpch_q18ish(spark, sf_dir):
             F.round("sum_qty", 4).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "tpch_q7ish",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              year(l.l_shipdate) AS l_year,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+       JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       WHERE sn.n_name <> cn.n_name
+         AND l.l_shipdate >= DATE '1996-01-01'
+         AND l.l_shipdate < DATE '1998-01-01'
+       GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)""",
+)
+def q_tpch_q7ish(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): cross-border revenue by nation pair
+    and year. One fact-fact shuffle (lineitem⋈orders on orderkey); every
+    dimension (supplier, customer, nation x2) broadcasts, and the
+    cross-border inequality is a cheap post-broadcast filter — never a
+    join condition that would force a nested loop."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q10ish",
+    """SELECT c.c_custkey, c.c_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+              round(c.c_acctbal, 4) AS c_acctbal, n.n_name
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE o.o_orderdate >= DATE '1997-01-01'
+         AND o.o_orderdate < DATE '1997-04-01'
+         AND l.l_returnflag = 'R'
+       GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name""",
+)
+def q_tpch_q10ish(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): per-customer lost revenue in
+    one quarter. The date filter prunes orders BEFORE the fact join; the
+    returnflag filter reaches the lineitem scan (PushedFilters); nation
+    broadcasts. No LIMIT (ranking ties would make the row set
+    nondeterministic across engines) — top-k per group is covered by
+    topk_per_group."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 4).alias("c_acctbal"), "n_name",
+        )
+    )
+
+
+@query(
+    "tpch_q14ish",
+    """SELECT round(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END)
+                    / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+              AS promo_revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= DATE '1997-06-01'
+         AND l.l_shipdate < DATE '1997-07-01'""",
+)
+def q_tpch_q14ish(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional-aggregate ratio in ONE
+    pass — both sums come out of a single broadcast-join + aggregate,
+    not two scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q19ish",
+    """SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity BETWEEN 1 AND 21)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+              AND l.l_quantity BETWEEN 10 AND 30)
+          OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50
+              AND l.l_quantity BETWEEN 20 AND 40)""",
+)
+def q_tpch_q19ish(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    classic OR-of-ANDs. Expressed as a broadcast equi-join + one
+    composite filter so Catalyst keeps the equi-join (a naive translation
+    putting the OR into the join condition degrades to a nested loop);
+    the quantity bounds common to all branches (1..40) are pushable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q22ish",
+    """SELECT substring(c_name, 10, 2) AS cntrycode,
+              count(*) AS numcust,
+              round(sum(c_acctbal), 4) AS totacctbal
+       FROM customer
+       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                          WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= DATE '1998-10-01')
+       GROUP BY substring(c_name, 10, 2)""",
+)
+def q_tpch_q22ish(spark, sf_dir):
+    """TPC-H Q22 (global-sales opportunity): scalar subquery + anti-join
+    — above-average-balance customers with no RECENT order (every
+    customer in this dataset has SOME order, so the date restriction is
+    what gives the anti-join a non-empty result to prove). The global
+    average is a 1-row aggregate broadcast-crossJoined onto customer (no
+    eager .first() action, stays one job); recent purchasers are removed
+    by a LEFT ANTI join that shuffles only custkeys."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-10-01").cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal__")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal__"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
