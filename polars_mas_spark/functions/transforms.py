@@ -140,6 +140,51 @@ def standard_scale(df: DataFrame, cols: list[str]) -> DataFrame:
     return out
 
 
+def winsorize(
+    df: DataFrame, cols: list[str], lower: float = 0.01, upper: float = 0.99
+) -> DataFrame:
+    """Clamp each column to its [lower, upper] interpolated percentiles
+    — the standard heavy-tail guard before scaling/regression. ONE
+    exact-percentile aggregate job covers every column (swap
+    ``F.percentile`` for ``F.percentile_approx`` at 100 TB — exact
+    percentile holds per-group sorted values; approx is a fixed-size
+    sketch), then the clamp itself is a map-only least/greatest."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.percentile(qcol(c), F.lit(lower)).alias(f"__lo_{c}"))
+        aggs.append(F.percentile(qcol(c), F.lit(upper)).alias(f"__hi_{c}"))
+    stats = df.agg(*aggs).first()
+    out = df
+    for c in cols:
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if lo is None or hi is None:
+            continue
+        out = out.withColumn(
+            c, F.least(F.greatest(qcol(c), F.lit(lo)), F.lit(hi))
+        )
+    return out
+
+
+def robust_scale(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(x - median) / IQR per column — outlier-insensitive sibling of
+    standard_scale, same one-aggregate-job shape (exact percentiles;
+    percentile_approx is the 100 TB swap)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.percentile(qcol(c), F.lit(0.5)).alias(f"__md_{c}"))
+        aggs.append(F.percentile(qcol(c), F.lit(0.25)).alias(f"__q1_{c}"))
+        aggs.append(F.percentile(qcol(c), F.lit(0.75)).alias(f"__q3_{c}"))
+    stats = df.agg(*aggs).first()
+    out = df
+    for c in cols:
+        md = stats[f"__md_{c}"]
+        q1, q3 = stats[f"__q1_{c}"], stats[f"__q3_{c}"]
+        if md is None or q1 is None or q3 is None or q3 == q1:
+            continue
+        out = out.withColumn(c, (qcol(c) - F.lit(md)) / F.lit(q3 - q1))
+    return out
+
+
 def min_max_scale(df: DataFrame, cols: list[str]) -> DataFrame:
     stats = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],

@@ -444,6 +444,48 @@ def corpus_source_stats(
     return df.groupBy(qcol(source_col).alias("source")).agg(*aggs)
 
 
+def passage_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_words: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping word-window passages (context
+    preparation for retrieval / embedding indexing): passage *i* starts
+    at word ``i * (max_words - overlap)`` and spans up to ``max_words``
+    words, so consecutive passages share ``overlap`` words. Emits
+    ``(doc_id, passage_idx, passage, n_words)``; empty documents emit
+    nothing.
+
+    Entirely map-side: the word array, the start-position sequence, the
+    per-start slice and the explode are all JVM array expressions — no
+    shuffle, no UDF, linear in corpus tokens, so at 100 TB this operator
+    is bounded by the parquet scan."""
+    if overlap >= max_words:
+        raise ValueError("overlap must be smaller than max_words")
+    stride = max_words - overlap
+    words = F.filter(F.split(qcol(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(words)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    passages = F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s, max_words), " ")
+    )
+    out = df.select(
+        qcol(id_col).alias("doc_id"),
+        n.alias("__n__"),
+        F.posexplode(passages).alias("passage_idx", "passage"),
+    )
+    n_words = F.least(
+        F.lit(max_words), F.col("__n__") - F.col("passage_idx") * stride
+    )
+    return out.select(
+        "doc_id", "passage_idx", "passage", n_words.alias("n_words")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
     """Normalized-content digest: lowercase, collapse whitespace, strip
     punctuation, md5. Whitespace/punct variants of the same text map to

@@ -1811,3 +1811,112 @@ def q_purchases_in_click_sessions(spark, sf_dir):
     return res.select(
         "event_id", "user_id", "ts", "day", "span_start", "span_end"
     )
+
+
+@query(
+    "winsorize_acctbal",
+    """WITH q AS (SELECT quantile_cont(c_acctbal, 0.01) AS lo,
+                         quantile_cont(c_acctbal, 0.99) AS hi
+                  FROM customer)
+       SELECT c_custkey,
+              round(least(greatest(c_acctbal, lo), hi), 4) AS acctbal_w
+       FROM customer, q""",
+)
+def q_winsorize_acctbal(spark, sf_dir):
+    """Percentile clamp (functions/transforms.winsorize): one exact-
+    percentile aggregate for all columns, then a map-only
+    least/greatest; percentile_approx is the documented 100 TB swap."""
+    from polars_mas_spark.functions.transforms import winsorize
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = winsorize(c, ["c_acctbal"], 0.01, 0.99)
+    return out.select(
+        "c_custkey", F.round("c_acctbal", 4).alias("acctbal_w")
+    )
+
+
+@query(
+    "robust_scale_acctbal",
+    """WITH q AS (SELECT quantile_cont(s_acctbal, 0.5) AS md,
+                         quantile_cont(s_acctbal, 0.25) AS q1,
+                         quantile_cont(s_acctbal, 0.75) AS q3
+                  FROM supplier)
+       SELECT s_suppkey,
+              round((s_acctbal - md) / (q3 - q1), 6) AS acctbal_rs
+       FROM supplier, q""",
+)
+def q_robust_scale_acctbal(spark, sf_dir):
+    """Median/IQR scaling (functions/transforms.robust_scale) — the
+    outlier-insensitive sibling of standard_scale, same one-aggregate
+    shape."""
+    from polars_mas_spark.functions.transforms import robust_scale
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    out = robust_scale(s, ["s_acctbal"])
+    return out.select(
+        "s_suppkey", F.round("s_acctbal", 6).alias("acctbal_rs")
+    )
+
+
+@query(
+    "passage_split_docs",
+    r"""WITH wd AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS words
+            FROM documents),
+        st AS (
+            SELECT doc_id, words,
+                   generate_series(1, len(words), 48) AS starts
+            FROM wd WHERE len(words) > 0),
+        ps AS (
+            SELECT doc_id, len(words) AS n,
+                   unnest(list_transform(
+                       starts,
+                       s -> array_to_string(list_slice(words, s, s + 63), ' ')))
+                     AS passage,
+                   unnest(generate_series(1, len(starts))) AS idx1
+            FROM st)
+        SELECT doc_id, idx1 - 1 AS passage_idx, passage,
+               least(64, n - (idx1 - 1) * 48) AS n_words
+        FROM ps""",
+)
+def q_passage_split_docs(spark, sf_dir):
+    """Overlapping word-window passage split for retrieval indexing
+    (operators/text.passage_split): 64-word passages, 16-word overlap;
+    fully map-side array program, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tx.passage_split(docs, "doc_id", "text", max_words=64, overlap=16)
+
+
+@query(
+    "purchase_attribution",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              epoch_us(p.ts) AS purchase_ts,
+              c.event_id AS click_id, epoch_us(c.ts) AS click_ts
+       FROM events p JOIN events c
+         ON p.user_id = c.user_id
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL 1 HOUR
+       WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+)
+def q_purchase_attribution(spark, sf_dir):
+    """Stream-stream attribution join (streaming/events.
+    purchase_attribution) run in its batch/backfill form: purchases
+    matched to same-user clicks in the trailing hour. In streaming mode
+    both sides are watermarked and the time-range condition bounds the
+    click state Spark retains; the batch oracle is the plain BETWEEN
+    join."""
+    from polars_mas_spark.streaming.events import purchase_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    out = purchase_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        lookback_seconds=3600,
+    )
+    return out.select(
+        "purchase_id", "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts"),
+        "click_id", F.unix_micros("click_ts").alias("click_ts"),
+    )

@@ -111,6 +111,49 @@ def enrich_events(
     return stream.join(F.broadcast(right), on=stream_key, how=how)
 
 
+def purchase_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: each purchase matched to every click by
+    the same user within the preceding ``lookback_seconds`` — the
+    classic attribution join. Both sides carry a watermark and the join
+    condition bounds the event-time range, which is what lets Spark
+    EVICT click state (clicks older than watermark + lookback can never
+    match a future purchase) instead of buffering the stream forever —
+    the difference between bounded state and an OOM at day three of a
+    production stream. State partitions by the join key, so scale-out
+    follows the user-hash shuffle. Works identically on batch frames
+    (the oracle form: a plain BETWEEN theta join)."""
+    c = clicks.select(
+        F.col(user_col).alias("__c_user__"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col(user_col), F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if p.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (p[user_col] == c["__c_user__"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (
+            c["click_ts"]
+            >= p["purchase_ts"] - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
+        )
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", user_col, "purchase_ts", "click_id", "click_ts"
+    )
+
+
 def running_user_stats(
     stream: DataFrame,
     user_col: str = "user_id",

@@ -161,3 +161,38 @@ def test_enrich_events_stream_matches_batch(spark, events_dir):
     want = {tuple(r) for r in batch.select(
         "event_id", "c_name", "c_mktsegment").collect()}
     assert got == want and len(want) == 300
+
+
+def test_purchase_attribution_stream_matches_batch(spark, events_dir):
+    """The stream-stream interval join must run as a REAL stream (both
+    sides watermarked file sources) and, with every event in one
+    availableNow pass, agree exactly with its batch form."""
+    from polars_mas_spark.streaming.events import purchase_attribution
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "purchase"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    sp, sc = split(spark.readStream.schema(schema).parquet(events_dir))
+    out = purchase_attribution(sp, sc, lookback_seconds=600)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("attr_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        tuple(r) for r in spark.sql("SELECT * FROM attr_sink").collect()
+    }
+
+    bp, bc = split(spark.read.parquet(events_dir))
+    batch_rows = {
+        tuple(r)
+        for r in purchase_attribution(bp, bc, lookback_seconds=600).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows  # join must actually match something

@@ -306,3 +306,23 @@ def test_incremental_dedup_drops_seen_digests(spark):
     # alpha/beta already seen; gamma collapses to its min id
     assert out == [11]
 
+
+
+def test_passage_split_windows_and_overlap(spark):
+    from polars_mas_spark.operators.text import passage_split
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")],
+                               ["doc_id", "text"])
+    out = passage_split(df, "doc_id", "text", max_words=64, overlap=16)
+    rows = {(r["doc_id"], r["passage_idx"]): r for r in out.collect()}
+    # doc 1: starts at 0, 48, 96 -> 3 passages of 64, 52, 4 words
+    assert [rows[(1, i)]["n_words"] for i in range(3)] == [64, 52, 4]
+    p0, p1 = rows[(1, 0)]["passage"].split(), rows[(1, 1)]["passage"].split()
+    assert p0[48:] == p1[:16]  # consecutive passages share the overlap
+    assert rows[(2, 0)]["n_words"] == 2
+    assert (3, 0) not in rows  # empty docs emit nothing
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        passage_split(df, "doc_id", "text", max_words=16, overlap=16)
