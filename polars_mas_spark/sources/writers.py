@@ -73,3 +73,58 @@ def write_output(
         shutil.rmtree(tmp, ignore_errors=True)
         return
     raise ValueError(f"Unsupported output type: {output_type}")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    sort_within: list[str] | None = None,
+) -> None:
+    """Hive-partitioned parquet layout (``path/col=value/...``): THE
+    storage-side contract that makes 100 TB scans cheap. A filter or
+    join key on a partition column becomes directory pruning — the scan
+    never opens non-matching files (static PartitionFilters for literal
+    predicates; dynamic partition pruning when the value set comes from
+    a joined dimension — both plan-asserted in tests/test_plans.py).
+
+    ``sort_within`` additionally sorts rows inside each output file so
+    min/max row-group statistics turn range predicates on those columns
+    into row-group skips (poor man's clustering; parquet writes the
+    stats automatically).
+
+    Partition columns should be LOW cardinality (day, source, lang —
+    not doc_id): each distinct combination is a directory, and millions
+    of tiny files kill the driver's file listing before any query runs.
+    """
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Rewrite a parquet dataset into ``target_files`` files (per
+    partition directory if ``partition_cols`` given). Streaming
+    ingestion and fine-grained writes leave thousands of small files;
+    at cluster scale the fix is periodic compaction, not bigger
+    drivers. Uses coalesce (no shuffle) for plain layouts and a
+    repartition on the partition columns for partitioned ones (so each
+    output file holds one partition's rows)."""
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}__compact_tmp__"
+    if partition_cols:
+        (
+            df.repartition(target_files, *[df[c] for c in partition_cols])
+            .write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+        )
+    else:
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -209,3 +209,43 @@ def test_interval_join_is_equi_not_nested_loop(spark, qs):
     Spark gives a raw theta BETWEEN join."""
     plan = plan_of(qs["purchases_in_click_sessions"](spark, SF_DIR))
     assert "NestedLoop" not in plan, plan
+
+
+def test_partitioned_layout_prunes_statically_and_dynamically(spark, tmp_path):
+    """write_partitioned must produce a layout where (a) a literal
+    filter on the partition column becomes a PartitionFilter — the scan
+    never lists non-matching directories — and (b) joining against a
+    selectively-filtered dimension on that column inserts a dynamic
+    partition pruning subquery (the 100 TB fact-dim pattern)."""
+    from polars_mas_spark.sources.writers import write_partitioned
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, ["event_type"], sort_within=["user_id"])
+
+    flt = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = plan_of(flt)
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    assert "= click" in plan.replace("#", " ").replace(")", " "), plan
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("error", 0)], ["event_type", "keep"]
+    ).filter(F.col("keep") == 1)
+    joined = spark.read.parquet(path).join(F.broadcast(dim), "event_type")
+    assert "dynamicpruning" in plan_of(joined).lower()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from polars_mas_spark.sources.writers import compact_parquet, write_partitioned
+    import glob
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    path = str(tmp_path / "ev_compact")
+    # fragment on purpose: many files per partition dir
+    ev.repartition(8).write.partitionBy("event_type").parquet(path)
+    before = len(glob.glob(f"{path}/event_type=*/*.parquet"))
+    n_before = spark.read.parquet(path).count()
+    compact_parquet(spark, path, 1, partition_cols=["event_type"])
+    after = len(glob.glob(f"{path}/event_type=*/*.parquet"))
+    assert after < before and after == 5
+    assert spark.read.parquet(path).count() == n_before
