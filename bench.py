@@ -36,8 +36,10 @@ HEADLINE = [
     "token_histogram",
     "lang_id",
     "ann_bruteforce_topk",
+    "chunk_dedup",
     "sessionize",
     "asof_join",
+    "purchases_in_click_sessions",
     "windowed_event_counts",
     "event_rollup",
     "mas_logistic_fanout",

@@ -53,3 +53,25 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "mean double, stddev double, median double"
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def distinct_profile(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """(column, approx_distinct) for every column in one aggregation
+    pass. Default is the HyperLogLog sketch (``approx_count_distinct``,
+    fixed ~few-KB state per column, mergeable map-side — the ONLY shape
+    that profiles distinct counts of a 100 TB table in one scan);
+    ``exact=True`` swaps in exact countDistinct for small-data QA where
+    the precise number matters (the reference's constant-covariate
+    detection, preprocessing.py:68, needs exact and uses A3 instead).
+    """
+    targets = cols or df.columns
+    agg = F.count_distinct if exact else F.approx_count_distinct
+    row = df.agg(
+        *[agg(qcol(c)).alias(f"__d_{c}") for c in targets]
+    ).first()
+    out = [(c, int(row[f"__d_{c}"])) for c in targets]
+    return df.sparkSession.createDataFrame(
+        out, "column string, n_distinct long"
+    )

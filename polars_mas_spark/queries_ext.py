@@ -1920,3 +1920,26 @@ def q_purchase_attribution(spark, sf_dir):
         F.unix_micros("purchase_ts").alias("purchase_ts"),
         "click_id", F.unix_micros("click_ts").alias("click_ts"),
     )
+
+
+@query(
+    "distinct_profile_orders",
+    """SELECT 'o_custkey' AS column,
+              count(DISTINCT o_custkey) AS n_distinct FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', count(DISTINCT o_orderstatus) FROM orders
+       UNION ALL
+       SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM orders""",
+)
+def q_distinct_profile_orders(spark, sf_dir):
+    """Per-column distinct-count profile in one aggregation pass
+    (operators/profile.distinct_profile). The oracle pins the
+    exact=True path; the default HyperLogLog path (the only shape that
+    scans 100 TB once with bounded state) is tolerance-tested in
+    tests/test_text_ops.py."""
+    from polars_mas_spark.operators.profile import distinct_profile
+
+    o = _t(spark, sf_dir, "orders")
+    return distinct_profile(
+        o, ["o_custkey", "o_orderstatus", "o_orderpriority"], exact=True
+    )

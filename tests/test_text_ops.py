@@ -326,3 +326,22 @@ def test_passage_split_windows_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         passage_split(df, "doc_id", "text", max_words=16, overlap=16)
+
+
+def test_distinct_profile_hll_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.profile import distinct_profile
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 1000).alias("k1k"),
+        (F.col("id") % 37).alias("k37"),
+        F.col("id").alias("uniq"),
+    )
+    approx = {r["column"]: r["n_distinct"]
+              for r in distinct_profile(df).collect()}
+    exact = {r["column"]: r["n_distinct"]
+             for r in distinct_profile(df, exact=True).collect()}
+    assert exact == {"k1k": 1000, "k37": 37, "uniq": 20_000}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.05, (c, approx[c])
