@@ -1943,3 +1943,106 @@ def q_distinct_profile_orders(spark, sf_dir):
     return distinct_profile(
         o, ["o_custkey", "o_orderstatus", "o_orderpriority"], exact=True
     )
+
+
+_CURATION_SQL = (
+    r"""WITH p AS (
+        SELECT doc_id, lang, text,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           t -> t <> '') AS words,
+               ' ' || lower(text) || ' ' AS padded
+        FROM documents),
+    flags AS (
+        SELECT doc_id, text,
+               lang = 'en'
+               AND len(words) BETWEEN 20 AND 50000
+               AND (CASE WHEN len(words) > 0
+                         THEN ({stop_hits})::DOUBLE / len(words) ELSE 0.0 END)
+                   >= 0.01
+               AND (CASE WHEN len(words) > 0
+                         THEN 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                                    / len(words)
+                         ELSE 0.0 END) <= 0.9 AS kept
+        FROM p),
+    scrub AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+                 '\+?[0-9][0-9 .-]{7,}[0-9]', '<PHONE>', 'g') AS text
+        FROM flags WHERE kept),
+    wd AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS words
+        FROM scrub),
+    dc AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(0, CAST(ceil(len(words) / 10.0) AS INT) - 1),
+                   i -> array_to_string(
+                           list_slice(words, i * 10 + 1, i * 10 + 10), ' '))
+                 AS chunks
+        FROM wd),
+    ch AS (
+        SELECT doc_id, unnest(chunks) AS chunk,
+               unnest(generate_series(1, len(chunks))) AS cidx
+        FROM dc),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+        FROM ch),
+    surv AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS txt
+        FROM ranked WHERE rn = 1 GROUP BY doc_id),
+    dedup AS (
+        SELECT s.doc_id, coalesce(v.txt, '') AS text
+        FROM scrub s LEFT JOIN surv v ON s.doc_id = v.doc_id),
+    ntok AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '')) AS n_tokens
+        FROM dedup),
+    sharded AS (
+        SELECT doc_id, n_tokens, {shard} AS shard FROM ntok)
+    SELECT doc_id, n_tokens, shard,
+           (start_tok // 256) AS pack_id, (start_tok % 256) AS pack_offset
+    FROM (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_tok
+        FROM sharded)"""
+    .replace("{stop_hits}", _STOP_HITS)
+    .replace("{shard}", _bucket_sql("doc_id", 8, "pack"))
+)
+
+
+@query("curation_pipeline", _CURATION_SQL)
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation chain, the operators composed the way a real
+    pretraining pipeline runs them: quality filter (FineWeb/C4 rules) →
+    PII scrub → corpus-wide span dedup → token count → sequence packing
+    into 256-token shards. Every stage is an already-oracle-checked
+    operator; this query proves they COMPOSE (each stage's output
+    schema/semantics feeds the next) and the oracle replays the whole
+    chain in SQL. Plan-wise the chain stays one job: map-only filter +
+    scrub, two dedup shuffles, one packing window shuffle."""
+    from polars_mas_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    flags = tx.quality_filter(docs, "doc_id", "text", lang_col="lang")
+    kept = docs.join(
+        flags.filter(F.col("kept")).select("doc_id"), on="doc_id", how="left_semi"
+    )
+    scrubbed = tx.pii_scrub(kept.select("doc_id", "text"), "text")
+    deduped = dd.chunk_dedup(scrubbed, "doc_id", "text", k=10)
+    ntok = deduped.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text_dedup"), r"\s+"), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    packed = pack_sequences(ntok, "doc_id", "n_tokens", budget=256, n_shards=8)
+    return packed.select("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")
