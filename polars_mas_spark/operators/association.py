@@ -259,19 +259,42 @@ def make_kernel(
 def _pair_frame(
     spark: SparkSession, predictors: Iterable[str], dependents: Iterable[str]
 ) -> DataFrame:
-    """The P x D pair list as a PURE-JVM single-partition DataFrame.
+    """The P x D pair list as a PURE-JVM DataFrame.
 
-    NOT spark.createDataFrame(list_of_tuples): that parallelizes a
-    pickled Python RDD across defaultParallelism partitions, and every
-    partition launches a Python worker just to unpickle a couple of
-    strings — measured at ~2 s of dead wait per task on a busy daemon
-    (64 s of wall for a 3-row table on local[32])."""
-    preds = spark.range(1).select(
-        F.explode(F.array(*[F.lit(p) for p in predictors])).alias("predictor")
+    Preferred path: Arrow-backed ``createDataFrame(pandas)``, which
+    lands each name list as a JVM LocalRelation — one Arrow batch over
+    py4j, no Python workers at execution, and (unlike an
+    ``F.array(*[F.lit(...)])`` expression tree) no O(D) py4j round
+    trips: at 1,800 dependents the literal tree costs ~1 s of pure
+    driver time per build, the LocalRelation ~20 ms. The cross join of
+    two LocalRelations keeps the pair list JVM-side at any P x D.
+
+    NOT spark.createDataFrame(list_of_tuples) when Arrow is off: that
+    parallelizes a pickled Python RDD across defaultParallelism
+    partitions, and every partition launches a Python worker just to
+    unpickle a couple of strings — measured at ~2 s of dead wait per
+    task on a busy daemon (64 s of wall for a 3-row table on
+    local[32]); hence the literal-expression fallback."""
+    arrow = (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        == "true"
     )
-    deps = spark.range(1).select(
-        F.explode(F.array(*[F.lit(d) for d in dependents])).alias("dependent")
-    )
+    if arrow:
+        import pandas as pd
+
+        preds = spark.createDataFrame(
+            pd.DataFrame({"predictor": list(predictors)})
+        )
+        deps = spark.createDataFrame(
+            pd.DataFrame({"dependent": list(dependents)})
+        )
+    else:
+        preds = spark.range(1).select(
+            F.explode(F.array(*[F.lit(p) for p in predictors])).alias("predictor")
+        )
+        deps = spark.range(1).select(
+            F.explode(F.array(*[F.lit(d) for d in dependents])).alias("dependent")
+        )
     return preds.crossJoin(deps)
 
 

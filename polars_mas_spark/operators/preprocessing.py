@@ -269,67 +269,106 @@ def build_prep_recipe(df: DataFrame, config: MASConfig) -> PrepRecipe:
         recipe.sex_filter = (config.sex_col, config.female_only, config.female_code)
         df = limit_sex_specific(df, config)
 
-    if covs:
-        if strategy == "fail":
-            # Same two eager stats + messages as handle_missing_covariates.
-            total = df.count()
-            null_counts = df.agg(
-                *[F.count(F.when(qcol(c).isNull(), 1)).alias(c) for c in covs]
-            ).first()
-            for c in covs:
-                if null_counts[c] == total:
-                    raise ValueError(
-                        f"All values are missing in covariate column '{c}'."
-                    )
-                if null_counts[c] > 0:
-                    raise ValueError(
-                        f"Missing values found in covariate column '{c}': "
-                        f"{null_counts[c]} missing values."
-                    )
-        elif strategy == "drop":
-            recipe.drop_null_covs = list(covs)
-            df = df.na.drop(subset=covs)
-        elif strategy in ("forward", "backward"):
-            raise ValueError(
-                "forward/backward fill is order-dependent and cannot be "
-                "expressed as a per-task recipe; use the unpivot strategy."
-            )
-        elif strategy in ("min", "max", "mean"):
-            numeric = {
-                f.name for f in df.schema.fields
-                if isinstance(f.dataType, NumericType)
-            }
-            targets = [c for c in covs if c in numeric]
-            if targets:
-                agg_fn = {"min": F.min, "max": F.max, "mean": F.avg}[strategy]
-                stats = df.agg(*[agg_fn(qcol(c)).alias(c) for c in targets]).first()
-                recipe.fill_values = {
-                    c: stats[c] for c in targets if stats[c] is not None
-                }
-                df = df.na.fill(recipe.fill_values)
-        elif strategy in ("zero", "one"):
-            numeric = {
-                f.name for f in df.schema.fields
-                if isinstance(f.dataType, NumericType)
-            }
-            v = 0 if strategy == "zero" else 1
-            recipe.fill_values = {c: v for c in covs if c in numeric}
-            df = df.na.fill(v, subset=covs)
+    if strategy in ("forward", "backward") and covs:
+        raise ValueError(
+            "forward/backward fill is order-dependent and cannot be "
+            "expressed as a per-task recipe; use the unpivot strategy."
+        )
 
-    # Constant-covariate detection + categorical level sets in ONE job.
+    # ALL eager statistics in ONE aggregate job (two for `drop`, whose
+    # constant detection must observe the row-filtered frame): per
+    # covariate countDistinct + null count + min, the strategy's fill
+    # stat, and the categorical level sets. On a 1,800-column table
+    # every extra Spark job costs ~1 s of planning/scheduling latency
+    # regardless of how narrow the column pruning is, so the old
+    # fill-stats-then-refilled-countDistinct sequence paid for itself
+    # in dead driver time. The filled frame's distinct counts/levels
+    # are derived WITHOUT a second pass: filling changes them only when
+    # the column had nulls, and then only by possibly adding the fill
+    # value as one more distinct value (for constant detection only the
+    # nd<=1 region matters, where "fill equals the single raw value" is
+    # decidable from min alone).
     cats = [c for c in config.categorical_covariate_columns if c in covs]
-    if covs:
+    nd: dict[str, int] = {}
+    levels_map: dict[str, list] = {}
+    if covs and strategy == "drop":
+        recipe.drop_null_covs = list(covs)
+        df = df.na.drop(subset=covs)
         aggs = [F.countDistinct(qcol(c)).alias(f"__nd_{c}") for c in covs]
         aggs += [
             F.sort_array(F.collect_set(qcol(c))).alias(f"__lv_{c}") for c in cats
         ]
         row = df.agg(*aggs).first()
-        constant = [c for c in covs if row[f"__nd_{c}"] <= 1]
+        nd = {c: row[f"__nd_{c}"] for c in covs}
+        levels_map = {c: list(row[f"__lv_{c}"] or []) for c in cats}
+    elif covs:
+        numeric = {
+            f.name for f in df.schema.fields
+            if isinstance(f.dataType, NumericType)
+        }
+        agg_fn = {"min": F.min, "max": F.max, "mean": F.avg}.get(strategy)
+        aggs = []
+        for c in covs:
+            aggs += [
+                F.countDistinct(qcol(c)).alias(f"__nd_{c}"),
+                F.count(F.when(qcol(c).isNull(), 1)).alias(f"__nu_{c}"),
+                F.min(qcol(c)).alias(f"__mn_{c}"),
+            ]
+            if agg_fn is not None and c in numeric:
+                aggs.append(agg_fn(qcol(c)).alias(f"__fv_{c}"))
+        aggs += [
+            F.sort_array(F.collect_set(qcol(c))).alias(f"__lv_{c}") for c in cats
+        ]
+        if strategy == "fail":
+            aggs.append(F.count(F.lit(1)).alias("__total__"))
+        row = df.agg(*aggs).first()
+
+        if strategy == "fail":
+            # Same messages as handle_missing_covariates.
+            total = row["__total__"]
+            for c in covs:
+                if row[f"__nu_{c}"] == total:
+                    raise ValueError(
+                        f"All values are missing in covariate column '{c}'."
+                    )
+                if row[f"__nu_{c}"] > 0:
+                    raise ValueError(
+                        f"Missing values found in covariate column '{c}': "
+                        f"{row[f'__nu_{c}']} missing values."
+                    )
+        elif agg_fn is not None:
+            recipe.fill_values = {
+                c: row[f"__fv_{c}"]
+                for c in covs
+                if c in numeric and row[f"__fv_{c}"] is not None
+            }
+        elif strategy in ("zero", "one"):
+            v = 0 if strategy == "zero" else 1
+            recipe.fill_values = {c: v for c in covs if c in numeric}
+
+        for c in covs:
+            nd_c, nulls = row[f"__nd_{c}"], row[f"__nu_{c}"]
+            fill = recipe.fill_values.get(c)
+            if fill is not None and nulls > 0:
+                if nd_c == 0:
+                    nd_c = 1  # all-null column becomes all-fill
+                elif nd_c == 1 and fill != row[f"__mn_{c}"]:
+                    nd_c = 2  # fill adds a second value
+            nd[c] = nd_c
+        for c in cats:
+            levels = list(row[f"__lv_{c}"] or [])
+            fill = recipe.fill_values.get(c)
+            if fill is not None and row[f"__nu_{c}"] > 0 and fill not in levels:
+                levels = sorted([*levels, fill])
+            levels_map[c] = levels
+
+    if covs:
+        constant = [c for c in covs if nd[c] <= 1]
         covs = [c for c in covs if c not in constant]
         cats = [c for c in cats if c not in constant]
         new_cols: list[str] = []
         for c in cats:
-            levels = list(row[f"__lv_{c}"] or [])
+            levels = levels_map.get(c, [])
             if len(levels) <= 2:
                 continue
             recipe.onehot[c] = levels
