@@ -107,3 +107,47 @@ def test_rint_preserves_order(spark, vals):
     out = rint(df, "v", "z").orderBy("v").collect()
     zs = [r.z for r in out]
     assert all(a < b for a, b in zip(zs, zs[1:]))
+
+
+@given(txts=texts)
+@SETTINGS
+def test_chunk_dedup_idempotent_and_total(spark, txts):
+    """chunk_dedup keeps every doc_id, never grows a document, and a
+    second pass is a no-op (all first occurrences already survive)."""
+    from polars_mas_spark.operators.dedup import chunk_dedup
+
+    df = _docs(spark, txts)
+    once = chunk_dedup(df, "doc_id", "text", k=3)
+    rows1 = {r["doc_id"]: r["text_dedup"] for r in once.collect()}
+    assert set(rows1) == set(range(len(txts)))
+    for i, t in enumerate(txts):
+        assert len(rows1[i]) <= max(len(t), 0) + 1
+    twice = chunk_dedup(
+        once.withColumnRenamed("text_dedup", "text"), "doc_id", "text", k=3
+    )
+    rows2 = {r["doc_id"]: r["text_dedup"] for r in twice.collect()}
+    assert rows1 == rows2
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["0", "1", "2", "3"]),
+        st.floats(min_value=0.05, max_value=1.0),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_mixture_sample_never_upsamples_and_is_subset(spark, weights):
+    """Every stratum's sample is a subset of its input rows (no
+    upsampling by construction) and unlisted strata are excluded."""
+    from polars_mas_spark.operators import sampling as smp
+
+    ids = spark.range(0, 400).select(
+        F.col("id").alias("key"), (F.col("id") % 4).cast("string").alias("grp")
+    )
+    out = smp.mixture_sample(ids, "key", "grp", weights)
+    got = out.groupBy("grp").count().collect()
+    for r in got:
+        assert r["grp"] in weights
+        assert r["count"] <= 100
