@@ -2046,3 +2046,34 @@ def q_curation_pipeline(spark, sf_dir):
     )
     packed = pack_sequences(ntok, "doc_id", "n_tokens", budget=256, n_shards=8)
     return packed.select("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")
+
+
+@query(
+    "partitioned_scan_prune",
+    """SELECT event_id, user_id, epoch_us(ts) AS ts, round(value, 6) AS value
+       FROM events WHERE event_type = 'purchase'""",
+)
+def q_partitioned_scan_prune(spark, sf_dir):
+    """Hive-partitioned layout roundtrip (sources/writers.
+    write_partitioned): events re-land partitioned by event_type, the
+    filtered read prunes to one partition directory (PartitionFilters —
+    plan-asserted in tests/test_plans.py), and the oracle proves the
+    layout change loses nothing vs filtering the flat table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from polars_mas_spark.sources.writers import write_partitioned
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    path = tempfile.mkdtemp(prefix="pms_part_") + "/events_by_type"
+    atexit.register(shutil.rmtree, path.rsplit("/", 1)[0], ignore_errors=True)
+    write_partitioned(ev, path, ["event_type"], sort_within=["ts"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts"),
+        F.round("value", 6).alias("value"),
+    )
