@@ -95,13 +95,19 @@ def asof_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the right row with the
     largest right_ts <= left_ts (backward) or smallest right_ts >=
-    left_ts (forward), per key.
+    left_ts (forward), per key. ``tolerance_seconds`` bounds the match
+    gap (pandas ``merge_asof`` semantics): a match farther than the
+    tolerance is nulled out, turning "the most recent price" into "the
+    most recent price no older than N" — the stale-data guard every
+    production as-of consumer eventually needs.
 
     Union-sentinel implementation: one shuffle on (key, ts); scales with
-    key cardinality, never materializes candidate pairs."""
+    key cardinality, never materializes candidate pairs. The tolerance
+    is a map-side post-filter on the carried match — no extra shuffle."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns
@@ -140,6 +146,15 @@ def asof_join(
     carried = unioned.withColumn(
         "__match__", F.last("__rrow__", ignorenulls=True).over(w)
     ).filter(F.col("__is_left__") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts__").cast("long")
+            - F.col("__match__")[right_ts].cast("long")
+        )
+        carried = carried.withColumn(
+            "__match__",
+            F.when(gap <= F.lit(tolerance_seconds), F.col("__match__")),
+        )
     out_cols = [F.col("__lrow__")[c].alias(c) for c in lcols]
     out_cols.append(F.col("__match__")[right_ts].alias(f"asof_{right_ts}"))
     out_cols.extend(F.col("__match__")[c].alias(c) for c in value_cols)

@@ -2077,3 +2077,43 @@ def q_partitioned_scan_prune(spark, sf_dir):
         F.unix_micros("ts").alias("ts"),
         F.round("value", 6).alias("value"),
     )
+
+
+@query(
+    "asof_join_forward_tolerance",
+    """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts,
+              CASE WHEN r.ts IS NOT NULL
+                        AND abs(epoch(r.ts) - epoch(l.ts)) <= 7200
+                   THEN epoch_us(r.ts) END AS asof_ts,
+              CASE WHEN r.ts IS NOT NULL
+                        AND abs(epoch(r.ts) - epoch(l.ts)) <= 7200
+                   THEN round(r.purchase_value, 6) END AS purchase_value
+       FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                              value AS purchase_value
+                       FROM events WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts <= r.ts""",
+)
+def q_asof_join_forward_tolerance(spark, sf_dir):
+    """Forward as-of with a 2-hour staleness bound: each click matched
+    to the NEXT purchase by the same user, nulled when farther than the
+    tolerance (pandas merge_asof semantics; the tolerance is a map-side
+    post-filter, no extra shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = wd.asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["purchase_value"], direction="forward",
+        tolerance_seconds=7200,
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts"),
+        F.unix_micros("asof_ts").alias("asof_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
