@@ -74,13 +74,25 @@ def interval_join(
     nested loop here — fine for a broadcastable side, quadratic when
     both sides are big, which is exactly when this operator is the
     right physical plan.
+
+    Only inner joins are supported: with an outer ``how`` the residual
+    BETWEEN would have to ride inside the join condition (a post-join
+    filter silently re-inners the join by dropping the null-extended
+    rows) and, because an unmatched point meets every exploded bin row
+    it fails to match, the null-extension semantics of the binned plan
+    do not compose — refuse rather than return wrong rows.
     """
+    if how != "inner":
+        raise ValueError(
+            "interval_join supports only how='inner'; for left semantics "
+            "anti-join the inner result against the points side"
+        )
     pt_bin = F.floor(qcol(ts_col).cast("long") / F.lit(bin_seconds))
     lo = F.floor(qcol(start_col).cast("long") / F.lit(bin_seconds))
     hi = F.floor(qcol(end_col).cast("long") / F.lit(bin_seconds))
     pts = points.withColumn("__bin__", pt_bin)
     ivs = intervals.withColumn("__bin__", F.explode(F.sequence(lo, hi)))
-    joined = pts.join(ivs, on=[on, "__bin__"], how=how).filter(
+    joined = pts.join(ivs, on=[on, "__bin__"], how="inner").filter(
         qcol(ts_col).between(qcol(start_col), qcol(end_col))
     )
     return joined.drop("__bin__")
