@@ -1351,7 +1351,7 @@ def q_mas_logistic_fanout(spark, sf_dir):
         covariates=["sum_qty", "avg_disc"],
         model="logistic", min_case_count=10,
     )
-    res = run_pipeline(spark, cfg, df=wide)
+    res = run_pipeline(spark, cfg, df=wide, strategy="unpivot")
     return res.select(
         "predictor", "dependent",
         F.round("beta", 6).alias("beta"),
@@ -1374,7 +1374,7 @@ def q_mas_firth_fanout(spark, sf_dir):
         covariates=["sum_qty", "avg_disc"],
         model="firth", min_case_count=10,
     )
-    res = run_pipeline(spark, cfg, df=wide)
+    res = run_pipeline(spark, cfg, df=wide, strategy="unpivot")
     return res.select(
         "predictor", "dependent",
         F.round("beta", 6).alias("beta"),
@@ -1636,7 +1636,7 @@ def _run_phewas(spark, sf_dir, n_phecodes):
         predictors="exposure", dependents=deps, covariates=covs,
         model="firth", min_case_count=20,
     )
-    res = run_pipeline(spark, cfg, df=wide)
+    res = run_pipeline(spark, cfg, df=wide, strategy="columnar")
     return res.select(
         "predictor", "dependent",
         F.round("beta", 6).alias("beta"),
