@@ -20,7 +20,7 @@ The salt decorrelates independent samples drawn from the same keys
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_mas_spark.colutils import qcol
@@ -118,6 +118,39 @@ def mixture_sample(
         k = int(math.floor(share * feasible / n * buckets + 0.5)) if n else 0
         thresh = F.when(qcol(strata_col) == F.lit(value), F.lit(k)).otherwise(thresh)
     return df.filter(hash_bucket(qcol(key_col), buckets, salt) < thresh)
+
+
+def cap_tokens_per_source(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Cap each source at a token BUDGET: documents are admitted in
+    ``order_col`` order (a stable id — deterministic, re-ingestion-safe)
+    until the source's running token total passes the budget; the
+    document that crosses the line is still admitted (budgets are
+    targets, not hard container sizes), everything after it is cut.
+    This is the per-domain data-budget allocation step of a pretraining
+    mix — "at most N tokens of web, M of code" — downstream of rate
+    sampling (``mixture_sample`` sets proportions, this sets absolute
+    ceilings).
+
+    One hash shuffle on the source column; the running sum is a
+    partitioned window, so a hot source is bounded by its own row
+    count. At extreme single-source skew, pre-aggregate candidates with
+    [[deterministic_sample]] first to shrink the window input."""
+    order = qcol(order_col) if order_col else qcol(source_col)  # stable
+    w = (
+        Window.partitionBy(qcol(source_col))
+        .orderBy(order.asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(qcol(tokens_col)).over(w), F.lit(0))
+    return df.withColumn("__prior__", prior).filter(
+        F.col("__prior__") < F.lit(budget)
+    ).drop("__prior__")
 
 
 def train_eval_split(

@@ -2117,3 +2117,32 @@ def q_asof_join_forward_tolerance(spark, sf_dir):
         F.unix_micros("asof_ts").alias("asof_ts"),
         F.round("purchase_value", 6).alias("purchase_value"),
     )
+
+
+@query(
+    "cap_tokens_per_source",
+    rf"""WITH {_NTOK_SQL},
+        j AS (
+            SELECT d.doc_id, d.source, n.n_tokens
+            FROM documents d JOIN ntok n ON d.doc_id = n.doc_id),
+        r AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prior
+            FROM j)
+        SELECT doc_id, source, n_tokens FROM r WHERE prior < 600""",
+)
+def q_cap_tokens_per_source(spark, sf_dir):
+    """Per-domain token-budget ceiling (operators/sampling.
+    cap_tokens_per_source): admit documents per source in stable doc_id
+    order until 600 tokens; the crossing document is admitted,
+    everything after is cut. One shuffle on source."""
+    docs = _docs_ntok(spark, sf_dir).join(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"), on="doc_id"
+    )
+    out = smp.cap_tokens_per_source(
+        docs, "source", "n_tokens", budget=600, order_col="doc_id"
+    )
+    return out.select("doc_id", "source", "n_tokens")
