@@ -492,20 +492,32 @@ def _complete_pairs(
     # join — at that scale the pair list is also worth distributing.
     right = F.broadcast(present) if num_pairs <= 500_000 else present
     joined = pairs.join(right, ["predictor", "dependent"], "left")
+
+    # NaN/NULL failure representation — the single place it is decided.
+    # The pandas kernel emits float NaN for every unfit statistic
+    # (reference analysis.py:228-260 sentinels), but the Arrow grouped-map
+    # boundary converts pandas NaN -> Spark NULL. The kernel never emits a
+    # true null in a double column, so any NULL double here IS a converted
+    # NaN: coalesce it back. This keeps output files showing NaN like the
+    # reference AND makes `pval IS NOT NULL` counting match polars'
+    # is_not_null() (True for NaN) — failed fits count toward the
+    # Bonferroni num_tests exactly as in reference postprocessing.py:18.
+    def _value(c: str, v):
+        dtype = schema_types[c]
+        absent = F.lit(v).cast(dtype)  # F.lit(nan) is a real double NaN
+        present_val = F.col(c)
+        if isinstance(dtype, T.DoubleType):
+            present_val = F.coalesce(present_val, F.lit(float("nan")))
+        return (
+            F.when(F.col("__present__").isNull(), absent)
+            .otherwise(present_val)
+            .alias(c)
+        )
+
     filled = joined.select(
         "predictor",
         "dependent",
-        *[
-            F.when(
-                F.col("__present__").isNull(),
-                F.lit(
-                    None if isinstance(v, float) and math.isnan(v) else v
-                ).cast(schema_types[c]),
-            )
-            .otherwise(F.col(c))
-            .alias(c)
-            for c, v in defaults.items()
-        ],
+        *[_value(c, v) for c, v in defaults.items()],
     )
     # Sort the (tiny: P x D rows) results table. NOT orderBy: a global
     # orderBy range-samples its input, which would execute the entire

@@ -49,9 +49,15 @@ def bonferroni(
     """Add ``bonferroni_significant`` = pval < baseline / #non-null-tests
     (postprocessing.py:14-20). Reference parity: polars' ``is_not_null()``
     is True for float NaN, so failed fits (which carry NaN p-values)
-    COUNT toward the test total — only true nulls are excluded. Pass
-    ``num_tests`` to reuse an already-computed count (one aggregate job
-    can serve both corrections, see run_pipeline)."""
+    COUNT toward the test total — only true nulls are excluded. The
+    association fan-out guarantees failure rows reach this operator as
+    NaN, not NULL (the Arrow grouped-map boundary converts pandas NaN to
+    Spark NULL; ``association._complete_pairs`` coalesces every NULL
+    double back to NaN — the one documented place that decision lives),
+    so ``isNotNull`` here counts exactly what the reference counts. NaN
+    pvals then compare False against the threshold, matching polars.
+    Pass ``num_tests`` to reuse an already-computed count (one aggregate
+    job can serve both corrections, see run_pipeline)."""
     if num_tests is None:
         num_tests = df.filter(F.col(pval_col).isNotNull()).count()
     if num_tests == 0:

@@ -114,8 +114,10 @@ def run_pipeline(
     # action, and without the cache the whole regression fan-out would
     # run twice (once for the count, once for the caller's collect).
     # ONE aggregate job serves both corrections: bonferroni's
-    # reference-parity count (non-null, NaN included) and BH's usable
-    # count (NaN excluded).
+    # reference-parity count (non-null, NaN included — failure rows are
+    # NaN by _complete_pairs' NULL->NaN restore, so they COUNT, exactly
+    # like reference postprocessing.py:18 where polars is_not_null() is
+    # True for NaN) and BH's usable count (NaN excluded).
     from pyspark.sql import functions as F
 
     counts = results.agg(

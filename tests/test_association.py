@@ -75,16 +75,62 @@ def test_failure_rows_not_exceptions(synth, spark):
         predictors="x", dependents=["ph_0", "ph_rare", "ph_null"],
         covariates=["age", "sex"], model="firth", min_case_count=20,
     )
-    res = run_associations(df, cfg.resolve(df.columns)).toPandas().set_index("dependent")
+    out = run_associations(df, cfg.resolve(df.columns))
+    # Failure rows must arrive as float NaN, NEVER Spark NULL: the Arrow
+    # grouped-map boundary converts the kernel's pandas NaN to NULL, and
+    # _complete_pairs restores it so `pval IS NOT NULL` counts failures
+    # exactly like the reference's polars is_not_null() (VERDICT r2 #1).
+    from pyspark.sql import functions as F
+
+    assert out.filter(F.col("pval").isNull()).count() == 0
+    assert out.filter(F.isnan("pval")).count() == 2  # ph_rare + ph_null
+    res = out.toPandas().set_index("dependent")
     rare = res.loc["ph_rare"]
     assert rare["failed_reason"] == "Insufficient case count (5 cases)."
-    assert math.isnan(rare["pval"]) or rare["pval"] is None
+    assert math.isnan(rare["pval"])
     assert rare["cases"] == -9 and rare["converged"] == False  # noqa: E712
     nul = res.loc["ph_null"]
     assert nul["failed_reason"] == "No data after dropping nulls."
+    assert math.isnan(nul["pval"])
     ok = res.loc["ph_0"]
     assert ok["failed_reason"] == "nan"
     assert ok["converged"] == True  # noqa: E712
+
+
+def test_failed_fits_count_toward_bonferroni(synth, spark):
+    # Reference parity (postprocessing.py:18): num_tests counts every
+    # row whose pval is not a true null — NaN failure rows INCLUDED. With
+    # 3 dependents (one engineered to fail validation), the threshold
+    # must be 0.05/3, not 0.05/2.
+    from pyspark.sql import functions as F
+
+    pdf, df = synth
+    cfg = MASConfig(
+        predictors="x", dependents=["ph_0", "ph_1", "ph_rare"],
+        covariates=["age", "sex"], model="logistic", min_case_count=20,
+    )
+    res = run_pipeline(spark, cfg, df=df)
+    # The failed fit reaches bonferroni as NaN => counted in num_tests.
+    assert res.filter(F.col("pval").isNotNull()).count() == 3
+    out = res.toPandas().set_index("dependent")
+    assert out.loc["ph_rare", "failed_reason"].startswith("Insufficient case")
+    # NaN < threshold is False, not NULL — failure rows are explicitly
+    # non-significant (polars semantics), not missing.
+    assert out.loc["ph_rare", "bonferroni_significant"] == False  # noqa: E712
+    # Threshold uses all 3 tests: a pval between 0.05/3 and 0.05/2 must
+    # be non-significant. Verify via the scalar operator directly.
+    from polars_mas_spark.operators.postprocessing import bonferroni
+
+    # NB: createDataFrame(pandas) would itself convert NaN -> NULL at the
+    # Arrow boundary; a SQL literal produces a true double NaN.
+    probe = spark.sql(
+        "SELECT pval FROM VALUES (0.02D), (CAST('NaN' AS DOUBLE)), (0.0001D) t(pval)"
+    )
+    flagged = bonferroni(probe).toPandas().sort_values("pval").reset_index(drop=True)
+    # 0.05/3 = 0.01667 < 0.02 -> NOT significant (with the undercount bug
+    # num_tests would be 2 -> 0.025 threshold -> wrongly significant).
+    assert flagged.loc[1, "bonferroni_significant"] == False  # noqa: E712
+    assert flagged.loc[0, "bonferroni_significant"] == True  # noqa: E712
 
 
 def test_multi_predictor_fanout(synth, spark):
