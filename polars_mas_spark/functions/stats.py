@@ -329,22 +329,31 @@ def firth_profile_ci(
             continue
         # Safeguarded Newton on [b_in, b_out] (f_in > target > f_out).
         # Iterate from the out-side point (whose f and f' we have).
+        # Convergence is GUARANTEED, not just typical: any iteration
+        # that fails to halve the bracket forces the next step to be a
+        # bisection, so 30 iterations give >= 15 halvings even on
+        # ill-conditioned profiles where Newton creeps along one edge
+        # of a slowly-shrinking bracket.
         b_cur, f_cur, g_cur = b_out, f_out, g_out
         best_b, best_gap = b_cur, abs(f_cur - target)
+        force_bisect = False
         for _ in range(30):
             if abs(f_cur - target) < tol or abs(b_out - b_in) < 1e-10:
                 break
             lo, hi = sorted((b_in, b_out))
             b_next = (
-                b_cur + (target - f_cur) / g_cur if g_cur != 0.0 else math.nan
+                b_cur + (target - f_cur) / g_cur
+                if (g_cur != 0.0 and not force_bisect)
+                else math.nan
             )
-            if not (lo < b_next < hi):  # NaN or out of bracket
+            if not (lo < b_next < hi):  # NaN, forced, or out of bracket
                 b_next = 0.5 * (b_in + b_out)
             f_next, warm, g_next = _profile_pll(Xc, y, j, b_next, warm)
             if f_next >= target:
                 b_in, f_in = b_next, f_next
             else:
                 b_out, f_out = b_next, f_next
+            force_bisect = abs(b_out - b_in) > 0.5 * (hi - lo)
             b_cur, f_cur, g_cur = b_next, f_next, g_next
             if abs(f_cur - target) < best_gap:
                 best_b, best_gap = b_cur, abs(f_cur - target)

@@ -91,7 +91,12 @@ def mixture_sample(
     largest output that honors the target proportions WITHOUT
     upsampling any stratum, derive each stratum's acceptance rate, and
     apply it as one deterministic hash filter. Strata not named in
-    ``weights`` are excluded.
+    ``weights`` are excluded. A weighted stratum with NO rows in the
+    data is skipped — it does not constrain the feasible total (the
+    remaining strata keep their original relative weights, mirroring
+    the SQL oracle's inner join of counts to weights); if no weighted
+    stratum has any rows, this raises rather than silently returning
+    an empty sample.
 
     The only non-map work is one tiny per-stratum count aggregation
     (rows = number of distinct strata — driver-safe at any corpus
@@ -108,10 +113,20 @@ def mixture_sample(
     }
     total_w = sum(weights.values())
     shares = {s: w / total_w for s, w in weights.items()}
-    # Largest total honoring every share with the rows each stratum has.
-    feasible = min(
-        counts.get(s, 0) / share for s, share in shares.items() if share > 0
-    )
+    # Largest total honoring every PRESENT stratum's share with the rows
+    # it has. Absent strata are skipped (not treated as 0/share = 0,
+    # which would zero out the whole mix).
+    ratios = [
+        counts[s] / share
+        for s, share in shares.items()
+        if share > 0 and counts.get(s, 0) > 0
+    ]
+    if not ratios:
+        raise ValueError(
+            "mixture_sample: no stratum named in `weights` has any rows "
+            f"in the data (weights={sorted(weights)})"
+        )
+    feasible = min(ratios)
     thresh: Column = F.lit(0)
     for value, share in sorted(shares.items()):
         n = counts.get(value, 0)
@@ -137,11 +152,24 @@ def cap_tokens_per_source(
     sampling (``mixture_sample`` sets proportions, this sets absolute
     ceilings).
 
+    ``order_col`` is REQUIRED: ordering the running sum by anything
+    that is not unique per row within a source (in particular the
+    source column itself, constant per window partition) would make
+    the admitted row set depend on physical row order — a different
+    answer per shuffle, breaking the determinism this operator exists
+    to provide.
+
     One hash shuffle on the source column; the running sum is a
     partitioned window, so a hot source is bounded by its own row
     count. At extreme single-source skew, pre-aggregate candidates with
     [[deterministic_sample]] first to shrink the window input."""
-    order = qcol(order_col) if order_col else qcol(source_col)  # stable
+    if order_col is None:
+        raise ValueError(
+            "cap_tokens_per_source requires order_col (a stable per-row "
+            "id): without it the admission order — and therefore the "
+            "returned row set — is nondeterministic."
+        )
+    order = qcol(order_col)
     w = (
         Window.partitionBy(qcol(source_col))
         .orderBy(order.asc())

@@ -110,15 +110,24 @@ def compact_parquet(
     target_files: int,
     partition_cols: list[str] | None = None,
 ) -> None:
-    """Rewrite a parquet dataset into ``target_files`` files (per
-    partition directory if ``partition_cols`` given). Streaming
-    ingestion and fine-grained writes leave thousands of small files;
-    at cluster scale the fix is periodic compaction, not bigger
-    drivers. Uses coalesce (no shuffle) for plain layouts and a
-    repartition on the partition columns for partitioned ones (so each
-    output file holds one partition's rows)."""
+    """Rewrite a parquet dataset into fewer files. Streaming ingestion
+    and fine-grained writes leave thousands of small files; at cluster
+    scale the fix is periodic compaction, not bigger drivers.
+
+    Plain layouts coalesce (no shuffle) to ``target_files`` total.
+    Partitioned layouts repartition on the partition columns, which
+    co-locates each partition value in one task and therefore yields
+    ONE file per partition directory — the usual compaction target;
+    ``target_files`` only bounds the number of concurrent write tasks.
+
+    Swap is crash-safe: the compacted copy is written beside the
+    dataset, the original is renamed aside, the copy moved into place,
+    and only then is the original deleted — at no point between
+    filesystem operations is the data unrecoverable (a crash leaves
+    either the original or both copies on disk, never neither)."""
     df = spark.read.parquet(path)
-    tmp = f"{path.rstrip('/')}__compact_tmp__"
+    base = path.rstrip("/")
+    tmp = f"{base}__compact_tmp__"
     if partition_cols:
         (
             df.repartition(target_files, *[df[c] for c in partition_cols])
@@ -126,5 +135,13 @@ def compact_parquet(
         )
     else:
         df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    old = f"{base}__compact_old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # roll back; the compacted tmp stays for retry
+        raise
+    shutil.rmtree(old)

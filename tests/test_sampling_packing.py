@@ -106,3 +106,31 @@ def test_mixture_sample_deterministic(ids):
     a = {r.key for r in smp.mixture_sample(ids, "key", "grp", w).collect()}
     b = {r.key for r in smp.mixture_sample(ids, "key", "grp", w).collect()}
     assert a == b and a
+
+
+def test_mixture_sample_absent_stratum_skipped(ids):
+    """A weighted stratum with no rows must not zero out the whole mix
+    (ADVICE r2): it is skipped, present strata keep their original
+    relative weights — identical to the SQL oracle's inner join."""
+    with_ghost = smp.mixture_sample(
+        ids, "key", "grp", {"0": 0.5, "1": 0.25, "ghost": 0.25}
+    )
+    without = smp.mixture_sample(ids, "key", "grp", {"0": 0.5, "1": 0.25})
+    a = {r.key for r in with_ghost.collect()}
+    b = {r.key for r in without.collect()}
+    assert a == b and a  # ghost stratum contributes nothing, removes nothing
+    with pytest.raises(ValueError, match="no stratum"):
+        smp.mixture_sample(ids, "key", "grp", {"ghost": 1.0})
+
+
+def test_cap_tokens_requires_order_col(ids):
+    df = ids.withColumn("n_tokens", F.lit(10))
+    with pytest.raises(ValueError, match="order_col"):
+        smp.cap_tokens_per_source(df, "grp", "n_tokens", budget=100)
+    # With a stable order the cap admits ~budget/tokens rows per source
+    # including the crossing document.
+    out = smp.cap_tokens_per_source(
+        df, "grp", "n_tokens", budget=95, order_col="key"
+    )
+    by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in by.values())  # 9 full + the crossing doc
