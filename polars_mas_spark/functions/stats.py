@@ -169,6 +169,14 @@ def _firth_penalized_loglik(Xc: np.ndarray, y: np.ndarray, beta: np.ndarray) -> 
     p = _sigmoid(Xc @ beta)
     w = p * (1.0 - p)
     fisher = (Xc * w[:, None]).T @ Xc
+    return _pll_from_parts(y, p, fisher)
+
+
+def _pll_from_parts(y: np.ndarray, p: np.ndarray, fisher: np.ndarray) -> float:
+    """Penalized log-likelihood from already-computed fit byproducts —
+    avoids re-evaluating p and the information matrix when the caller
+    (the profile-CI search, one call per scalar evaluation × thousands
+    of regressions) just finished a Newton solve that produced them."""
     sign, logdet = np.linalg.slogdet(fisher)
     if sign <= 0:
         return -math.inf
@@ -205,8 +213,11 @@ def _firth_newton(
             fisher_inv = np.linalg.inv(fisher)
         except np.linalg.LinAlgError:
             fisher_inv = np.linalg.pinv(fisher)
-        # Hat-matrix diagonal h_i = w_i * x_i' I^{-1} x_i.
-        h = w * np.einsum("ij,jk,ik->i", Xc, fisher_inv, Xc)
+        # Hat-matrix diagonal h_i = w_i * x_i' I^{-1} x_i, as one BLAS
+        # matmul + a row-wise dot (the 3-operand einsum form contracts
+        # in C loops without BLAS and dominated the whole Firth kernel's
+        # profile at ~60% of fit time).
+        h = w * np.einsum("ij,ij->i", Xc @ fisher_inv, Xc)
         # Firth modified score: X' (y - p + h (1/2 - p)).
         score = Xc.T @ (y - p + h * (0.5 - p))
         score_f = score[free]
@@ -230,7 +241,9 @@ def _firth_newton(
         cov = np.linalg.inv(fisher)
     except np.linalg.LinAlgError:
         cov = np.linalg.pinv(fisher)
-    return beta, cov, converged
+    # p/w/fisher are final-state byproducts; returning them lets the
+    # profile-CI search skip a full recomputation per scalar evaluation.
+    return beta, cov, converged, p, w, fisher
 
 
 def _profile_pll(
@@ -254,17 +267,15 @@ def _profile_pll(
     # argument the profile value's error is SECOND order in the inner
     # solve's error (1e-4 coords -> ~1e-8 in f), well inside the scalar
     # search's tolerance; measured bound movement < 1e-14.
-    beta_c, _, _ = _firth_newton(Xc, y, free, beta0=beta0, xtol=1e-4, gtol=1e-4)
-    p = _sigmoid(Xc @ beta_c)
-    w = p * (1.0 - p)
-    fisher = (Xc * w[:, None]).T @ Xc
-    try:
-        fisher_inv = np.linalg.inv(fisher)
-    except np.linalg.LinAlgError:
-        fisher_inv = np.linalg.pinv(fisher)
-    h = w * np.einsum("ij,jk,ik->i", Xc, fisher_inv, Xc)
+    beta_c, cov, _, p, w, fisher = _firth_newton(
+        Xc, y, free, beta0=beta0, xtol=1e-4, gtol=1e-4
+    )
+    # The solver's final-state byproducts (p, w, fisher, cov=fisher^-1)
+    # are exactly what the profile value and derivative need — no
+    # recomputation.
+    h = w * np.einsum("ij,ij->i", Xc @ cov, Xc)
     grad_j = float(Xc[:, j] @ (y - p + h * (0.5 - p)))
-    return _firth_penalized_loglik(Xc, y, beta_c), beta_c, grad_j
+    return _pll_from_parts(y, p, fisher), beta_c, grad_j
 
 
 def firth_profile_ci(
@@ -330,12 +341,17 @@ def firth_profile_ci(
         # Safeguarded Newton on [b_in, b_out] (f_in > target > f_out).
         # Iterate from the out-side point (whose f and f' we have).
         # Convergence is GUARANTEED, not just typical: any iteration
-        # that fails to halve the bracket forces the next step to be a
-        # bisection, so 30 iterations give >= 15 halvings even on
-        # ill-conditioned profiles where Newton creeps along one edge
-        # of a slowly-shrinking bracket.
+        # whose |f - target| fails to shrink by at least 30% forces the
+        # next step to be a bisection (which halves the bracket), so a
+        # stalling Newton cannot burn the iteration cap creeping along
+        # an ill-conditioned profile. The trigger is on f-progress, NOT
+        # bracket width — Newton converging quadratically to a root
+        # near one end of the bracket never shrinks the width much, and
+        # a width trigger would punish exactly the healthy case (it
+        # measurably doubled evaluations per side when tried).
         b_cur, f_cur, g_cur = b_out, f_out, g_out
         best_b, best_gap = b_cur, abs(f_cur - target)
+        prev_gap = best_gap
         force_bisect = False
         for _ in range(30):
             if abs(f_cur - target) < tol or abs(b_out - b_in) < 1e-10:
@@ -353,10 +369,12 @@ def firth_profile_ci(
                 b_in, f_in = b_next, f_next
             else:
                 b_out, f_out = b_next, f_next
-            force_bisect = abs(b_out - b_in) > 0.5 * (hi - lo)
+            gap = abs(f_next - target)
+            force_bisect = gap > 0.7 * prev_gap
+            prev_gap = gap
             b_cur, f_cur, g_cur = b_next, f_next, g_next
-            if abs(f_cur - target) < best_gap:
-                best_b, best_gap = b_cur, abs(f_cur - target)
+            if gap < best_gap:
+                best_b, best_gap = b_cur, gap
         bounds[side] = best_b
     return bounds[0], bounds[1]
 
@@ -376,15 +394,21 @@ def firth_fit(X: np.ndarray, y: np.ndarray, ci_method: str = "profile") -> dict:
     y = np.asarray(y, dtype=np.float64)
     k = Xc.shape[1]
     all_free = np.ones(k, dtype=bool)
-    beta, cov, conv_full = _firth_newton(Xc, y, all_free)
-    pll_full = _firth_penalized_loglik(Xc, y, beta)
+    beta, cov, conv_full, p_full, _, fish_full = _firth_newton(Xc, y, all_free)
+    pll_full = _pll_from_parts(y, p_full, fish_full)
 
+    # LRT null fit warm-started from the full-model solution (the
+    # reference's firthmodels warm_start=True, models.py:41): with only
+    # coef 0 moved to zero the remaining coordinates start near their
+    # constrained optimum, so this solve typically needs 2-3 iterations.
     constrained = np.ones(k, dtype=bool)
     constrained[0] = False
     beta_null = beta.copy()
     beta_null[0] = 0.0
-    beta0, _, conv_null = _firth_newton(Xc, y, constrained, beta0=beta_null)
-    pll_null = _firth_penalized_loglik(Xc, y, beta0)
+    _, _, conv_null, p_null, _, fish_null = _firth_newton(
+        Xc, y, constrained, beta0=beta_null
+    )
+    pll_null = _pll_from_parts(y, p_null, fish_null)
 
     lr = max(2.0 * (pll_full - pll_null), 0.0)
     pval = chi2_sf(lr, 1.0)

@@ -111,6 +111,52 @@ def test_ols_perfect_fit_p_near_zero():
     assert res["beta"] == pytest.approx(3.0, abs=1e-8)
 
 
+def test_logistic_mtcars_glm_golden():
+    """Golden parity with R's glm(am ~ wt + hp, mtcars, binomial) — the
+    published coefficients/SEs/p-values appear in the R docs and countless
+    reproductions; mtcars itself ships with R (Henderson & Velleman 1981).
+    Exercises the Wald path (K2) against an external oracle the way the
+    reference validates against statsmodels Logit (models.py:56-69)."""
+    wt = [2.620, 2.875, 2.320, 3.215, 3.440, 3.460, 3.570, 3.190, 3.150,
+          3.440, 3.440, 4.070, 3.730, 3.780, 5.250, 5.424, 5.345, 2.200,
+          1.615, 1.835, 2.465, 3.520, 3.435, 3.840, 3.845, 1.935, 2.140,
+          1.513, 3.170, 2.770, 3.570, 2.780]
+    hp = [110, 110, 93, 110, 175, 105, 245, 62, 95, 123, 123, 180, 180,
+          180, 205, 215, 230, 66, 52, 65, 97, 150, 150, 245, 175, 66, 91,
+          113, 264, 175, 335, 109]
+    am = [1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 0,
+          0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1]
+    X = np.column_stack([wt, hp]).astype(float)
+    y = np.array(am, float)
+    # R: glm(am ~ wt + hp, family=binomial): wt -8.08348 (SE 3.06868,
+    # p 0.00843), hp 0.03626 (SE 0.01773, p 0.04091).
+    res_wt = logistic_fit(X, y)
+    assert res_wt["beta"] == pytest.approx(-8.08348, abs=1e-5)
+    assert res_wt["se"] == pytest.approx(3.06868, abs=1e-5)
+    assert res_wt["pval"] == pytest.approx(0.00843, abs=1e-5)
+    res_hp = logistic_fit(X[:, [1, 0]], y)
+    assert res_hp["beta"] == pytest.approx(0.03626, abs=1e-5)
+    assert res_hp["se"] == pytest.approx(0.01773, abs=1e-5)
+    assert res_hp["pval"] == pytest.approx(0.04091, abs=1e-5)
+
+
+def test_firth_haldane_exact_zero_cell():
+    """On any 2x2 table the Firth penalized-likelihood solution is
+    EXACTLY the Haldane-Anscombe +1/2-corrected log odds ratio — an
+    external closed-form oracle that stays finite even with an empty
+    cell (the situation Firth exists for). Three tables including a
+    zero cell and a heavily imbalanced one."""
+    for a, b, c, d in [(0, 12, 18, 30), (3, 97, 55, 45), (25, 5, 5, 25)]:
+        x, y = _two_by_two(a, b, c, d)
+        res = firth_fit(x, y)
+        expected = math.log(
+            (a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))
+        )
+        assert res["beta"] == pytest.approx(expected, abs=1e-6), (a, b, c, d)
+        assert res["converged"] is True
+        assert res["ci_low"] < res["beta"] < res["ci_high"]
+
+
 def test_firth_sex2_golden():
     """Golden parity on the `logistf` sex2 dataset — THE standard Firth
     validation fixture (239 rows; bundled unused by the reference at
@@ -142,12 +188,19 @@ def test_firth_sex2_golden():
         res = firth_fit(X[:, cols], y)
         coef, (lo, hi) = published[nm]
         assert res["converged"] is True
-        assert res["beta"] == pytest.approx(coef, abs=1e-4), nm
+        # Measured agreement with published logistf: max |Δbeta| ≈ 8e-6,
+        # limited by logistf's own convergence/rounding, not ours
+        # (tightening our Newton tol from 1e-5 to 1e-8 moves betas by
+        # <1e-8). The reference's 1e-8 R-parity claim compares two
+        # implementations of the same algorithm at matched tolerances;
+        # against the PUBLISHED (7-decimal) values ~1e-5 is the floor.
+        assert res["beta"] == pytest.approx(coef, abs=2e-5), nm
         # Profile penalized-likelihood CIs (reference delegates these to
-        # firthmodels, models.py:45-53); 5e-3 covers logistf's own
-        # root-finding tolerance.
-        assert res["ci_low"] == pytest.approx(lo, abs=5e-3), nm
-        assert res["ci_high"] == pytest.approx(hi, abs=5e-3), nm
+        # firthmodels, models.py:45-53); 1e-3 covers logistf's own
+        # root-finding tolerance on the bound search (measured max
+        # disagreement 1.8e-3, on the flattest profile).
+        assert res["ci_low"] == pytest.approx(lo, abs=2e-3), nm
+        assert res["ci_high"] == pytest.approx(hi, abs=2e-3), nm
     # Published LRT p-value (logistf summary): age 6.148205e-03.
     res_age = firth_fit(X[:, [0, 1, 2, 3, 4, 5]], y)
-    assert res_age["pval"] == pytest.approx(6.148205e-03, abs=1e-4)
+    assert res_age["pval"] == pytest.approx(6.148205e-03, abs=1e-5)
