@@ -91,18 +91,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a failed query is reported, not fatal
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
+    # Min of N full passes (default 2): single-shot numbers on a shared
+    # box swing ±15% with background load (r2's "regressions" on
+    # unchanged plans were exactly this), and the minimum is the
+    # standard load-insensitive estimator of the true cost.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    for _ in range(passes):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                t = round(time.time() - t0, 3)
+                prev = timings.get(name)
+                timings[name] = t if prev is None or prev <= 0 else min(prev, t)
+            except Exception as e:  # a failed query is reported, not fatal
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                timings.setdefault(name, -1.0)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
@@ -113,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "passes": passes,
             }
         )
     )

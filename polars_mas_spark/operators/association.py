@@ -161,6 +161,104 @@ def build_long_table(
     return long_df
 
 
+PACKED_BUCKET = "__dep_bucket__"
+PACKED_DEPS = "__dep_values__"
+
+
+def dependent_buckets(dependents: list[str], n_buckets: int) -> list[list[str]]:
+    """Contiguous chunks of the dependent list, one per bucket."""
+    n_buckets = max(1, min(n_buckets, len(dependents)))
+    size = -(-len(dependents) // n_buckets)  # ceil
+    return [dependents[i : i + size] for i in range(0, len(dependents), size)]
+
+
+def build_packed_long_table(
+    df: DataFrame,
+    predictors: list[str],
+    dependents: list[str],
+    covariates: list[str],
+    bucket_deps: list[list[str]],
+) -> DataFrame:
+    """Wide -> packed long: one row per (sample, predictor, dep-bucket)
+    with that bucket's dependent values packed into ONE array column and
+    covariates riding along as plain columns.
+
+    This is the SURVEY §7.4.6 tall-table mitigation. The classic unpivot
+    shuffles P x D rows per sample, each duplicating all C covariates —
+    shuffle cells ~ n·P·D·(C+1). Packing moves the same information in
+    P x G rows per sample (G = bucket count), each carrying C covariates
+    once plus D/G dependent values — cells ~ n·P·(G·C + D). With G sized
+    to the cluster parallelism (and D large, the PheWAS direction) the
+    covariate duplication factor drops from D to G while the kernel
+    stage keeps P·G-way parallelism. Dependent nulls can no longer be
+    dropped map-side (they travel inside the arrays as NaN); the kernel
+    masks them per dependent, which is the same work in a different
+    place — predictor nulls are still dropped before the shuffle."""
+    cov_pairs = safe_covariate_pairs(covariates)
+    cov_cols = [qcol(orig).alias(safe) for safe, orig in cov_pairs]
+    dep_arrays = {
+        b: F.array(*[qcol(d).cast("double") for d in deps]).alias(PACKED_DEPS)
+        for b, deps in enumerate(bucket_deps)
+    }
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("predictor"),
+                qcol(p).cast("double").alias(PRED_VALUE),
+                F.lit(b).alias(PACKED_BUCKET),
+                dep_arrays[b],
+            )
+            for p in predictors
+            for b in dep_arrays
+        ]
+    )
+    return df.select(F.explode(entries).alias("_e"), *cov_cols).select(
+        F.col("_e.predictor").alias("predictor"),
+        F.col(f"_e.{PRED_VALUE}").alias(PRED_VALUE),
+        F.col(f"_e.{PACKED_BUCKET}").alias(PACKED_BUCKET),
+        F.col(f"_e.{PACKED_DEPS}").alias(PACKED_DEPS),
+        *[qcol(safe) for safe, _ in cov_pairs],
+    )
+
+
+def make_packed_kernel(
+    model: str,
+    covariates: list[str],
+    quantitative: bool,
+    min_case_count: int,
+    bucket_deps: list[list[str]],
+    sex_restrictions: dict | None = None,
+    sex_col: str | None = None,
+) -> Callable[[tuple, pd.DataFrame], pd.DataFrame]:
+    """Grouped-map kernel over (predictor, dep-bucket) groups: unpack the
+    bucket's dependent-value arrays and run the EXACT per-pair kernel
+    (make_kernel) once per dependent, so validation, sex restriction,
+    per-subset constant drop, and the failure-as-row channel are shared
+    code with the classic unpivot path — result parity by construction."""
+    inner = make_kernel(
+        model, covariates, quantitative, min_case_count,
+        sex_restrictions, sex_col,
+    )
+    cov_safe = [safe for safe, _ in safe_covariate_pairs(covariates)]
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        predictor, bucket = key
+        deps = bucket_deps[int(bucket)]
+        # Arrow list<double> arrives as ndarray-per-cell; nulls are NaN.
+        mat = np.array(pdf[PACKED_DEPS].tolist(), dtype=np.float64)
+        base = pdf[[PRED_VALUE, *cov_safe]]
+        outs = []
+        for j, dep in enumerate(deps):
+            y = mat[:, j] if mat.size else np.empty(0, dtype=np.float64)
+            mask = ~np.isnan(y)
+            sub = base.loc[mask].copy()
+            sub[DEP_VALUE] = y[mask]
+            outs.append(inner((predictor, dep), sub))
+        return pd.concat(outs, ignore_index=True)
+
+    return kernel
+
+
 def make_kernel(
     model: str,
     covariates: list[str],
@@ -302,8 +400,9 @@ def choose_strategy(num_pairs: int, n_rows: int) -> str:
     """Pick the physical fan-out strategy from the table shape: columnar
     when the pair fan-out would amplify the data through a shuffle
     (many pairs) and the table is small enough for per-task full-column
-    reads; unpivot otherwise (the tall-table / 100 TB path)."""
-    return "columnar" if num_pairs >= 8 and n_rows <= 100_000_000 else "unpivot"
+    reads; packed otherwise (the tall-table / 100 TB path — the classic
+    per-pair unpivot remains available as an explicit strategy)."""
+    return "columnar" if num_pairs >= 8 and n_rows <= 100_000_000 else "packed"
 
 
 def _needs_distributed_writer(spark: SparkSession, checkpoint_dir: str | None) -> bool:
@@ -406,14 +505,21 @@ def run_associations(
     n_rows: int | None = None,
     recipe=None,
     source_files: list[str] | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Distributed equivalent of run_associations_ipc (analysis.py:10-39).
 
-    Two physical strategies, picked by shape:
+    Three physical strategies, picked by shape:
 
-    - ``unpivot`` (tall tables): wide -> long unpivot, one shuffle keyed
-      on (predictor, dependent), grouped pandas kernel. Scales with row
-      count — the 100 TB path, where each pair's rows must be gathered.
+    - ``packed`` (tall tables — the 100 TB default): one shuffle keyed
+      on (predictor, dep-bucket); each row carries the covariates once
+      and a bucket of dependent values as an array, cutting shuffle
+      cells from n·P·D·(C+1) to n·P·(G·C + D) (SURVEY §7.4.6). The
+      kernel unpacks the bucket and runs the per-pair fit per dependent.
+    - ``unpivot`` (explicit only): classic wide -> long unpivot, one
+      row and one group per (sample, predictor, dependent). Same
+      results; kept as the reference-shaped formulation (U1) and the
+      parity baseline for packed.
     - ``columnar`` (wide, short tables — the PheWAS shape: 5k-500k
       samples x ~1,800 phecodes): checkpoint the preprocessed table to
       parquet once (the exact analog of the reference's Arrow-IPC sink +
@@ -443,6 +549,37 @@ def run_associations(
         )
         return _complete_pairs(spark, fitted, config)
 
+    par = spark.sparkContext.defaultParallelism
+    if strategy == "packed":
+        # Tall-table scale path (SURVEY §7.4.6): dependents travel as
+        # per-bucket arrays so the shuffle duplicates covariates G times
+        # per sample row instead of D times. G targets 4 groups per core
+        # for balance; when P·D is already at or below that, every
+        # dependent gets its own bucket and the plan degenerates to
+        # exactly the classic per-pair grouping.
+        preds, deps = config.predictor_columns, config.dependent_columns
+        if n_buckets is None:
+            n_buckets = min(
+                len(deps), max(1, -(-4 * par // max(len(preds), 1)))
+            )
+        bucket_deps = dependent_buckets(deps, n_buckets)
+        packed = build_packed_long_table(df, preds, deps, covariates, bucket_deps)
+        # Map-side predictor-null drop (analysis.py:57); dependent nulls
+        # ride inside the arrays as NaN and are masked per-dependent in
+        # the kernel.
+        packed = packed.filter(F.col(PRED_VALUE).isNotNull())
+        kernel = make_packed_kernel(
+            model, covariates, config.quantitative, config.min_case_count,
+            bucket_deps, config.sex_restrictions, config.sex_col,
+        )
+        n_groups = len(preds) * len(bucket_deps)
+        n_parts = max(1, min(n_groups, par))
+        packed = packed.repartition(n_parts, "predictor", PACKED_BUCKET)
+        fitted = packed.groupBy("predictor", PACKED_BUCKET).applyInPandas(
+            kernel, schema=result_schema(model)
+        )
+        return _complete_pairs(spark, fitted, config)
+
     long_df = build_long_table(
         df, config.predictor_columns, config.dependent_columns, covariates
     )
@@ -462,7 +599,7 @@ def run_associations(
     # empty shuffle partitions (each of which launches a Python worker
     # for FlatMapGroupsInPandas) to zero when P*D < parallelism.
     num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
-    n_parts = max(1, min(num_pairs, spark.sparkContext.defaultParallelism))
+    n_parts = max(1, min(num_pairs, par))
     long_df = long_df.repartition(n_parts, "predictor", "dependent")
     fitted = long_df.groupBy("predictor", "dependent").applyInPandas(
         kernel, schema=result_schema(model)

@@ -46,7 +46,7 @@ def run_pipeline(
     Programmatic-first API (the reference is CLI-only; a Python API is on
     its declared roadmap, README.md:163): pass either an already-loaded
     wide DataFrame or an input path. ``strategy`` forces the fan-out's
-    physical strategy ("columnar"/"unpivot"); default picks by shape.
+    physical strategy ("columnar"/"packed"/"unpivot"); default picks by shape.
     """
     if df is None:
         if input_path is None:
@@ -62,13 +62,13 @@ def run_pipeline(
     if strategy == "columnar" and config.missing_covariate_values in (
         "forward", "backward",
     ):
-        strategy = "unpivot"  # ordered fills need the Spark window path
+        strategy = "packed"  # ordered fills need the Spark window path
     if strategy == "columnar" and config.checkpoint_dir and "://" in config.checkpoint_dir:
         # Columnar's per-task column-pruned reads go through pyarrow,
         # which needs POSIX-visible paths; a URI-scheme checkpoint target
         # (hdfs://, s3a://) means no shared mount — take the tall path,
         # whose shuffle needs no side storage at all.
-        strategy = "unpivot"
+        strategy = "packed"
 
     if strategy == "columnar":
         # Wide-short shape (the PheWAS benchmark): the preprocessed wide
@@ -100,14 +100,16 @@ def run_pipeline(
         # eager statistics — uncached, every stat job would re-execute
         # the upstream plan), then persist the preprocessed table as the
         # analog of the reference's shared-memory IPC checkpoint
-        # (preprocessing.py:111-132) and run the unpivot fan-out from it.
+        # (preprocessing.py:111-132) and run the long-table fan-out from
+        # it — packed by default, classic unpivot when explicitly asked.
         raw = df.persist(StorageLevel.MEMORY_AND_DISK)
         pre = preprocess(raw, config)
         pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
         pre.count()  # materialize before the fan-out; frees the raw cache
         raw.unpersist()
         results = run_associations(
-            pre, config, strategy="unpivot"
+            pre, config,
+            strategy=strategy if strategy in ("packed", "unpivot") else "packed",
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Persist the (small) results table: the correction counts are an

@@ -1351,7 +1351,7 @@ def q_mas_logistic_fanout(spark, sf_dir):
         covariates=["sum_qty", "avg_disc"],
         model="logistic", min_case_count=10,
     )
-    res = run_pipeline(spark, cfg, df=wide, strategy="unpivot")
+    res = run_pipeline(spark, cfg, df=wide, strategy="packed")
     return res.select(
         "predictor", "dependent",
         F.round("beta", 6).alias("beta"),
@@ -1374,7 +1374,7 @@ def q_mas_firth_fanout(spark, sf_dir):
         covariates=["sum_qty", "avg_disc"],
         model="firth", min_case_count=10,
     )
-    res = run_pipeline(spark, cfg, df=wide, strategy="unpivot")
+    res = run_pipeline(spark, cfg, df=wide, strategy="packed")
     return res.select(
         "predictor", "dependent",
         F.round("beta", 6).alias("beta"),

@@ -178,6 +178,60 @@ def test_constant_covariate_dropped_per_group(spark):
     assert np.isfinite(res["beta"])
 
 
+def test_packed_strategy_matches_unpivot_and_shrinks_shuffle(spark):
+    """SURVEY §7.4.6: the packed tall-table fan-out must be
+    result-identical to the classic per-pair unpivot (failure rows,
+    sex restrictions, all-null pairs included) while moving ~C× fewer
+    cells through the shuffle on a many-covariate table."""
+    from polars_mas_spark.operators.association import (
+        build_long_table,
+        build_packed_long_table,
+        dependent_buckets,
+    )
+
+    rng = np.random.default_rng(13)
+    n, n_cov, n_dep = 400, 20, 12
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    for c in range(n_cov):
+        pdf[f"cov{c}"] = rng.normal(0, 1, n)
+    for i in range(n_dep):
+        logit = -1.0 + (0.9 if i % 3 == 0 else 0.0) * pdf["x"]
+        pdf[f"ph_{i}"] = (rng.random(n) < 1 / (1 + np.exp(-logit))).astype("int64")
+    pdf["ph_0"] = 0
+    pdf.loc[:3, "ph_0"] = 1  # failure row: too few cases
+    pdf["ph_1"] = pd.array([None] * n, dtype="Int64")  # vanishing pair
+    covs = [f"cov{c}" for c in range(n_cov)]
+    deps = [f"ph_{i}" for i in range(n_dep)]
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=deps, covariates=covs,
+        model="logistic", min_case_count=10,
+    ).resolve(df.columns)
+
+    a = (run_associations(df, cfg, strategy="unpivot")
+         .toPandas().sort_values("dependent").reset_index(drop=True))
+    b = (run_associations(df, cfg, strategy="packed", n_buckets=3)
+         .toPandas().sort_values("dependent").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
+    assert b.set_index("dependent").loc["ph_1", "failed_reason"] == (
+        "No data after dropping nulls."
+    )
+
+    # Structural shuffle reduction: classic moves n·D rows × (C+1 value
+    # cols); packed with G buckets moves n·G rows × (C cols + D/G array
+    # cells). At C=20, D=12, G=3 that is 4× fewer rows and ~3.8× fewer
+    # cells through the exchange.
+    classic = build_long_table(df, ["x"], deps, covs)
+    buckets = dependent_buckets(deps, 3)
+    packed = build_packed_long_table(df, ["x"], deps, covs, buckets)
+    n_classic, n_packed = classic.count(), packed.count()
+    assert n_classic == n * n_dep
+    assert n_packed == n * 3
+    cells_classic = n_classic * (n_cov + 1)
+    cells_packed = n_packed * (n_cov + n_dep // 3)
+    assert cells_packed * 3 < cells_classic
+
+
 def test_columnar_strategy_matches_unpivot(synth, spark, tmp_path):
     # The columnar (checkpoint + column-pruned per-task parquet read)
     # physical strategy must be result-identical to the unpivot/shuffle

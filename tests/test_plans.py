@@ -15,11 +15,8 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 
-
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from polars_mas_spark.plans import formatted_plan as plan_of
+from polars_mas_spark.plans import op_count as _plans_op_count
 
 
 @pytest.fixture(scope="module")
@@ -42,12 +39,7 @@ def test_filter_pushed_to_scan(spark, qs):
     assert "c_mktsegment" in pushed and "c_acctbal" in pushed
 
 
-def _op_count(plan: str, op: str) -> int:
-    """Count operator DETAIL headers ('(N) OpName') — formatted plans list
-    each operator twice (tree line + detail section)."""
-    import re
-
-    return len(re.findall(rf"\(\d+\) {re.escape(op)}\b", plan))
+_op_count = _plans_op_count
 
 
 def test_dimension_joins_broadcast(spark, qs):
