@@ -92,6 +92,37 @@ def test_mas_fanout_single_exchange_to_python(spark):
     assert _op_count(plan, "Exchange") == 1  # the explicit pair repartition only
 
 
+def test_packed_fanout_single_exchange_to_python(spark):
+    """The packed tall-table fan-out must match the classic path's plan
+    discipline: exactly one hash exchange (the explicit bucket
+    repartition) feeding one FlatMapGroupsInPandas, with the per-sample
+    explode compiled to a single JVM Generate over one scan — no extra
+    co-partitioning shuffle, no union of per-dependent scans."""
+    from polars_mas_spark.config import MASConfig
+    from polars_mas_spark.operators.association import (
+        PACKED_BUCKET, PRED_VALUE, build_packed_long_table,
+        dependent_buckets, make_packed_kernel, result_schema,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    deps = ["l_extendedprice", "l_discount", "l_tax"]
+    buckets = dependent_buckets(deps, 2)
+    packed = build_packed_long_table(
+        li, ["l_quantity"], deps, [], buckets
+    ).filter(F.col(PRED_VALUE).isNotNull())
+    packed = packed.repartition(2, "predictor", PACKED_BUCKET)
+    fitted = packed.groupBy("predictor", PACKED_BUCKET).applyInPandas(
+        make_packed_kernel("linear", [], True, 10, buckets),
+        schema=result_schema("linear"),
+    )
+    plan = plan_of(fitted)
+    assert _op_count(plan, "FlatMapGroupsInPandas") == 1
+    assert _op_count(plan, "Exchange") == 1  # the explicit bucket repartition only
+    assert _op_count(plan, "Scan parquet") + _op_count(plan, "BatchScan") == 1
+
+
 def test_unpivot_is_jvm_expand(spark, qs):
     """U1 must compile to the JVM Expand operator (one pipelined
     whole-stage-codegen pass), not a union of per-column scans."""

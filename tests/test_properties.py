@@ -151,3 +151,51 @@ def test_mixture_sample_never_upsamples_and_is_subset(spark, weights):
     for r in got:
         assert r["grp"] in weights
         assert r["count"] <= 100
+
+
+@given(
+    n_cov=st.integers(min_value=0, max_value=5),
+    n_dep=st.integers(min_value=1, max_value=7),
+    n_buckets=st.integers(min_value=1, max_value=9),
+    null_dep=st.booleans(),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_packed_fanout_matches_unpivot_any_shape(
+    spark, n_cov, n_dep, n_buckets, null_dep, seed
+):
+    """The packed fan-out must be row-for-row identical to the classic
+    per-pair unpivot for ANY (covariate count, dependent count, bucket
+    count, null pattern) — including bucket counts above the dependent
+    count and an all-null dependent."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_mas_spark.config import MASConfig
+    from polars_mas_spark.operators.association import run_associations
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    for c in range(n_cov):
+        pdf[f"cov{c}"] = rng.normal(0, 1, n)
+    for i in range(n_dep):
+        pdf[f"ph_{i}"] = rng.integers(0, 2, n).astype("int64")
+    if null_dep:
+        pdf["ph_0"] = pd.array([None] * n, dtype="Int64")
+    deps = [f"ph_{i}" for i in range(n_dep)]
+    covs = [f"cov{c}" for c in range(n_cov)]
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=deps, covariates=covs,
+        model="logistic", min_case_count=5,  # binary: case/control checks
+    ).resolve(df.columns)
+    a = (run_associations(df, cfg, strategy="unpivot")
+         .toPandas().sort_values("dependent").reset_index(drop=True))
+    b = (run_associations(df, cfg, strategy="packed", n_buckets=n_buckets)
+         .toPandas().sort_values("dependent").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
