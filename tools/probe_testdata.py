@@ -1,0 +1,92 @@
+"""Round-start testdata drift probe.
+
+The round driver REGENERATES /root/testdata between rounds and physical
+parquet types can drift (round 2: events.ts went TIMESTAMP(NANOS) ->
+TIMESTAMP(MICROS) and silently broke 17 queries until queries._t grew a
+dtype branch). Run this first thing each round: it prints every table's
+physical schema and exits non-zero if anything departs from the
+expectations the query registry assumes.
+
+Usage: python tools/probe_testdata.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+# What the registry's queries assume. Values are sets of acceptable
+# pyarrow type strings; a column absent here is unchecked (only listed).
+EXPECT: dict[str, dict[str, set[str]]] = {
+    "events": {
+        # queries._t handles exactly these two encodings.
+        "ts": {"timestamp[ns]", "timestamp[us]", "int64"},
+        "event_id": {"int64"},
+        "user_id": {"int64"},
+        "value": {"double"},
+        "props": {"string", "large_string"},
+    },
+    "orders": {
+        "o_orderkey": {"int64"},
+        "o_totalprice": {"double"},
+        # Spark reads either as a date-comparable column; queries cast
+        # literals, so both encodings hash-match the DuckDB oracle.
+        "o_orderdate": {"date32[day]", "timestamp[us]"},
+    },
+    "lineitem": {
+        "l_orderkey": {"int64"},
+        "l_quantity": {"double"},
+        "l_extendedprice": {"double"},
+        "l_discount": {"double"},
+        "l_shipdate": {"date32[day]", "timestamp[us]"},
+    },
+    "documents": {
+        "doc_id": {"int64"},
+        "text": {"string", "large_string"},
+        "source": {"string", "large_string"},
+    },
+    "embeddings": {
+        "vec_id": {"int64"},
+        "embedding": {
+            "list<element: float>", "list<item: float>",
+            "list<element: double>", "list<item: double>",
+        },
+    },
+}
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    bad = []
+    for d in dirs:
+        for t in TABLES:
+            try:
+                schema = pq.read_schema(f"{d}/{t}.parquet")
+            except Exception as e:
+                bad.append(f"{d}/{t}: unreadable: {e}")
+                continue
+            cols = {f.name: str(f.type) for f in schema}
+            print(f"{d}/{t}: " + ", ".join(f"{k}:{v}" for k, v in cols.items()))
+            for col, ok in EXPECT.get(t, {}).items():
+                if col not in cols:
+                    bad.append(f"{d}/{t}.{col}: MISSING (expected one of {sorted(ok)})")
+                elif cols[col] not in ok:
+                    bad.append(
+                        f"{d}/{t}.{col}: {cols[col]} not in expected {sorted(ok)}"
+                    )
+    if bad:
+        print("\nDRIFT DETECTED:")
+        for b in bad:
+            print(" ", b)
+        sys.exit(1)
+    print("\nno drift against registry expectations")
+
+
+if __name__ == "__main__":
+    main()
