@@ -47,6 +47,10 @@ HEADLINE = [
     # The reference's own benchmark workload (BASELINE.md): 1,800 Firth
     # regressions, 5k samples, 5 covariates — reference: 22.2 s / 8 threads.
     "mas_phewas_firth_1800",
+    # BASELINE scaling endpoints: 20k samples (ref 56.5 s) and 20
+    # covariates (ref 55.7 s), same Firth workload shape.
+    "mas_phewas_firth_1800_n20k",
+    "mas_phewas_firth_1800_c20",
 ]
 
 
@@ -86,6 +90,10 @@ def main() -> None:
     # timed path still does all reading/preprocessing/fitting.
     if "mas_phewas_firth_1800" in HEADLINE:
         _phewas_wide_parquet(spark, SF_DIR)
+    if "mas_phewas_firth_1800_n20k" in HEADLINE:
+        _phewas_wide_parquet(spark, SF_DIR, n_samples=20000)
+    if "mas_phewas_firth_1800_c20" in HEADLINE:
+        _phewas_wide_parquet(spark, SF_DIR, n_covariates=20)
 
     qs = {**entry_mod.queries(), **BENCH_ONLY}
     timings: dict[str, float] = {}

@@ -1623,12 +1623,33 @@ def q_pack_fill(spark, sf_dir):
 
 # Bench-only registry: resolved by bench.py alongside QUERIES, excluded
 # from __spark_entry__.queries() / the driver correctness gate.
-BENCH_ONLY = {"mas_phewas_firth_1800": q_mas_phewas_firth_1800}
+def q_mas_phewas_firth_1800_n20k(spark, sf_dir):
+    """BASELINE sample-size scaling endpoint: 20,000 samples x 1,800
+    Firth regressions x 5 covariates (reference: 56.5 s on 8 threads,
+    benchmarks/README.md:19). Bench-only, same code path as the 5k run."""
+    return _run_phewas(spark, sf_dir, n_phecodes=1800, n_samples=20000)
 
 
-def _run_phewas(spark, sf_dir, n_phecodes):
+def q_mas_phewas_firth_1800_c20(spark, sf_dir):
+    """BASELINE covariate scaling endpoint: 5,000 samples x 1,800 Firth
+    regressions x 20 covariates (reference: 55.7 s on 8 threads,
+    benchmarks/README.md:34). Bench-only."""
+    return _run_phewas(spark, sf_dir, n_phecodes=1800, n_covariates=20)
+
+
+BENCH_ONLY = {
+    "mas_phewas_firth_1800": q_mas_phewas_firth_1800,
+    "mas_phewas_firth_1800_n20k": q_mas_phewas_firth_1800_n20k,
+    "mas_phewas_firth_1800_c20": q_mas_phewas_firth_1800_c20,
+}
+
+
+def _run_phewas(spark, sf_dir, n_phecodes, n_samples=5000, n_covariates=5):
     wide = spark.read.parquet(
-        _phewas_wide_parquet(spark, sf_dir, n_phecodes=n_phecodes)
+        _phewas_wide_parquet(
+            spark, sf_dir, n_samples=n_samples, n_phecodes=n_phecodes,
+            n_covariates=n_covariates,
+        )
     )
     deps = [c for c in wide.columns if c.startswith("phecode_")]
     covs = [c for c in wide.columns if c.startswith("cov_")]
