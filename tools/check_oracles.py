@@ -2,7 +2,12 @@
 ``queries()`` entry at sf=0.01 and compare against ``oracle_sql()`` via
 DuckDB (row count + column names + order-insensitive value hash).
 
-Usage: python tools/check_oracles.py [name ...]
+Usage: python tools/check_oracles.py [--jobs N] [name ...]
+
+``--jobs N`` runs N queries concurrently: Spark schedules concurrent
+jobs from one session fine, each worker thread gets its own DuckDB
+cursor, and most gate time is per-query driver latency rather than
+compute — measured ~4x faster at --jobs 4 on the full registry.
 """
 
 from __future__ import annotations
@@ -55,9 +60,50 @@ def _canon(v):
     return v
 
 
+def _check_one(spark, con, name, fn, oracles):
+    """Run one query + oracle compare; returns (line, failed)."""
+    t0 = time.time()
+    try:
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        return f"FAIL  {name}: spark error: {e}", True
+    if name not in oracles:
+        return (
+            f"ROWS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [no oracle]",
+            False,
+        )
+    try:
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = [tuple(r) for r in cur.fetchall()]
+    except Exception as e:
+        return f"FAIL  {name}: duckdb error: {e}", True
+    status = []
+    if len(srows) != len(orows):
+        status.append(f"rowcount {len(srows)}!={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        status.append(f"schema {sorted(scols)}!={sorted(ocols)}")
+    if not status:
+        sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+        if sh != oh:
+            status.append(f"hash {sh}!={oh}")
+    if status:
+        return f"FAIL  {name}: {'; '.join(status)} ({time.time()-t0:.1f}s)", True
+    return f"OK    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)", False
+
+
 def main():
     from polars_mas_spark.session import get_spark
     import __spark_entry__ as entry_mod
+
+    args = sys.argv[1:]
+    jobs = 1
+    if "--jobs" in args:
+        i = args.index("--jobs")
+        jobs = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
 
     spark = get_spark()
     qs = entry_mod.queries()
@@ -69,45 +115,34 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    only = set(sys.argv[1:])
+    only = set(args)
+    todo = [(n, f) for n, f in qs.items() if not only or n in only]
     failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
-            continue
-        if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [no oracle]")
-            continue
-        try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = [tuple(r) for r in cur.fetchall()]
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
-        status = []
-        if len(srows) != len(orows):
-            status.append(f"rowcount {len(srows)}!={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            status.append(f"schema {sorted(scols)}!={sorted(ocols)}")
-        if not status:
-            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
-            if sh != oh:
-                status.append(f"hash {sh}!={oh}")
-        if status:
-            failures.append(name)
-            print(f"FAIL  {name}: {'; '.join(status)} ({time.time()-t0:.1f}s)")
-        else:
-            print(f"OK    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+
+    if jobs <= 1:
+        for name, fn in todo:
+            line, failed = _check_one(spark, con, name, fn, oracles)
+            print(line)
+            if failed:
+                failures.append(name)
+    else:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        local = threading.local()
+
+        def run(item):
+            name, fn = item
+            # duckdb connections are not thread-safe; one per worker.
+            if not hasattr(local, "con"):
+                local.con = con.cursor()
+            return name, _check_one(spark, local.con, name, fn, oracles)
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            for name, (line, failed) in ex.map(run, todo):
+                print(line)
+                if failed:
+                    failures.append(name)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
