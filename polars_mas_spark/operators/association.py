@@ -259,6 +259,157 @@ def make_packed_kernel(
     return kernel
 
 
+def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
+    """Linear-model fan-out via SUFFICIENT STATISTICS: aggregate the
+    normal-equation moments (X'X, X'y, y'y, n) per (predictor,
+    dependent) with Spark's two-phase hash aggregate, then solve the
+    tiny k×k systems in a vectorized pandas pass over the P×D-row
+    aggregate table.
+
+    This is the linear model's true 100 TB plan: the classic kernel
+    ships every sample row through the pair shuffle, while the moments
+    shuffle carries only map-side-combined partials — O(partitions ×
+    pairs × k²) doubles regardless of row count. OLS is exactly
+    identified by these moments, so results match ``ols_fit`` to float
+    precision (iterative models have no such finite statistic — they
+    keep the kernel path).
+
+    Parity details mirrored from the kernel (make_kernel): per-pair
+    constant-covariate drop (here: within-group variance == 0), the
+    exact validation messages, sex-restricted dependents (a map-lookup
+    row filter, identical to the kernel's pandas filter), and the
+    equation string format.
+    """
+    if config.model != "linear":
+        raise ValueError("moments strategy is linear-only; use packed/columnar")
+    covariates = list(config.covariate_columns)
+    if len(covariates) > 64:
+        raise ValueError(
+            "moments strategy caps at 64 covariates (the aggregate has "
+            "O(C^2) columns); use the packed strategy beyond that"
+        )
+    cov_pairs = safe_covariate_pairs(covariates)
+    long_df = build_long_table(
+        df, config.predictor_columns, config.dependent_columns, covariates
+    ).filter(F.col(PRED_VALUE).isNotNull() & F.col(DEP_VALUE).isNotNull())
+
+    sex_safe = None
+    if config.sex_restrictions and config.sex_col is not None:
+        for safe, orig in cov_pairs:
+            if orig == config.sex_col:
+                sex_safe = safe
+                break
+    if sex_safe is not None:
+        m = F.create_map(
+            *[
+                F.lit(x)
+                for dep, code in config.sex_restrictions.items()
+                for x in (dep, float(code))
+            ]
+        )
+        code = m[F.col("dependent")]
+        long_df = long_df.filter(
+            code.isNull() | (qcol(sex_safe).cast("double") == code)
+        )
+
+    cols = [PRED_VALUE] + [safe for safe, _ in cov_pairs]
+    y = F.col(DEP_VALUE)
+    aggs = [
+        F.count("*").alias("__n__"),
+        F.sum(y).alias("__sy__"),
+        F.sum(y * y).alias("__syy__"),
+    ]
+    for i, ci in enumerate(cols):
+        c_i = qcol(ci).cast("double")
+        aggs.append(F.sum(c_i).alias(f"__s{i}__"))
+        aggs.append(F.sum(c_i * y).alias(f"__sy{i}__"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(c_i * qcol(cols[j]).cast("double")).alias(f"__s{i}_{j}__")
+            )
+    g = long_df.groupBy("predictor", "dependent").agg(*aggs)
+
+    display = [config.predictor_columns[0]] + [orig for _, orig in cov_pairs]
+    n_cols = len(cols)
+    min_obs = config.min_case_count
+    from polars_mas_spark.functions.distributions import t_ppf, t_sf
+
+    def solve(batches):
+        import math as _math
+
+        for pdf in batches:
+            out = []
+            for r in pdf.to_dict("records"):
+                n = int(r["__n__"])
+                rec = dict(
+                    _LINEAR_DEFAULTS,
+                    predictor=r["predictor"],
+                    dependent=r["dependent"],
+                )
+                if n < min_obs:
+                    rec["failed_reason"] = f"Not enough observations ({n})."
+                    out.append(rec)
+                    continue
+                rec["n_observations"] = n
+                # Per-pair constant drop: variance == 0 <=> constant.
+                # (The kernel uses pandas nunique; on float data the two
+                # agree except for pathological near-duplicate values.)
+                active = [0]
+                for i in range(1, n_cols):
+                    s, ss = r[f"__s{i}__"], r[f"__s{i}_{i}__"]
+                    var = ss / n - (s / n) ** 2
+                    if var > 1e-12 * max(1.0, abs(ss / n)):
+                        active.append(i)
+                names = [display[i] for i in active[1:]]
+                rec["equation"] = (
+                    f"{r['dependent']} ~ {display[0]} + {' + '.join(names)}"
+                )
+                k = len(active) + 1  # + intercept, matching add_intercept
+                if n <= k:
+                    rec["failed_reason"] = f"OLS requires n > k (n={n}, k={k})"
+                    out.append(rec)
+                    continue
+                A = np.empty((k, k))
+                b = np.empty(k)
+                for ai, i in enumerate(active):
+                    for aj, j in enumerate(active[ai:], start=ai):
+                        lo, hi = min(i, active[aj]), max(i, active[aj])
+                        A[ai, aj] = A[aj, ai] = r[f"__s{lo}_{hi}__"]
+                    A[ai, k - 1] = A[k - 1, ai] = r[f"__s{i}__"]
+                    b[ai] = r[f"__sy{i}__"]
+                A[k - 1, k - 1] = float(n)
+                b[k - 1] = r["__sy__"]
+                try:
+                    beta = np.linalg.solve(A, b)
+                    A_inv = np.linalg.inv(A)
+                except np.linalg.LinAlgError:
+                    A_inv = np.linalg.pinv(A)
+                    beta = A_inv @ b
+                sse = max(r["__syy__"] - b @ beta, 0.0)
+                df_resid = n - k
+                sigma2 = sse / df_resid
+                se = _math.sqrt(max(A_inv[0, 0] * sigma2, 0.0))
+                if se > 0:
+                    t = beta[0] / se
+                    rec["pval"] = 2.0 * t_sf(abs(t), df_resid)
+                else:
+                    rec["pval"] = _math.nan
+                tq = t_ppf(0.975, df_resid)
+                rec.update(
+                    beta=float(beta[0]),
+                    se=se,
+                    ci_low=float(beta[0] - tq * se),
+                    ci_high=float(beta[0] + tq * se),
+                    converged=True,
+                )
+                out.append(rec)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in LINEAR_RESULT_SCHEMA.fields]
+            )
+
+    return g.mapInPandas(solve, schema=LINEAR_RESULT_SCHEMA)
+
+
 def make_kernel(
     model: str,
     covariates: list[str],
@@ -520,6 +671,11 @@ def run_associations(
       row and one group per (sample, predictor, dependent). Same
       results; kept as the reference-shaped formulation (U1) and the
       parity baseline for packed.
+    - ``moments`` (linear model only, explicit): per-pair OLS via
+      sufficient statistics — the shuffle carries map-side-combined
+      X'X/X'y partials (O(k²) doubles per pair per partition) instead
+      of sample rows; see _fit_linear_moments. Row count drops out of
+      the shuffle entirely.
     - ``columnar`` (wide, short tables — the PheWAS shape: 5k-500k
       samples x ~1,800 phecodes): checkpoint the preprocessed table to
       parquet once (the exact analog of the reference's Arrow-IPC sink +
@@ -548,6 +704,8 @@ def run_associations(
             df, config, checkpoint_dir, checkpoint_path, recipe, source_files
         )
         return _complete_pairs(spark, fitted, config)
+    if strategy == "moments":
+        return _complete_pairs(spark, _fit_linear_moments(df, config), config)
 
     par = spark.sparkContext.defaultParallelism
     if strategy == "packed":

@@ -1299,6 +1299,30 @@ def q_mas_linear_fanout(spark, sf_dir):
     )
 
 
+@query("mas_linear_moments", _ols_oracle())
+def q_mas_linear_moments(spark, sf_dir):
+    """The same fan-out through the sufficient-statistics strategy
+    (association._fit_linear_moments): the shuffle carries map-side-
+    combined X'X/X'y partials instead of sample rows — the linear
+    model's 100 TB plan — checked against the identical DuckDB
+    closed-form regression oracle as mas_linear_fanout."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    cfg = MASConfig(
+        predictors="l_quantity",
+        dependents=["l_extendedprice", "l_discount", "l_tax"],
+        model="linear", quantitative=True, min_case_count=10,
+    )
+    res = run_associations(li, cfg.resolve(li.columns), strategy="moments")
+    return res.select(
+        "predictor", "dependent",
+        F.round("beta", 6).alias("beta"),
+        F.round("se", 6).alias("se"),
+        "n_observations",
+    )
+
+
 _SEX_OLS_PAIR = """SELECT 'l_quantity' AS predictor, '{y}' AS dependent,
        round(regr_slope({y}, l_quantity), 6) AS beta,
        regr_count({y}, l_quantity)::BIGINT AS n_observations

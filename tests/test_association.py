@@ -232,6 +232,48 @@ def test_packed_strategy_matches_unpivot_and_shrinks_shuffle(spark):
     assert cells_packed * 3 < cells_classic
 
 
+def test_moments_strategy_matches_kernel_ols(spark):
+    """The sufficient-statistics linear fan-out must reproduce the
+    pandas-kernel OLS results to float precision — including per-pair
+    constant-covariate drop, sex-restricted dependents, validation
+    failure rows, and vanishing all-null pairs — while shuffling only
+    O(k²) aggregate partials per pair instead of sample rows."""
+    rng = np.random.default_rng(21)
+    n = 500
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "age": rng.normal(50, 10, n),
+        "const_cov": 1.0,
+        "sexc": rng.integers(0, 2, n).astype("int64"),
+    })
+    for i in range(5):
+        pdf[f"q_{i}"] = (
+            2.0 * pdf["x"] * (i % 2) + 0.1 * pdf["age"] + rng.normal(0, 1, n)
+        )
+    pdf["q_null"] = pd.array([None] * n, dtype="Float64")
+    deps = [f"q_{i}" for i in range(5)] + ["q_null"]
+    df = spark.createDataFrame(pdf)
+    cfg_kwargs = dict(
+        predictors="x", dependents=deps,
+        covariates=["age", "const_cov", "sexc"],
+        sex_col="sexc", sex_restrictions={"q_0": 1, "q_1": 0},
+        model="linear", quantitative=True, min_case_count=10,
+    )
+    a = (run_associations(df, MASConfig(**cfg_kwargs).resolve(df.columns),
+                          strategy="unpivot")
+         .toPandas().sort_values("dependent").reset_index(drop=True))
+    b = (run_associations(df, MASConfig(**cfg_kwargs).resolve(df.columns),
+                          strategy="moments")
+         .toPandas().sort_values("dependent").reset_index(drop=True))
+    # Moments lose ~half the mantissa to cancellation vs lstsq; 1e-6
+    # relative is the honest (and ample) parity bound.
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-6, atol=1e-9)
+    bi = b.set_index("dependent")
+    assert "const_cov" not in bi.loc["q_2", "equation"]
+    assert bi.loc["q_0", "n_observations"] == int((pdf["sexc"] == 1).sum())
+    assert bi.loc["q_null", "failed_reason"] == "No data after dropping nulls."
+
+
 def test_columnar_strategy_matches_unpivot(synth, spark, tmp_path):
     # The columnar (checkpoint + column-pruned per-task parquet read)
     # physical strategy must be result-identical to the unpivot/shuffle

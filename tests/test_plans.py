@@ -123,6 +123,32 @@ def test_packed_fanout_single_exchange_to_python(spark):
     assert _op_count(plan, "Scan parquet") + _op_count(plan, "BatchScan") == 1
 
 
+def test_moments_fanout_shuffles_aggregates_not_rows(spark):
+    """The linear moments strategy must plan a TWO-PHASE hash aggregate
+    (map-side partial combine) with exactly one exchange — the shuffle
+    carries per-pair moment partials, never sample rows — and no
+    grouped-map Python stage (the tiny solve is MapInPandas over the
+    aggregated table)."""
+    from polars_mas_spark.config import MASConfig
+    from polars_mas_spark.operators.association import _fit_linear_moments
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    cfg = MASConfig(
+        predictors="l_quantity",
+        dependents=["l_extendedprice", "l_discount"],
+        covariates=["l_tax"],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(li.columns)
+    fitted = _fit_linear_moments(li, cfg)
+    plan = plan_of(fitted)
+    assert _op_count(plan, "HashAggregate") == 2  # partial + final
+    assert _op_count(plan, "Exchange") == 1
+    assert _op_count(plan, "FlatMapGroupsInPandas") == 0
+    assert _op_count(plan, "MapInPandas") == 1
+
+
 def test_unpivot_is_jvm_expand(spark, qs):
     """U1 must compile to the JVM Expand operator (one pipelined
     whole-stage-codegen pass), not a union of per-column scans."""
