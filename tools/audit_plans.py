@@ -39,7 +39,7 @@ SINGLE_PARTITION_OK = {
     "group_levels",
     # results-table sort in _complete_pairs (P x D rows, documented)
     "mas_linear_fanout", "mas_sex_specific_linear", "mas_logistic_fanout",
-    "mas_firth_fanout", "mas_phewas_firth_180",
+    "mas_firth_fanout", "mas_phewas_firth_180", "mas_linear_moments",
     # driver-bounded summaries (rows = columns/strata/centroids)
     "table_profile", "distinct_profile_orders", "source_stats",
     "token_histogram", "tfidf_top_terms",
