@@ -696,9 +696,21 @@ def run_associations(
     covariates = list(config.covariate_columns)
     num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
     if strategy == "auto":
-        if n_rows is None:
-            n_rows = df.count()
-        strategy = choose_strategy(num_pairs, n_rows)
+        # Linear models are exactly identified by their moment
+        # statistics, so the moments plan dominates at every shape (no
+        # row shuffle for tall tables, no checkpoint for wide ones) —
+        # it is the auto default whenever it applies. Iterative models
+        # pick by table shape.
+        if (
+            config.model == "linear"
+            and config.quantitative
+            and len(covariates) <= 64
+        ):
+            strategy = "moments"
+        else:
+            if n_rows is None:
+                n_rows = df.count()
+            strategy = choose_strategy(num_pairs, n_rows)
     if strategy == "columnar":
         fitted = _fit_columnar(
             df, config, checkpoint_dir, checkpoint_path, recipe, source_files

@@ -57,8 +57,17 @@ def run_pipeline(
 
     num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
     if strategy is None:
-        n_rows = df.count()
-        strategy = choose_strategy(num_pairs, n_rows)
+        if (
+            config.model == "linear"
+            and config.quantitative
+            and len(config.covariate_columns) <= 64
+        ):
+            # Moments dominate for linear at every shape (see
+            # run_associations) — and need no row count to decide.
+            strategy = "moments"
+        else:
+            n_rows = df.count()
+            strategy = choose_strategy(num_pairs, n_rows)
     if strategy == "columnar" and config.missing_covariate_values in (
         "forward", "backward",
     ):
@@ -109,7 +118,9 @@ def run_pipeline(
         raw.unpersist()
         results = run_associations(
             pre, config,
-            strategy=strategy if strategy in ("packed", "unpivot") else "packed",
+            strategy=strategy
+            if strategy in ("packed", "unpivot", "moments")
+            else "packed",
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Persist the (small) results table: the correction counts are an

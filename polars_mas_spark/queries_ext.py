@@ -1281,7 +1281,10 @@ def _ols_oracle() -> str:
 def q_mas_linear_fanout(spark, sf_dir):
     """The distributed association fan-out (unpivot → groupBy →
     applyInPandas OLS kernel) checked against DuckDB's closed-form
-    regression aggregates: beta = regr_slope, se = sqrt(SSE/(n-2)/Sxx)."""
+    regression aggregates: beta = regr_slope, se = sqrt(SSE/(n-2)/Sxx).
+    Strategy pinned to the classic unpivot so the driver keeps distinct
+    evidence for each physical path (packed: mas_logistic/firth_fanout;
+    moments: mas_linear_moments; columnar: mas_phewas_firth_180)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_discount", "l_tax"
     )
@@ -1290,7 +1293,7 @@ def q_mas_linear_fanout(spark, sf_dir):
         dependents=["l_extendedprice", "l_discount", "l_tax"],
         model="linear", quantitative=True, min_case_count=10,
     )
-    res = run_associations(li, cfg.resolve(li.columns))
+    res = run_associations(li, cfg.resolve(li.columns), strategy="unpivot")
     return res.select(
         "predictor", "dependent",
         F.round("beta", 6).alias("beta"),
@@ -1343,7 +1346,9 @@ def q_mas_sex_specific_linear(spark, sf_dir):
     fitted only on rows whose sex covariate matches; the sex covariate
     then goes constant in the subset and is dropped from the design, so
     DuckDB's closed-form simple regression over the same WHERE clause is
-    an exact oracle."""
+    an exact oracle. Pinned to the packed path: driver evidence for the
+    KERNEL's sex-restriction logic (moments' equivalent filter is
+    covered by its own unit test)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_quantity",
         (F.col("l_suppkey") % 2).alias("sexc"),
@@ -1356,7 +1361,7 @@ def q_mas_sex_specific_linear(spark, sf_dir):
         sex_restrictions={"l_extendedprice": 1, "l_discount": 0, "l_tax": 1},
         model="linear", quantitative=True, min_case_count=10,
     )
-    res = run_associations(li, cfg.resolve(li.columns))
+    res = run_associations(li, cfg.resolve(li.columns), strategy="packed")
     return res.select(
         "predictor", "dependent",
         F.round("beta", 6).alias("beta"),
