@@ -329,7 +329,9 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
             )
     g = long_df.groupBy("predictor", "dependent").agg(*aggs)
 
-    display = [config.predictor_columns[0]] + [orig for _, orig in cov_pairs]
+    # display[0] is unused (the predictor's name comes from each row's
+    # "predictor" key — one grouped row per (predictor, dependent) pair).
+    display = ["__predictor__"] + [orig for _, orig in cov_pairs]
     n_cols = len(cols)
     min_obs = config.min_case_count
     from polars_mas_spark.functions.distributions import t_ppf, t_sf
@@ -362,7 +364,7 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                         active.append(i)
                 names = [display[i] for i in active[1:]]
                 rec["equation"] = (
-                    f"{r['dependent']} ~ {display[0]} + {' + '.join(names)}"
+                    f"{r['dependent']} ~ {r['predictor']} + {' + '.join(names)}"
                 )
                 k = len(active) + 1  # + intercept, matching add_intercept
                 if n <= k:

@@ -273,6 +273,23 @@ def test_moments_strategy_matches_kernel_ols(spark):
     assert bi.loc["q_0", "n_observations"] == int((pdf["sexc"] == 1).sum())
     assert bi.loc["q_null", "failed_reason"] == "No data after dropping nulls."
 
+    # Multi-predictor: the per-pair equation must name each row's OWN
+    # predictor (regression caught: display[0] was used for every row).
+    kw2 = dict(
+        predictors=["x", "age"], dependents=["q_2", "q_3"], covariates=["sexc"],
+        model="linear", quantitative=True, min_case_count=10,
+    )
+    am = (run_associations(df, MASConfig(**kw2).resolve(df.columns),
+                           strategy="unpivot")
+          .toPandas().sort_values(["predictor", "dependent"]).reset_index(drop=True))
+    bm = (run_associations(df, MASConfig(**kw2).resolve(df.columns),
+                           strategy="moments")
+          .toPandas().sort_values(["predictor", "dependent"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(am, bm, check_exact=False, rtol=1e-6, atol=1e-9)
+    assert set(bm["equation"]) == {
+        "q_2 ~ x + sexc", "q_3 ~ x + sexc", "q_2 ~ age + sexc", "q_3 ~ age + sexc",
+    }
+
 
 def test_columnar_strategy_matches_unpivot(synth, spark, tmp_path):
     # The columnar (checkpoint + column-pruned per-task parquet read)
