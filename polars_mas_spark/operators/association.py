@@ -261,7 +261,8 @@ def make_packed_kernel(
 
 def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
     """Linear-model fan-out via SUFFICIENT STATISTICS: aggregate the
-    normal-equation moments (X'X, X'y, y'y, n) per (predictor,
+    CENTERED normal-equation moments (covariance matrix, covariances
+    with y, var(y), n — Welford-merged, offset-stable) per (predictor,
     dependent) with Spark's two-phase hash aggregate, then solve the
     tiny k×k systems in a vectorized pandas pass over the P×D-row
     aggregate table.
@@ -275,10 +276,14 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
     keep the kernel path).
 
     Parity details mirrored from the kernel (make_kernel): per-pair
-    constant-covariate drop (here: within-group variance == 0), the
-    exact validation messages, sex-restricted dependents (a map-lookup
-    row filter, identical to the kernel's pandas filter), and the
-    equation string format.
+    constant-covariate drop (here: Welford within-group variance == 0),
+    the exact validation messages, sex-restricted dependents (a
+    map-lookup row filter, identical to the kernel's pandas filter),
+    and the equation string format. Pairs whose group contains null
+    covariate cells fail as rows (Spark's sum() would silently skip the
+    nulls and desync the moments from count(*)); rank-deficient designs
+    use the min-norm pinv solution with df_resid = n - rank, matching
+    ols_fit's lstsq-rank accounting.
     """
     if config.model != "linear":
         raise ValueError("moments strategy is linear-only; use packed/columnar")
@@ -312,21 +317,40 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
             code.isNull() | (qcol(sex_safe).cast("double") == code)
         )
 
+    # CENTERED moments via Spark's Welford-merged covar_samp/var_samp
+    # aggregates, not raw sum(x), sum(x*x), sum(x*y): OLS slopes, their
+    # standard errors, and the SSE are all invariant under constant
+    # shifts of the columns, so the centered normal equations
+    # ((n-1)·Cov_xx)·beta = (n-1)·Cov_xy are exactly equivalent to
+    # ols_fit's intercept-augmented lstsq — but raw moments lose
+    # mantissa to cancellation proportional to mean²/variance (an
+    # epoch-timestamp covariate with CV 1e-7 loses ALL of it), while
+    # the Welford merge stays accurate at any offset and is still a
+    # plain two-phase hash aggregate (map-side partials, one shuffle).
     cols = [PRED_VALUE] + [safe for safe, _ in cov_pairs]
     y = F.col(DEP_VALUE)
     aggs = [
         F.count("*").alias("__n__"),
-        F.sum(y).alias("__sy__"),
-        F.sum(y * y).alias("__syy__"),
+        F.var_samp(y).alias("__vy__"),
     ]
     for i, ci in enumerate(cols):
         c_i = qcol(ci).cast("double")
-        aggs.append(F.sum(c_i).alias(f"__s{i}__"))
-        aggs.append(F.sum(c_i * y).alias(f"__sy{i}__"))
+        aggs.append(F.covar_samp(c_i, y).alias(f"__cy{i}__"))
         for j in range(i, len(cols)):
             aggs.append(
-                F.sum(c_i * qcol(cols[j]).cast("double")).alias(f"__s{i}_{j}__")
+                F.covar_samp(c_i, qcol(cols[j]).cast("double")).alias(
+                    f"__c{i}_{j}__"
+                )
             )
+        if i > 0:
+            # Per-covariate non-null count: Spark's aggregates skip
+            # nulls, so a group with null covariate cells would
+            # otherwise yield moments inconsistent with count(*) and
+            # silently wrong coefficients. solve() fails such pairs as
+            # rows instead (kernel parity — the pandas kernel's lstsq
+            # blows up on the NaNs and the exception becomes a failure
+            # row).
+            aggs.append(F.count(c_i).alias(f"__nn{i}__"))
     g = long_df.groupBy("predictor", "dependent").agg(*aggs)
 
     # display[0] is unused (the predictor's name comes from each row's
@@ -353,14 +377,27 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                     out.append(rec)
                     continue
                 rec["n_observations"] = n
-                # Per-pair constant drop: variance == 0 <=> constant.
-                # (The kernel uses pandas nunique; on float data the two
-                # agree except for pathological near-duplicate values.)
+                null_covs = [
+                    display[i]
+                    for i in range(1, n_cols)
+                    if int(r[f"__nn{i}__"]) < n
+                ]
+                if null_covs:
+                    rec["failed_reason"] = (
+                        f"Null covariate values ({', '.join(null_covs)})."
+                    )
+                    out.append(rec)
+                    continue
+                # Per-pair constant drop: Welford variance == 0 <=>
+                # constant (exactly — the merge formula accumulates 0 for
+                # identical values). The kernel uses pandas nunique on the
+                # same doubles; the two agree including for large-offset
+                # covariates where a raw ss/n - mean**2 test would lose
+                # the signal to cancellation.
                 active = [0]
                 for i in range(1, n_cols):
-                    s, ss = r[f"__s{i}__"], r[f"__s{i}_{i}__"]
-                    var = ss / n - (s / n) ** 2
-                    if var > 1e-12 * max(1.0, abs(ss / n)):
+                    v = r[f"__c{i}_{i}__"]
+                    if v is not None and not _math.isnan(v) and v > 0.0:
                         active.append(i)
                 names = [display[i] for i in active[1:]]
                 rec["equation"] = (
@@ -371,24 +408,43 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                     rec["failed_reason"] = f"OLS requires n > k (n={n}, k={k})"
                     out.append(rec)
                     continue
-                A = np.empty((k, k))
-                b = np.empty(k)
+                # Centered normal equations: A = (n-1)·Cov_xx,
+                # b = (n-1)·Cov_xy. The intercept is centered out; it
+                # contributes one rank and its coefficient (m_y - m_x·β)
+                # is never reported, exactly as in ols_fit where index 0
+                # is the predictor's slope.
+                nm1 = float(n - 1)
+                ka = len(active)
+                A = np.empty((ka, ka))
+                b = np.empty(ka)
                 for ai, i in enumerate(active):
-                    for aj, j in enumerate(active[ai:], start=ai):
-                        lo, hi = min(i, active[aj]), max(i, active[aj])
-                        A[ai, aj] = A[aj, ai] = r[f"__s{lo}_{hi}__"]
-                    A[ai, k - 1] = A[k - 1, ai] = r[f"__s{i}__"]
-                    b[ai] = r[f"__sy{i}__"]
-                A[k - 1, k - 1] = float(n)
-                b[k - 1] = r["__sy__"]
+                    for aj in range(ai, ka):
+                        j = active[aj]
+                        lo, hi = min(i, j), max(i, j)
+                        A[ai, aj] = A[aj, ai] = nm1 * r[f"__c{lo}_{hi}__"]
+                    b[ai] = nm1 * r[f"__cy{i}__"]
+                rank = ka + 1
                 try:
                     beta = np.linalg.solve(A, b)
                     A_inv = np.linalg.inv(A)
                 except np.linalg.LinAlgError:
+                    # Rank-deficient design: min-norm solution (pinv of
+                    # the centered Gram matrix ≡ lstsq's min-norm on the
+                    # centered design), and df_resid from the actual
+                    # rank (+1 for the intercept) so sigma2/pvals match
+                    # ols_fit's lstsq-rank accounting (n - rank), not a
+                    # strategy-dependent n - k.
                     A_inv = np.linalg.pinv(A)
                     beta = A_inv @ b
-                sse = max(r["__syy__"] - b @ beta, 0.0)
-                df_resid = n - k
+                    rank = int(np.linalg.matrix_rank(A)) + 1
+                sse = max(nm1 * r["__vy__"] - b @ beta, 0.0)
+                df_resid = n - rank
+                if df_resid <= 0:
+                    rec["failed_reason"] = (
+                        f"OLS requires n > rank (n={n}, rank={rank})"
+                    )
+                    out.append(rec)
+                    continue
                 sigma2 = sse / df_resid
                 se = _math.sqrt(max(A_inv[0, 0] * sigma2, 0.0))
                 if se > 0:

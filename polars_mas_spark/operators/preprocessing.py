@@ -174,6 +174,21 @@ def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
     if not covs:
         return df
     cats = [c for c in config.categorical_covariate_columns if c in df.columns]
+    # Fail fast with a clear message on string-typed covariates that were
+    # not declared categorical — otherwise the raw strings reach the
+    # regression kernel's to_numpy(float64) and die with an opaque
+    # "could not convert string to float" deep inside a Python worker.
+    dtypes = dict(df.dtypes)
+    undeclared = [
+        c for c in covs
+        if c not in cats and dtypes.get(c) in ("string", "varchar")
+    ]
+    if undeclared:
+        raise ValueError(
+            f"String-typed covariate(s) {undeclared} must be declared "
+            "categorical (categorical_covariates / -cc) to be one-hot "
+            "encoded, or pre-encoded numerically."
+        )
     aggs = [F.countDistinct(qcol(c)).alias(f"__nd_{c}") for c in covs]
     aggs += [
         F.sort_array(F.collect_set(qcol(c))).alias(f"__lv_{c}") for c in cats

