@@ -99,12 +99,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # Min of N full passes (default 2): single-shot numbers on a shared
-    # box swing ±15% with background load (r2's "regressions" on
-    # unchanged plans were exactly this), and the minimum is the
-    # standard load-insensitive estimator of the true cost.
+    # One UNTIMED warm-up pass, then min of N timed passes (default 2).
+    # The warm-up pass isolates process-lifetime one-time costs (Python
+    # worker spawn + numpy/pandas imports, codegen, shuffle-service
+    # init) that otherwise land on whichever entry runs them first:
+    # r3's scaling endpoints timed FASTER than the 4x-smaller headline
+    # run purely because the headline ran first and absorbed the
+    # warm-up (VERDICT r3 "What's wrong" #4). The min over timed passes
+    # stays as the load-insensitive estimator (single-shot numbers on a
+    # shared box swing ±15% with background load).
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
-    for _ in range(passes):
+    for p in range(passes + 1):
+        timed = p > 0
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:
@@ -113,12 +119,15 @@ def main() -> None:
             try:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
+                if not timed:
+                    continue
                 t = round(time.time() - t0, 3)
                 prev = timings.get(name)
                 timings[name] = t if prev is None or prev <= 0 else min(prev, t)
             except Exception as e:  # a failed query is reported, not fatal
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
-                timings.setdefault(name, -1.0)
+                if timed:
+                    timings.setdefault(name, -1.0)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
