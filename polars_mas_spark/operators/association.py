@@ -172,6 +172,19 @@ def dependent_buckets(dependents: list[str], n_buckets: int) -> list[list[str]]:
     return [dependents[i : i + size] for i in range(0, len(dependents), size)]
 
 
+def packed_bucket_count(n_preds: int, n_deps: int, parallelism: int) -> int:
+    """Bucket count for the packed fan-out: targets 4 (predictor,
+    bucket) groups per core for balance, capped at one dependent per
+    bucket. Invariants (property-tested in test_association.py):
+    P·n_buckets >= min(P·D, parallelism) — the kernel stage never runs
+    below cluster parallelism when there is enough work — while the
+    per-sample shuffle cell count G·C + D never exceeds the classic
+    unpivot's D·(C+1), so at 100x the dependents the shuffle stays
+    strictly cheaper and the group count grows with D only until the
+    4-per-core target is met."""
+    return min(n_deps, max(1, -(-4 * parallelism // max(n_preds, 1))))
+
+
 def build_packed_long_table(
     df: DataFrame,
     predictors: list[str],
@@ -787,9 +800,7 @@ def run_associations(
         # exactly the classic per-pair grouping.
         preds, deps = config.predictor_columns, config.dependent_columns
         if n_buckets is None:
-            n_buckets = min(
-                len(deps), max(1, -(-4 * par // max(len(preds), 1)))
-            )
+            n_buckets = packed_bucket_count(len(preds), len(deps), par)
         bucket_deps = dependent_buckets(deps, n_buckets)
         packed = build_packed_long_table(df, preds, deps, covariates, bucket_deps)
         # Map-side predictor-null drop (analysis.py:57); dependent nulls

@@ -135,6 +135,66 @@ def test_running_user_stats_stateful(spark, events_dir):
     assert abs(got["max_value"] - batch["max_value"]).max() < 1e-9
 
 
+def test_running_user_stats_multi_batch_state(spark, events_dir):
+    """VERDICT r3 next-steps #6 (oracle hardening): the availableNow
+    single-pass test above never exercises state persistence ACROSS
+    micro-batches — the whole point of applyInPandasWithState. Force one
+    file per trigger (the fixture writes 2 parquet files) so the same
+    users appear in multiple micro-batches: the update-mode emissions
+    must be strictly accumulating per user, and the last emission must
+    equal the batch lifetime aggregate."""
+    from polars_mas_spark.streaming.events import running_user_stats
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = running_user_stats(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_stats_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql(
+        "SELECT user_id, n_events, total, max_value FROM user_stats_mb"
+    ).toPandas()
+    # Every user appears in both files -> one emission per micro-batch.
+    per_user = emitted.groupby("user_id").size()
+    assert per_user.min() >= 2, "stream collapsed into a single micro-batch"
+    # State accumulates: per-user emissions carry strictly growing
+    # counts and non-decreasing maxima.
+    for uid, g in emitted.groupby("user_id"):
+        ns = sorted(g["n_events"])
+        assert len(set(ns)) == len(ns), f"user {uid}: non-accumulating counts"
+        g2 = g.sort_values("n_events")
+        assert g2["max_value"].is_monotonic_increasing or (
+            g2["max_value"].diff().fillna(0) >= 0
+        ).all()
+    final = (
+        emitted.loc[emitted.groupby("user_id")["n_events"].idxmax()]
+        .set_index("user_id").sort_index()
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n_events"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas().set_index("user_id").sort_index()
+    )
+    assert (final["n_events"] == batch["n_events"]).all()
+    assert abs(final["total"] - batch["total"]).max() < 1e-9
+    assert abs(final["max_value"] - batch["max_value"]).max() < 1e-9
+
+
 def test_enrich_events_stream_matches_batch(spark, events_dir):
     """Stream-static broadcast join: streaming result must equal the
     batch join, and the plan must not shuffle the stream side."""
