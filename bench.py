@@ -44,6 +44,9 @@ HEADLINE = [
     "event_rollup",
     "mas_logistic_fanout",
     "mas_firth_fanout",
+    # Full product lifecycle (CSV -> preprocess -> moments fit ->
+    # corrections -> annotation join -> parquet sink).
+    "mas_pipeline_e2e",
     # The reference's own benchmark workload (BASELINE.md): 1,800 Firth
     # regressions, 5k samples, 5 covariates — reference: 22.2 s / 8 threads.
     "mas_phewas_firth_1800",

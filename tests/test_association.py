@@ -401,6 +401,30 @@ def test_moments_rank_deficient_matches_kernel_df_resid(spark):
         assert m[col] == pytest.approx(k[col], rel=1e-6), col
 
 
+def test_moments_dotted_column_names(spark):
+    """Dotted user column names (phecode-style '250.1') must survive the
+    moments path's aggregate build — qcol backtick quoting inside
+    covar_samp/var_samp — exactly as they do in the kernel paths (a
+    historical bug source: F.col('250.0') is struct access)."""
+    rng = np.random.default_rng(3)
+    n = 150
+    pdf = pd.DataFrame({
+        "geno.dose": rng.normal(0, 1, n),
+        "age.years": rng.normal(50, 5, n),
+    })
+    pdf["250.1"] = 1.2 * pdf["geno.dose"] + 0.1 * pdf["age.years"] + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="geno.dose", dependents=["250.1"], covariates=["age.years"],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(df.columns)
+    m = run_associations(df, cfg, strategy="moments").toPandas().iloc[0]
+    k = run_associations(df, cfg, strategy="unpivot").toPandas().iloc[0]
+    assert m["equation"] == k["equation"] == "250.1 ~ geno.dose + age.years"
+    assert m["beta"] == pytest.approx(k["beta"], rel=1e-9)
+    assert m["pval"] == pytest.approx(k["pval"], rel=1e-6)
+
+
 def test_packed_bucket_sizing_properties():
     """VERDICT r3 next-steps #7: at P·D >> cores the packed fan-out's
     bucket sizing must keep (a) kernel parallelism at or above the

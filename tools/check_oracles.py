@@ -101,6 +101,15 @@ def _check_one(spark, con, name, fn, oracles):
                     "array_to_string)",
                     True,
                 )
+    for row in srows[:1]:
+        for v in row:
+            if isinstance(v, list):
+                return (
+                    f"FAIL  {name}: spark result exposes an array column "
+                    "(driver hasher crashes on lists; stringify with "
+                    "array_join)",
+                    True,
+                )
     status = []
     if len(srows) != len(orows):
         status.append(f"rowcount {len(srows)}!={len(orows)}")
