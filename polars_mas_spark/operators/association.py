@@ -307,9 +307,18 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
             "O(C^2) columns); use the packed strategy beyond that"
         )
     cov_pairs = safe_covariate_pairs(covariates)
+    # NaN dependents are MISSING (packed-path contract: null dependents
+    # ride the arrays as NaN and are masked per-dependent), so they are
+    # dropped here alongside nulls; NaN predictors/covariates instead
+    # fail the pair as a row via solve()'s finiteness guard (kernel
+    # parity — lstsq raises on them).
     long_df = build_long_table(
         df, config.predictor_columns, config.dependent_columns, covariates
-    ).filter(F.col(PRED_VALUE).isNotNull() & F.col(DEP_VALUE).isNotNull())
+    ).filter(
+        F.col(PRED_VALUE).isNotNull()
+        & F.col(DEP_VALUE).isNotNull()
+        & ~F.isnan(F.col(DEP_VALUE))
+    )
 
     sex_safe = None
     if config.sex_restrictions and config.sex_col is not None:
@@ -408,10 +417,25 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                 # covariates where a raw ss/n - mean**2 test would lose
                 # the signal to cancellation.
                 active = [0]
+                nonfinite = False
                 for i in range(1, n_cols):
                     v = r[f"__c{i}_{i}__"]
-                    if v is not None and not _math.isnan(v) and v > 0.0:
+                    if v is None:
+                        continue
+                    if _math.isnan(v):
+                        # NaN variance means NaN covariate VALUES (nulls
+                        # were already failed above) — that's a failed
+                        # pair, not a constant covariate to drop.
+                        nonfinite = True
+                        break
+                    if v > 0.0:
                         active.append(i)
+                if nonfinite:
+                    rec["failed_reason"] = (
+                        "Non-finite predictor/covariate/dependent values."
+                    )
+                    out.append(rec)
+                    continue
                 names = [display[i] for i in active[1:]]
                 rec["equation"] = (
                     f"{r['dependent']} ~ {r['predictor']} + {' + '.join(names)}"
@@ -436,6 +460,22 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                         lo, hi = min(i, j), max(i, j)
                         A[ai, aj] = A[aj, ai] = nm1 * r[f"__c{lo}_{hi}__"]
                     b[ai] = nm1 * r[f"__cy{i}__"]
+                vy = nm1 * r["__vy__"]
+                # NaN/inf values (unlike nulls) flow THROUGH Spark's
+                # aggregates, and LAPACK solves NaN systems without
+                # raising — which would emit converged=True rows full of
+                # NaN stats. Fail as a row instead (the kernel's lstsq
+                # raises on the same data and becomes a failure row).
+                if not (
+                    np.isfinite(A).all()
+                    and np.isfinite(b).all()
+                    and _math.isfinite(vy)
+                ):
+                    rec["failed_reason"] = (
+                        "Non-finite predictor/covariate/dependent values."
+                    )
+                    out.append(rec)
+                    continue
                 rank = ka + 1
                 try:
                     beta = np.linalg.solve(A, b)
@@ -450,7 +490,7 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                     A_inv = np.linalg.pinv(A)
                     beta = A_inv @ b
                     rank = int(np.linalg.matrix_rank(A)) + 1
-                sse = max(nm1 * r["__vy__"] - b @ beta, 0.0)
+                sse = max(vy - b @ beta, 0.0)
                 df_resid = n - rank
                 if df_resid <= 0:
                     rec["failed_reason"] = (

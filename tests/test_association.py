@@ -7,6 +7,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from polars_mas_spark.config import MASConfig
 from polars_mas_spark.functions.stats import logistic_fit, ols_fit
@@ -399,6 +400,51 @@ def test_moments_rank_deficient_matches_kernel_df_resid(spark):
     assert m["failed_reason"] == "nan"  # reference success sentinel
     for col in ("beta", "se", "pval", "ci_low", "ci_high"):
         assert m[col] == pytest.approx(k[col], rel=1e-6), col
+
+
+def test_moments_nan_semantics_match_packed(spark):
+    """True NaN values (not nulls — Arrow turns pandas NaN into null, so
+    these are injected Spark-side) must follow the packed-path contract:
+    NaN DEPENDENTS are missing data (masked per-dependent), NaN
+    COVARIATES fail the pair as a row. Without the finiteness guard the
+    moments solve would emit converged=True rows full of NaN stats."""
+    rng = np.random.default_rng(17)
+    n = 200
+    pdf = pd.DataFrame({
+        "rid": np.arange(n),
+        "x": rng.normal(0, 1, n),
+        "c1": rng.normal(0, 1, n),
+    })
+    pdf["q_a"] = 1.0 * pdf["x"] + 0.3 * pdf["c1"] + rng.normal(0, 1, n)
+    base = spark.createDataFrame(pdf)
+    nan = F.lit(float("nan"))
+
+    # NaN dependents -> missing: moments == packed, n drops by 10.
+    df = base.withColumn(
+        "q_a", F.when(F.col("rid") < 10, nan).otherwise(F.col("q_a"))
+    ).drop("rid")
+    cfg = MASConfig(
+        predictors="x", dependents=["q_a"], covariates=["c1"],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(df.columns)
+    m = run_associations(df, cfg, strategy="moments").toPandas().iloc[0]
+    p = run_associations(df, cfg, strategy="packed").toPandas().iloc[0]
+    assert m["n_observations"] == p["n_observations"] == n - 10
+    assert m["beta"] == pytest.approx(p["beta"], rel=1e-9)
+
+    # NaN covariate -> the pair fails as a row on BOTH paths.
+    df2 = base.withColumn(
+        "c1", F.when(F.col("rid") == 3, nan).otherwise(F.col("c1"))
+    ).drop("rid")
+    cfg2 = MASConfig(
+        predictors="x", dependents=["q_a"], covariates=["c1"],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(df2.columns)
+    m2 = run_associations(df2, cfg2, strategy="moments").toPandas().iloc[0]
+    p2 = run_associations(df2, cfg2, strategy="packed").toPandas().iloc[0]
+    assert m2["failed_reason"] == "Non-finite predictor/covariate/dependent values."
+    assert math.isnan(m2["pval"])
+    assert p2["failed_reason"] not in (None, "nan")
 
 
 def test_moments_dotted_column_names(spark):
