@@ -410,6 +410,15 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                     )
                     out.append(rec)
                     continue
+                # Constant predictor -> failure row (kernel parity; see
+                # make_kernel — the min-norm alternative is a false
+                # positive). NaN predictor variance falls through to the
+                # finiteness guard below.
+                v0 = r["__c0_0__"]
+                if v0 is None or v0 == 0.0:
+                    rec["failed_reason"] = "Constant predictor."
+                    out.append(rec)
+                    continue
                 # Per-pair constant drop: Welford variance == 0 <=>
                 # constant (exactly — the merge formula accumulates 0 for
                 # identical values). The kernel uses pandas nunique on the
@@ -593,6 +602,18 @@ def make_kernel(
                 row["failed_reason"] = f"Not enough observations ({n_rows})."
                 return emit()
             row["n_observations"] = n_rows
+
+        # A constant (monomorphic) predictor carries no association
+        # signal, but the design matrix [pred, ..., intercept] becomes
+        # rank-deficient with the deficiency INVOLVING the predictor:
+        # lstsq's min-norm solution then splits the intercept across the
+        # two constant columns and reports an arbitrarily significant
+        # nonzero beta — a pure false positive. Fail the pair instead
+        # (also keeps all three physical strategies result-identical;
+        # the centered-moments formulation would report beta=0 here).
+        if pdf[PRED_VALUE].nunique(dropna=False) <= 1:
+            row["failed_reason"] = "Constant predictor."
+            return emit()
 
         # Per-subset constant-covariate drop (analysis.py:196-206).
         active = [
@@ -782,11 +803,12 @@ def run_associations(
       row and one group per (sample, predictor, dependent). Same
       results; kept as the reference-shaped formulation (U1) and the
       parity baseline for packed.
-    - ``moments`` (linear model only, explicit): per-pair OLS via
-      sufficient statistics — the shuffle carries map-side-combined
-      X'X/X'y partials (O(k²) doubles per pair per partition) instead
-      of sample rows; see _fit_linear_moments. Row count drops out of
-      the shuffle entirely.
+    - ``moments`` (linear model only — the AUTO DEFAULT whenever it
+      applies): per-pair OLS via sufficient statistics — the shuffle
+      carries map-side-combined centered moment partials (Welford
+      covariances, O(k²) doubles per pair per partition — offset-stable
+      at any covariate scale) instead of sample rows; see
+      _fit_linear_moments. Row count drops out of the shuffle entirely.
     - ``columnar`` (wide, short tables — the PheWAS shape: 5k-500k
       samples x ~1,800 phecodes): checkpoint the preprocessed table to
       parquet once (the exact analog of the reference's Arrow-IPC sink +

@@ -174,21 +174,6 @@ def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
     if not covs:
         return df
     cats = [c for c in config.categorical_covariate_columns if c in df.columns]
-    # Fail fast with a clear message on string-typed covariates that were
-    # not declared categorical — otherwise the raw strings reach the
-    # regression kernel's to_numpy(float64) and die with an opaque
-    # "could not convert string to float" deep inside a Python worker.
-    dtypes = dict(df.dtypes)
-    undeclared = [
-        c for c in covs
-        if c not in cats and dtypes.get(c) in ("string", "varchar")
-    ]
-    if undeclared:
-        raise ValueError(
-            f"String-typed covariate(s) {undeclared} must be declared "
-            "categorical (categorical_covariates / -cc) to be one-hot "
-            "encoded, or pre-encoded numerically."
-        )
     aggs = [F.countDistinct(qcol(c)).alias(f"__nd_{c}") for c in covs]
     aggs += [
         F.sort_array(F.collect_set(qcol(c))).alias(f"__lv_{c}") for c in cats
@@ -197,6 +182,7 @@ def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
     df = drop_constant_covariates(
         df, config, counts={c: row[f"__nd_{c}"] for c in covs}
     )
+    _reject_string_covariates(df, config)
     # Constant categoricals were just dropped from df; create_dummy
     # re-filters its cat list against df.columns, so supplying the
     # pre-drop level sets keyed by name is safe.
@@ -204,6 +190,27 @@ def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
         df, config, level_sets={c: row[f"__lv_{c}"] for c in cats}
     )
     return df
+
+
+def _reject_string_covariates(df: DataFrame, config: MASConfig) -> None:
+    """Fail fast with a clear message on string-typed covariates that
+    were not declared categorical — otherwise the raw strings reach the
+    regression kernel's to_numpy(float64) and die with an opaque "could
+    not convert string to float" deep inside a Python worker. Runs
+    AFTER the constant drop so a constant string covariate is dropped
+    harmlessly (as it always was), not hard-failed."""
+    dtypes = dict(df.dtypes)
+    cats = set(config.categorical_covariate_columns)
+    undeclared = [
+        c for c in config.covariate_columns
+        if c not in cats and dtypes.get(c) in ("string", "varchar")
+    ]
+    if undeclared:
+        raise ValueError(
+            f"String-typed covariate(s) {undeclared} must be declared "
+            "categorical (categorical_covariates / -cc) to be one-hot "
+            "encoded, or pre-encoded numerically."
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -396,6 +403,11 @@ def build_prep_recipe(df: DataFrame, config: MASConfig) -> PrepRecipe:
 
     recipe.final_covariates = covs
     config.covariate_columns = list(covs)
+    # Same fail-fast as preprocess(): the columnar fan-out tasks apply
+    # the recipe in pandas and would otherwise crash opaquely on raw
+    # strings. One-hot output columns are ints; only surviving source
+    # columns can be string-typed.
+    _reject_string_covariates(df, config)
 
     # Fills on columns that left the design (constant-dropped) are dead
     # work — and dead reads — in the tasks; keep only design-relevant

@@ -715,3 +715,35 @@ def test_pipeline_downgrades_columnar_on_uri_checkpoint(spark, tmp_path):
     cfg.checkpoint_dir = "hdfs://namenode/ckpt"
     res = run_pipeline(spark, cfg, df=df)
     assert res.count() == 10  # would throw in checkpoint_wide if columnar
+
+
+def test_constant_predictor_fails_as_row_all_strategies(spark):
+    """A monomorphic predictor must produce a failure row on EVERY
+    physical strategy — the min-norm alternative splits the intercept
+    onto the constant predictor column and reports an arbitrarily
+    significant beta (a pure false positive), and the centered-moments
+    formulation would report beta=0: three different wrong answers.
+    One contract: 'Constant predictor.'"""
+    rng = np.random.default_rng(31)
+    n = 120
+    pdf = pd.DataFrame({
+        "x": np.full(n, 2.0),
+        "c1": rng.normal(0, 1, n),
+        "q": rng.normal(3, 1, n),
+        "yb": (rng.random(n) < 0.4).astype("int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    lin = MASConfig(
+        predictors="x", dependents=["q"], covariates=["c1"],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(df.columns)
+    for strategy in ("moments", "packed", "unpivot"):
+        r = run_associations(df, lin, strategy=strategy).toPandas().iloc[0]
+        assert r["failed_reason"] == "Constant predictor.", strategy
+        assert math.isnan(r["pval"]), strategy
+    logi = MASConfig(
+        predictors="x", dependents=["yb"], covariates=["c1"],
+        model="logistic", min_case_count=10,
+    ).resolve(df.columns)
+    r = run_associations(df, logi, strategy="packed").toPandas().iloc[0]
+    assert r["failed_reason"] == "Constant predictor."

@@ -155,3 +155,67 @@ def test_profile_table_one_pass(spark):
     assert rows["a"].min == 1.0 and rows["a"].max == 3.0
     assert rows["a"].mean == 2.0 and rows["a"].median == 2.0
     assert rows["b"].median == 20.0
+
+
+def test_constant_string_covariate_dropped_not_failed(spark):
+    """A constant string covariate must be dropped by the constant check
+    (as it always was), not hard-failed by the undeclared-string guard —
+    the guard runs after the drop."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_mas_spark.operators.preprocessing import preprocess
+
+    rng = np.random.default_rng(23)
+    n = 60
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "age": rng.normal(50, 5, n),
+        "batch": ["A"] * n,  # constant string, NOT declared categorical
+        "q": rng.normal(0, 1, n),
+    })
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=["q"], covariates=["age", "batch"],
+        model="linear", quantitative=True, min_case_count=10,
+        missing_covariate_values="drop",
+    ).resolve(df.columns)
+    out = preprocess(df, cfg)
+    assert cfg.covariate_columns == ["age"]
+    assert "batch" not in out.columns
+
+
+def test_string_covariate_clear_error_both_paths(spark, tmp_path):
+    """A NON-constant string covariate not declared categorical must
+    raise the clear ValueError on BOTH preprocessing implementations:
+    preprocess() (tall paths) and build_prep_recipe() (columnar path) —
+    not an opaque to_numpy crash inside a Python worker."""
+    import numpy as np
+    import pandas as pd
+    import pytest as pt
+
+    from polars_mas_spark.operators.preprocessing import (
+        build_prep_recipe,
+        preprocess,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 60
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "smoker": [["never", "former", "current"][i % 3] for i in range(n)],
+        "q": rng.normal(0, 1, n),
+    })
+    df = spark.createDataFrame(pdf)
+
+    def cfg():
+        return MASConfig(
+            predictors="x", dependents=["q"], covariates=["smoker"],
+            model="linear", quantitative=True, min_case_count=10,
+            missing_covariate_values="drop",
+        ).resolve(df.columns)
+
+    with pt.raises(ValueError, match="String-typed covariate"):
+        preprocess(df, cfg())
+    with pt.raises(ValueError, match="String-typed covariate"):
+        build_prep_recipe(df, cfg())

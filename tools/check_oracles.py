@@ -92,24 +92,20 @@ def _check_one(spark, con, name, fn, oracles):
             orows = []
     except Exception as e:
         return f"FAIL  {name}: duckdb error: {e}", True
-    for row in orows[:1]:
-        for v in row:
-            if isinstance(v, list):
-                return (
-                    f"FAIL  {name}: oracle exposes a list column "
-                    "(driver hasher crashes on lists; stringify with "
-                    "array_to_string)",
-                    True,
-                )
-    for row in srows[:1]:
-        for v in row:
-            if isinstance(v, list):
-                return (
-                    f"FAIL  {name}: spark result exposes an array column "
-                    "(driver hasher crashes on lists; stringify with "
-                    "array_join)",
-                    True,
-                )
+    # ALL rows, not just the first: a nullable array column whose first
+    # row is NULL would otherwise slip past and crash the driver hasher.
+    if any(isinstance(v, list) for row in orows for v in row):
+        return (
+            f"FAIL  {name}: oracle exposes a list column (driver hasher "
+            "crashes on lists; stringify with array_to_string)",
+            True,
+        )
+    if any(isinstance(v, list) for row in srows for v in row):
+        return (
+            f"FAIL  {name}: spark result exposes an array column (driver "
+            "hasher crashes on lists; stringify with array_join)",
+            True,
+        )
     status = []
     if len(srows) != len(orows):
         status.append(f"rowcount {len(srows)}!={len(orows)}")
