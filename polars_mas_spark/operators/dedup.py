@@ -47,11 +47,20 @@ def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep the lowest-id representative of each exact-duplicate group."""
-    keep = exact_dedup_summary(df, id_col, text_col).select(
+    """Keep the lowest-id representative of each exact-duplicate group.
+
+    NULL content has no digest and is never a duplicate of anything:
+    such rows all pass through (otherwise md5(NULL)=NULL would group
+    every failed-extraction row into one bucket and silently delete all
+    but one — and diverge from incremental_exact_dedup, whose NULL
+    digests never equi-match the seen side)."""
+    nonnull = df.filter(qcol(text_col).isNotNull())
+    keep = exact_dedup_summary(nonnull, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    return df.join(keep, on=id_col, how="left_semi")
+    return nonnull.join(keep, on=id_col, how="left_semi").unionByName(
+        df.filter(qcol(text_col).isNull())
+    )
 
 
 def incremental_exact_dedup(
@@ -151,8 +160,13 @@ def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams, built JVM-side with a
-    transform over token index arrays."""
-    toks = F.split(F.lower(qcol(text_col)), r"\s+")
+    transform over token index arrays. Empty tokens from leading/
+    trailing/repeated whitespace are filtered BEFORE shingling (same
+    rule as _distinct_tokens) — otherwise ' a b c' yields corrupt
+    shingles like ' a b' that never match their clean counterparts."""
+    toks = F.filter(
+        F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != ""
+    )
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -207,9 +221,24 @@ def minhash_signatures(
     )
 
 
+def _check_banding(num_hashes: int, bands: int, rows_per_band: int) -> None:
+    """bands*rows_per_band must fit in the signature: an out-of-range
+    band slices an empty array, every document then shares the
+    md5(empty) bucket in that band, and greedy/CC dedup silently delete
+    nearly the whole corpus. Fail loudly instead."""
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"bands * rows_per_band ({bands}*{rows_per_band}="
+            f"{bands * rows_per_band}) exceeds num_hashes ({num_hashes}); "
+            "out-of-range bands would hash an empty signature slice and "
+            "collapse every document into one bucket"
+        )
+
+
 def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(doc_id, band, bucket): one row per document per band, bucket =
-    md5 of the band's signature slice."""
+    md5 of the band's signature slice. Callers that know num_hashes must
+    _check_banding first — slices past the signature are silent."""
     return sigs.select(
         "doc_id",
         F.explode(
@@ -290,6 +319,7 @@ def minhash_dedup(
     That needs only a per-bucket min aggregate, never the O(k^2)
     pair list (6M pairs from 5k docs on a duplicated corpus); identical
     result set to the pair formulation by construction."""
+    _check_banding(num_hashes, bands, rows_per_band)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     banded = _bucket_mins(_banded(sigs, bands, rows_per_band))
     losers = (
@@ -315,13 +345,12 @@ def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     (not the corpus) — scale is bounded by the near-dup graph, which
     LSH keeps small.
 
-    Convergence check: labels only ever decrease, so for numeric ids
-    sum(label) is strictly monotone and one cheap aggregate per round
-    detects the fixpoint exactly; non-numeric ids fall back to an
-    equality-join changed-count."""
-    numeric_ids = dict(pairs.dtypes)["doc_a"] in (
-        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
-    )
+    Convergence check: each round carries the previous label alongside
+    the new one, so the fixpoint test is a single count of changed rows
+    on the already-checkpointed frame — exact for every id dtype, no
+    extra join, and (unlike a sum(label) monotonicity probe) immune to
+    bigint overflow under ANSI mode and to float summation collisions
+    when ids are ~1e18 hash values."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -332,7 +361,6 @@ def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    prev_sum = labels.agg(F.sum("label").alias("s")).first()["s"] if numeric_ids else None
     try:
         for _ in range(max_rounds):
             prop = (
@@ -348,6 +376,7 @@ def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             )
             merged = labels.join(prop, on="doc_id", how="left").select(
                 "doc_id",
+                F.col("label").alias("__old__"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
@@ -369,25 +398,18 @@ def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                 merged.join(hop, on="label", how="left")
                 .select(
                     "doc_id",
+                    "__old__",
                     F.least(
                         F.col("label"), F.coalesce("hop_label", F.col("label"))
                     ).alias("label"),
                 )
                 .localCheckpoint(eager=True)
             )
-            if numeric_ids:
-                new_sum = new_labels.agg(F.sum("label").alias("s")).first()["s"]
-                done = new_sum == prev_sum
-                prev_sum = new_sum
-            else:
-                done = (
-                    new_labels.withColumnRenamed("label", "new_label")
-                    .join(labels, on="doc_id")
-                    .filter(F.col("new_label") != F.col("label"))
-                    .count()
-                ) == 0
+            done = (
+                new_labels.filter(F.col("label") != F.col("__old__")).count() == 0
+            )
             labels.unpersist()
-            labels = new_labels
+            labels = new_labels.drop("__old__")
             if done:
                 break
     finally:
@@ -420,6 +442,7 @@ def minhash_dedup_cc(
     min id. A star has the same connected components as the clique it
     replaces (all members reachable through the hub), so the survivor
     set is bit-identical while the edge list stays O(n x bands)."""
+    _check_banding(num_hashes, bands, rows_per_band)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     star = _bucket_mins(_banded(sigs, bands, rows_per_band))
     edges = (
@@ -572,13 +595,18 @@ def jaccard_pairs(
     pruned by an equality block (e.g. language) and a relative length
     band before any set math — the standard way to keep the pair count
     sub-quadratic. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    # Empty split tokens (leading/trailing whitespace) are excluded from
+    # both the word sets and the default length — they would otherwise
+    # put '' into every padded document's set (inflating jaccard between
+    # unrelated docs) and shift the length band by the padding.
+    words = F.filter(
+        F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != ""
+    )
     base = df.select(
         qcol(id_col).alias("doc_id"),
-        F.array_sort(
-            F.array_distinct(F.split(F.lower(qcol(text_col)), r"\s+"))
-        ).alias("words"),
+        F.array_sort(F.array_distinct(words)).alias("words"),
         *( [qcol(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
-        *( [qcol(length_col).alias("len")] if length_col else [F.size(F.split(qcol(text_col), r"\s+")).alias("len")] ),
+        *( [qcol(length_col).alias("len")] if length_col else [F.size(words).alias("len")] ),
     )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(

@@ -4,10 +4,13 @@ Beyond-reference surface: approximate-nearest-neighbor primitives for a
 training-data pipeline. Two tiers:
 
 - ``brute_force_topk``: exact cosine top-k. The query set is broadcast
-  (it is small by construction); the corpus side streams — no shuffle
-  of the corpus at all, the only shuffle is the final per-query top-k
-  aggregation. This is the correctness baseline and is already the
-  right shape for "few queries x huge corpus" at 100 TB.
+  (it is small by construction); the corpus side streams. The per-query
+  ranking runs as a salted two-phase top-k (_topk_per_query): a local
+  top-k over (query, salt) partitions prunes the scored set to
+  n_salts*k rows per query before the global window — without it, "few
+  queries x huge corpus" funnels the whole scored set into one reducer
+  per query. This is the correctness baseline and the right shape for
+  100 TB.
 - ``lsh_topk``: random-hyperplane LSH bucketing; only bucket-colliding
   candidates are scored. The hyperplanes are generated deterministically
   on the driver (seeded) and shipped as literals, so plans are stable
@@ -47,6 +50,41 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
+    """EXACT per-query top-k in two phases: a salted local top-k
+    (partitioned on (query_id, hash(neighbor_id) % n_salts)) prunes the
+    scored set to at most n_salts*k rows per query before the tiny
+    global ranking window.
+
+    Why not one window over query_id: with few queries and a huge
+    corpus, that plan funnels ~|corpus| rows into ONE reducer per query
+    — 100 queries over a 1B-row corpus means 100 tasks each sorting 1B
+    rows. The salt spreads phase 1 across n_salts*|queries| reducers
+    with a bounded sort each, and phase 2 only ever sees n_salts*k rows
+    per query. Exact by containment: every global top-k row is in its
+    salt's top-k, and both phases share the (cos desc, neighbor asc)
+    tiebreak, so the output is bit-identical to the single-window form.
+    """
+    salted = scored.withColumn(
+        "__salt__",
+        F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts)),
+    )
+    w1 = Window.partitionBy("query_id", "__salt__").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    local = (
+        salted.withColumn("__r1__", F.row_number().over(w1))
+        .filter(F.col("__r1__") <= k)
+        .drop("__r1__", "__salt__")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,8 +95,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos, rank).
 
-    Self-matches (same id) are excluded. Queries are broadcast; ties
-    break deterministically on neighbor id."""
+    Self-matches (same id) are excluded only when queries come from the
+    corpus itself (no distinct ``query_id_col``); with a separate query
+    table the id spaces are unrelated and nothing is excluded. Queries
+    are broadcast; ties break deterministically on neighbor id."""
+    same_id_space = query_id_col is None
     query_id_col = query_id_col or id_col
     q = queries.select(
         qcol(query_id_col).alias("query_id"), qcol(vec_col).alias("__qvec__")
@@ -66,22 +107,15 @@ def brute_force_topk(
     c = corpus.select(
         qcol(id_col).alias("neighbor_id"), qcol(vec_col).alias("__cvec__")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cos"),
-        )
+    scored = c.crossJoin(F.broadcast(q))
+    if same_id_space:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
@@ -98,6 +132,16 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _infer_dim(corpus: DataFrame, vec_col: str) -> int:
+    first = corpus.select(F.size(qcol(vec_col))).first()
+    if first is None or first[0] is None or first[0] < 0:
+        raise ValueError(
+            "cannot infer embedding dimension: corpus is empty or its "
+            f"first '{vec_col}' is NULL — pass dim= explicitly"
+        )
+    return int(first[0])
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,16 +152,19 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 7,
+    query_id_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates that share an LSH bucket
     with the query in at least one of ``num_tables`` independent hash
     tables (OR-amplification — a single table's recall collapses on
     high-dimensional data; multiple tables trade compute for recall).
     Recall tuning: more tables OR fewer planes => bigger candidate sets.
+    ``query_id_col``: as in brute_force_topk — set it when queries come
+    from a separate table, which also disables the self-match exclusion
+    (unrelated id spaces must not mask corpus vectors).
     """
     if dim is None:
-        first = corpus.select(F.size(qcol(vec_col))).first()
-        dim = first[0]
+        dim = _infer_dim(corpus, vec_col)
     tables = [
         _hyperplanes(dim, num_planes, seed + 101 * t) for t in range(num_tables)
     ]
@@ -132,31 +179,31 @@ def lsh_topk(
             ]
         )
 
+    same_id_space = query_id_col is None
+    query_id_col = query_id_col or id_col
     c = corpus.select(
         qcol(id_col).alias("neighbor_id"),
         qcol(vec_col).alias("__cvec__"),
         F.explode(buckets(qcol(vec_col))).alias("__bucket__"),
     )
     q = queries.select(
-        qcol(id_col).alias("query_id"),
+        qcol(query_id_col).alias("query_id"),
         qcol(vec_col).alias("__qvec__"),
         F.explode(buckets(qcol(vec_col))).alias("__bucket__"),
     )
+    scored = c.join(F.broadcast(q), on="__bucket__")
+    if same_id_space:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = (
-        c.join(F.broadcast(q), on="__bucket__")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
         # A pair colliding in several tables must be scored once.
-        .dropDuplicates(["query_id", "neighbor_id"])
+        scored.dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, k)
 
 
 def _normalize_rows(M: np.ndarray) -> np.ndarray:
@@ -329,9 +376,12 @@ def ivf_topk(
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_id_col: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path when both
-    corpus and query set are large.
+    corpus and query set are large. ``query_id_col``: as in
+    brute_force_topk — set it when queries come from a separate table,
+    which also disables the self-match exclusion.
 
     Plan shape (100 TB-ready): centroids are seeded deterministically
     from the ``n_centroids`` lowest-id vectors, refined by
@@ -355,29 +405,27 @@ def ivf_topk(
         id_col=id_col, vec_col=vec_col,
     )
     bc = _centroid_matrix_bc(spark, centroids)
+    same_id_space = query_id_col is None
+    query_id_col = query_id_col or id_col
     c = corpus.select(
         qcol(id_col).alias("neighbor_id"),
         qcol(vec_col).alias("__cvec__"),
         _assign_udf(bc)(qcol(vec_col)).alias("__bucket__"),
     )
     q = queries.select(
-        qcol(id_col).alias("query_id"),
+        qcol(query_id_col).alias("query_id"),
         qcol(vec_col).alias("__qvec__"),
         F.explode(_probe_udf(bc, n_probe)(qcol(vec_col))).alias("__bucket__"),
     )
-    scored = (
-        c.join(F.broadcast(q), on="__bucket__")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cos"),
-        )
+    scored = c.join(F.broadcast(q), on="__bucket__")
+    if same_id_space:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, k)
 
 
 def embedding_neardup_pairs(

@@ -356,20 +356,26 @@ def ngram_contamination(
         on="shingle",
         how="left",
     )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_contaminated"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_contaminated",
+    grouped = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).alias("n_contaminated"),
+    )
+    # Documents shorter than n words have no shingles and would vanish
+    # from the groupBy — report them explicitly as (0, 0, 0.0) so "for
+    # each corpus document" actually holds and downstream joins/averages
+    # don't silently lose short documents. The report-sized left join is
+    # on the doc list, not the shingle table.
+    ids = corpus.select(qcol(id_col).alias("doc_id"))
+    return ids.join(grouped, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.coalesce(
             F.round(
                 F.col("n_contaminated").cast("double") / F.col("n_grams"), 6
-            ).alias("contamination_frac"),
-        )
+            ),
+            F.lit(0.0),
+        ).alias("contamination_frac"),
     )
 
 
@@ -470,19 +476,33 @@ def passage_split(
     starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
     )
-    passages = F.transform(
-        starts, lambda s: F.array_join(F.slice(words, s, max_words), " ")
+    # Drop trailing starts whose window is fully contained in the
+    # previous passage (the previous window already reaches the last
+    # word): without this, a doc of exactly max_words words emits a
+    # second passage that is a strict subset of the first, duplicating
+    # content in retrieval/embedding indexes.
+    starts = F.filter(
+        starts, lambda s: (s == 1) | (s - stride + max_words <= n)
+    )
+    items = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice(words, s, max_words), " ").alias("passage"),
+        ),
     )
     out = df.select(
         qcol(id_col).alias("doc_id"),
         n.alias("__n__"),
-        F.posexplode(passages).alias("passage_idx", "passage"),
+        F.posexplode(items).alias("passage_idx", "p"),
     )
     n_words = F.least(
-        F.lit(max_words), F.col("__n__") - F.col("passage_idx") * stride
+        F.lit(max_words), F.col("__n__") - (F.col("p.start") - F.lit(1))
     )
     return out.select(
-        "doc_id", "passage_idx", "passage", n_words.alias("n_words")
+        "doc_id", "passage_idx",
+        F.col("p.passage").alias("passage"),
+        n_words.alias("n_words"),
     )
 
 

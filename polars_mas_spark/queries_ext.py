@@ -59,7 +59,9 @@ def q_exact_dedup_summary(spark, sf_dir):
 @query(
     "exact_dedup",
     """SELECT doc_id FROM documents
-       WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+       WHERE text IS NULL
+          OR doc_id IN (SELECT min(doc_id) FROM documents
+                        WHERE text IS NOT NULL GROUP BY md5(text))""",
 )
 def q_exact_dedup(spark, sf_dir):
     return dd.exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text").select(
@@ -217,7 +219,9 @@ def q_simhash_hamming(spark, sf_dir):
 
 @query(
     "word_shingles",
-    r"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+    r"""WITH t AS (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '') AS toks
                    FROM documents),
          s AS (SELECT DISTINCT doc_id,
                       array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS shingle
@@ -235,7 +239,9 @@ def q_word_shingles(spark, sf_dir):
     "jaccard_pairs",
     r"""WITH base AS (
           SELECT doc_id,
-                 list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS words,
+                 list_sort(list_distinct(
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> ''))) AS words,
                  lang AS block, n_chars AS len
           FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -498,7 +504,8 @@ def q_orc_roundtrip(spark, sf_dir):
 # parameterized over the input relation.
 def _shingle_sql(rel: str, n: int = 3) -> str:
     return rf"""(WITH t AS (SELECT doc_id,
-                        regexp_split_to_array(lower(text), '\s+') AS toks
+                        list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '') AS toks
                  FROM {rel}),
          s AS (SELECT DISTINCT doc_id,
                       array_to_string(list_slice(toks, i + 1, i + {n}), ' ') AS shingle
@@ -556,10 +563,16 @@ def q_tfidf_top_terms(spark, sf_dir):
         flagged AS (
           SELECT c.doc_id, c.shingle,
                  CASE WHEN bench.shingle IS NULL THEN 0 ELSE 1 END AS hit
-          FROM corp c LEFT JOIN bench ON c.shingle = bench.shingle)
-        SELECT doc_id, count(*) AS n_grams, sum(hit)::BIGINT AS n_contaminated,
-               round(sum(hit)::DOUBLE / count(*), 6) AS contamination_frac
-        FROM flagged GROUP BY doc_id""",
+          FROM corp c LEFT JOIN bench ON c.shingle = bench.shingle),
+        grouped AS (
+          SELECT doc_id, count(*) AS n_grams, sum(hit)::BIGINT AS n_contaminated,
+                 round(sum(hit)::DOUBLE / count(*), 6) AS frac
+          FROM flagged GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(g.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(g.n_contaminated, 0)::BIGINT AS n_contaminated,
+               coalesce(g.frac, 0.0) AS contamination_frac
+        FROM documents d LEFT JOIN grouped g ON d.doc_id = g.doc_id""",
 )
 def q_ngram_contamination(spark, sf_dir):
     """Train-test contamination: per-doc 3-gram overlap against a
@@ -2157,7 +2170,9 @@ def q_robust_scale_acctbal(spark, sf_dir):
             FROM documents),
         st AS (
             SELECT doc_id, words,
-                   generate_series(1, len(words), 48) AS starts
+                   list_filter(generate_series(1, len(words), 48),
+                               s -> s = 1 OR s - 48 + 64 <= len(words))
+                     AS starts
             FROM wd WHERE len(words) > 0),
         ps AS (
             SELECT doc_id, len(words) AS n,
@@ -2165,10 +2180,11 @@ def q_robust_scale_acctbal(spark, sf_dir):
                        starts,
                        s -> array_to_string(list_slice(words, s, s + 63), ' ')))
                      AS passage,
+                   unnest(starts) AS s,
                    unnest(generate_series(1, len(starts))) AS idx1
             FROM st)
         SELECT doc_id, idx1 - 1 AS passage_idx, passage,
-               least(64, n - (idx1 - 1) * 48) AS n_words
+               least(64, n - (s - 1))::INT AS n_words
         FROM ps""",
 )
 def q_passage_split_docs(spark, sf_dir):

@@ -153,3 +153,34 @@ def test_semantic_dedup_drops_planted_neardups(spark):
     assert 3 in kept and 10 not in kept
     assert 7 in kept and 21 not in kept
     assert len(kept) == 28
+
+
+def test_separate_query_table_keeps_colliding_ids(emb, spark):
+    """Review r4: with a distinct query_id_col the query ids live in an
+    unrelated id space, so a corpus vector whose id equals a query id
+    must NOT be excluded as a 'self match' — on any of the three
+    engines."""
+    # Query table: vectors of corpus ids 0..2, re-labeled qid 100+i.
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select((F.col("vec_id") + 100).alias("qid"), "embedding")
+    )
+    for fn, kw in [
+        (sim.brute_force_topk, {}),
+        (sim.lsh_topk, {"num_planes": 4, "num_tables": 6, "dim": 64}),
+        (sim.ivf_topk, {"n_centroids": 8, "n_probe": 8}),
+    ]:
+        got = fn(emb, queries, k=1, query_id_col="qid", **kw).toPandas()
+        # Each query IS a corpus vector (cos=1 with itself, smallest id
+        # tiebreak) — rank-1 must be its own corpus id, never excluded.
+        top = {int(r.query_id): int(r.neighbor_id) for r in got.itertuples()}
+        for qid in (100, 101, 102):
+            assert top.get(qid) == qid - 100, (fn.__name__, top)
+
+
+def test_lsh_dim_inference_errors_clearly(spark):
+    """Review r4: empty corpus / NULL first vector must raise a named
+    error, not a TypeError deep in numpy."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="cannot infer embedding dim"):
+        sim.lsh_topk(empty, empty, k=1)

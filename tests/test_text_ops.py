@@ -316,8 +316,11 @@ def test_passage_split_windows_and_overlap(spark):
                                ["doc_id", "text"])
     out = passage_split(df, "doc_id", "text", max_words=64, overlap=16)
     rows = {(r["doc_id"], r["passage_idx"]): r for r in out.collect()}
-    # doc 1: starts at 0, 48, 96 -> 3 passages of 64, 52, 4 words
-    assert [rows[(1, i)]["n_words"] for i in range(3)] == [64, 52, 4]
+    # doc 1: starts at words 1, 49 -> passages of 64 and 52 words; the
+    # start at word 97 is fully contained in the second passage (words
+    # 49-100) and is dropped (r4 subsumption fix).
+    assert [rows[(1, i)]["n_words"] for i in range(2)] == [64, 52]
+    assert (1, 2) not in rows
     p0, p1 = rows[(1, 0)]["passage"].split(), rows[(1, 1)]["passage"].split()
     assert p0[48:] == p1[:16]  # consecutive passages share the overlap
     assert rows[(2, 0)]["n_words"] == 2
@@ -345,3 +348,121 @@ def test_distinct_profile_hll_within_tolerance(spark):
     assert exact == {"k1k": 1000, "k37": 37, "uniq": 20_000}
     for c in exact:
         assert abs(approx[c] - exact[c]) / exact[c] < 0.05, (c, approx[c])
+
+
+def test_banding_mismatch_rejected(spark):
+    """Review r4: bands*rows_per_band > num_hashes used to slice empty
+    signature bands, giving every doc the md5('') bucket and silently
+    deleting nearly the whole corpus. Must raise instead."""
+    import pytest
+    from polars_mas_spark.operators import dedup as dd
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exceeds num_hashes"):
+        dd.minhash_dedup(df, "doc_id", "text", num_hashes=16, bands=8, rows_per_band=4)
+    with pytest.raises(ValueError, match="exceeds num_hashes"):
+        dd.minhash_dedup_cc(df, "doc_id", "text", num_hashes=8, bands=4, rows_per_band=4)
+
+
+def test_connected_min_labels_huge_ids(spark):
+    """Review r4: the old sum(label) convergence probe overflowed bigint
+    for hash-sized ids under ANSI mode. Labels must converge correctly
+    for ids near Long.MAX."""
+    from polars_mas_spark.operators.dedup import connected_min_labels
+
+    big = 9_200_000_000_000_000_000  # ~Long.MAX (9.22e18)
+    pairs = spark.createDataFrame(
+        [(big, big + 5), (big + 5, big + 11), (big + 20, big + 22)],
+        "doc_a long, doc_b long",
+    )
+    labels = {r["doc_id"]: r["label"] for r in connected_min_labels(pairs).collect()}
+    assert labels == {
+        big: big, big + 5: big, big + 11: big,
+        big + 20: big + 20, big + 22: big + 20,
+    }
+
+
+def test_exact_dedup_null_text_passthrough(spark):
+    """Review r4: NULL content has no digest and must never be grouped
+    as 'duplicates' — all NULL-text rows pass through, consistent with
+    incremental_exact_dedup's anti-join semantics."""
+    from polars_mas_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", "text").collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_word_shingles_whitespace_padding(spark):
+    """Review r4: leading/trailing whitespace must not produce corrupt
+    shingles containing empty tokens — ' a b c' and 'a b c' shingle
+    identically."""
+    from polars_mas_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, " a b c"), (2, "a b c "), (3, "a  b c")],
+        "doc_id long, text string",
+    )
+    rows = word_shingles(df, "doc_id", "text", n=3).collect()
+    assert {(r["doc_id"], r["shingle"]) for r in rows} == {
+        (1, "a b c"), (2, "a b c"), (3, "a b c"),
+    }
+
+
+def test_jaccard_empty_tokens_excluded(spark):
+    """Review r4: '' from padded text must not enter the word sets —
+    'a b ' vs ' c d' share nothing, jaccard has no pair above 0."""
+    from polars_mas_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b "), (2, " c d")], "doc_id long, text string"
+    )
+    out = jaccard_pairs(df, "doc_id", "text", threshold=0.01,
+                        length_tolerance=1.0).collect()
+    assert out == []
+
+
+def test_ngram_contamination_reports_short_docs(spark):
+    """Review r4: documents shorter than n words must appear in the
+    report with n_grams=0 rather than silently vanishing."""
+    from polars_mas_spark.operators.text import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            ngram_contamination(corpus, bench, "doc_id", "text", n=3).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_grams"] == 0
+    assert rows[2]["n_contaminated"] == 0
+    assert rows[2]["contamination_frac"] == 0.0
+    assert rows[1]["n_grams"] == 2 and rows[1]["n_contaminated"] == 1
+
+
+def test_passage_split_no_subsumed_tail(spark):
+    """Review r4: a doc of exactly max_words words must emit ONE
+    passage; trailing windows fully contained in the previous passage
+    are dropped."""
+    from polars_mas_spark.operators.text import passage_split
+
+    text64 = " ".join(f"w{i}" for i in range(64))
+    text65 = " ".join(f"w{i}" for i in range(65))
+    text100 = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text64), (2, text65), (3, text100)], "doc_id long, text string"
+    )
+    out = passage_split(df, "doc_id", "text", max_words=64, overlap=16)
+    rows = [(r["doc_id"], r["passage_idx"], r["n_words"]) for r in out.collect()]
+    by_doc = {}
+    for d, i, n in rows:
+        by_doc.setdefault(d, []).append((i, n))
+    assert by_doc[1] == [(0, 64)]              # no subsumed second passage
+    assert by_doc[2] == [(0, 64), (1, 17)]     # word 65 is new content
+    assert by_doc[3] == [(0, 64), (1, 52)]     # 49..100; start 97 subsumed
