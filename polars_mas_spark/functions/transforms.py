@@ -68,17 +68,20 @@ def blom_fractions(
         num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     valid = _valid_value(df, col)
     vdf = df.filter(valid)
-    n = vdf.count()
-    if n == 0:
-        return df.withColumn(frac_col, F.lit(None).cast("double"))
 
     block_expr, n_blocks = range_block_column(vdf, col, num_blocks)
     blocked = vdf.withColumn(_RB, block_expr).repartition(n_blocks, F.col(_RB))
 
     # Tiny per-block count job -> driver prefix sum -> offset lookup.
     # Deterministic block assignment makes the recompute safe (fills.py).
+    # The global n is the SUM of these counts — a separate vdf.count()
+    # would be a second full pass over the valid rows for a number this
+    # aggregation already has.
     counts = {r[_RB]: r["cnt"] for r in
               blocked.groupBy(_RB).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    if n == 0:
+        return df.withColumn(frac_col, F.lit(None).cast("double"))
     offsets = [0] * n_blocks
     running = 0
     for b in range(n_blocks):
@@ -127,9 +130,12 @@ def log_transform(df: DataFrame, col: str, out_col: str | None = None) -> DataFr
 
 def standard_scale(df: DataFrame, cols: list[str]) -> DataFrame:
     """(x - mean) / stddev_samp per column, one aggregate job for all."""
+    # qcol, not bare names: F.avg("250.2") parses the dot as struct
+    # access and fails on exactly the phecode-style columns this engine
+    # exists for (winsorize/robust_scale below already quote).
     stats = df.agg(
-        *[F.avg(c).alias(f"__m_{c}") for c in cols],
-        *[F.stddev_samp(c).alias(f"__s_{c}") for c in cols],
+        *[F.avg(qcol(c)).alias(f"__m_{c}") for c in cols],
+        *[F.stddev_samp(qcol(c)).alias(f"__s_{c}") for c in cols],
     ).first()
     out = df
     for c in cols:
@@ -187,8 +193,8 @@ def robust_scale(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def min_max_scale(df: DataFrame, cols: list[str]) -> DataFrame:
     stats = df.agg(
-        *[F.min(c).alias(f"__mn_{c}") for c in cols],
-        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+        *[F.min(qcol(c)).alias(f"__mn_{c}") for c in cols],
+        *[F.max(qcol(c)).alias(f"__mx_{c}") for c in cols],
     ).first()
     out = df
     for c in cols:

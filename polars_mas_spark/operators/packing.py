@@ -62,15 +62,46 @@ def pack_utilization(
     n_shards: int = 32,
     salt: str = "pack",
 ) -> DataFrame:
-    """Per-(shard, pack) fill report: documents started, tokens started
-    in the pack, and the fill fraction against the budget — the metric a
-    data engineer watches to size ``budget`` against the corpus's
-    document-length distribution."""
+    """Per-(shard, pack) fill report: documents started, tokens landing
+    IN the pack, and the fill fraction against the budget — the metric
+    a data engineer watches to size ``budget`` against the corpus's
+    document-length distribution.
+
+    Spanning documents are apportioned to every pack they cross (a doc
+    of 3.5x budget contributes a full budget to each pack it covers and
+    the remainder to the last): attributing all tokens to the start
+    pack — the naive groupBy — reports fill_fraction > 1 there and
+    omits the fully-covered middle packs from the report entirely,
+    making a near-perfectly-packed stream look wildly mis-sized. The
+    span explode is map-side (sequence over pack indices, bounded by
+    doc_len/budget); the only shuffle is the final (shard, pack)
+    aggregate, so fill_fraction is exact and always <= 1."""
     packed = pack_sequences(df, key_col, tokens_col, budget, n_shards, salt)
-    return packed.groupBy("shard", "pack_id").agg(
-        F.count(F.lit(1)).alias("docs_started"),
-        F.sum(qcol(tokens_col)).alias("tokens_started"),
-        F.round(F.sum(qcol(tokens_col)) / F.lit(float(budget)), 6).alias(
-            "fill_fraction"
-        ),
+    B = F.lit(budget)
+    start = F.col("pack_id") * B + F.col("pack_offset")
+    n = qcol(tokens_col)
+    end = start + n
+    last = F.greatest(F.col("pack_id"), F.floor((end - 1) / B))
+    spans = packed.select(
+        "shard",
+        start.alias("__start__"),
+        end.alias("__end__"),
+        F.col("pack_id").alias("__first__"),
+        F.explode(F.sequence(F.col("pack_id"), last)).alias("pack_id"),
+    )
+    tok_in = F.least(F.col("__end__"), (F.col("pack_id") + 1) * B) - F.greatest(
+        F.col("__start__"), F.col("pack_id") * B
+    )
+    return (
+        spans.withColumn("__tok__", tok_in)
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.sum(
+                F.when(F.col("pack_id") == F.col("__first__"), 1).otherwise(0)
+            ).alias("docs_started"),
+            F.sum("__tok__").alias("tokens_in_pack"),
+            F.round(F.sum("__tok__") / F.lit(float(budget)), 6).alias(
+                "fill_fraction"
+            ),
+        )
     )

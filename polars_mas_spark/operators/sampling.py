@@ -20,6 +20,8 @@ The salt decorrelates independent samples drawn from the same keys
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -28,14 +30,29 @@ from polars_mas_spark.colutils import qcol
 DEFAULT_BUCKETS = 10_000
 
 
+def _threshold(fraction: float, buckets: int) -> int:
+    """floor(x + 0.5), NOT Python round(): banker's rounding diverges
+    from SQL ROUND at .5 boundaries (round(12.5) = 12 in Python, 13 in
+    SQL), and a diverging threshold means the Spark sample and its
+    DuckDB oracle select DIFFERENT row sets — the exact cross-engine
+    reproducibility this module exists to guarantee."""
+    return int(math.floor(fraction * buckets + 0.5))
+
+
 def hash_bucket(key: Column, buckets: int = DEFAULT_BUCKETS, salt: str = "") -> Column:
     """Deterministic bucket in ``[0, buckets)`` from a key column.
 
     Stays entirely in whole-stage codegen (md5/conv/pmod are JVM
     built-ins); 8 hex digits = 32 bits of hash, so per-bucket rate error
     at 10k buckets is ~2^-18 — far below any sampling use case's noise.
+
+    NULL keys bucket deterministically too (hashed as a NUL sentinel
+    string): without the coalesce, md5(NULL)=NULL made every sampler
+    silently DROP null-key rows while train_eval_split routed them all
+    to 'train' — inconsistent and invisible. The DuckDB mirror is
+    ``md5('salt' || coalesce(CAST(k AS VARCHAR), chr(1)))``.
     """
-    s = F.concat(F.lit(salt), key.cast("string"))
+    s = F.concat(F.lit(salt), F.coalesce(key.cast("string"), F.lit("\x01")))
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % buckets
 
 
@@ -49,7 +66,7 @@ def deterministic_sample(
     """Keep rows whose bucket falls below ``fraction`` of the bucket
     space. Same key ⇒ same verdict, forever — a document sampled into a
     training mix stays sampled when the corpus is re-run."""
-    k = int(round(fraction * buckets))
+    k = _threshold(fraction, buckets)
     return df.filter(hash_bucket(qcol(key_col), buckets, salt) < F.lit(k))
 
 
@@ -70,10 +87,10 @@ def stratified_sample(
     ``df.sampleBy`` offers the same semantics but via ``rand()`` —
     irreproducible under partition recomputation (module docstring).
     """
-    thresh: Column = F.lit(int(round(default_fraction * buckets)))
+    thresh: Column = F.lit(_threshold(default_fraction, buckets))
     for value, frac in sorted(fractions.items()):
         thresh = F.when(
-            qcol(strata_col) == F.lit(value), F.lit(int(round(frac * buckets)))
+            qcol(strata_col) == F.lit(value), F.lit(_threshold(frac, buckets))
         ).otherwise(thresh)
     return df.filter(hash_bucket(qcol(key_col), buckets, salt) < thresh)
 
@@ -105,13 +122,16 @@ def mixture_sample(
     ``floor(x + 0.5)`` so an engine-portable oracle reproduces the
     exact row set.
     """
-    import math
-
     counts = {
         row[0]: row[1]
         for row in df.groupBy(qcol(strata_col)).count().collect()
     }
     total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError(
+            "mixture_sample: weights must contain at least one positive "
+            f"weight (got {dict(sorted(weights.items()))!r})"
+        )
     shares = {s: w / total_w for s, w in weights.items()}
     # Largest total honoring every PRESENT stratum's share with the rows
     # it has. Absent strata are skipped (not treated as 0/share = 0,
@@ -193,7 +213,7 @@ def train_eval_split(
     means the split survives corpus re-ingestion: a document never
     migrates between sides, which is the property that keeps eval sets
     uncontaminated across pipeline versions."""
-    k = int(round(eval_fraction * buckets))
+    k = _threshold(eval_fraction, buckets)
     b = hash_bucket(qcol(key_col), buckets, salt)
     return df.withColumn(
         out_col, F.when(b < F.lit(k), F.lit("eval")).otherwise(F.lit("train"))

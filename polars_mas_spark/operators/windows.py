@@ -73,17 +73,37 @@ def rolling_agg(
 
 
 def topk_per_group(
-    df: DataFrame, group_col: str, order_col: str, k: int = 3, tiebreak_col: str | None = None
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int = 3,
+    tiebreak_col: str | None = None,
+    out_col: str = "rank",
 ) -> DataFrame:
-    """Top-k rows per group by descending order_col (deterministic via
-    tiebreak)."""
-    order = [qcol(order_col).desc()]
-    if tiebreak_col:
-        order.append(qcol(tiebreak_col).asc())
-    w = Window.partitionBy(qcol(group_col)).orderBy(*order)
+    """Top-k rows per group by descending order_col.
+
+    ``tiebreak_col`` is REQUIRED (same contract as
+    cap_tokens_per_source's order_col): with ties at the k boundary and
+    no tiebreak, row_number() depends on physical row order, so a
+    partition recomputation or rerun returns a DIFFERENT top-k set —
+    nondeterminism that silently poisons any downstream join."""
+    if tiebreak_col is None:
+        raise ValueError(
+            "topk_per_group requires tiebreak_col (a unique per-row "
+            "column): without it the returned row set under ties is "
+            "nondeterministic across reruns and partition recomputation."
+        )
+    if out_col in df.columns:
+        raise ValueError(
+            f"topk_per_group: output column {out_col!r} already exists "
+            "in the input; pass out_col= to rename it."
+        )
+    w = Window.partitionBy(qcol(group_col)).orderBy(
+        qcol(order_col).desc(), qcol(tiebreak_col).asc()
+    )
     return (
-        df.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        df.withColumn(out_col, F.row_number().over(w))
+        .filter(F.col(out_col) <= k)
     )
 
 
@@ -157,5 +177,12 @@ def asof_join(
         )
     out_cols = [F.col("__lrow__")[c].alias(c) for c in lcols]
     out_cols.append(F.col("__match__")[right_ts].alias(f"asof_{right_ts}"))
-    out_cols.extend(F.col("__match__")[c].alias(c) for c in value_cols)
+    # A right value column sharing a name with any left column gets a
+    # _right suffix (pandas merge_asof's suffix behavior) — otherwise
+    # the output has two identically-named columns and every downstream
+    # by-name reference raises AMBIGUOUS_REFERENCE.
+    out_cols.extend(
+        F.col("__match__")[c].alias(c if c not in lcols else f"{c}_right")
+        for c in value_cols
+    )
     return carried.select(*out_cols)

@@ -1781,7 +1781,10 @@ def q_mas_phewas_firth_1800(spark, sf_dir):
 # DuckDB mirror of sampling.hash_bucket: first 8 md5 hex digits of
 # (salt || key) as an integer, mod buckets.
 def _bucket_sql(key_expr: str, buckets: int, salt: str = "") -> str:
-    salted = f"'{salt}' || CAST({key_expr} AS VARCHAR)" if salt else f"CAST({key_expr} AS VARCHAR)"
+    # coalesce(..., chr(1)) mirrors sampling.hash_bucket's NULL-key
+    # sentinel (null keys bucket deterministically, never drop).
+    key = f"coalesce(CAST({key_expr} AS VARCHAR), chr(1))"
+    salted = f"'{salt}' || {key}" if salt else key
     return f"(('0x' || substring(md5({salted}), 1, 8))::BIGINT % {buckets})"
 
 
@@ -1883,21 +1886,34 @@ def q_pack_docs(spark, sf_dir):
     ),
     packed AS (
         SELECT shard, n_tokens,
-               (COALESCE(SUM(n_tokens) OVER (
+               COALESCE(SUM(n_tokens) OVER (
                    PARTITION BY shard ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) // 512) AS pack_id
+               ), 0)::BIGINT AS strt
         FROM sharded
+    ),
+    spans AS (
+        SELECT shard, strt, strt + n_tokens AS e, (strt // 512) AS first,
+               unnest(generate_series(strt // 512,
+                      greatest(strt // 512,
+                               (strt + n_tokens - 1) // 512))) AS pack_id
+        FROM packed
     )
     SELECT shard, pack_id::BIGINT AS pack_id,
-           count(*) AS docs_started,
-           sum(n_tokens)::BIGINT AS tokens_started,
-           round(sum(n_tokens) / 512.0, 6) AS fill_fraction
-    FROM packed GROUP BY shard, pack_id""",
+           sum(CASE WHEN pack_id = first THEN 1 ELSE 0 END)::BIGINT
+             AS docs_started,
+           sum(least(e, (pack_id + 1) * 512)
+               - greatest(strt, pack_id * 512))::BIGINT AS tokens_in_pack,
+           round(sum(least(e, (pack_id + 1) * 512)
+                     - greatest(strt, pack_id * 512)) / 512.0, 6)
+             AS fill_fraction
+    FROM spans GROUP BY shard, pack_id""",
 )
 def q_pack_fill(spark, sf_dir):
-    """Per-pack fill report: the metric that sizes the token budget
-    against the corpus's length distribution."""
+    """Per-pack fill report with spanning docs apportioned across every
+    pack they cross (r4: the start-pack-only groupBy reported
+    fill > 1.0 and omitted fully-covered middle packs); the metric that
+    sizes the token budget against the corpus's length distribution."""
     return pk.pack_utilization(
         _docs_ntok(spark, sf_dir), "doc_id", "n_tokens", budget=512, n_shards=8
     )

@@ -154,31 +154,56 @@ def purchase_attribution(
     )
 
 
+def _duration_ms(spec: str) -> int:
+    """'2 hours' / '30 minutes' / '90 seconds' -> milliseconds."""
+    qty, unit = spec.strip().split()
+    mult = {
+        "millisecond": 1, "second": 1_000, "minute": 60_000,
+        "hour": 3_600_000, "day": 86_400_000,
+    }[unit.rstrip("s").lower()]
+    return int(float(qty) * mult)
+
+
 def running_user_stats(
     stream: DataFrame,
     user_col: str = "user_id",
     value_col: str = "value",
     ts_col: str = "ts",
     watermark: str = "30 minutes",
+    idle_timeout: str | None = None,
 ) -> DataFrame:
     """Custom STATEFUL operator via applyInPandasWithState: per-user
     running (count, sum, mean, max) maintained in explicit group state
     across micro-batches — the mechanism for operators Spark's built-in
     streaming aggregations can't express (SURVEY.md §2.10 note; at scale
-    the state store partitions by user across executors and the
-    watermark bounds it for idle keys).
+    the state store partitions by user across executors).
+
+    State lifetime: the watermark alone does NOT evict
+    applyInPandasWithState state — only a timeout or an explicit
+    ``state.remove()`` does. For unbounded key cardinality pass
+    ``idle_timeout`` (e.g. ``"2 hours"``): keys idle past that
+    event-time horizon are evicted (a key that reappears later restarts
+    its running stats from zero). The default ``None`` keeps state
+    forever and is only safe for bounded key sets.
 
     Emits one row per user per micro-batch in which that user appeared,
     carrying the lifetime-so-far statistics (update semantics)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_type = dict(stream.dtypes).get(user_col, "bigint")
     out_schema = (
-        f"{user_col} long, n_events long, total double, "
+        f"`{user_col}` {key_type}, n_events long, total double, "
         "mean double, max_value double"
     )
     state_schema = "n long, total double, max_value double"
+    idle_ms = _duration_ms(idle_timeout) if idle_timeout else None
 
     def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
         for pdf in pdfs:
             v = pdf[value_col]
@@ -187,8 +212,8 @@ def running_user_stats(
             if len(v):
                 mx = max(mx, float(v.max()))
         state.update((n, total, mx))
-        import pandas as pd
-
+        if idle_ms is not None:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_ms)
         yield pd.DataFrame(
             {
                 user_col: [key[0]],
@@ -207,6 +232,10 @@ def running_user_stats(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if idle_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

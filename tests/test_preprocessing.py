@@ -219,3 +219,24 @@ def test_string_covariate_clear_error_both_paths(spark, tmp_path):
         preprocess(df, cfg())
     with pt.raises(ValueError, match="String-typed covariate"):
         build_prep_recipe(df, cfg())
+
+
+def test_scaling_dotted_columns(spark):
+    """Review r4: standard_scale/min_max_scale used bare column names in
+    their aggregates, so dotted phecode-style columns raised
+    AnalysisException while sibling winsorize/robust_scale worked."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_mas_spark.functions.transforms import (
+        min_max_scale,
+        standard_scale,
+    )
+
+    rng = np.random.default_rng(41)
+    pdf = pd.DataFrame({"250.2": rng.normal(10, 3, 200)})
+    df = spark.createDataFrame(pdf)
+    s = standard_scale(df, ["250.2"]).toPandas()["250.2"]
+    assert abs(s.mean()) < 1e-9 and abs(s.std(ddof=1) - 1.0) < 1e-9
+    m = min_max_scale(df, ["250.2"]).toPandas()["250.2"]
+    assert m.min() == 0.0 and m.max() == 1.0

@@ -85,8 +85,12 @@ def test_pack_utilization_totals(spark):
     rows = [(i, 50) for i in range(100)]
     df = spark.createDataFrame(rows, "key long, n_tokens long")
     util = pk.pack_utilization(df, "key", "n_tokens", budget=100, n_shards=2)
-    total = util.agg(F.sum("tokens_started").alias("t")).first().t
+    # Tokens are conserved under the r4 per-pack apportioning: the sum
+    # of tokens_in_pack over every pack equals the corpus token total.
+    total = util.agg(F.sum("tokens_in_pack").alias("t")).first().t
     assert total == 5000
+    mx = util.agg(F.max("fill_fraction").alias("m")).first().m
+    assert mx <= 1.0
 
 
 def test_mixture_sample_hits_target_proportions(ids):
@@ -134,3 +138,68 @@ def test_cap_tokens_requires_order_col(ids):
     )
     by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert all(n == 10 for n in by.values())  # 9 full + the crossing doc
+
+
+def test_threshold_matches_sql_round_half_up():
+    """Review r4: Python round() is banker's rounding; the bucket
+    threshold must use floor(x+0.5) so the DuckDB oracle (SQL ROUND
+    half-up) selects the identical row set at .5 boundaries."""
+    from polars_mas_spark.operators.sampling import _threshold
+
+    assert _threshold(0.00125, 10_000) == 13   # round() would give 12
+    assert _threshold(0.1, 10_000) == 1000
+    assert _threshold(0.0, 10_000) == 0
+
+
+def test_null_keys_sample_consistently(spark):
+    """Review r4: null keys must bucket deterministically (sentinel
+    hash), never silently drop from samples while landing in 'train'."""
+    from polars_mas_spark.operators.sampling import (
+        deterministic_sample,
+        train_eval_split,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "k long, v string"
+    )
+    full = deterministic_sample(df, "k", 1.0)
+    assert full.count() == 3  # fraction 1.0 keeps EVERY row, nulls included
+    split = train_eval_split(df, "k", eval_fraction=0.5)
+    labels = {r["v"]: r["split"] for r in split.collect()}
+    # Null keys all get the SAME deterministic side, not unconditionally
+    # 'train' — and sampling at the same fraction agrees with the split.
+    assert labels["a"] == labels["b"]
+    half = {r["v"] for r in deterministic_sample(df, "k", 0.5, salt="split").collect()}
+    for v in ("a", "b"):
+        assert (v in half) == (labels[v] == "eval")
+
+
+def test_mixture_sample_zero_weights_clear_error(spark):
+    from polars_mas_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "web")], "doc_id long, source string")
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "doc_id", "source", weights={})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "doc_id", "source", weights={"web": 0.0})
+
+
+def test_pack_utilization_spanning_docs(spark):
+    """Review r4: a doc spanning multiple packs must apportion tokens to
+    each pack it crosses — fill_fraction <= 1 everywhere and covered
+    middle packs present — instead of fill=3.5 on the start pack and
+    missing packs."""
+    from polars_mas_spark.operators.packing import pack_utilization
+
+    df = spark.createDataFrame(
+        [(1, 3500), (2, 100)], "doc_id long, n_tokens long"
+    )
+    out = pack_utilization(
+        df, "doc_id", "n_tokens", budget=1000, n_shards=1
+    ).toPandas().set_index("pack_id").sort_index()
+    assert list(out.index) == [0, 1, 2, 3]
+    assert out.loc[0, "docs_started"] == 1 and out.loc[3, "docs_started"] == 1
+    assert list(out["tokens_in_pack"]) == [1000, 1000, 1000, 600]
+    assert (out["fill_fraction"] <= 1.0).all()
+    assert out.loc[3, "fill_fraction"] == 0.6

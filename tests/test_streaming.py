@@ -256,3 +256,38 @@ def test_purchase_attribution_stream_matches_batch(spark, events_dir):
     }
     assert stream_rows == batch_rows
     assert stream_rows  # join must actually match something
+
+
+def test_running_user_stats_string_key_with_timeout(spark, events_dir):
+    """Review r4: the output schema hardcoded the key as long (string
+    user ids crashed), and NoTimeout state was never evicted. A
+    string-keyed stream with idle_timeout must run the EventTimeTimeout
+    path and still converge to the batch aggregate."""
+    from polars_mas_spark.streaming.events import running_user_stats
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .withColumn("uid", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    out = running_user_stats(stream, user_col="uid", idle_timeout="6 hours")
+    q = (
+        out.writeStream.format("memory").queryName("user_stats_str")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        """SELECT uid, n_events, total FROM (
+             SELECT *, row_number() OVER (PARTITION BY uid
+                       ORDER BY n_events DESC) AS rk FROM user_stats_str)
+           WHERE rk = 1"""
+    ).toPandas().set_index("uid").sort_index()
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("uid", F.concat(F.lit("u"), F.col("user_id")))
+        .groupBy("uid")
+        .agg(F.count("value").alias("n_events"), F.sum("value").alias("total"))
+        .toPandas().set_index("uid").sort_index()
+    )
+    assert (got["n_events"] == batch["n_events"]).all()
+    assert abs(got["total"] - batch["total"]).max() < 1e-9

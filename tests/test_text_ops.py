@@ -466,3 +466,42 @@ def test_passage_split_no_subsumed_tail(spark):
     assert by_doc[1] == [(0, 64)]              # no subsumed second passage
     assert by_doc[2] == [(0, 64), (1, 17)]     # word 65 is new content
     assert by_doc[3] == [(0, 64), (1, 52)]     # 49..100; start 97 subsumed
+
+
+def test_topk_per_group_contract(spark):
+    """Review r4: tiebreak_col is required (nondeterministic top-k under
+    ties otherwise) and a pre-existing rank column must not be silently
+    clobbered."""
+    import pytest
+    from polars_mas_spark.operators.windows import topk_per_group
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 10), (1, 5.0, 11), (1, 4.0, 12)],
+        "g long, v double, id long",
+    )
+    with pytest.raises(ValueError, match="tiebreak_col"):
+        topk_per_group(df, "g", "v", k=1)
+    top = topk_per_group(df, "g", "v", k=1, tiebreak_col="id").collect()
+    assert [(r["g"], r["id"]) for r in top] == [(1, 10)]
+    with pytest.raises(ValueError, match="already exists"):
+        topk_per_group(
+            df.withColumnRenamed("id", "rank"), "g", "v", k=1, tiebreak_col="rank"
+        )
+
+
+def test_asof_join_colliding_value_column(spark):
+    """Review r4: a right value column named like a left column must be
+    suffixed _right, not emitted as a duplicate name."""
+    from pyspark.sql import functions as F
+    from polars_mas_spark.operators.windows import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0)], "id long, ts long, price double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [(1, 5, 99.0)], "id long, ts2 long, price double"
+    ).withColumn("ts2", F.timestamp_seconds("ts2"))
+    out = asof_join(left, right, on="id", left_ts="ts", right_ts="ts2")
+    assert out.columns == ["id", "ts", "price", "asof_ts2", "price_right"]
+    row = out.collect()[0]
+    assert row["price"] == 100.0 and row["price_right"] == 99.0
