@@ -244,7 +244,10 @@ def erfc_vec(x: np.ndarray) -> np.ndarray:
     """Vectorized complementary error function (Cody/CALERF)."""
     x = np.asarray(x, dtype=np.float64)
     ax = np.abs(x)
-    out = np.empty_like(ax)
+    # NaN-initialized, NOT empty: NaN inputs match none of the three
+    # range masks, and an uninitialized slot would leak stale heap
+    # contents as a "result" (math.erfc(nan) is nan; so is this).
+    out = np.full_like(ax, np.nan)
 
     # |x| <= 0.46875: erfc = 1 - erf, erf via A/B rational in x^2.
     m1 = ax <= 0.46875

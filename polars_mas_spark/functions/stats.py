@@ -153,7 +153,10 @@ def logistic_fit(X: np.ndarray, y: np.ndarray) -> dict:
         "pval": pval,
         "beta": float(beta[0]),
         "se": se,
-        "OR": math.exp(beta[0]),
+        # np.exp, not math.exp: |beta| > ~709 under quasi-separation
+        # must yield inf (reference statsmodels/numpy behavior), not an
+        # OverflowError that the kernel would misreport as a failed fit.
+        "OR": float(np.exp(beta[0])),
         "converged": bool(converged),
         "ci_low": float(beta[0] - _Z975 * se),
         "ci_high": float(beta[0] + _Z975 * se),
@@ -192,7 +195,7 @@ def _firth_newton(
     max_step: float = 5.0,
     gtol: float = 1e-5,
     xtol: float = 1e-5,
-) -> tuple[np.ndarray, np.ndarray, bool]:
+) -> tuple[np.ndarray, np.ndarray, bool, np.ndarray, np.ndarray, np.ndarray]:
     """Firth-penalized Newton iteration over the `free` coefficient subset
     (boolean mask); fixed coordinates stay at their beta0 value. Used for
     both the full fit (all free) and the LRT-constrained fit (coef 0 fixed

@@ -127,12 +127,19 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Expand a video row into (doc_id, frame_index) sampling rows —
     the shuffle-free JVM side of frame extraction; the binary frame
-    decode would be a mapInPandas like extract_image_features."""
+    decode would be a mapInPandas like extract_image_features.
+
+    Zero-frame (or negative — corrupt metadata) rows expand to NOTHING:
+    unguarded, sequence(0, -1, k) throws at runtime and one bad row
+    kills the whole scan; the DuckDB oracle's range(0, 0, k) is empty,
+    which this mirrors."""
+    n = qcol(n_frames_col).cast("long")
+    frames = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), n - 1, F.lit(every_k).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
     return df.select(
         qcol(id_col).alias(id_col),
-        F.explode(
-            F.sequence(F.lit(0), qcol(n_frames_col) - 1, F.lit(every_k))
-        ).alias("frame_index"),
+        F.explode(frames).alias("frame_index"),
     )
 
 
@@ -163,32 +170,58 @@ def extract_audio_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
         for pdf in it:
             if decoder == "real":
                 raise NotImplementedError(
                     "Real audio decoding requires librosa/ffmpeg on "
                     "executors; plug the decoder in here."
                 )
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[content_col]):
-                b = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
-                n = int(b.size)
-                sample_rate = 8000 + (int(b[0]) if n else 0) * 32
-                signal = (b.astype(np.float64) - 128.0) / 128.0
-                rms = float(np.sqrt(np.mean(signal**2))) if n else 0.0
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "n_bytes": n,
-                        "sample_rate": sample_rate,
-                        "n_samples": n,
-                        "duration_s": n / sample_rate,
-                        "rms": rms,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            m = len(pdf)
+            if m == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            # Columnar like the image twin: concatenate the payloads
+            # once and segment-reduce, instead of a dict-per-row Python
+            # loop in the hot mapInPandas path.
+            bufs = [
+                bytes(p) if p is not None else b"" for p in pdf[content_col]
+            ]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            total = int(lens.sum())
+            cat = (
+                np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                if total
+                else np.empty(0, np.uint8)
             )
+            offs = np.zeros(m, dtype=np.int64)
+            if m > 1:
+                np.cumsum(lens[:-1], out=offs[1:])
+            nz = lens > 0
+            first = np.zeros(m, dtype=np.int64)
+            if total:
+                first[nz] = cat[offs[nz]]
+            rate = 8000 + first * 32
+            if total:
+                sq = ((cat.astype(np.float64) - 128.0) / 128.0) ** 2
+                # reduceat returns sq[i] (not 0) for empty segments and
+                # needs in-bounds indices — clamp, then mask empties.
+                idx = np.minimum(offs, total - 1)
+                sums = np.add.reduceat(sq, idx)
+                sums = np.where(nz, sums, 0.0)
+            else:
+                sums = np.zeros(m)
+            rms = np.sqrt(sums / np.maximum(lens, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "n_bytes": lens,
+                    "sample_rate": rate.astype(np.int32),
+                    "n_samples": lens,
+                    "duration_s": lens / rate,
+                    "rms": rms,
+                },
+            )[cols]
 
     return df.select(
         qcol(id_col).alias(id_col), qcol(content_col).alias(content_col)

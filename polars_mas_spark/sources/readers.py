@@ -7,10 +7,13 @@ Reference surface: /root/reference/src/polars_mas/config.py:103-124
 Multi-token nulls: Spark's CSV reader accepts a single ``nullValue``
 token, while the reference accepts a comma-separated list (cli.py:54-60).
 We pass the first token to the scanner (so schema inference already sees
-it as null) and rewrite the remaining tokens post-read. Columns that were
-only inferred as strings *because* of the extra tokens are re-typed by a
-single try_cast pass — one extra aggregate job, driver-side schema fix,
-no shuffle.
+it as null) and rewrite the remaining tokens post-read — in EVERY
+column: string columns by text match, numeric columns by parsed-value
+match (a numeric missing code like ``-9`` parses during inference and
+would otherwise survive as real data). Columns that were only inferred
+as strings *because* of the extra tokens are re-typed by a single
+try_cast pass — one extra aggregate job, driver-side schema fix, no
+shuffle.
 """
 
 from __future__ import annotations
@@ -60,19 +63,45 @@ def read_input(
 
 
 def _rewrite_extra_null_tokens(df: DataFrame, tokens: list[str]) -> DataFrame:
-    """Null out additional tokens in string columns, then re-infer numeric
-    types for columns that are fully numeric once the tokens are gone."""
+    """Null out additional tokens in EVERY column, then re-infer numeric
+    types for string columns that are fully numeric once the tokens are
+    gone.
+
+    Numeric columns matter too: a numeric-looking missing code like
+    ``-9`` parses during schema inference, the column comes back as
+    int/double, and a string-only rewrite would silently keep every -9
+    as real data (wrong betas, wrong means — reference polars nulls all
+    tokens in all columns at parse time). For those columns the token
+    is compared by VALUE: any cell equal to the parsed token is nulled,
+    exactly what the text-level match means for numeric CSV cells."""
     string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+    numeric_tokens = []
+    for t in tokens:
+        try:
+            numeric_tokens.append(float(t))
+        except ValueError:
+            pass
+
+    def scrub(c: str, dtype: T.DataType):
+        if isinstance(dtype, T.StringType):
+            return (
+                F.when(qcol(c).isin(tokens), F.lit(None))
+                .otherwise(qcol(c))
+                .alias(c)
+            )
+        if isinstance(dtype, T.NumericType) and numeric_tokens:
+            return (
+                F.when(
+                    qcol(c).cast("double").isin(numeric_tokens), F.lit(None)
+                )
+                .otherwise(qcol(c))
+                .alias(c)
+            )
+        return qcol(c)
+
+    df = df.select(*[scrub(f.name, f.dataType) for f in df.schema.fields])
     if not string_cols:
         return df
-    df = df.select(
-        *[
-            F.when(qcol(c).isin(tokens), F.lit(None)).otherwise(qcol(c)).alias(c)
-            if c in string_cols
-            else qcol(c)
-            for c in df.columns
-        ]
-    )
     # One aggregate job decides which string columns became fully numeric.
     counts = df.agg(
         *[

@@ -1,4 +1,4 @@
-"""Result writers: parquet / csv / tsv / txt.
+"""Result writers: parquet / orc / json / csv / tsv / txt.
 
 Reference surface: /root/reference/src/polars_mas/postprocessing.py:33-40.
 The reference's tsv/txt branch passes the wrong keyword to polars and
@@ -8,20 +8,64 @@ noted in SURVEY.md §2.1 S9.
 ``single_file=True`` (the default for text formats) writes ONE real file
 at ``path`` — reference parity: its users read the output with plain
 pandas/polars/R, which expect a file, not a Spark part-file directory.
-The results table is P x D rows (tiny), so the single-partition write is
-free. At scale (a 100 TB result set) pass ``single_file=False`` for a
-partition-parallel directory write.
+The same promotion works for parquet/orc/json (a lone part file IS a
+valid file of its format). The results table is P x D rows (tiny), so
+the single-partition write is free. At scale (a 100 TB result set) pass
+``single_file=False`` for a partition-parallel directory write.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 
 from pyspark.sql import DataFrame
 
 _TEXT_SEPS = {"csv": ",", "tsv": "\t", "txt": "\t"}
+
+
+def _check_single_file_mode(path: str, mode: str) -> bool:
+    """Honor the write mode for the single-file promotion path (the
+    naive hardcoded overwrite silently destroyed existing files under
+    mode='error'/'ignore' and lost data under 'append'). Returns True
+    when the write should proceed."""
+    exists = os.path.exists(path)
+    if mode in ("error", "errorifexists") and exists:
+        raise FileExistsError(
+            f"{path} already exists (mode={mode!r}); use mode='overwrite'"
+        )
+    if mode == "ignore" and exists:
+        return False
+    if mode == "append":
+        raise ValueError(
+            "single_file=True cannot append (the part-file promotion "
+            "replaces the target); use single_file=False for append"
+        )
+    return True
+
+
+def _promote_single_file(df: DataFrame, path: str, mode: str, write_fn) -> None:
+    """Write a one-partition directory beside the target, then promote
+    its lone part file to the target path. ``write_fn(df, tmp)`` runs
+    the actual coalesced write."""
+    if not _check_single_file_mode(path, mode):
+        return
+    tmp = f"{path}.__spark_tmp__"
+    write_fn(df.coalesce(1), tmp)
+    # os.listdir, not glob: a user path like 'results[2024].csv' would
+    # make glob treat [2024] as a character class and miss the part file.
+    parts = sorted(
+        f for f in os.listdir(tmp)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    if not parts:
+        raise RuntimeError(f"no part file produced under {tmp}")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    shutil.move(os.path.join(tmp, parts[0]), path)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_output(
@@ -31,17 +75,17 @@ def write_output(
     single_file: bool | None = None,
     mode: str = "overwrite",
 ) -> None:
-    if output_type == "parquet":
-        out = df.coalesce(1) if single_file else df
-        out.write.mode(mode).parquet(path)
-        return
-    if output_type == "orc":
-        out = df.coalesce(1) if single_file else df
-        out.write.mode(mode).orc(path)
-        return
-    if output_type in ("json", "jsonl", "ndjson"):
-        out = df.coalesce(1) if single_file else df
-        out.write.mode(mode).json(path)
+    if output_type in ("parquet", "orc", "json", "jsonl", "ndjson"):
+        fmt = "parquet" if output_type == "parquet" else (
+            "orc" if output_type == "orc" else "json"
+        )
+        if single_file:
+            _promote_single_file(
+                df, path, mode,
+                lambda d, p: d.write.mode("overwrite").format(fmt).save(p),
+            )
+        else:
+            df.write.mode(mode).format(fmt).save(path)
         return
     if output_type in _TEXT_SEPS:
         if single_file is None:
@@ -54,23 +98,15 @@ def write_output(
                 .csv(path)
             )
             return
-        # Single-file parity: write the one-partition directory next to
-        # the target, then promote the part file to the target path.
-        tmp = f"{path}.__spark_tmp__"
-        (
-            df.coalesce(1)
-            .write.mode("overwrite")
-            .option("header", True)
-            .option("sep", _TEXT_SEPS[output_type])
-            .csv(tmp)
+        _promote_single_file(
+            df, path, mode,
+            lambda d, p: (
+                d.write.mode("overwrite")
+                .option("header", True)
+                .option("sep", _TEXT_SEPS[output_type])
+                .csv(p)
+            ),
         )
-        parts = sorted(glob.glob(f"{tmp}/part-*"))
-        if not parts:
-            raise RuntimeError(f"no part file produced under {tmp}")
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        shutil.move(parts[0], path)
-        shutil.rmtree(tmp, ignore_errors=True)
         return
     raise ValueError(f"Unsupported output type: {output_type}")
 
@@ -104,6 +140,16 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path-class) for ``path`` via the JVM Hadoop API —
+    works uniformly for local paths AND remote URIs (hdfs://, s3a://),
+    unlike os.rename/shutil which only touch the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -120,11 +166,15 @@ def compact_parquet(
     ONE file per partition directory — the usual compaction target;
     ``target_files`` only bounds the number of concurrent write tasks.
 
-    Swap is crash-safe: the compacted copy is written beside the
-    dataset, the original is renamed aside, the copy moved into place,
-    and only then is the original deleted — at no point between
-    filesystem operations is the data unrecoverable (a crash leaves
-    either the original or both copies on disk, never neither)."""
+    Swap is crash-safe and CLUSTER-SAFE: all renames go through the
+    Hadoop FileSystem for ``path``'s scheme (local, hdfs://, s3a://…),
+    never the driver's local os.rename. The compacted copy is written
+    beside the dataset, the original renamed aside, the copy moved into
+    place, and only then is the original deleted — a crash leaves
+    either the original or both copies, never neither. (On object
+    stores without atomic rename, e.g. raw S3, the rename is a
+    copy+delete performed by the Hadoop connector — still correct, not
+    instantaneous.)"""
     df = spark.read.parquet(path)
     base = path.rstrip("/")
     tmp = f"{base}__compact_tmp__"
@@ -135,13 +185,13 @@ def compact_parquet(
         )
     else:
         df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    fs, P = _hadoop_fs(spark, base)
     old = f"{base}__compact_old__"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except BaseException:
-        os.rename(old, path)  # roll back; the compacted tmp stays for retry
-        raise
-    shutil.rmtree(old)
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if not fs.rename(P(base), P(old)):
+        raise IOError(f"compact_parquet: failed to rename {base} aside")
+    if not fs.rename(P(tmp), P(base)):
+        fs.rename(P(old), P(base))  # roll back; tmp stays for retry
+        raise IOError(f"compact_parquet: failed to move compacted copy into {base}")
+    fs.delete(P(old), True)

@@ -1,0 +1,102 @@
+"""Reader/writer review-regression tests (r4): multi-token nulls across
+column types, single-file promotion contracts, mode honoring, and
+cluster-safe compaction."""
+
+import os
+
+import numpy as np
+import pytest
+
+from polars_mas_spark.sources.readers import read_input
+from polars_mas_spark.sources.writers import compact_parquet, write_output
+
+
+def _write_csv(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_numeric_null_tokens_any_order(spark, tmp_path):
+    """Review r4: a numeric-looking missing code (-9) parses during
+    schema inference and used to survive as real data when it wasn't
+    the first token. Both token orders must null it in numeric AND
+    string columns."""
+    csv = _write_csv(
+        tmp_path, "t.csv",
+        "id,age,city\n1,-9,NA\n2,30,paris\n3,-9,NA\n",
+    )
+    for tokens in (["NA", "-9"], ["-9", "NA"]):
+        df = read_input(spark, csv, null_values=tokens)
+        rows = {r["id"]: r for r in df.collect()}
+        assert rows[1]["age"] is None and rows[3]["age"] is None, tokens
+        assert rows[1]["city"] is None, tokens
+        assert rows[2]["age"] == 30 and rows[2]["city"] == "paris"
+
+
+def test_single_file_parquet_is_a_real_file(spark, tmp_path):
+    df = spark.range(5).toDF("x")
+    path = str(tmp_path / "out.parquet")
+    write_output(df, path, "parquet", single_file=True)
+    assert os.path.isfile(path)  # not a part-file directory
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_single_file_glob_metacharacters(spark, tmp_path):
+    """Review r4: '[2024]' in the target used to make glob miss the
+    part file after a successful write."""
+    df = spark.range(3).toDF("x")
+    path = str(tmp_path / "results[2024].csv")
+    write_output(df, path, "csv")
+    assert os.path.isfile(path)
+    assert len(open(path).readlines()) == 4  # header + 3 rows
+
+
+def test_single_file_mode_honored(spark, tmp_path):
+    df = spark.range(2).toDF("x")
+    path = str(tmp_path / "out.csv")
+    write_output(df, path, "csv")
+    with pytest.raises(FileExistsError):
+        write_output(df, path, "csv", mode="error")
+    before = open(path).read()
+    write_output(spark.range(9).toDF("x"), path, "csv", mode="ignore")
+    assert open(path).read() == before  # ignore leaves the file alone
+    with pytest.raises(ValueError, match="append"):
+        write_output(df, path, "csv", mode="append")
+
+
+def test_compact_parquet_local_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    spark.range(100).repartition(8).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert n_before >= 8
+    compact_parquet(spark, path, target_files=2)
+    n_after = len([f for f in os.listdir(path) if f.startswith("part-")])
+    assert n_after <= 2
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__compact_old__")
+
+
+def test_frame_sample_plan_zero_frames(spark):
+    """Review r4: a zero-frame row used to throw 'Illegal sequence
+    boundaries' and kill the whole scan; it must expand to nothing."""
+    from polars_mas_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, 25), (2, 0), (3, 1)], "doc_id long, n_frames long"
+    )
+    rows = frame_sample_plan(df, "doc_id", "n_frames", every_k=10).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(r["frame_index"])
+    assert got == {1: [0, 10, 20], 3: [0]}
+
+
+def test_erfc_vec_nan_propagates():
+    from polars_mas_spark.functions.distributions import erfc_vec
+
+    out = erfc_vec(np.array([np.nan, 0.0, 1.0, -30.0]))
+    assert np.isnan(out[0])
+    assert abs(out[1] - 1.0) < 1e-15
+    assert abs(out[2] - 0.15729920705028513) < 1e-12
+    assert abs(out[3] - 2.0) < 1e-15
