@@ -52,8 +52,14 @@ def resolve_columns(
                 out.append(column_names[idx])
             elif "-" in expr:
                 start_s, _, end_s = expr.partition("-")
-                start = int(start_s)
-                end = int(end_s) if end_s else total
+                try:
+                    start = int(start_s)
+                    end = int(end_s) if end_s else total
+                except ValueError:
+                    raise ValueError(
+                        f"Invalid index expression {item!r}; "
+                        "use i:<index>, i:<start>-<end>, or i:<start>-"
+                    ) from None
                 if start >= total:
                     raise ValueError(
                         f"Start index {start} out of range for {total} columns"
@@ -62,6 +68,14 @@ def resolve_columns(
                     raise ValueError(
                         f"End index {end} out of range for {total} columns; "
                         f"use {start}- for all remaining columns"
+                    )
+                if end <= start:
+                    # A reversed range would silently resolve to ZERO
+                    # columns — e.g. a typo'd covariate spec running the
+                    # whole analysis unadjusted.
+                    raise ValueError(
+                        f"Empty index range {item!r} (end {end} <= start "
+                        f"{start}) resolves to no columns"
                     )
                 out.extend(column_names[start:end])
             else:
@@ -157,9 +171,21 @@ class MASConfig:
             raise ValueError("Predictor and covariate columns must be unique")
         if deps & covs:
             raise ValueError("Dependent and covariate columns must be unique")
-        if cats and not (cats & covs):
+        if cats - covs:
+            # A TRUE subset check (the reference only tests a non-empty
+            # intersection, config.py:193-196): a categorical name
+            # outside the covariates — e.g. the predictor — would be
+            # one-hot encoded and DROPPED from the table, corrupting the
+            # design before the fan-out even starts.
             raise ValueError(
-                "Categorical covariate columns must be a subset of covariate columns"
+                "Categorical covariate columns must be a subset of "
+                f"covariate columns; not covariates: {sorted(cats - covs)}"
+            )
+        if self.male_only and self.female_only:
+            raise ValueError(
+                "male_only and female_only are mutually exclusive (the "
+                "CLI enforces this; the Python API must too — the two "
+                "flags select opposite cohorts)."
             )
 
         if self.sex_restrictions and self.sex_col not in covs:

@@ -67,6 +67,21 @@ def range_block_column(
     land in the same block, and re-evaluation is reproducible, unlike
     ``repartitionByRange``'s run-time boundary sampling. Shared by the
     ordered fills and the distributed rank in functions.transforms."""
+    from pyspark.sql.types import NumericType, TimestampType
+
+    dtype = df.schema[order_col].dataType if order_col in df.columns else None
+    if dtype is not None and not isinstance(
+        dtype, (NumericType, TimestampType)
+    ):
+        # A string/date order column casts to all-null doubles, the
+        # quantile list comes back empty, and the "fallback" would be
+        # ONE block — i.e. the single-task global window this module
+        # exists to avoid, silently, at any scale. Fail with the fix.
+        raise ValueError(
+            f"order column '{order_col}' has non-numeric type {dtype}; "
+            "range-blocked operators need a numeric or timestamp order "
+            "column (add a numeric ingest id)."
+        )
     probs = [i / num_blocks for i in range(1, num_blocks)]
     ordd = qcol(order_col).cast("double")
     cuts = (
@@ -148,6 +163,12 @@ def _ordered_fill(
             if row[c] is not None:
                 running[c] = row[c]
 
+    if not carries:
+        # Zero input rows (empty table, or a sex filter removed
+        # everything): F.array() of no structs has void element type and
+        # the '__s__.*' star-expand below would raise an opaque
+        # AnalysisException — the fill is a no-op on an empty frame.
+        return df
     carry_schema = blocked.select(
         F.col(_BLOCK), *[qcol(c).alias(c + _CARRY_SUFFIX) for c in cols]
     ).schema

@@ -50,10 +50,14 @@ def handle_missing_covariates(df: DataFrame, config: MASConfig) -> DataFrame:
     if not covs:
         return df
     if strategy == "fail":
-        total = df.count()
+        # One fused aggregate: a separate df.count() would be a second
+        # full scan of the (possibly uncached) input on the DEFAULT
+        # strategy (build_prep_recipe fuses the same way).
         null_counts = df.agg(
-            *[F.count(F.when(qcol(c).isNull(), 1)).alias(c) for c in covs]
+            F.count(F.lit(1)).alias("__pms_total__"),
+            *[F.count(F.when(qcol(c).isNull(), 1)).alias(c) for c in covs],
         ).first()
+        total = null_counts["__pms_total__"]
         for c in covs:
             if null_counts[c] == total:
                 raise ValueError(f"All values are missing in covariate column '{c}'.")
@@ -126,11 +130,21 @@ def create_dummy_covariates(
 ) -> DataFrame:
     """One-hot encode categorical covariates with >2 levels, dropping the
     first (reference) level against multicollinearity
-    (preprocessing.py:82-108). Binary categoricals pass through unchanged.
-    Levels are collected in one aggregate job (collect_set) and sorted for
-    determinism; dummy columns are named ``{col}_{level}`` as the
-    reference does (preprocessing.py:97). ``level_sets`` lets
-    ``preprocess`` supply the levels from its fused stats job."""
+    (preprocessing.py:82-108). Levels are collected in one aggregate job
+    (collect_set) and sorted for determinism; dummy columns are named
+    ``{col}_{level}`` as the reference does (preprocessing.py:97).
+    ``level_sets`` lets ``preprocess`` supply the levels from its fused
+    stats job.
+
+    REPLICATED REFERENCE BEHAVIOR, latent bug included: a <=2-level
+    ("binary") categorical is not encoded, yet the tail still removes
+    EVERY declared categorical from ``covariate_columns``
+    (reference preprocessing.py:104-106) — so a binary categorical
+    silently leaves the design entirely. Kept for parity; a warning is
+    emitted so the user can re-declare the column as a plain (numeric)
+    covariate instead."""
+    import warnings
+
     cats = [c for c in config.categorical_covariate_columns if c in df.columns]
     if not cats:
         return df
@@ -144,6 +158,13 @@ def create_dummy_covariates(
     for c in cats:
         levels = list(level_sets[c] or [])
         if len(levels) <= 2:
+            warnings.warn(
+                f"Categorical covariate '{c}' has {len(levels)} level(s) "
+                "and is REMOVED from the design without encoding "
+                "(reference parity, preprocessing.py:104-106). Declare "
+                "it as a plain covariate (0/1-coded) to adjust for it.",
+                stacklevel=2,
+            )
             continue
         encoded.append(c)
         for level in levels[1:]:
@@ -242,6 +263,9 @@ class PrepRecipe:
     fill_values: dict[str, object] = field(default_factory=dict)
     # Categorical column -> full sorted level list (only >2-level cats).
     onehot: dict[str, list] = field(default_factory=dict)
+    # Fill columns that are integer-typed in the SPARK schema (their
+    # pandas slices arrive as float64 when nullable — see apply_pandas).
+    int_fill_cols: list[str] = field(default_factory=list)
     # Design covariates after constant-drop + one-hot (original names).
     final_covariates: list[str] = field(default_factory=list)
     # Original columns the task reader must fetch beyond pred+deps.
@@ -252,17 +276,25 @@ class PrepRecipe:
         preprocess() row-for-row (enforced by the strategy-parity test)."""
         if self.sex_filter is not None:
             col, keep_equal, code = self.sex_filter
-            mask = (data[col] == code) if keep_equal else (data[col] != code)
+            if keep_equal:
+                mask = data[col] == code  # NaN == code is False, like SQL
+            else:
+                # NaN != code is TRUE in pandas but NULL (dropped) in
+                # Spark's filter — null-sex rows must go on both paths.
+                mask = (data[col] != code) & data[col].notna()
             data = data[mask.fillna(False)]
         if self.drop_null_covs:
             data = data[data[self.drop_null_covs].notna().all(axis=1)]
         if self.fill_values:
-            import pandas as pd
-
             for c, v in self.fill_values.items():
-                if pd.api.types.is_integer_dtype(data[c].dtype):
+                if c in self.int_fill_cols:
                     # Spark's na.fill casts the fill value to the column
-                    # type (double -> int truncates); match it.
+                    # type (double -> int truncates); match it. The
+                    # integer-ness comes from the SPARK schema captured
+                    # at build time: by the time the slice reaches
+                    # pandas, a nullable int column is float64 (NaN),
+                    # so a runtime dtype test would never fire exactly
+                    # when a fill is needed.
                     data = data.assign(**{c: data[c].fillna(int(v))})
                 else:
                     data = data.assign(**{c: data[c].fillna(v)})
@@ -368,9 +400,25 @@ def build_prep_recipe(df: DataFrame, config: MASConfig) -> PrepRecipe:
             v = 0 if strategy == "zero" else 1
             recipe.fill_values = {c: v for c in covs if c in numeric}
 
+        from pyspark.sql.types import IntegralType
+
+        recipe.int_fill_cols = [
+            c for c in recipe.fill_values
+            if isinstance(df.schema[c].dataType, IntegralType)
+        ]
+
+        def _effective_fill(c):
+            # What na.fill ACTUALLY writes: cast to the column's Spark
+            # type, so a double mean into an int column truncates —
+            # derived counts/level sets must use the truncated value.
+            fill = recipe.fill_values.get(c)
+            if fill is not None and c in recipe.int_fill_cols:
+                return int(fill)
+            return fill
+
         for c in covs:
             nd_c, nulls = row[f"__nd_{c}"], row[f"__nu_{c}"]
-            fill = recipe.fill_values.get(c)
+            fill = _effective_fill(c)
             if fill is not None and nulls > 0:
                 if nd_c == 0:
                     nd_c = 1  # all-null column becomes all-fill
@@ -379,7 +427,7 @@ def build_prep_recipe(df: DataFrame, config: MASConfig) -> PrepRecipe:
             nd[c] = nd_c
         for c in cats:
             levels = list(row[f"__lv_{c}"] or [])
-            fill = recipe.fill_values.get(c)
+            fill = _effective_fill(c)
             if fill is not None and row[f"__nu_{c}"] > 0 and fill not in levels:
                 levels = sorted([*levels, fill])
             levels_map[c] = levels
@@ -392,6 +440,15 @@ def build_prep_recipe(df: DataFrame, config: MASConfig) -> PrepRecipe:
         for c in cats:
             levels = levels_map.get(c, [])
             if len(levels) <= 2:
+                import warnings
+
+                warnings.warn(
+                    f"Categorical covariate '{c}' has {len(levels)} "
+                    "level(s) and is REMOVED from the design without "
+                    "encoding (reference parity); declare it as a plain "
+                    "covariate to adjust for it.",
+                    stacklevel=2,
+                )
                 continue
             recipe.onehot[c] = levels
             new_cols.extend(f"{c}_{level}" for level in levels[1:])

@@ -56,6 +56,7 @@ def run_pipeline(
     df = df.select(*[qcol(c) for c in config.included_columns])
 
     num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
+    auto_strategy = strategy is None
     if strategy is None:
         if (
             config.model == "linear"
@@ -116,6 +117,18 @@ def run_pipeline(
         pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
         pre.count()  # materialize before the fan-out; frees the raw cache
         raw.unpersist()
+        if (
+            auto_strategy
+            and strategy == "moments"
+            and len(config.covariate_columns) > 64
+        ):
+            # The auto pick above saw the PRE-one-hot covariate count;
+            # encoding can expand past the moments cap (O(C^2) aggregate
+            # columns) — fall back to the packed kernel instead of
+            # letting _fit_linear_moments raise after a full
+            # preprocessing pass. (An EXPLICIT strategy='moments' still
+            # raises — the user asked for it by name.)
+            strategy = "packed"
         results = run_associations(
             pre, config,
             strategy=strategy

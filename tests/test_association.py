@@ -747,3 +747,29 @@ def test_constant_predictor_fails_as_row_all_strategies(spark):
     ).resolve(df.columns)
     r = run_associations(df, logi, strategy="packed").toPandas().iloc[0]
     assert r["failed_reason"] == "Constant predictor."
+
+
+def test_auto_moments_downgrades_after_onehot_expansion(spark):
+    """Review r4: the pipeline's auto-'moments' pick saw the
+    PRE-one-hot covariate count; a categorical expanding past the
+    64-covariate moments cap must fall back to the packed kernel
+    instead of raising after preprocessing."""
+    rng = np.random.default_rng(43)
+    n = 280
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "age": rng.normal(50, 5, n),
+        "site": [f"s{i % 70:02d}" for i in range(n)],  # 70 levels -> 69 dummies
+    })
+    pdf["q"] = 1.0 * pdf["x"] + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=["q"], covariates=["age", "site"],
+        categorical_covariates=["site"],
+        model="linear", quantitative=True, min_case_count=10,
+        missing_covariate_values="drop",
+    )
+    res = run_pipeline(spark, cfg, df=df).toPandas().iloc[0]
+    assert res["failed_reason"] == "nan"  # fit succeeded via packed path
+    assert len(cfg.covariate_columns) == 70  # age + 69 dummies
+    assert np.isfinite(res["beta"])

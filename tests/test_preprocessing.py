@@ -240,3 +240,121 @@ def test_scaling_dotted_columns(spark):
     assert abs(s.mean()) < 1e-9 and abs(s.std(ddof=1) - 1.0) < 1e-9
     m = min_max_scale(df, ["250.2"]).toPandas()["250.2"]
     assert m.min() == 0.0 and m.max() == 1.0
+
+
+def test_recipe_sex_filter_null_parity(spark):
+    """Review r4: male_only in the recipe path kept null-sex rows (NaN
+    != code is True in pandas) while the Spark filter dropped them —
+    the columnar strategy fitted a different cohort."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_mas_spark.operators.preprocessing import (
+        PrepRecipe,
+        limit_sex_specific,
+    )
+
+    pdf = pd.DataFrame({"sex": [0.0, 1.0, np.nan], "x": [1.0, 2.0, 3.0]})
+    df = spark.createDataFrame(pdf)
+    for male_only, female_only in ((True, False), (False, True)):
+        cfg = MASConfig(
+            predictors="x", dependents=[], covariates=[],
+            male_only=male_only, female_only=female_only, sex_col="sex",
+        )
+        cfg.column_names = list(df.columns)  # skip resolve (no deps)
+        eager = {r["x"] for r in limit_sex_specific(df, cfg).collect()}
+        recipe = PrepRecipe(sex_filter=("sex", female_only, 1))
+        got = set(recipe.apply_pandas(pdf.copy())["x"])
+        assert got == eager, (male_only, female_only)
+
+
+def test_recipe_int_fill_truncation_parity(spark):
+    """Review r4: the recipe's int-truncation guard tested the pandas
+    dtype, which is float64 exactly when nulls exist — int columns were
+    filled with the raw mean while Spark's na.fill truncates."""
+    import pandas as pd
+
+    from polars_mas_spark.operators.preprocessing import (
+        build_prep_recipe,
+        preprocess,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 40, 1.0), (2, 51, 2.0), (3, None, 3.0)],
+        "rid long, age int, q double",
+    )
+
+    def cfg():
+        return MASConfig(
+            predictors="rid", dependents=["q"], covariates=["age"],
+            model="linear", quantitative=True,
+            missing_covariate_values="mean",
+        ).resolve(df.columns)
+
+    eager = preprocess(df, cfg()).toPandas().set_index("rid")
+    recipe = build_prep_recipe(df, cfg())
+    assert recipe.int_fill_cols == ["age"]
+    got = recipe.apply_pandas(
+        pd.DataFrame({"rid": [3], "age": [float("nan")], "q": [3.0]})
+    )
+    assert got["age"].iloc[0] == eager.loc[3, "age"] == 45  # int(45.5)
+
+
+def test_binary_categorical_removal_warns(spark):
+    """Review r4: reference-parity removal of <=2-level categoricals
+    from the design is kept but must WARN (previously silent)."""
+    import pytest as pt
+
+    from polars_mas_spark.operators.preprocessing import preprocess
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 1, 2.0), (3, 0, 3.0)],
+        "rid long, bincat int, q double",
+    )
+    cfg = MASConfig(
+        predictors="rid", dependents=["q"], covariates=["bincat"],
+        categorical_covariates=["bincat"],
+        model="linear", quantitative=True,
+        missing_covariate_values="drop",
+    ).resolve(df.columns)
+    with pt.warns(UserWarning, match="REMOVED from the design"):
+        preprocess(df, cfg)
+    assert cfg.covariate_columns == []
+
+
+def test_config_validation_tightened():
+    """Review r4: cats must be a true subset of covariates; male_only +
+    female_only is contradictory; reversed/garbage index ranges raise."""
+    import pytest as pt
+
+    cols = [f"c{i}" for i in range(12)]
+    with pt.raises(ValueError, match="subset"):
+        MASConfig(
+            predictors="c0", dependents=["c1"], covariates=["c2"],
+            categorical_covariates=["c2", "c3"],
+        ).resolve(cols)
+    with pt.raises(ValueError, match="mutually exclusive"):
+        MASConfig(
+            predictors="c0", dependents=["c1"],
+            male_only=True, female_only=True,
+        ).resolve(cols)
+    from polars_mas_spark.config import resolve_columns
+    with pt.raises(ValueError, match="Empty index range"):
+        resolve_columns("i:10-5", cols)
+    with pt.raises(ValueError, match="Invalid index expression"):
+        resolve_columns("i:-1", cols)
+
+
+def test_ordered_fill_empty_frame_and_bad_order_col(spark):
+    """Review r4: zero-row input must pass through (not star-expand
+    crash); a string order column must raise, not silently collapse to
+    one block."""
+    import pytest as pt
+
+    from polars_mas_spark.operators.fills import forward_fill
+
+    empty = spark.createDataFrame([], "rid long, v double")
+    assert forward_fill(empty, ["v"], "rid").count() == 0
+    strs = spark.createDataFrame([("a", 1.0)], "rid string, v double")
+    with pt.raises(ValueError, match="non-numeric type"):
+        forward_fill(strs, ["v"], "rid").count()
