@@ -29,19 +29,28 @@ def limit_native_threads(n: int = 1) -> None:
 
         import numpy as np
 
-        libs_dir = os.path.join(os.path.dirname(np.__file__) + ".libs")
-        for pattern in ("libopenblas*", "libblas*"):
-            for path in glob.glob(os.path.join(libs_dir, pattern)):
-                try:
-                    lib = ctypes.CDLL(path)
-                except OSError:
-                    continue
-                for sym in ("openblas_set_num_threads64_",
-                            "openblas_set_num_threads"):
-                    fn = getattr(lib, sym, None)
-                    if fn is not None:
-                        fn(int(n))
-                        break
+        np_dir = os.path.dirname(np.__file__)
+        # Wheel layouts by platform/numpy version:
+        # - manylinux numpy 1.x:  numpy.libs/libopenblas64_p-*.so
+        # - manylinux numpy 2.x:  numpy.libs/libscipy_openblas64_-*.so
+        # - macOS wheels:         numpy/.dylibs/libopenblas*.dylib
+        lib_dirs = (np_dir + ".libs", os.path.join(np_dir, ".dylibs"))
+        patterns = ("libopenblas*", "libblas*", "libscipy_openblas*")
+        for libs_dir in lib_dirs:
+            for pattern in patterns:
+                for path in glob.glob(os.path.join(libs_dir, pattern)):
+                    try:
+                        lib = ctypes.CDLL(path)
+                    except OSError:
+                        continue
+                    for sym in ("scipy_openblas_set_num_threads64_",
+                                "scipy_openblas_set_num_threads",
+                                "openblas_set_num_threads64_",
+                                "openblas_set_num_threads"):
+                        fn = getattr(lib, sym, None)
+                        if fn is not None:
+                            fn(int(n))
+                            break
     except Exception:
         pass  # best-effort: env vars remain the primary mechanism
     try:

@@ -300,6 +300,14 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
     """
     if config.model != "linear":
         raise ValueError("moments strategy is linear-only; use packed/columnar")
+    if not config.quantitative:
+        # The kernel path enforces case/control validation for
+        # non-quantitative runs; the moments aggregate has no case
+        # counts, so allowing it would silently skip that validation.
+        raise ValueError(
+            "moments strategy requires quantitative=True (binary-"
+            "outcome validation needs the kernel path; use packed)"
+        )
     covariates = list(config.covariate_columns)
     if len(covariates) > 64:
         raise ValueError(
@@ -399,10 +407,17 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                     out.append(rec)
                     continue
                 rec["n_observations"] = n
+                # PARTIALLY-null covariates fail the pair (aggregates
+                # skipped the nulls — moments inconsistent with n; the
+                # kernel's lstsq likewise blows up on the NaNs). An
+                # ALL-null covariate instead drops out of the design:
+                # the kernel's nunique(dropna=False) sees one value
+                # (NaN) and removes it as constant, and the covar_samp
+                # NULL below excludes it from `active` the same way.
                 null_covs = [
                     display[i]
                     for i in range(1, n_cols)
-                    if int(r[f"__nn{i}__"]) < n
+                    if 0 < int(r[f"__nn{i}__"]) < n
                 ]
                 if null_covs:
                     rec["failed_reason"] = (
@@ -428,13 +443,21 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
                 active = [0]
                 nonfinite = False
                 for i in range(1, n_cols):
+                    if int(r[f"__nn{i}__"]) == 0:
+                        # ALL-null covariate: its covar_samp is NULL
+                        # (which mapInPandas delivers as NaN, so the
+                        # NaN test below can't see the difference — the
+                        # non-null count can). The kernel's
+                        # nunique(dropna=False) sees one value and
+                        # drops it as constant; match that.
+                        continue
                     v = r[f"__c{i}_{i}__"]
                     if v is None:
-                        continue
+                        continue  # n == 1: no variance; drops, n<=k catches
                     if _math.isnan(v):
-                        # NaN variance means NaN covariate VALUES (nulls
-                        # were already failed above) — that's a failed
-                        # pair, not a constant covariate to drop.
+                        # NaN variance with non-null values present
+                        # means NaN covariate VALUES — a failed pair,
+                        # not a constant covariate to drop.
                         nonfinite = True
                         break
                     if v > 0.0:
@@ -726,7 +749,19 @@ def checkpoint_wide(df: DataFrame, checkpoint_dir: str | None = None) -> str:
 
     spark = df.sparkSession
     if _needs_distributed_writer(spark, checkpoint_dir):
-        base = (checkpoint_dir or tempfile.gettempdir()).rstrip("/")
+        if checkpoint_dir is None:
+            # Non-local master with no shared directory: the distributed
+            # writer would land partitions on the default FS while the
+            # columnar consumer lists and reads the path with
+            # driver-local POSIX I/O — a crash (HDFS) or partial data
+            # (scattered executor-local tmp). Fail with the fix instead.
+            raise ValueError(
+                "columnar checkpoint on a non-local master requires an "
+                "explicit POSIX-shared checkpoint_dir (NFS/Lustre "
+                "mount); or use strategy='packed', which needs no side "
+                "storage."
+            )
+        base = checkpoint_dir.rstrip("/")
         path = f"{base}/pms_ckpt_{uuid.uuid4().hex}"
         df.write.parquet(path)
         return path
@@ -844,6 +879,17 @@ def run_associations(
             if n_rows is None:
                 n_rows = df.count()
             strategy = choose_strategy(num_pairs, n_rows)
+            if (
+                strategy == "columnar"
+                and checkpoint_path is None
+                and source_files is None
+                and _needs_distributed_writer(spark, checkpoint_dir)
+            ):
+                # Auto-picked columnar needs driver-POSIX storage for
+                # its per-task reads; with none available (non-local
+                # master, no shared checkpoint_dir) the packed shuffle
+                # is the correct plan, not a crash.
+                strategy = "packed"
     if strategy == "columnar":
         fitted = _fit_columnar(
             df, config, checkpoint_dir, checkpoint_path, recipe, source_files
@@ -884,9 +930,16 @@ def run_associations(
     long_df = build_long_table(
         df, config.predictor_columns, config.dependent_columns, covariates
     )
-    # Map-side null drop (analysis.py:57) — nulls never reach the shuffle.
+    # Map-side null drop (analysis.py:57) — nulls never reach the
+    # shuffle. NaN dependents are MISSING on every path (packed masks
+    # them per-dependent; moments/columnar drop them); without the
+    # isnan filter a binary-model kernel would crash the whole job on
+    # int(NaN) instead of treating the row as absent. NaN predictors
+    # stay — the kernel fails those pairs as rows.
     long_df = long_df.filter(
-        F.col(PRED_VALUE).isNotNull() & F.col(DEP_VALUE).isNotNull()
+        F.col(PRED_VALUE).isNotNull()
+        & F.col(DEP_VALUE).isNotNull()
+        & ~F.isnan(F.col(DEP_VALUE))
     )
     kernel = make_kernel(
         model, covariates, config.quantitative, config.min_case_count,
@@ -899,7 +952,6 @@ def run_associations(
     # fits into one Python worker. The explicit repartition also keeps
     # empty shuffle partitions (each of which launches a Python worker
     # for FlatMapGroupsInPandas) to zero when P*D < parallelism.
-    num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
     n_parts = max(1, min(num_pairs, par))
     long_df = long_df.repartition(n_parts, "predictor", "dependent")
     fitted = long_df.groupBy("predictor", "dependent").applyInPandas(
@@ -973,9 +1025,27 @@ def reusable_scan_files(df: DataFrame) -> list[str] | None:
     instead of writing a redundant checkpoint copy. Conservative: any
     computed expression, filter, or non-parquet source returns None."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # Render the plan with field-list truncation disabled: the
+        # default spark.sql.debug.maxToStringFields=25 elides projection
+        # entries past the 25th as "... N more fields", which would hide
+        # a computed or renamed column from the guards below and reuse
+        # the WRONG source files — silently wrong statistics at exactly
+        # the ~1,800-column scale this path exists for.
+        conf = df.sparkSession.conf
+        key = "spark.sql.debug.maxToStringFields"
+        old = conf.get(key, None)
+        conf.set(key, "1000000")
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        finally:
+            if old is None:
+                conf.unset(key)
+            else:
+                conf.set(key, old)
     except Exception:
         return None
+    if "more fields" in plan:
+        return None  # truncated render despite the conf — stay safe
     lines = [ln for ln in plan.splitlines() if ln.strip()]
     if not lines:
         return None
@@ -1062,7 +1132,7 @@ def _fit_columnar(
                          spark.sparkContext.defaultParallelism))
     pairs = _pair_frame(spark, predictors, dependents).repartition(n_parts)
 
-    cov_names = [(safe, orig) for safe, orig in cov_pairs]
+    cov_names = cov_pairs
     extra_cols = list(recipe.read_cols) if recipe is not None else []
 
     def fit_partition(batches):
@@ -1098,6 +1168,18 @@ def _fit_columnar(
                 columns=read_cols, use_threads=False
             )
             data = tbl.to_pandas(use_threads=False)
+            # True-null vs NaN must be distinguished BEFORE to_pandas
+            # erases the difference: nulls are missing rows (dropped,
+            # like every other path), while NaN predictors must reach
+            # the kernel and fail the pair as a row (packed/unpivot
+            # parity). The arrow validity bitmap still knows which is
+            # which; carry it as a column so the recipe's row filters
+            # keep it aligned.
+            import pyarrow.compute as pc
+
+            data["__pred_isnull__"] = pc.is_null(tbl[p]).to_numpy(
+                zero_copy_only=False
+            )
             if recipe is not None:
                 data = recipe.apply_pandas(data)
             x = pd.to_numeric(data[p], errors="coerce")
@@ -1106,7 +1188,7 @@ def _fit_columnar(
             }
             for d in deps:
                 y = pd.to_numeric(data[d], errors="coerce")
-                mask = x.notna() & y.notna()
+                mask = (~data["__pred_isnull__"]) & y.notna()
                 pdf = pd.DataFrame(
                     {
                         PRED_VALUE: x[mask].astype("float64"),

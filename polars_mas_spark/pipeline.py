@@ -79,6 +79,18 @@ def run_pipeline(
         # (hdfs://, s3a://) means no shared mount — take the tall path,
         # whose shuffle needs no side storage at all.
         strategy = "packed"
+    if (
+        strategy == "columnar"
+        and config.checkpoint_dir is None
+        and not spark.sparkContext.master.startswith("local")
+    ):
+        # Non-local master with no shared checkpoint dir: the columnar
+        # checkpoint would land where the driver's POSIX reads can't see
+        # it (association.checkpoint_wide raises on this). Source-file
+        # reuse may still avoid the checkpoint, but only when the input
+        # is a plain local parquet scan — the packed shuffle is the
+        # safe auto choice.
+        strategy = "packed"
 
     if strategy == "columnar":
         # Wide-short shape (the PheWAS benchmark): the preprocessed wide

@@ -773,3 +773,100 @@ def test_auto_moments_downgrades_after_onehot_expansion(spark):
     assert res["failed_reason"] == "nan"  # fit succeeded via packed path
     assert len(cfg.covariate_columns) == 70  # age + 69 dummies
     assert np.isfinite(res["beta"])
+
+
+def test_nan_dependent_binary_unpivot_no_crash(spark):
+    """Review r4: a literal NaN dependent under a binary model crashed
+    the unpivot kernel on int(NaN) — NaN dependents are missing data on
+    every path and must simply drop."""
+    rng = np.random.default_rng(47)
+    n = 120
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n)})
+    pdf["yb"] = (rng.random(n) < 0.5).astype("float64")
+    df = spark.createDataFrame(pdf).withColumn(
+        "yb", F.when(F.col("x") > 1.0, F.lit(float("nan"))).otherwise(F.col("yb"))
+    )
+    cfg = MASConfig(
+        predictors="x", dependents=["yb"], covariates=[],
+        model="logistic", min_case_count=5,
+    ).resolve(df.columns)
+    for strategy in ("unpivot", "packed"):
+        r = run_associations(df, cfg, strategy=strategy).toPandas().iloc[0]
+        assert r["failed_reason"] == "nan", strategy  # fit succeeded
+        n_nan = int((pdf["x"] > 1.0).sum())
+        assert r["total_n"] == n - n_nan, strategy
+
+
+def test_all_null_covariate_drops_like_kernel(spark):
+    """Review r4: an ALL-null covariate is constant (nunique==1 with
+    dropna=False) and drops from the design on the kernel path; the
+    moments path must match, not fail the pair."""
+    rng = np.random.default_rng(53)
+    n = 150
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "c_ok": rng.normal(0, 1, n),
+        "c_null": pd.array([None] * n, dtype="Float64"),
+    })
+    pdf["q"] = 1.0 * pdf["x"] + rng.normal(0, 1, n)
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=["q"], covariates=["c_ok", "c_null"],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(df.columns)
+    m = run_associations(df, cfg, strategy="moments").toPandas().iloc[0]
+    k = run_associations(df, cfg, strategy="unpivot").toPandas().iloc[0]
+    assert m["failed_reason"] == k["failed_reason"] == "nan"
+    assert m["equation"] == k["equation"] == "q ~ x + c_ok"
+    assert m["beta"] == pytest.approx(k["beta"], rel=1e-9)
+
+
+def test_moments_rejects_non_quantitative():
+    from polars_mas_spark.operators.association import _fit_linear_moments
+
+    cfg = MASConfig(
+        predictors="x", dependents=["y"], covariates=[],
+        model="linear", quantitative=False,
+    )
+    with pytest.raises(ValueError, match="quantitative"):
+        _fit_linear_moments(None, cfg)
+
+
+def test_reusable_scan_files_wide_rename_detected(spark, tmp_path):
+    """Review r4: the optimizedPlan render truncates field lists at
+    spark.sql.debug.maxToStringFields (default 25), which used to hide
+    renames past the 25th column and reuse the WRONG source files."""
+    from polars_mas_spark.operators.association import reusable_scan_files
+
+    path = str(tmp_path / "wide.parquet")
+    ncols = 40
+    pdf = pd.DataFrame({f"c{i:02d}": [float(i)] * 5 for i in range(ncols)})
+    spark.createDataFrame(pdf).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert reusable_scan_files(scan), "plain wide scan must be reusable"
+    renamed = scan.withColumnRenamed("c30", "c30x")  # past the 25-field cut
+    assert reusable_scan_files(renamed) is None, (
+        "rename beyond the default maxToStringFields must disqualify reuse"
+    )
+    assert reusable_scan_files(scan.filter(F.col("c00") > 0)) is None
+
+
+def test_columnar_nan_predictor_parity(spark):
+    """Review r4: the columnar path's pandas notna() mask silently
+    dropped NaN-predictor rows (converged fit) while packed/unpivot
+    fail the pair — the arrow validity bitmap now distinguishes true
+    nulls (missing, dropped) from NaN values (pair fails)."""
+    rng = np.random.default_rng(59)
+    n = 140
+    pdf = pd.DataFrame({"x": rng.normal(0, 1, n), "q": rng.normal(0, 1, n)})
+    df = spark.createDataFrame(pdf).withColumn(
+        "x", F.when(F.col("q") > 1.2, F.lit(float("nan"))).otherwise(F.col("x"))
+    )
+    cfg = MASConfig(
+        predictors="x", dependents=["q"], covariates=[],
+        model="linear", quantitative=True, min_case_count=10,
+    ).resolve(df.columns)
+    c = run_associations(df, cfg, strategy="columnar").toPandas().iloc[0]
+    p = run_associations(df, cfg, strategy="packed").toPandas().iloc[0]
+    assert p["failed_reason"] != "nan"  # kernel fails on the NaNs
+    assert c["failed_reason"] != "nan"  # columnar must agree, not drop rows
