@@ -654,16 +654,20 @@ def q_embedding_neardup(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("cos", 4).alias("cos"))
 
 
-# Shared CTE chain replicating kmeans_centroids/kmeans_assign at k=8,
+# Shared CTE chain replicating kmeans_centroids/kmeans_assign at
 # refine_iters=1: deterministic lowest-id seeds, cosine argmax with
 # ties -> lowest centroid index, one distributed mean round (empty
 # clusters keep their seed), final assignment. Cross-engine FP safety:
 # measured min argmax margin on this corpus is ~7e-5 — nine orders
 # above double-rounding noise, so the integer cluster ids hash-match.
-_KMEANS_CTES = """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+def _kmeans_ctes(k: int) -> str:
+    return _KMEANS_CTES_TMPL.format(k=k)
+
+
+_KMEANS_CTES_TMPL = """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v AS sv
-      FROM base ORDER BY vec_id LIMIT 8),
+      FROM base ORDER BY vec_id LIMIT {k}),
     a0 AS (
       SELECT b.vec_id, b.v, s.c,
              row_number() OVER (PARTITION BY b.vec_id
@@ -684,6 +688,8 @@ _KMEANS_CTES = """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM 
                                          cent.c ASC) AS rk
       FROM base b CROSS JOIN cent),
     assigned1 AS (SELECT vec_id, v, c AS cluster FROM a1 WHERE rk = 1)"""
+
+_KMEANS_CTES = _kmeans_ctes(8)
 
 
 @query(
@@ -721,7 +727,39 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
-@query("ann_ivf_topk")  # k-means refinement: not SQL-expressible → rows-only
+@query(
+    "ann_ivf_topk",
+    # Full value oracle: the IVF index build is the same deterministic
+    # seeded k-means the kmeans_assign oracle replicates (here k=16),
+    # corpus buckets are the refined argmax assignment (assigned1),
+    # query probes are the top-4 refined centroids by cosine (ties ->
+    # lower index, matching _probe_udf's stable argsort), candidates
+    # are the probed buckets minus self, ranked by (cos DESC, id ASC).
+    f"""WITH {_kmeans_ctes(16)},
+       qset AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 20),
+       probes AS (
+         SELECT q.query_id, cent.c,
+                row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY list_cosine_similarity(q.v, cent.sv) DESC,
+                                            cent.c ASC) AS prk
+         FROM qset q CROSS JOIN cent),
+       cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+                FROM (SELECT query_id, c FROM probes WHERE prk <= 4) p
+                JOIN assigned1 a ON a.cluster = p.c
+                WHERE a.vec_id <> p.query_id),
+       scored AS (SELECT cand.query_id, cand.neighbor_id,
+                         list_cosine_similarity(q.v, a.v) AS cos
+                  FROM cand
+                  JOIN qset q ON q.query_id = cand.query_id
+                  JOIN assigned1 a ON a.vec_id = cand.neighbor_id),
+       ranked AS (SELECT query_id, neighbor_id, cos,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id ASC)
+                           AS rk
+                  FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos
+    FROM ranked WHERE rk <= 5""",
+)
 def q_ann_ivf(spark, sf_dir):
     """IVF approximate top-5 (deterministic seeded centroids + one
     distributed k-means round + n_probe bucket probing); recall vs the
@@ -734,8 +772,56 @@ def q_ann_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
-@query("ann_lsh_topk")  # seeded-hyperplane LSH: not SQL-expressible → rows-only
+def _lsh_oracle_sql(dim=64, num_planes=6, num_tables=4, seed=7, k=5):
+    """DuckDB mirror of similarity.lsh_topk: the hyperplanes are a pure
+    function of (dim, num_planes, seed) rounded to 6 decimals, so the
+    sign-bit bucketing is SQL-expressible as literal-list dot products.
+    Both engines read the same parquet floats, cast to double, and sum
+    products in array order; a sign flip would need |dot| < ~1e-12,
+    which random embeddings never hit."""
+    from polars_mas_spark.operators.similarity import _hyperplanes
+
+    def lit_list(plane):
+        return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+    def bucket(t, planes):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {lit_list(p)}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        return f"('{t}:' || {bits})"
+
+    tables = [
+        _hyperplanes(dim, num_planes, seed + 101 * t) for t in range(num_tables)
+    ]
+    bucket_list = "[" + ", ".join(bucket(t, tables[t]) for t in range(num_tables)) + "]"
+    return f"""WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < 20),
+       c0 AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+       qb AS (SELECT query_id, unnest({bucket_list}) AS b FROM q0),
+       cb AS (SELECT neighbor_id, unnest({bucket_list}) AS b FROM c0),
+       cand AS (SELECT DISTINCT query_id, neighbor_id
+                FROM qb JOIN cb USING (b)
+                WHERE neighbor_id <> query_id),
+       scored AS (SELECT cand.query_id, cand.neighbor_id,
+                         list_cosine_similarity(q0.v, c0.v) AS cos
+                  FROM cand JOIN q0 USING (query_id) JOIN c0 USING (neighbor_id)),
+       ranked AS (SELECT query_id, neighbor_id, cos,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id ASC)
+                           AS rk
+                  FROM scored)
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos
+    FROM ranked WHERE rk <= {k}"""
+
+
+@query("ann_lsh_topk", _lsh_oracle_sql())
 def q_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH top-5 — full value oracle: the seeded
+    planes are deterministic literals, so DuckDB replicates bucketing,
+    candidate join, and cosine ranking (see _lsh_oracle_sql)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -1254,8 +1340,35 @@ def q_frame_sample(spark, sf_dir):
     return mm.frame_sample_plan(docs, "doc_id", "n_frames", every_k=10)
 
 
-@query("image_features_fake")  # mapInPandas byte decode → rows-only
+# DuckDB byte-stat mirror for the fake media decoders: the payloads are
+# UTF-8 encodes of pure-ASCII document text (verified: 0/500 docs have
+# octet_length <> length at sf0.01), so per-byte stats are per-char
+# ascii() stats. mean_byte is an INTEGER sum / n (exact in double), and
+# each rms term ((b-128)/128)^2 is an exact dyadic rational whose
+# partial sums stay below 2^53 — both engines compute bit-identical
+# doubles regardless of summation order, so round(...,6) hash-matches.
+_MEDIA_BYTES_CTE = """d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+       f AS (SELECT doc_id, length(t) AS n,
+                    list_transform(regexp_split_to_array(t, ''), x -> ascii(x))
+                      AS bytes
+             FROM d)"""
+
+
+@query(
+    "image_features_fake",
+    f"""WITH {_MEDIA_BYTES_CTE}
+    SELECT doc_id,
+           ((CASE WHEN n >= 1 THEN bytes[1] ELSE 0 END) + 1)::INTEGER AS width,
+           ((CASE WHEN n >= 2 THEN bytes[2] ELSE 0 END) + 1)::INTEGER AS height,
+           n::BIGINT AS n_bytes,
+           round(CASE WHEN n > 0 THEN list_sum(bytes)::DOUBLE / n
+                      ELSE 0.0 END, 6) AS mean_byte
+    FROM f""",
+)
 def q_image_features(spark, sf_dir):
+    """Image decode/feature plumbing (mapInPandas over binary payloads,
+    deterministic fake decoder — PIL not in this container). The fake
+    byte-stat math is value-oracled in DuckDB (_MEDIA_BYTES_CTE)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     with_bin = mm.text_as_binary(docs, "text").select("doc_id", "content")
     out = mm.extract_image_features(with_bin, "doc_id", "content")
@@ -1265,10 +1378,29 @@ def q_image_features(spark, sf_dir):
     )
 
 
-@query("audio_features_fake")  # stubbed decode → rows-only; math unit-tested
+@query(
+    "audio_features_fake",
+    f"""WITH {_MEDIA_BYTES_CTE},
+       g AS (SELECT doc_id, n,
+                    8000 + (CASE WHEN n >= 1 THEN bytes[1] ELSE 0 END) * 32
+                      AS rate,
+                    CASE WHEN n > 0
+                         THEN list_sum(list_transform(
+                                bytes,
+                                b -> ((b - 128.0) / 128.0) * ((b - 128.0) / 128.0)))
+                         ELSE 0.0 END AS sq
+             FROM f)
+    SELECT doc_id, n::BIGINT AS n_bytes, rate::INTEGER AS sample_rate,
+           n::BIGINT AS n_samples,
+           round(n::DOUBLE / rate, 6) AS duration_s,
+           round(sqrt(sq / greatest(n, 1)), 6) AS rms
+    FROM g""",
+)
 def q_audio_features(spark, sf_dir):
     """Audio decode/feature plumbing (mapInPandas over binary payloads,
-    deterministic fake decoder — librosa/ffmpeg not in this container)."""
+    deterministic fake decoder — librosa/ffmpeg not in this container).
+    The fake 8-bit-PCM math is value-oracled in DuckDB (exact dyadic
+    sums — see _MEDIA_BYTES_CTE comment)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     with_bin = mm.text_as_binary(docs, "text").select("doc_id", "content")
     out = mm.extract_audio_features(with_bin, "doc_id", "content")
