@@ -21,3 +21,22 @@ def qname(name: str) -> str:
 
 def qcol(name: str) -> Column:
     return F.col(qname(name))
+
+
+def stage_columns(df, **exprs):
+    """Materialize expensive Column expressions as real columns behind a
+    Generate boundary (``explode(array(expr))`` — a 1:1 row mapping).
+
+    A plain ``withColumn``/``select`` alias is NOT a materialization
+    point: Catalyst's CollapseProject re-inlines the aliased expression
+    into every downstream reference, and references inside higher-order
+    function lambdas are re-evaluated PER ARRAY ELEMENT (HOFs run
+    interpreted, outside codegen's common-subexpression elimination).
+    A split/hash array referenced from a sliding-window ``transform``
+    therefore goes quadratic in document length — measured 17 s vs
+    0.5 s on 100 documents for the winnowing fingerprinter. Generate
+    output attributes cannot be collapsed through, so each staged
+    expression is evaluated exactly once per row."""
+    for name, expr in exprs.items():
+        df = df.select("*", F.explode(F.array(expr)).alias(name))
+    return df

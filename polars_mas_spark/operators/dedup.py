@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_mas_spark.colutils import qcol
+from polars_mas_spark.colutils import qcol, stage_columns
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -114,14 +114,23 @@ def chunk_dedup(
     scale where near-dup methods (minhash et al) need candidate
     generation.
     """
-    words = F.filter(F.split(qcol(text_col), r"\s+"), lambda t: t != "")
+    # Stage the word array behind a Generate boundary: the per-chunk
+    # slice lambda would otherwise re-split the whole document once per
+    # chunk (colutils.stage_columns has the measurements).
+    staged = stage_columns(
+        df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
+        __words__=F.filter(
+            F.split(F.col("__t__"), r"\s+"), lambda t: t != ""
+        ),
+    )
+    words = F.col("__words__")
     n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
     chunks = F.when(F.size(words) > 0, F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
     )).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
-        qcol(id_col).alias("doc_id"), F.posexplode(chunks).alias("cidx", "chunk")
+    exploded = staged.select(
+        "doc_id", F.posexplode(chunks).alias("cidx", "chunk")
     )
     w = Window.partitionBy("chunk").orderBy("doc_id", "cidx")
     kept = (
@@ -164,17 +173,24 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     trailing/repeated whitespace are filtered BEFORE shingling (same
     rule as _distinct_tokens) — otherwise ' a b c' yields corrupt
     shingles like ' a b' that never match their clean counterparts."""
-    toks = F.filter(
-        F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != ""
+    # Generate-boundary staging: the per-shingle slice lambda would
+    # otherwise re-split the document once per token position
+    # (colutils.stage_columns has the measurements).
+    staged = stage_columns(
+        df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
+        __toks__=F.filter(
+            F.split(F.lower(F.col("__t__")), r"\s+"), lambda t: t != ""
+        ),
     )
+    toks = F.col("__toks__")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    return df.select(
-        qcol(id_col).alias("doc_id"), F.explode(shingles).alias("shingle")
+    return staged.select(
+        "doc_id", F.explode(shingles).alias("shingle")
     ).filter(F.size(F.split(F.col("shingle"), " ")) == n)
 
 

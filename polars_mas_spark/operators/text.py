@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_mas_spark.colutils import qcol
+from polars_mas_spark.colutils import qcol, stage_columns
 
 # Small marker-word lists per language: enough signal for a heuristic
 # n-gram/stopword language id on clean text.
@@ -131,10 +131,16 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     loop is O(distinct x total) per document; for book-length outliers
     cap the scan with a substring, or fall back to the explode path."""
     text = qcol(text_col)
-    words = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
-    staged = df.select(
-        qcol(id_col).alias("doc_id"), words.alias("__words__")
-    )
+    # Generate-boundary staging (colutils.stage_columns): the word and
+    # bigram arrays are referenced inside the distinct-gram count
+    # lambdas, where a collapsed projection would re-split the document
+    # once per distinct gram — measured 7x on sf0.1 documents.
+    staged = stage_columns(
+        df.select(qcol(id_col).alias("doc_id"), text.alias("__t__")),
+        __words__=F.filter(
+            F.split(F.lower(F.col("__t__")), r"\s+"), lambda t: t != ""
+        ),
+    ).drop("__t__")
     w = F.col("__words__")
     n_words = F.size(w)
     n_distinct = F.size(F.array_distinct(w))
@@ -153,7 +159,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    staged = staged.withColumn("__bigrams__", bigrams)
+    staged = stage_columns(staged, __bigrams__=bigrams)
     bg = F.col("__bigrams__")
     n_bigrams = F.size(bg)
     top_bigram = F.array_max(
@@ -550,11 +556,13 @@ def winnow_fingerprints(
             lambda i: F.substring(F.md5(F.substring(text, i, k)), 1, 8),
         ),
     ).otherwise(empty)
-    # Stage the k-gram hash array as a REAL column before windowing:
-    # referencing the expression inside the window lambda would re-hash
-    # the whole document once per window (quadratic; measured 150x).
+    # Stage the k-gram hash array behind a Generate boundary before
+    # windowing: a plain withColumn alias gets re-inlined by Catalyst's
+    # CollapseProject into EVERY window's slice(), re-hashing the whole
+    # document once per window (quadratic — measured 17 s for 100 short
+    # docs vs 0.5 s with the barrier; see colutils.stage_columns).
     tmp = f"__wf_{out_col}__"
-    staged = df.withColumn(tmp, hashes)
+    staged = stage_columns(df, **{tmp: hashes})
     h = F.col(tmp)
     n_windows = F.size(h) - F.lit(window - 1)
     mins = F.when(
