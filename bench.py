@@ -36,6 +36,7 @@ HEADLINE = [
     "token_histogram",
     "lang_id",
     "ann_bruteforce_topk",
+    "ann_pq_topk",
     "chunk_dedup",
     "sessionize",
     "asof_join",

@@ -15,6 +15,12 @@ training-data pipeline. Two tiers:
   candidates are scored. The hyperplanes are generated deterministically
   on the driver (seeded) and shipped as literals, so plans are stable
   and reproducible. The scale path when the query set is large.
+- ``ivf_topk``: inverted-file bucketing over distributed k-means
+  centroids; queries probe their n_probe nearest buckets.
+- ``pq_topk``: product-quantization ADC (Jegou et al. 2011) — the
+  corpus compresses to m codes per vector and scoring is a per-query
+  lookup-table gather over the codes, never touching raw vectors; the
+  memory-bounded tier when even the vectors themselves don't fit.
 
 Dot products/norms are computed with higher-order functions
 (zip_with + aggregate) — JVM-side, no Python UDF in the hot path.
@@ -27,7 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from polars_mas_spark.colutils import qcol
 
@@ -50,7 +56,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
+def _topk_per_query(
+    scored: DataFrame,
+    k: int,
+    n_salts: int = 32,
+    score_col: str = "cos",
+    ascending: bool = False,
+) -> DataFrame:
     """EXACT per-query top-k in two phases: a salted local top-k
     (partitioned on (query_id, hash(neighbor_id) % n_salts)) prunes the
     scored set to at most n_salts*k rows per query before the tiny
@@ -65,12 +77,13 @@ def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
     salt's top-k, and both phases share the (cos desc, neighbor asc)
     tiebreak, so the output is bit-identical to the single-window form.
     """
+    score = F.col(score_col).asc() if ascending else F.col(score_col).desc()
     salted = scored.withColumn(
         "__salt__",
         F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(n_salts)),
     )
     w1 = Window.partitionBy("query_id", "__salt__").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+        score, F.col("neighbor_id").asc()
     )
     local = (
         salted.withColumn("__r1__", F.row_number().over(w1))
@@ -78,7 +91,7 @@ def _topk_per_query(scored: DataFrame, k: int, n_salts: int = 32) -> DataFrame:
         .drop("__r1__", "__salt__")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+        score, F.col("neighbor_id").asc()
     )
     return local.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -455,4 +468,206 @@ def embedding_neardup_pairs(
             cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def _pq_seed_codebooks(
+    df: DataFrame, m: int, ksub: int, d: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """[m, ksub, d] seed codebooks: the ksub lowest-id vectors, sliced
+    per subspace (one tiny driver collect — same seeding rule as
+    kmeans_centroids, applied once for ALL subspaces)."""
+    rows = (
+        df.select(qcol(id_col).alias("id"), qcol(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(
+            f"PQ needs at least ksub={ksub} vectors to seed codebooks "
+            f"(corpus has {len(rows)})"
+        )
+    seeds = np.array([[float(x) for x in r["v"]] for r in rows])
+    return seeds.reshape(ksub, m, d).transpose(1, 0, 2).copy()
+
+
+def _pq_assign_sub_udf(bc):
+    """(sub, subvec) -> nearest code in that subspace's codebook by
+    squared L2; ties -> lowest code (np.argmin first occurrence)."""
+
+    @pandas_udf(IntegerType())
+    def assign(sub: pd.Series, v: pd.Series) -> pd.Series:
+        C = bc.value  # [m, ksub, d]
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        s = sub.to_numpy()
+        out = np.zeros(len(s), dtype=np.int32)
+        for si in np.unique(s):
+            mask = s == si
+            diff = X[mask, None, :] - C[si][None, :, :]
+            out[mask] = np.argmin((diff * diff).sum(-1), axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return assign
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> np.ndarray:
+    """Train [m, ksub, d] product-quantization codebooks (Jegou,
+    Douze & Schmid, TPAMI 2011): split each vector into ``m``
+    subvectors and run an independent k-means (ksub centroids) in each
+    subspace. Deterministic like kmeans_centroids: lowest-id seeds,
+    ties -> lowest code, empty clusters keep their previous centroid.
+
+    One distributed pass per refinement covers ALL subspaces at once:
+    vectors explode to (sub, subvec) rows (m small rows per vector),
+    assignment is a vectorized Arrow stage against the BROADCAST
+    [m, ksub, d] codebook tensor, and the new means are one
+    (sub, code, pos) hash aggregate — driver traffic is m*ksub*d
+    doubles per iteration, independent of corpus size."""
+    spark = df.sparkSession
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d = dim // m
+    cb = _pq_seed_codebooks(df, m, ksub, d, id_col, vec_col)
+    subs = df.select(
+        qcol(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(qcol(vec_col), s * d + 1, d),
+            )
+        ).alias("sub", "subvec"),
+    )
+    for _ in range(refine_iters):
+        bc = spark.sparkContext.broadcast(cb)
+        assigned = subs.select(
+            "sub",
+            _pq_assign_sub_udf(bc)(F.col("sub"), F.col("subvec")).alias("code"),
+            F.posexplode("subvec").alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .collect()
+        )
+        nxt = cb.copy()
+        for r in means:
+            nxt[r["sub"], r["code"], r["pos"]] = r["mx"]
+        cb = nxt
+    return cb
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """(id, codes array<int>) PQ encoding — m bytes-worth of codes per
+    vector instead of 4*dim floats (the 32x memory compression that
+    makes billion-scale ANN indexes fit at all). Map-only: one
+    vectorized Arrow stage against the broadcast codebook tensor."""
+    m, ksub, d = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.vstack(v.to_numpy()).astype(np.float64).reshape(-1, m, d)
+        codes = np.zeros((len(X), m), dtype=np.int32)
+        for s in range(m):
+            diff = X[:, s, None, :] - C[s][None, :, :]
+            codes[:, s] = np.argmin((diff * diff).sum(-1), axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.select(
+        qcol(id_col).alias(id_col), encode(qcol(vec_col)).alias(out_col)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: approx_dist(q, x) = sum_s ||q_s - C[s][code_x[s]]||^2.
+    Returns (query_id, neighbor_id, approx_dist, rank), ascending
+    distance, ties -> lower neighbor id.
+
+    The 100 TB shape: the corpus is scanned ONCE to 4*m-byte code rows
+    (pq_encode, map-only); scoring never touches the original vectors —
+    each query ships only its m*ksub-entry distance lookup table (a
+    broadcast), and the per-row score is a JVM-side table gather
+    (transform + element_at over the code array), no Python in the
+    corpus-sized path. ``query_id_col``: as in brute_force_topk — set
+    it when queries come from a separate table, which also disables the
+    self-match exclusion."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    cb = pq_codebooks(
+        corpus, m=m, ksub=ksub, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    d = dim // m
+    enc = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast(cb)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def dist_table(v: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.vstack(v.to_numpy()).astype(np.float64).reshape(-1, m, d)
+        # [n, m, ksub] -> flattened row-major [m*ksub] per query, so
+        # entry s*ksub + code is the subspace-s distance to that code.
+        diff = X[:, :, None, :] - C[None, :, :, :]
+        T = (diff * diff).sum(-1).reshape(len(X), m * ksub)
+        return pd.Series([row.tolist() for row in T])
+
+    same_id_space = query_id_col is None
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        qcol(query_id_col).alias("query_id"),
+        dist_table(qcol(vec_col)).alias("__tbl__"),
+    )
+    scored = enc.crossJoin(F.broadcast(q))
+    if same_id_space:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    # Sequential gather-and-sum in subspace order (matches the oracle's
+    # list_sum over an ordered comprehension).
+    dist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(F.col("__tbl__"), s * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = scored.select("query_id", "neighbor_id", dist.alias("approx_dist"))
+    return _topk_per_query(
+        scored, k, score_col="approx_dist", ascending=True
     )

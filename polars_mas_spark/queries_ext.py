@@ -817,6 +817,90 @@ def _lsh_oracle_sql(dim=64, num_planes=6, num_tables=4, seed=7, k=5):
     FROM ranked WHERE rk <= {k}"""
 
 
+def _pq_oracle_sql(dim=64, m=16, ksub=64, k=5):
+    """DuckDB mirror of similarity.pq_topk (one refine round): the PQ
+    codebook build is the deterministic seeded k-means pattern run per
+    subspace (lowest-id seeds sliced, L2 argmin with ties -> lowest
+    code, one mean round, empty codes keep their seed), encoding is the
+    refined argmin, and ADC sums the per-subspace distance table in
+    subspace order (list_sum over ORDER BY s — matching the engine's
+    sequential aggregate over the code array)."""
+    d = dim // m
+
+    def d2(a, b):
+        return (
+            f"list_sum([ ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"for i in range(1, {d + 1}) ])"
+        )
+
+    return f"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+       sub AS (SELECT unnest(range({m})) AS s),
+       subs AS (SELECT b.vec_id, sub.s,
+                       list_slice(b.v, sub.s*{d}+1, sub.s*{d}+{d}) AS sv
+                FROM base b CROSS JOIN sub),
+       seedrows AS (SELECT vec_id, v,
+                           CAST(row_number() OVER (ORDER BY vec_id) - 1
+                                AS INTEGER) AS code
+                    FROM base ORDER BY vec_id LIMIT {ksub}),
+       cb0 AS (SELECT sub.s, r.code,
+                      list_slice(r.v, sub.s*{d}+1, sub.s*{d}+{d}) AS cv
+               FROM seedrows r CROSS JOIN sub),
+       a0 AS (SELECT t.vec_id, t.s, t.sv, c.code,
+                     row_number() OVER (PARTITION BY t.vec_id, t.s
+                                        ORDER BY {d2('t.sv', 'c.cv')} ASC,
+                                                 c.code ASC) AS rk
+              FROM subs t JOIN cb0 c ON c.s = t.s),
+       asg0 AS (SELECT vec_id, s, sv, code FROM a0 WHERE rk = 1),
+       dims AS (SELECT s, code, unnest(range(1, {d}+1)) AS pos, unnest(sv) AS x
+                FROM asg0),
+       mn AS (SELECT s, code, pos, avg(x) AS mx FROM dims GROUP BY s, code, pos),
+       cbm AS (SELECT s, code, list(mx ORDER BY pos) AS cv FROM mn
+               GROUP BY s, code),
+       cb1 AS (SELECT c0.s, c0.code, COALESCE(c1.cv, c0.cv) AS cv
+               FROM cb0 c0 LEFT JOIN cbm c1 ON c0.s = c1.s AND c0.code = c1.code),
+       e0 AS (SELECT t.vec_id, t.s, c.code,
+                     row_number() OVER (PARTITION BY t.vec_id, t.s
+                                        ORDER BY {d2('t.sv', 'c.cv')} ASC,
+                                                 c.code ASC) AS rk
+              FROM subs t JOIN cb1 c ON c.s = t.s),
+       enc AS (SELECT vec_id, s, code FROM e0 WHERE rk = 1),
+       qsub AS (SELECT vec_id AS query_id, s, sv FROM subs WHERE vec_id < 20),
+       tbl AS (SELECT q.query_id, c.s, c.code, {d2('q.sv', 'c.cv')} AS dd
+               FROM qsub q JOIN cb1 c ON c.s = q.s),
+       scored AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+                         list_sum(list(t.dd ORDER BY t.s)) AS approx_dist
+                  FROM enc e JOIN tbl t ON t.s = e.s AND t.code = e.code
+                  WHERE e.vec_id <> t.query_id
+                  GROUP BY 1, 2),
+       ranked AS (SELECT query_id, neighbor_id, approx_dist,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY approx_dist ASC,
+                                                     neighbor_id ASC) AS rk
+                  FROM scored)
+    SELECT query_id, neighbor_id, round(approx_dist, 4) AS approx_dist
+    FROM ranked WHERE rk <= {k}"""
+
+
+@query("ann_pq_topk", _pq_oracle_sql())
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ADC top-5 (Jegou et al. 2011): the corpus
+    compresses to m small codes per vector; scoring is a broadcast
+    per-query lookup-table gather, JVM-side, never touching the raw
+    vectors — the memory-bounded ANN path at corpus scale. Full value
+    oracle (see _pq_oracle_sql)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k=5, m=16, ksub=64, refine_iters=1, dim=64,
+    ).select(
+        "query_id", "neighbor_id",
+        F.round("approx_dist", 4).alias("approx_dist"),
+    )
+
+
 @query("ann_lsh_topk", _lsh_oracle_sql())
 def q_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH top-5 — full value oracle: the seeded
