@@ -21,6 +21,8 @@ training-data pipeline. Two tiers:
   corpus compresses to m codes per vector and scoring is a per-query
   lookup-table gather over the codes, never touching raw vectors; the
   memory-bounded tier when even the vectors themselves don't fit.
+- ``ivf_pq_topk``: the FAISS-style composition — coarse k-means
+  buckets + residual PQ codes, ADC over probed buckets only.
 
 Dot products/norms are computed with higher-order functions
 (zip_with + aggregate) — JVM-side, no Python UDF in the hot path.
@@ -578,11 +580,14 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "codes",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>) PQ encoding — m bytes-worth of codes per
-    vector instead of 4*dim floats (the 32x memory compression that
-    makes billion-scale ANN indexes fit at all). Map-only: one
-    vectorized Arrow stage against the broadcast codebook tensor."""
+    """(id, [passthrough...,] codes array<int>) PQ encoding — m
+    bytes-worth of codes per vector instead of 4*dim floats (the 32x
+    memory compression that makes billion-scale ANN indexes fit at
+    all). Map-only: one vectorized Arrow stage against the broadcast
+    codebook tensor; ``passthrough`` columns ride along so callers
+    (e.g. IVF-PQ's bucket id) never need a post-encode join."""
     m, ksub, d = codebooks.shape
     bc = df.sparkSession.sparkContext.broadcast(codebooks)
 
@@ -597,7 +602,9 @@ def pq_encode(
         return pd.Series([row.tolist() for row in codes])
 
     return df.select(
-        qcol(id_col).alias(id_col), encode(qcol(vec_col)).alias(out_col)
+        qcol(id_col).alias(id_col),
+        *[qcol(c).alias(c) for c in (passthrough or [])],
+        encode(qcol(vec_col)).alias(out_col),
     )
 
 
@@ -671,3 +678,107 @@ def pq_topk(
     return _topk_per_query(
         scored, k, score_col="approx_dist", ascending=True
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 64,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ (Jegou et al. 2011, the FAISS IVFPQ architecture):
+    coarse-quantize the corpus into ``n_centroids`` buckets (same
+    deterministic distributed k-means as ivf_topk), PQ-encode each
+    vector's RESIDUAL against its bucket centroid, and answer queries
+    by ADC over only the ``n_probe`` probed buckets — each probed
+    bucket gets its own query-residual distance table.
+
+    The 100 TB shape: the index is one map-only pass producing
+    (bucket, m codes) per vector; at query time the candidate set is
+    |corpus| * n_probe / n_centroids rows of codes, scored by a
+    JVM-side broadcast table gather — neither raw vectors nor
+    un-probed buckets are ever touched. Residual encoding (not raw) is
+    what keeps PQ cells small once the coarse quantizer has absorbed
+    the between-bucket variance. Ties -> lower code / lower neighbor
+    id everywhere, so the whole path is deterministic and
+    value-oracle-able."""
+    spark = corpus.sparkSession
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d = dim // m
+    centroids = kmeans_centroids(
+        corpus, k=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    bc_norm = _centroid_matrix_bc(spark, centroids)  # cosine assignment
+    raw = np.asarray(centroids, dtype=np.float64)
+    bc_raw = spark.sparkContext.broadcast(raw)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def residual(v: pd.Series, b: pd.Series) -> pd.Series:
+        R = np.vstack(v.to_numpy()).astype(np.float64) - bc_raw.value[
+            b.to_numpy()
+        ]
+        return pd.Series([row.tolist() for row in R])
+
+    bucketed = corpus.select(
+        qcol(id_col).alias("neighbor_id"),
+        qcol(vec_col).alias("__v__"),
+        _assign_udf(bc_norm)(qcol(vec_col)).alias("__bucket__"),
+    ).withColumn("__res__", residual(F.col("__v__"), F.col("__bucket__")))
+    cb = pq_codebooks(
+        bucketed, m=m, ksub=ksub, refine_iters=refine_iters,
+        id_col="neighbor_id", vec_col="__res__", dim=dim,
+    )
+    enc = pq_encode(
+        bucketed, cb, id_col="neighbor_id", vec_col="__res__",
+        passthrough=["__bucket__"],
+    )
+    bc_cb = spark.sparkContext.broadcast(cb)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def dist_table(v: pd.Series, b: pd.Series) -> pd.Series:
+        C = bc_cb.value
+        R = (
+            np.vstack(v.to_numpy()).astype(np.float64)
+            - bc_raw.value[b.to_numpy()]
+        ).reshape(-1, m, d)
+        diff = R[:, :, None, :] - C[None, :, :, :]
+        T = (diff * diff).sum(-1).reshape(len(R), m * ksub)
+        return pd.Series([row.tolist() for row in T])
+
+    same_id_space = query_id_col is None
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        qcol(query_id_col).alias("query_id"),
+        qcol(vec_col).alias("__qv__"),
+        F.explode(_probe_udf(bc_norm, n_probe)(qcol(vec_col))).alias(
+            "__bucket__"
+        ),
+    ).select(
+        "query_id", "__bucket__",
+        dist_table(F.col("__qv__"), F.col("__bucket__")).alias("__tbl__"),
+    )
+    scored = enc.join(F.broadcast(q), on="__bucket__")
+    if same_id_space:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    dist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(F.col("__tbl__"), s * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = scored.select("query_id", "neighbor_id", dist.alias("approx_dist"))
+    return _topk_per_query(scored, k, score_col="approx_dist", ascending=True)

@@ -882,6 +882,106 @@ def _pq_oracle_sql(dim=64, m=16, ksub=64, k=5):
     FROM ranked WHERE rk <= {k}"""
 
 
+def _ivfpq_oracle_sql(dim=64, m=16, ksub=64, n_centroids=16, n_probe=4, k=5):
+    """DuckDB mirror of similarity.ivf_pq_topk: the coarse quantizer is
+    the seeded-k-means CTE chain (cosine argmax buckets), residuals are
+    list arithmetic against the refined RAW centroids, the PQ chain
+    (seed/assign/mean/encode, p-prefixed CTEs) runs on residuals, query
+    tables are per probed bucket, and ADC sums in subspace order."""
+    d = dim // m
+
+    def d2(a, b):
+        return (
+            f"list_sum([ ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            f"for i in range(1, {d + 1}) ])"
+        )
+
+    return f"""WITH {_kmeans_ctes(n_centroids)},
+       res AS (SELECT a.vec_id, a.cluster,
+                      [a.v[i] - c.sv[i] for i in range(1, {dim}+1)] AS rv
+               FROM assigned1 a JOIN cent c ON c.c = a.cluster),
+       psub AS (SELECT unnest(range({m})) AS s),
+       psubs AS (SELECT r.vec_id, r.cluster, psub.s,
+                        list_slice(r.rv, psub.s*{d}+1, psub.s*{d}+{d}) AS sv
+                 FROM res r CROSS JOIN psub),
+       pseed AS (SELECT vec_id, rv,
+                        CAST(row_number() OVER (ORDER BY vec_id) - 1
+                             AS INTEGER) AS code
+                 FROM res ORDER BY vec_id LIMIT {ksub}),
+       pcb0 AS (SELECT psub.s, p.code,
+                       list_slice(p.rv, psub.s*{d}+1, psub.s*{d}+{d}) AS cv
+                FROM pseed p CROSS JOIN psub),
+       pa0 AS (SELECT t.vec_id, t.s, t.sv, c.code,
+                      row_number() OVER (PARTITION BY t.vec_id, t.s
+                                         ORDER BY {d2('t.sv', 'c.cv')} ASC,
+                                                  c.code ASC) AS rk
+               FROM psubs t JOIN pcb0 c ON c.s = t.s),
+       pasg AS (SELECT vec_id, s, sv, code FROM pa0 WHERE rk = 1),
+       pdims AS (SELECT s, code, unnest(range(1, {d}+1)) AS pos, unnest(sv) AS x
+                 FROM pasg),
+       pmn AS (SELECT s, code, pos, avg(x) AS mx FROM pdims
+               GROUP BY s, code, pos),
+       pcbm AS (SELECT s, code, list(mx ORDER BY pos) AS cv FROM pmn
+                GROUP BY s, code),
+       pcb1 AS (SELECT c0.s, c0.code, COALESCE(c1.cv, c0.cv) AS cv
+                FROM pcb0 c0
+                LEFT JOIN pcbm c1 ON c0.s = c1.s AND c0.code = c1.code),
+       pe0 AS (SELECT t.vec_id, t.cluster, t.s, c.code,
+                      row_number() OVER (PARTITION BY t.vec_id, t.s
+                                         ORDER BY {d2('t.sv', 'c.cv')} ASC,
+                                                  c.code ASC) AS rk
+               FROM psubs t JOIN pcb1 c ON c.s = t.s),
+       penc AS (SELECT vec_id, cluster, s, code FROM pe0 WHERE rk = 1),
+       qset2 AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 20),
+       probes2 AS (SELECT q.query_id, cent.c, q.v,
+                          row_number() OVER (PARTITION BY q.query_id
+                                             ORDER BY list_cosine_similarity(q.v, cent.sv) DESC,
+                                                      cent.c ASC) AS prk
+                   FROM qset2 q CROSS JOIN cent),
+       qres AS (SELECT p.query_id, p.c AS cluster,
+                       [p.v[i] - c.sv[i] for i in range(1, {dim}+1)] AS rv
+                FROM (SELECT query_id, c, v FROM probes2 WHERE prk <= {n_probe}) p
+                JOIN cent c ON c.c = p.c),
+       qsubs AS (SELECT q.query_id, q.cluster, psub.s,
+                        list_slice(q.rv, psub.s*{d}+1, psub.s*{d}+{d}) AS sv
+                 FROM qres q CROSS JOIN psub),
+       tbl AS (SELECT q.query_id, q.cluster, c.s, c.code,
+                      {d2('q.sv', 'c.cv')} AS dd
+               FROM qsubs q JOIN pcb1 c ON c.s = q.s),
+       scored AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+                         list_sum(list(t.dd ORDER BY t.s)) AS approx_dist
+                  FROM penc e
+                  JOIN tbl t ON t.cluster = e.cluster AND t.s = e.s
+                            AND t.code = e.code
+                  WHERE e.vec_id <> t.query_id
+                  GROUP BY 1, 2),
+       ranked AS (SELECT query_id, neighbor_id, approx_dist,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY approx_dist ASC,
+                                                     neighbor_id ASC) AS rk
+                  FROM scored)
+    SELECT query_id, neighbor_id, round(approx_dist, 4) AS approx_dist
+    FROM ranked WHERE rk <= {k}"""
+
+
+@query("ann_ivfpq_topk", _ivfpq_oracle_sql())
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (FAISS architecture): coarse k-means buckets + residual
+    PQ codes, ADC over the n_probe probed buckets only — the composed
+    billion-scale index shape. Full value oracle (_ivfpq_oracle_sql)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k=5, n_centroids=16, n_probe=4, m=16, ksub=64,
+        refine_iters=1, dim=64,
+    ).select(
+        "query_id", "neighbor_id",
+        F.round("approx_dist", 4).alias("approx_dist"),
+    )
+
+
 @query("ann_pq_topk", _pq_oracle_sql())
 def q_ann_pq(spark, sf_dir):
     """Product-quantization ADC top-5 (Jegou et al. 2011): the corpus

@@ -256,3 +256,55 @@ def test_pq_validation_errors(emb, spark):
     tiny = emb.filter(F.col("vec_id") < 3)
     with pytest.raises(ValueError, match="at least ksub"):
         sim.pq_codebooks(tiny, m=8, ksub=16)
+
+
+def test_ivfpq_recall_and_candidate_containment(emb, spark):
+    """IVF-PQ must (a) clear a recall floor against exact L2 and (b)
+    only ever return neighbors from the query's probed buckets."""
+    all_pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.array(all_pdf["embedding"].tolist(), dtype=np.float64)
+    ids = all_pdf["vec_id"].to_numpy()
+    exact = {}
+    for qid in range(20):
+        qi = np.where(ids == qid)[0][0]
+        dist = ((mat - mat[qi]) ** 2).sum(1)
+        dist[qi] = np.inf
+        exact[qid] = set(ids[np.lexsort((ids, dist))[:5]])
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = sim.ivf_pq_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=4, m=16, ksub=32
+    )
+    approx = _topk_sets(got)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    assert hits / 100 >= 0.25, f"ivfpq recall@5 too low: {hits / 100:.2f}"
+    # Containment: recompute buckets + probes with the engine's own
+    # deterministic centroids and assert membership.
+    cents = sim.kmeans_centroids(emb, k=8, refine_iters=1)
+    C = np.asarray(cents)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Xn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bucket = np.argmax(Xn @ Cn.T, axis=1)
+    sims = Xn @ Cn.T
+    for q, neigh in approx.items():
+        qi = np.where(ids == q)[0][0]
+        probed = set(np.argsort(-sims[qi], kind="stable")[:4])
+        for n in neigh:
+            ni = np.where(ids == n)[0][0]
+            assert bucket[ni] in probed, (q, n, bucket[ni], probed)
+
+
+def test_ivfpq_separate_query_table(emb, spark):
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select((F.col("vec_id") + 100).alias("qid"), "embedding")
+    )
+    got = sim.ivf_pq_topk(
+        emb, queries, k=1, n_centroids=8, n_probe=8, m=16, ksub=32,
+        query_id_col="qid",
+    ).toPandas()
+    top = {int(r.query_id): int(r.neighbor_id) for r in got.itertuples()}
+    # n_probe covers all buckets, so each query sees its own corpus twin
+    # (residual ADC distance == its own quantization error, minimal or
+    # tied; ties break to the lowest id).
+    for qid in (100, 101, 102):
+        assert top.get(qid) == qid - 100, top
