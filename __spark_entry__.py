@@ -58,8 +58,13 @@ _PRIORITY = [
     # r3 hash-red, value-identical; oracle HUGEINT/list canon fixed r4.
     "sessionize", "ngram_contamination", "source_stats",
     "pack_docs", "pack_fill", "curation_pipeline", "winnow_fingerprints",
-    # Multimodal rows-only entries: first time inside the cap.
+    # Multimodal entries: first time inside the cap (value-oracled r4 —
+    # the fake byte-stat decoders are exactly SQL-expressible).
     "image_features_fake", "audio_features_fake",
+    # ANN family: rows-only until r4, now each tier carries a full
+    # DuckDB value oracle (seeded-plane LSH, k-means IVF, PQ ADC, and
+    # the composed residual IVF-PQ) — give each its driver evidence.
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
 ]
 
 
