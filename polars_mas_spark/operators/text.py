@@ -575,3 +575,69 @@ def winnow_fingerprints(
     return staged.withColumn(
         out_col, F.array_sort(F.array_distinct(mins))
     ).drop(tmp)
+
+
+def model_quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    salt: str = "qmodel",
+    threshold: float = 0.5,
+    seed: int = 11,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Model-based quality filtering plumbing (the fastText-style linear
+    classifier step of DCLM / FineWeb-Edu curation): score each document
+    with a hashing-trick linear model — tokens hash into ``n_buckets``
+    weight slots (portable md5 bucket, sampling.hash_bucket), the logit
+    is ``bias + mean(w[bucket(token)])`` (mean, not sum, so the score is
+    length-invariant), and ``kept`` thresholds the sigmoid.
+
+    Pass trained ``weights`` in production; the default is a seeded
+    deterministic stand-in (this operator is the INFERENCE path — the
+    hashing, gather, and scoring plumbing — not a trained model).
+    Entirely JVM-side: the weight table is a literal array, the gather
+    is transform + element_at over the staged token array, so scoring a
+    corpus is one map-only pass with zero shuffles and no Python."""
+    import numpy as np
+
+    from polars_mas_spark.operators.sampling import hash_bucket
+
+    if weights is None:
+        rng = np.random.RandomState(seed)
+        weights = rng.normal(scale=1.0, size=n_buckets).round(6).tolist()
+    if len(weights) != n_buckets:
+        raise ValueError(
+            f"weights has {len(weights)} entries, expected n_buckets={n_buckets}"
+        )
+    w_lit = F.array(*[F.lit(float(w)) for w in weights])
+    staged = stage_columns(
+        # NULL text scores like an empty document (n_tokens=0, logit =
+        # bias) — mirrors the media decoders' None -> b"" contract.
+        df.select(
+            qcol(id_col).alias("doc_id"),
+            F.coalesce(qcol(text_col), F.lit("")).alias("__t__"),
+        ),
+        __toks__=F.filter(
+            F.split(F.lower(F.col("__t__")), r"\s+"), lambda t: t != ""
+        ),
+    )
+    toks = F.col("__toks__")
+    n = F.size(toks)
+    gathered = F.transform(
+        toks, lambda t: F.element_at(w_lit, hash_bucket(t, n_buckets, salt).cast("int") + 1)
+    )
+    total = F.aggregate(gathered, F.lit(0.0), lambda acc, x: acc + x)
+    logit = F.when(n > 0, F.lit(float(bias)) + total / n).otherwise(
+        F.lit(float(bias))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(logit, 6).alias("logit"),
+        F.round(score, 6).alias("model_score"),
+        (score >= threshold).alias("kept"),
+    )

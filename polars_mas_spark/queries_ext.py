@@ -466,6 +466,52 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def _model_quality_oracle_sql(n_buckets=256, seed=11, salt="qmodel"):
+    """DuckDB mirror of text.model_quality_score's default stand-in
+    model: the seeded weight table becomes a DOUBLE[] literal, the token
+    bucket is the portable md5 formula (sampling.hash_bucket /
+    _bucket_sql), and the token-order list_sum matches the engine's
+    sequential aggregate — literal weights summed in the same order are
+    bit-identical doubles, so only the final exp() can differ (last-ulp
+    libm noise, absorbed by round 6)."""
+    import numpy as np
+
+    w = np.random.RandomState(seed).normal(scale=1.0, size=n_buckets)
+    wlit = "[" + ", ".join(repr(x) for x in w.round(6).tolist()) + "]::DOUBLE[]"
+    bucket = (
+        f"(('0x' || substring(md5('{salt}' || t), 1, 8))::BIGINT % {n_buckets})"
+    )
+    return rf"""WITH tk AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                  '\s+'),
+                            t -> t <> '') AS toks
+         FROM documents),
+       g AS (SELECT doc_id, len(toks) AS n,
+                    list_sum(list_transform(
+                        toks, t -> ({wlit})[{bucket} + 1])) AS total
+             FROM tk),
+       s AS (SELECT doc_id, n,
+                    CASE WHEN n > 0 THEN 0.0::DOUBLE + total / n
+                         ELSE 0.0::DOUBLE END AS logit
+             FROM g)
+    SELECT doc_id, n::BIGINT AS n_tokens, round(logit, 6) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS model_score,
+           (1.0 / (1.0 + exp(-logit))) >= 0.5 AS kept
+    FROM s"""
+
+
+@query("model_quality_score", _model_quality_oracle_sql())
+def q_model_quality_score(spark, sf_dir):
+    """Hashing-trick linear quality classifier (fastText-style
+    model-based filtering, the DCLM/FineWeb-Edu curation step): one
+    map-only JVM pass — md5 token buckets, literal weight-table gather,
+    length-invariant mean logit, sigmoid threshold."""
+    return tx.model_quality_score(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 _DOCS_COLS = "doc_id, text, lang, source, n_chars"
 
 

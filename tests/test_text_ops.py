@@ -505,3 +505,53 @@ def test_asof_join_colliding_value_column(spark):
     assert out.columns == ["id", "ts", "price", "asof_ts2", "price_right"]
     row = out.collect()[0]
     assert row["price"] == 100.0 and row["price_right"] == 99.0
+
+
+def test_model_quality_score_matches_python(spark):
+    """The hashing-trick scorer must reproduce a direct Python
+    computation: same md5 buckets, same weight gather, same mean/sigmoid
+    — plus the empty-document logit = bias contract."""
+    import hashlib
+    import math
+
+    from polars_mas_spark.operators.text import model_quality_score
+
+    weights = [round(0.01 * i - 1.0, 6) for i in range(256)]
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "  weird   spacing\ttabs "),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in model_quality_score(
+            df, "doc_id", "text", weights=weights, bias=0.25
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(("qmodel" + tok).encode()).hexdigest()[:8], 16) % 256
+
+    for doc_id, text in rows:
+        toks = [t for t in (text or "").lower().split() if t]
+        logit = 0.25 + (
+            sum(weights[bucket(t)] for t in toks) / len(toks) if toks else 0.0
+        )
+        score = 1.0 / (1.0 + math.exp(-logit))
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert abs(r.logit - round(logit, 6)) < 1e-9, (doc_id, r.logit, logit)
+        assert abs(r.model_score - round(score, 6)) < 1e-9
+        assert r.kept == (score >= 0.5)
+
+
+def test_model_quality_score_validates_weights(spark):
+    import pytest as _pytest
+
+    from polars_mas_spark.operators.text import model_quality_score
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="expected n_buckets"):
+        model_quality_score(df, "doc_id", "text", weights=[0.1, 0.2])
