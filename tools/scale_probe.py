@@ -1,0 +1,99 @@
+"""Empirical scaling probe: time a representative operator set at two
+scale factors (default sf0.01 -> sf0.1, a 10x data step) and report the
+wall-time ratio per query alongside its shuffle count, so the "would
+this survive 100x?" argument rests on measurements, not vibes.
+
+Interpretation guide (this box, local[32]):
+- ratio ~1x       driver-latency-bound — the job floor (~0.3-1 s per
+                  Spark action) dominates at both SFs; compute is not
+                  yet visible. Expect linear behaviour from whatever
+                  the plan audit says about its shuffle structure.
+- ratio ~<=10x    at-most-linear in data — the plan's claim ("one
+                  hash shuffle", "map-only") is holding.
+- ratio >>10x     super-linear — a pair blow-up or quadratic
+                  expression; investigate before trusting at scale.
+
+Usage: python tools/scale_probe.py [--passes N] [name ...]
+Prints one line per query and a trailing JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_SMALL = os.environ.get("SCALE_PROBE_SMALL", "/root/testdata/sf0.01")
+SF_BIG = os.environ.get("SCALE_PROBE_BIG", "/root/testdata/sf0.1")
+
+# Representative spread: map-only text ops, shuffle-light dedup, window
+# family, relational composites, ANN tiers, and the MAS fan-out.
+DEFAULT_QUERIES = [
+    "text_quality", "lang_id", "model_quality_score",
+    "exact_dedup", "minhash_dedup", "chunk_dedup", "semantic_dedup",
+    "sessionize", "asof_join", "windowed_event_counts",
+    "tpch_q1", "tpch_q3", "tpch_q18ish",
+    "ann_bruteforce_topk", "ann_pq_topk",
+    "mas_logistic_fanout", "mas_firth_fanout",
+    "pack_docs", "ngram_contamination", "winnow_pairs",
+]
+
+
+def _time_query(spark, fn, sf_dir, passes):
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from polars_mas_spark.plans import formatted_plan
+    from polars_mas_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    names = args.names or [n for n in DEFAULT_QUERIES if n in qs]
+    rows = []
+    for name in names:
+        fn = qs[name]
+        plan = formatted_plan(fn(spark, SF_SMALL))
+        n_exchanges = len(re.findall(r"\bExchange\b", plan))
+        # untimed warm-up at the small SF (codegen + broadcast warm)
+        _time_query(spark, fn, SF_SMALL, 1)
+        t_small = _time_query(spark, fn, SF_SMALL, args.passes)
+        t_big = _time_query(spark, fn, SF_BIG, args.passes)
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        rows.append(
+            {
+                "query": name,
+                "t_small_s": round(t_small, 3),
+                "t_big_s": round(t_big, 3),
+                "ratio_10x_data": round(ratio, 2),
+                "exchanges": n_exchanges,
+            }
+        )
+        print(
+            f"{name:28s} {t_small:7.2f}s -> {t_big:7.2f}s"
+            f"  ratio {ratio:5.2f}x  exchanges {n_exchanges}",
+            flush=True,
+        )
+    print(json.dumps({"small": SF_SMALL, "big": SF_BIG, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
