@@ -204,11 +204,15 @@ def extract_audio_features(
             rate = 8000 + first * 32
             if total:
                 sq = ((cat.astype(np.float64) - 128.0) / 128.0) ** 2
-                # reduceat returns sq[i] (not 0) for empty segments and
-                # needs in-bounds indices — clamp, then mask empties.
-                idx = np.minimum(offs, total - 1)
-                sums = np.add.reduceat(sq, idx)
-                sums = np.where(nz, sums, 0.0)
+                # Segment sums via prefix sums: reduceat with clamped
+                # offsets SPLITS the last non-empty segment whenever
+                # empty payloads trail it in the batch (offs then holds
+                # duplicate/total-valued entries). Every sq term is an
+                # exact dyadic rational (k/16384) whose running sums
+                # stay below 2^53, so the prefix-sum difference is
+                # bit-identical to summing each segment directly.
+                cs = np.concatenate([[0.0], np.cumsum(sq)])
+                sums = cs[offs + lens] - cs[offs]
             else:
                 sums = np.zeros(m)
             rms = np.sqrt(sums / np.maximum(lens, 1))

@@ -279,12 +279,37 @@ class PrepRecipe:
             if keep_equal:
                 mask = data[col] == code  # NaN == code is False, like SQL
             else:
-                # NaN != code is TRUE in pandas but NULL (dropped) in
-                # Spark's filter — null-sex rows must go on both paths.
-                mask = (data[col] != code) & data[col].notna()
+                # Spark's `sex != code` filter KEEPS float-NaN rows
+                # (NaN != 1.0 is true there and in polars/IEEE) but
+                # DROPS true NULLs (NULL != code is NULL). to_pandas
+                # erases that difference — both arrive as NaN — so the
+                # columnar reader carries the arrow validity bitmap as
+                # __sex_isnull__ (same mechanism as __pred_isnull__)
+                # and only those rows are dropped here. Without the
+                # bitmap (recipe applied to a plain frame) fall back to
+                # dropping all NaN — the pre-r4 conservative behavior.
+                mask = data[col] != code
+                if "__sex_isnull__" in data.columns:
+                    mask &= ~data["__sex_isnull__"]
+                else:
+                    mask &= data[col].notna()
             data = data[mask.fillna(False)]
         if self.drop_null_covs:
-            data = data[data[self.drop_null_covs].notna().all(axis=1)]
+            # Spark's drop strategy filters on isNull — float NaN is NOT
+            # null there and must survive to the kernel (where it fails
+            # the pair as a row); only true NULLs drop. Use the reader's
+            # validity bitmaps when carried (same mechanism as the sex
+            # filter above), else the conservative notna() fallback.
+            masks = [
+                ~data[f"__isnull_{c}__"]
+                if f"__isnull_{c}__" in data.columns
+                else data[c].notna()
+                for c in self.drop_null_covs
+            ]
+            keep = masks[0]
+            for m_ in masks[1:]:
+                keep &= m_
+            data = data[keep]
         if self.fill_values:
             for c, v in self.fill_values.items():
                 if c in self.int_fill_cols:

@@ -731,11 +731,21 @@ def ivf_pq_topk(
         ]
         return pd.Series([row.tolist() for row in R])
 
+    # Persist: every pass below (codebook seeding collect, each refine
+    # round's means collect, the final encode action) would otherwise
+    # re-run the assign + residual Arrow stages over the whole corpus —
+    # the most expensive part of the index build, executed 3-4x. The
+    # ContextCleaner reclaims the block once the DataFrame is
+    # unreachable.
+    from pyspark import StorageLevel
+
     bucketed = corpus.select(
         qcol(id_col).alias("neighbor_id"),
         qcol(vec_col).alias("__v__"),
         _assign_udf(bc_norm)(qcol(vec_col)).alias("__bucket__"),
-    ).withColumn("__res__", residual(F.col("__v__"), F.col("__bucket__")))
+    ).withColumn(
+        "__res__", residual(F.col("__v__"), F.col("__bucket__"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cb = pq_codebooks(
         bucketed, m=m, ksub=ksub, refine_iters=refine_iters,
         id_col="neighbor_id", vec_col="__res__", dim=dim,

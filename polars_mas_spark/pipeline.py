@@ -80,16 +80,20 @@ def run_pipeline(
         # whose shuffle needs no side storage at all.
         strategy = "packed"
     if (
-        strategy == "columnar"
+        auto_strategy
+        and strategy == "columnar"
         and config.checkpoint_dir is None
         and not spark.sparkContext.master.startswith("local")
     ):
-        # Non-local master with no shared checkpoint dir: the columnar
-        # checkpoint would land where the driver's POSIX reads can't see
-        # it (association.checkpoint_wide raises on this). Source-file
-        # reuse may still avoid the checkpoint, but only when the input
-        # is a plain local parquet scan — the packed shuffle is the
-        # safe auto choice.
+        # AUTO pick only: non-local master with no shared checkpoint dir
+        # means the columnar checkpoint would land where the driver's
+        # POSIX reads can't see it (association.checkpoint_wide raises
+        # on this) — the packed shuffle is the safe auto choice. An
+        # EXPLICIT strategy="columnar" proceeds: source-file reuse
+        # (reusable_scan_files) runs checkpoint-free on any shared
+        # mount, and the genuinely broken case still fails with
+        # checkpoint_wide's actionable error instead of a silent
+        # strategy swap.
         strategy = "packed"
 
     if strategy == "columnar":

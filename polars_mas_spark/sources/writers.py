@@ -16,20 +16,16 @@ the single-partition write is free. At scale (a 100 TB result set) pass
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 
 _TEXT_SEPS = {"csv": ",", "tsv": "\t", "txt": "\t"}
 
 
-def _check_single_file_mode(path: str, mode: str) -> bool:
+def _check_single_file_mode(exists: bool, path: str, mode: str) -> bool:
     """Honor the write mode for the single-file promotion path (the
     naive hardcoded overwrite silently destroyed existing files under
     mode='error'/'ignore' and lost data under 'append'). Returns True
     when the write should proceed."""
-    exists = os.path.exists(path)
     if mode in ("error", "errorifexists") and exists:
         raise FileExistsError(
             f"{path} already exists (mode={mode!r}); use mode='overwrite'"
@@ -47,25 +43,33 @@ def _check_single_file_mode(path: str, mode: str) -> bool:
 def _promote_single_file(df: DataFrame, path: str, mode: str, write_fn) -> None:
     """Write a one-partition directory beside the target, then promote
     its lone part file to the target path. ``write_fn(df, tmp)`` runs
-    the actual coalesced write."""
-    if not _check_single_file_mode(path, mode):
+    the actual coalesced write.
+
+    All filesystem operations go through the Hadoop FileSystem for
+    ``path``'s scheme (like compact_parquet) — os.listdir/shutil.move
+    only see the driver's local disk and would strand the temp
+    directory on hdfs://, s3a://, etc."""
+    spark = df.sparkSession
+    fs, P = _hadoop_fs(spark, path)
+    if not _check_single_file_mode(fs.exists(P(path)), path, mode):
         return
     tmp = f"{path}.__spark_tmp__"
     write_fn(df.coalesce(1), tmp)
-    # os.listdir, not glob: a user path like 'results[2024].csv' would
+    # listStatus, not glob: a user path like 'results[2024].csv' would
     # make glob treat [2024] as a character class and miss the part file.
     parts = sorted(
-        f for f in os.listdir(tmp)
-        if f.startswith("part-") and not f.endswith(".crc")
+        s.getPath().getName()
+        for s in fs.listStatus(P(tmp))
+        if s.getPath().getName().startswith("part-")
+        and not s.getPath().getName().endswith(".crc")
     )
     if not parts:
         raise RuntimeError(f"no part file produced under {tmp}")
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    elif os.path.exists(path):
-        os.remove(path)
-    shutil.move(os.path.join(tmp, parts[0]), path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    if fs.exists(P(path)):
+        fs.delete(P(path), True)
+    if not fs.rename(P(f"{tmp}/{parts[0]}"), P(path)):
+        raise IOError(f"failed to promote {tmp}/{parts[0]} to {path}")
+    fs.delete(P(tmp), True)
 
 
 def write_output(

@@ -870,3 +870,45 @@ def test_columnar_nan_predictor_parity(spark):
     p = run_associations(df, cfg, strategy="packed").toPandas().iloc[0]
     assert p["failed_reason"] != "nan"  # kernel fails on the NaNs
     assert c["failed_reason"] != "nan"  # columnar must agree, not drop rows
+
+
+def test_columnar_nan_sex_filter_parity(spark):
+    """Review r4 follow-up: Spark's male_only filter (`sex != code`)
+    KEEPS float-NaN sex rows and drops true NULLs; the columnar
+    recipe's pandas mask dropped both. The __sex_isnull__ validity
+    bitmap now distinguishes them, so n_observations agrees across
+    strategies."""
+    rng = np.random.default_rng(61)
+    n = 160
+    pdf = pd.DataFrame(
+        {
+            "x": rng.normal(0, 1, n),
+            "q": rng.normal(0, 1, n),
+            "marker": rng.uniform(0, 1, n),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "sex",
+        F.when(F.col("marker") < 0.2, F.lit(1.0))        # female: dropped
+        .when(F.col("marker") < 0.3, F.lit(float("nan")))  # NaN: KEPT
+        .when(F.col("marker") < 0.4, F.lit(None).cast("double"))  # NULL: dropped
+        .otherwise(F.lit(0.0)),
+    ).drop("marker")
+    # Reference parity: the sex column must be among the covariates for
+    # male_only (limit_sex_specific raises otherwise on both engines).
+    cfg = MASConfig(
+        predictors="x", dependents=["q"], covariates=["sex"],
+        model="linear", quantitative=True, min_case_count=10,
+        male_only=True, sex_col="sex",
+    ).resolve(df.columns)
+    from polars_mas_spark.pipeline import run_pipeline
+
+    c = run_pipeline(spark, cfg, df=df, strategy="columnar").toPandas().iloc[0]
+    p = run_pipeline(spark, cfg, df=df, strategy="packed").toPandas().iloc[0]
+    # NaN-sex rows survive the filter on BOTH paths (true NULLs drop),
+    # so the kernel sees the same cohort — identical verdict, identical
+    # counts, whether that verdict is a fit or a NaN-covariate failure.
+    for field_ in ("n_observations", "failed_reason", "beta"):
+        pv, cv = p[field_], c[field_]
+        same = (pv == cv) or (pd.isna(pv) and pd.isna(cv))
+        assert same, (field_, pv, cv)

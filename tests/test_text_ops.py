@@ -63,6 +63,30 @@ def test_audio_features_fake_decoder(spark):
     assert out.loc[1, "n_bytes"] == 0 and out.loc[1, "rms"] == 0.0
 
 
+def test_audio_rms_with_trailing_empty_in_one_batch(spark):
+    """Review r4: with empty/NULL payloads TRAILING a non-empty one in
+    the SAME Arrow batch, the old clamped-reduceat segment sum split
+    the last non-empty document's segment and reported a wrong rms.
+    coalesce(1) forces all rows into one batch to pin the fix."""
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        extract_audio_features, text_as_binary,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abcd"), (1, ""), (2, None)], "doc_id long, text string"
+    ).coalesce(1)
+    out = (
+        extract_audio_features(text_as_binary(df, "text"), "doc_id", "content")
+        .toPandas().set_index("doc_id")
+    )
+    b = np.frombuffer(b"abcd", dtype=np.uint8)
+    sig = (b.astype(float) - 128.0) / 128.0
+    assert abs(out.loc[0, "rms"] - float(np.sqrt((sig**2).mean()))) < 1e-12
+    assert out.loc[1, "rms"] == 0.0 and out.loc[2, "rms"] == 0.0
+
+
 def test_audio_real_decoder_raises(spark):
     import pytest as _pytest
 
