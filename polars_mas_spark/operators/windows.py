@@ -186,3 +186,44 @@ def asof_join(
         for c in value_cols
     )
     return carried.select(*out_cols)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort-retention matrix (the standard product-analytics
+    rollup): each user joins the cohort of their FIRST event's ISO week;
+    for every (cohort_week, week_age) cell, count the distinct cohort
+    users active in that week. Returns
+    ``(cohort_week, week_age, n_users)``.
+
+    Scale shape: first-event per user is one hash aggregate on the user
+    key; active weeks reduce to distinct (user, week) — k× smaller than
+    events — before the user-keyed join; the final cell count is one
+    more hash aggregate. Three linear shuffles, no windows over the raw
+    event stream, no per-event state."""
+    user = qcol(user_col)
+    ts = qcol(ts_col)
+    firsts = df.groupBy(user.alias("user")).agg(
+        F.date_trunc("week", F.min(ts)).cast("date").alias("cohort_week")
+    )
+    active = (
+        df.select(
+            user.alias("user"),
+            F.date_trunc("week", ts).cast("date").alias("active_week"),
+        )
+        .distinct()
+    )
+    joined = active.join(firsts, on="user")
+    return (
+        joined.groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("int").alias("week_age"),
+        )
+        .agg(F.count_distinct(F.col("user")).alias("n_users"))
+    )

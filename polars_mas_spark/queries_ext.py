@@ -1097,6 +1097,31 @@ def q_sessionize(spark, sf_dir):
 
 
 @query(
+    "cohort_retention",
+    """WITH firsts AS (
+         SELECT user_id AS u,
+                CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+         FROM events GROUP BY 1),
+       active AS (
+         SELECT DISTINCT user_id AS u,
+                CAST(date_trunc('week', ts) AS DATE) AS active_week
+         FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7
+                AS INTEGER) AS week_age,
+           count(DISTINCT a.u)::BIGINT AS n_users
+    FROM active a JOIN firsts f ON a.u = f.u
+    GROUP BY 1, 2""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix over the events stream: first
+    event's ISO week assigns the cohort; each (cohort, week_age) cell
+    counts distinct active users. Both engines truncate weeks to
+    Monday, so the matrix hash-matches."""
+    return wd.cohort_retention(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@query(
     "rolling_agg",
     """SELECT user_id, event_id,
               round(avg(value) OVER w, 6) AS rolling_avg,

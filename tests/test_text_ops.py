@@ -579,3 +579,31 @@ def test_model_quality_score_validates_weights(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="expected n_buckets"):
         model_quality_score(df, "doc_id", "text", weights=[0.1, 0.2])
+
+
+def test_cohort_retention_matrix(spark):
+    """Hand-built events: user 1 joins week of 2024-01-01 and returns
+    two weeks later; user 2 joins the same week, never returns; user 3
+    joins the next week. Matrix cells must count distinct users at each
+    (cohort_week, week_age)."""
+    import datetime
+
+    from polars_mas_spark.operators.windows import cohort_retention
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 2, 10)),   # cohort wk 2024-01-01
+        (1, datetime.datetime(2024, 1, 16, 9)),   # age 2
+        (2, datetime.datetime(2024, 1, 4, 8)),    # cohort wk 2024-01-01
+        (3, datetime.datetime(2024, 1, 10, 12)),  # cohort wk 2024-01-08
+        (3, datetime.datetime(2024, 1, 11, 12)),  # same week: one cell
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_week), r.week_age): r.n_users
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }, got
