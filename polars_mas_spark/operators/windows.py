@@ -227,3 +227,63 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col("user")).alias("n_users"))
     )
+
+
+def funnel_analysis(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel conversion counts (the product-analytics funnel:
+    how many users did step1, then step2 AFTER it, then step3 after
+    that...). First-occurrence semantics per step; ``window_seconds``
+    optionally bounds the whole funnel relative to step1's time.
+    Returns one row per step: ``(step, event_type, n_users)`` where
+    n_users is the number of users who reached at least that step.
+
+    Scale shape: step i is one filtered min-aggregate on the user key
+    joined to the survivors of step i-1 — k linear hash shuffles for a
+    k-step funnel, never a per-user event-sequence sort or UDF. Each
+    survivor frame is persisted (it feeds both its count and the next
+    step) and is at most |users| rows."""
+    from pyspark import StorageLevel
+
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    user = qcol(user_col)
+    ts = qcol(ts_col)
+    etype = qcol(type_col)
+    out = None
+    cur = None
+    persisted = []
+    for i, s in enumerate(steps):
+        ev = df.filter(etype == s).select(
+            user.alias("user"), ts.alias("__ts__")
+        )
+        if cur is None:
+            cur = ev.groupBy("user").agg(F.min("__ts__").alias("__t__"))
+            cur = cur.withColumn("__t0__", F.col("__t__"))
+        else:
+            chained = ev.join(cur, on="user").filter(
+                F.col("__ts__") > F.col("__t__")
+            )
+            if window_seconds is not None:
+                chained = chained.filter(
+                    F.col("__ts__").cast("long")
+                    <= F.col("__t0__").cast("long") + window_seconds
+                )
+            cur = chained.groupBy("user", "__t0__").agg(
+                F.min("__ts__").alias("__t__")
+            )
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(cur)
+        cnt = cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col("n_users"),
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+    return out

@@ -1122,6 +1122,38 @@ def q_cohort_retention(spark, sf_dir):
 
 
 @query(
+    "funnel_steps",
+    """WITH s1 AS (SELECT user_id AS u, min(ts) AS t1
+                   FROM events WHERE event_type = 'view' GROUP BY 1),
+       s2 AS (SELECT e.user_id AS u, s1.t1, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.u
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+                AND epoch_ns(e.ts) // 1000000000
+                    <= epoch_ns(s1.t1) // 1000000000 + 604800
+              GROUP BY 1, 2),
+       s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.u
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND epoch_ns(e.ts) // 1000000000
+                    <= epoch_ns(s2.t1) // 1000000000 + 604800
+              GROUP BY 1)
+    SELECT 1 AS step, 'view' AS event_type, count(*)::BIGINT AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', count(*)::BIGINT FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', count(*)::BIGINT FROM s3""",
+)
+def q_funnel_steps(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel within a 7-day window
+    of the first view: per-step distinct-user conversion counts
+    (first-occurrence semantics, k linear user-keyed aggregates)."""
+    return wd.funnel_analysis(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], window_seconds=604800,
+    )
+
+
+@query(
     "rolling_agg",
     """SELECT user_id, event_id,
               round(avg(value) OVER w, 6) AS rolling_avg,

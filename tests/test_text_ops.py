@@ -607,3 +607,40 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }, got
+
+
+def test_funnel_analysis_ordering_and_window(spark):
+    """Hand-built funnel: user 1 completes view->click->purchase in
+    order; user 2 clicks BEFORE viewing (click must not count); user 3
+    views then clicks outside the window."""
+    import datetime as dt
+
+    from polars_mas_spark.operators.windows import funnel_analysis
+
+    t0 = dt.datetime(2024, 3, 1, 12)
+
+    def at(**kw):
+        return t0 + dt.timedelta(**kw)
+
+    rows = [
+        (1, at(minutes=0), "view"),
+        (1, at(minutes=5), "click"),
+        (1, at(minutes=9), "purchase"),
+        (2, at(minutes=0), "click"),       # before any view
+        (2, at(minutes=10), "view"),
+        (3, at(minutes=0), "view"),
+        (3, at(days=8), "click"),          # outside 7-day window
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step: (r.event_type, r.n_users)
+        for r in funnel_analysis(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"], window_seconds=604800,
+        ).collect()
+    }
+    assert got == {
+        1: ("view", 3),
+        2: ("click", 1),
+        3: ("purchase", 1),
+    }, got

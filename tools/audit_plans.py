@@ -35,6 +35,8 @@ SINGLE_PARTITION_OK = {
     # ungrouped scalar aggregates (1-row results)
     "null_counts", "distinct_counts", "min_max_mean", "tpch_q6",
     "tpch_q14ish", "tpch_q19ish", "tpch_q22ish", "drop_constant_diag",
+    # per-step scalar conversion counts (k rows for a k-step funnel)
+    "funnel_steps",
     # global ORDER BY of small result sets
     "group_levels",
     # results-table sort in _complete_pairs (P x D rows, documented)
