@@ -639,3 +639,106 @@ def jaccard_pairs(
         F.col("b.doc_id").alias("doc_b"),
         (inter.cast("double") / union).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """Entity-resolution pairs: all (id_a, id_b, distance) with
+    ``levenshtein(text_a, text_b) <= max_distance`` and id_a < id_b —
+    EXACT result, sub-quadratic plan.
+
+    Blocking (the standard q-gram filter): strings within edit distance
+    d share at least one q-gram substring whenever both are at least
+    ``q*(d+1)`` chars long — a deleted/substituted char can break at
+    most q grams, and d edits at most d*q of the >= q*(d+1)-q+1 grams.
+    So long strings join on DISTINCT shared q-grams (plus the necessary
+    length band |len_a-len_b| <= d) and only candidates pay the exact
+    levenshtein. Strings below the lemma threshold can share no gram
+    yet match ("ab"/"cd" at d=2) — they fall back to a LENGTH-band
+    equi-join (the short-string population is bounded by the alphabet,
+    and the band key explodes to d+1 keys, never a cross join). The
+    two candidate sets overlap at the boundary; dropDuplicates merges
+    them. Levenshtein runs JVM-side (F.levenshtein with the threshold
+    variant, which abandons rows early past the bound)."""
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    lemma_len = q * (max_distance + 1)
+    base = df.select(
+        qcol(id_col).alias("id"),
+        qcol(text_col).alias("t"),
+        F.length(qcol(text_col)).alias("n"),
+    ).filter(F.col("t").isNotNull())
+
+    longs = base.filter(F.col("n") >= lemma_len)
+    grams = longs.select(
+        "id", "t", "n",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.col("n") - (q - 1), F.lit(1))
+                    ),
+                    lambda i: F.substring(F.col("t"), i, q),
+                )
+            )
+        ).alias("g"),
+    )
+    ga, gb = grams.alias("a"), grams.alias("b")
+    long_cand = (
+        ga.join(
+            gb,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.abs(F.col("a.n") - F.col("b.n")) <= max_distance
+            ),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.t").alias("t_a"), F.col("b.t").alias("t_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Short-string fallback: everything below the lemma threshold pairs
+    # against strings within the length band (incl. boundary longs up
+    # to lemma_len + d - 1). Band key = target length; the shorter side
+    # replicates to its d+1 reachable lengths.
+    shorts = base.filter(F.col("n") < lemma_len)
+    band_side = base.filter(F.col("n") < lemma_len + max_distance)
+    keys = shorts.select(
+        "id", "t", "n",
+        F.explode(
+            F.sequence(F.col("n"), F.col("n") + max_distance)
+        ).alias("nk"),
+    )
+    sa = keys.alias("a")
+    sb = band_side.alias("b")
+    short_cand = (
+        sa.join(
+            sb,
+            (F.col("a.nk") == F.col("b.n")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.t"))
+            .otherwise(F.col("b.t")).alias("t_a"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.t"))
+            .otherwise(F.col("a.t")).alias("t_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    cand = long_cand.unionByName(short_cand).dropDuplicates(["id_a", "id_b"])
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"), max_distance)
+    return (
+        cand.withColumn("distance", dist)
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
+        .select("id_a", "id_b", "distance")
+    )

@@ -262,6 +262,25 @@ def q_jaccard_pairs(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "fuzzy_pairs",
+    # Oracle is the UNBLOCKED brute force — proving the q-gram + length
+    # blocking loses nothing (exactness, not just recall).
+    """WITH c AS (SELECT c_custkey AS id, c_name AS t
+                  FROM customer WHERE c_custkey < 400)
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.t, b.t)::INTEGER AS distance
+    FROM c a JOIN c b ON a.id < b.id
+    WHERE levenshtein(a.t, b.t) <= 1""",
+)
+def q_fuzzy_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy join: all customer-name pairs within
+    edit distance 1, via q-gram blocking + length bands + thresholded
+    JVM levenshtein (dedup.fuzzy_pairs)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return dd.fuzzy_pairs(cust, "c_custkey", "c_name", max_distance=1, q=2)
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================

@@ -644,3 +644,42 @@ def test_funnel_analysis_ordering_and_window(spark):
         2: ("click", 1),
         3: ("purchase", 1),
     }, got
+
+
+def test_fuzzy_pairs_exact_vs_python_dp(spark):
+    """fuzzy_pairs must equal the brute-force DP levenshtein pair set —
+    including short strings below the q-gram lemma threshold that share
+    NO gram ('ab'/'cd' at d=2) and boundary long/short pairs."""
+    from polars_mas_spark.operators.dedup import fuzzy_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(
+                    prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[n]
+
+    texts = {
+        1: "ab", 2: "cd", 3: "abc", 4: "abcd", 5: "abcdef",
+        6: "abcdeg", 7: "xyzzy", 8: "", 9: "a", 10: "abzdef",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for d in (1, 2):
+        expect = {
+            (a, b, lev(texts[a], texts[b]))
+            for a in texts for b in texts
+            if a < b and lev(texts[a], texts[b]) <= d
+        }
+        got = {
+            (r.id_a, r.id_b, r.distance)
+            for r in fuzzy_pairs(df, "doc_id", "text", max_distance=d).collect()
+        }
+        assert got == expect, (d, got ^ expect)
