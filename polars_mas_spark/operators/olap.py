@@ -45,3 +45,38 @@ def cube_report(
     """All 2^N key-subset totals in one Expand + one aggregation."""
     cols = [qcol(k) if isinstance(k, str) else k for k in keys]
     return _report(df.cube(*cols), keys, value_col)
+
+
+def pivot_report(
+    df: DataFrame,
+    key_col: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list[str],
+) -> DataFrame:
+    """Long -> wide crosstab: one row per key, one (count, sum) column
+    pair per pivoted value — the inverse of the MAS unpivot.
+
+    ``pivot_values`` is REQUIRED: with an explicit value list Spark
+    skips the extra distinct-collection job AND the output schema is
+    stable for the 100 TB case (an unlisted runaway category can't
+    explode the column count); unexpected values land in nothing, by
+    design. One hash aggregation — pivot compiles to grouped
+    conditional aggregates, no join, no second shuffle."""
+    pivoted = (
+        df.groupBy(qcol(key_col).alias(key_col))
+        .pivot(pivot_col, pivot_values)
+        .agg(
+            # count(lit(1)), not count("*"): Pivot rejects star usage.
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(qcol(value_col)), 6).alias("sum"),
+        )
+    )
+    # Spark names the columns "<value>_n"/"<value>_sum"; empty cells are
+    # NULL counts — normalize to 0 (a key with no events of a type has
+    # count 0, not unknown).
+    for v in pivot_values:
+        pivoted = pivoted.withColumn(
+            f"{v}_n", F.coalesce(F.col(f"{v}_n"), F.lit(0))
+        )
+    return pivoted

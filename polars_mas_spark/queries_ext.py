@@ -1451,6 +1451,33 @@ def q_stateful_user_stats(spark, sf_dir):
 
 
 @query(
+    "event_pivot",
+    """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view_n,
+           round(sum(value) FILTER (WHERE event_type = 'view'), 6)
+             AS view_sum,
+           count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click_n,
+           round(sum(value) FILTER (WHERE event_type = 'click'), 6)
+             AS click_sum,
+           count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+             AS purchase_n,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 6)
+             AS purchase_sum
+    FROM events GROUP BY user_id""",
+)
+def q_event_pivot(spark, sf_dir):
+    """Long -> wide crosstab (the inverse of the MAS unpivot): per-user
+    (count, value-sum) columns for an EXPLICIT event-type list — one
+    hash aggregation, stable schema, no distinct-collection job."""
+    from polars_mas_spark.operators.olap import pivot_report
+
+    return pivot_report(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "value",
+        ["view", "click", "purchase"],
+    )
+
+
+@query(
     "event_rollup",
     """SELECT event_type, CAST(ts AS DATE) AS day,
               GROUPING(event_type, CAST(ts AS DATE)) AS gid,

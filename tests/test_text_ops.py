@@ -683,3 +683,25 @@ def test_fuzzy_pairs_exact_vs_python_dp(spark):
             for r in fuzzy_pairs(df, "doc_id", "text", max_distance=d).collect()
         }
         assert got == expect, (d, got ^ expect)
+
+
+def test_pivot_report_explicit_values_contract(spark):
+    """Unlisted pivot values vanish (stable schema); empty cells count 0
+    with NULL sum."""
+    from polars_mas_spark.operators.olap import pivot_report
+
+    df = spark.createDataFrame(
+        [(1, "view", 2.0), (1, "view", 3.0), (1, "rogue", 9.0),
+         (2, "click", 1.5)],
+        "user_id long, event_type string, value double",
+    )
+    out = {
+        r.user_id: r
+        for r in pivot_report(
+            df, "user_id", "event_type", "value", ["view", "click"]
+        ).collect()
+    }
+    assert out[1].view_n == 2 and out[1].view_sum == 5.0
+    assert out[1].click_n == 0 and out[1].click_sum is None
+    assert out[2].click_n == 1 and out[2].click_sum == 1.5
+    assert "rogue_n" not in out[1].asDict()
