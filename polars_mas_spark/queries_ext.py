@@ -1478,6 +1478,69 @@ def q_event_pivot(spark, sf_dir):
 
 
 @query(
+    "scd2_merge_customers",
+    """WITH cur AS (SELECT c_custkey AS cust, c_mktsegment AS seg,
+                           DATE '1990-01-01' AS effective_from,
+                           CAST(NULL AS DATE) AS effective_to
+                    FROM customer WHERE c_custkey < 300),
+       u0 AS (SELECT o_custkey AS cust, o_orderdate AS ts,
+                     max(o_orderpriority) AS seg
+              FROM orders WHERE o_custkey < 300 GROUP BY 1, 2),
+       u1 AS (SELECT *,
+                     lag(seg) OVER (PARTITION BY cust ORDER BY ts) AS prev,
+                     row_number() OVER (PARTITION BY cust ORDER BY ts) AS rn0
+              FROM u0),
+       u2 AS (SELECT cust, ts, seg FROM u1
+              WHERE rn0 = 1 OR prev IS DISTINCT FROM seg),
+       u3 AS (SELECT u2.*,
+                     row_number() OVER (PARTITION BY cust ORDER BY ts) AS rn,
+                     c.seg AS open_seg, c.cust IS NOT NULL AS has_open
+              FROM u2 LEFT JOIN cur c USING (cust)),
+       u4 AS (SELECT cust, ts, seg FROM u3
+              WHERE NOT (rn = 1 AND has_open
+                         AND seg IS NOT DISTINCT FROM open_seg)),
+       versions AS (SELECT cust, seg, ts AS effective_from,
+                           lead(ts) OVER (PARTITION BY cust ORDER BY ts)
+                             AS effective_to
+                    FROM u4),
+       firsts AS (SELECT cust, min(ts) AS cl FROM u4 GROUP BY 1),
+       closed AS (SELECT c.cust, c.seg, c.effective_from,
+                         COALESCE(f.cl, c.effective_to) AS effective_to
+                  FROM cur c LEFT JOIN firsts f USING (cust))
+    SELECT cust, seg, effective_from, effective_to FROM closed
+    UNION ALL
+    SELECT cust, seg, effective_from, effective_to FROM versions""",
+)
+def q_scd2_merge(spark, sf_dir):
+    """SCD2 merge: each customer's order-priority history (one update
+    per order date) applied to an open mktsegment dimension — closes
+    the open row at the first change, chains validity intervals, and
+    collapses consecutive no-op updates (operators/scd.py)."""
+    from polars_mas_spark.operators.scd import scd2_merge
+
+    cur = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit("1990-01-01").cast("date").alias("effective_from"),
+            F.lit(None).cast("date").alias("effective_to"),
+        )
+    )
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .agg(F.max("o_orderpriority").alias("seg"))
+    )
+    return scd2_merge(cur, upd, "cust", ["seg"], "ts")
+
+
+@query(
     "event_rollup",
     """SELECT event_type, CAST(ts AS DATE) AS day,
               GROUPING(event_type, CAST(ts AS DATE)) AS gid,

@@ -705,3 +705,46 @@ def test_pivot_report_explicit_values_contract(spark):
     assert out[1].click_n == 0 and out[1].click_sum is None
     assert out[2].click_n == 1 and out[2].click_sum == 1.5
     assert "rogue_n" not in out[1].asDict()
+
+
+def test_scd2_merge_semantics(spark):
+    """Hand-built SCD2: no-op first update ignored, consecutive dups
+    collapse, chains close correctly, new keys build history, untouched
+    keys pass through, NULL-attr first update on a NEW key survives."""
+    import datetime
+
+    from polars_mas_spark.operators.scd import scd2_merge
+
+    d = datetime.date
+    cur = spark.createDataFrame(
+        [(1, "A", d(2020, 1, 1), None),
+         (2, "B", d(2020, 1, 1), None),
+         (3, "C", d(2019, 1, 1), d(2020, 1, 1)),   # already closed
+         (3, "D", d(2020, 1, 1), None)],
+        "k long, seg string, effective_from date, effective_to date",
+    )
+    upd = spark.createDataFrame(
+        [(1, d(2021, 1, 1), "A"),     # no-op vs open -> ignored
+         (1, d(2021, 6, 1), "X"),     # real change
+         (1, d(2021, 9, 1), "X"),     # consecutive dup -> collapsed
+         (1, d(2021, 12, 1), "Y"),    # second change
+         (4, d(2022, 1, 1), None),    # NEW key, NULL attr first update
+         (4, d(2022, 3, 1), "Z")],
+        "k long, ts date, seg string",
+    )
+    rows = {
+        (r.k, r.seg, str(r.effective_from)): (
+            str(r.effective_to) if r.effective_to else None
+        )
+        for r in scd2_merge(cur, upd, "k", ["seg"], "ts").collect()
+    }
+    assert rows == {
+        (1, "A", "2020-01-01"): "2021-06-01",
+        (1, "X", "2021-06-01"): "2021-12-01",
+        (1, "Y", "2021-12-01"): None,
+        (2, "B", "2020-01-01"): None,
+        (3, "C", "2019-01-01"): "2020-01-01",
+        (3, "D", "2020-01-01"): None,
+        (4, None, "2022-01-01"): "2022-03-01",
+        (4, "Z", "2022-03-01"): None,
+    }, rows
