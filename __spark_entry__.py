@@ -65,6 +65,11 @@ _PRIORITY = [
     # DuckDB value oracle (seeded-plane LSH, k-means IVF, PQ ADC, and
     # the composed residual IVF-PQ) — give each its driver evidence.
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    # New r4 operator families (each a first driver appearance):
+    # model-based quality filtering, product analytics (cohort/funnel),
+    # entity-resolution fuzzy join, pivot crosstab, SCD2 merge.
+    "model_quality_score", "cohort_retention", "funnel_steps",
+    "fuzzy_pairs", "event_pivot", "scd2_merge_customers",
 ]
 
 
