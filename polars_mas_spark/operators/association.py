@@ -1189,13 +1189,6 @@ def _fit_columnar(
                     data["__sex_isnull__"] = pc.is_null(
                         tbl[recipe.sex_filter[0]]
                     ).to_numpy(zero_copy_only=False)
-                for c in recipe.drop_null_covs:
-                    # And for the drop strategy: Spark's isNull drops
-                    # only true NULLs; NaN covariates ride through and
-                    # fail the pair in the kernel.
-                    data[f"__isnull_{c}__"] = pc.is_null(tbl[c]).to_numpy(
-                        zero_copy_only=False
-                    )
                 data = recipe.apply_pandas(data)
             x = pd.to_numeric(data[p], errors="coerce")
             covs_frame = {

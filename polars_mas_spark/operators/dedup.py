@@ -667,6 +667,10 @@ def fuzzy_pairs(
     variant, which abandons rows early past the bound)."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
+    if q < 1:
+        # q=0 would make every gram the empty string — the "blocking"
+        # join degenerates to a length-banded cross join.
+        raise ValueError("q must be >= 1")
     lemma_len = q * (max_distance + 1)
     base = df.select(
         qcol(id_col).alias("id"),
@@ -675,8 +679,12 @@ def fuzzy_pairs(
     ).filter(F.col("t").isNotNull())
 
     longs = base.filter(F.col("n") >= lemma_len)
+    # The gram frame carries (id, n, g) ONLY: replicating the full text
+    # once per gram would shuffle O(len^2) bytes per document through
+    # the gram exchange; the texts re-attach by id to the deduplicated
+    # candidate pairs instead (two linear id joins).
     grams = longs.select(
-        "id", "t", "n",
+        "id", "n",
         F.explode(
             F.array_distinct(
                 F.transform(
@@ -700,9 +708,17 @@ def fuzzy_pairs(
         )
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.t").alias("t_a"), F.col("b.t").alias("t_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            base.select(F.col("id").alias("id_a"), F.col("t").alias("t_a")),
+            on="id_a",
+        )
+        .join(
+            base.select(F.col("id").alias("id_b"), F.col("t").alias("t_b")),
+            on="id_b",
+        )
+        .select("id_a", "id_b", "t_a", "t_b")
     )
 
     # Short-string fallback: everything below the lemma threshold pairs

@@ -69,14 +69,15 @@ def pivot_report(
         .agg(
             # count(lit(1)), not count("*"): Pivot rejects star usage.
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(qcol(value_col)), 6).alias("sum"),
+            F.sum(qcol(value_col)).alias("sum"),
         )
     )
     # Spark names the columns "<value>_n"/"<value>_sum"; empty cells are
     # NULL counts — normalize to 0 (a key with no events of a type has
-    # count 0, not unknown).
+    # count 0, not unknown). qcol, not F.col: a pivot value containing a
+    # dot ('page.view') otherwise parses as struct access.
     for v in pivot_values:
         pivoted = pivoted.withColumn(
-            f"{v}_n", F.coalesce(F.col(f"{v}_n"), F.lit(0))
+            f"{v}_n", F.coalesce(qcol(f"{v}_n"), F.lit(0))
         )
     return pivoted

@@ -295,21 +295,12 @@ class PrepRecipe:
                     mask &= data[col].notna()
             data = data[mask.fillna(False)]
         if self.drop_null_covs:
-            # Spark's drop strategy filters on isNull — float NaN is NOT
-            # null there and must survive to the kernel (where it fails
-            # the pair as a row); only true NULLs drop. Use the reader's
-            # validity bitmaps when carried (same mechanism as the sex
-            # filter above), else the conservative notna() fallback.
-            masks = [
-                ~data[f"__isnull_{c}__"]
-                if f"__isnull_{c}__" in data.columns
-                else data[c].notna()
-                for c in self.drop_null_covs
-            ]
-            keep = masks[0]
-            for m_ in masks[1:]:
-                keep &= m_
-            data = data[keep]
+            # pandas notna() drops BOTH NaN and None — exactly matching
+            # the Spark path's na.drop, which (unlike a bare isNull
+            # filter) also treats float NaN as missing. Do NOT swap
+            # this for a validity-bitmap mask: only the sex filter
+            # above has Spark keep-NaN semantics.
+            data = data[data[self.drop_null_covs].notna().all(axis=1)]
         if self.fill_values:
             for c, v in self.fill_values.items():
                 if c in self.int_fill_cols:

@@ -225,7 +225,11 @@ def cohort_retention(
                 / F.lit(7)
             ).cast("int").alias("week_age"),
         )
-        .agg(F.count_distinct(F.col("user")).alias("n_users"))
+        # Plain count: `joined` is already distinct per (user, week) and
+        # each user has one cohort, so every (cell, user) appears once —
+        # count_distinct would pay the two-phase distinct machinery for
+        # nothing.
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -256,7 +260,8 @@ def funnel_analysis(
     user = qcol(user_col)
     ts = qcol(ts_col)
     etype = qcol(type_col)
-    out = None
+    spark = df.sparkSession
+    counts: list[tuple[int, str, int]] = []
     cur = None
     persisted = []
     for i, s in enumerate(steps):
@@ -280,10 +285,11 @@ def funnel_analysis(
             )
         cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(cur)
-        cnt = cur.agg(F.count("*").alias("n_users")).select(
-            F.lit(i + 1).alias("step"),
-            F.lit(s).alias("event_type"),
-            F.col("n_users"),
-        )
-        out = cnt if out is None else out.unionByName(cnt)
-    return out
+        # The count materializes the persisted frame; the next step
+        # reads it from cache instead of recomputing the chain.
+        counts.append((i + 1, s, cur.count()))
+    for p in persisted:
+        p.unpersist(blocking=False)
+    return spark.createDataFrame(
+        counts, "step int, event_type string, n_users bigint"
+    )

@@ -76,9 +76,19 @@ def run_pipeline(
     if strategy == "columnar" and config.checkpoint_dir and "://" in config.checkpoint_dir:
         # Columnar's per-task column-pruned reads go through pyarrow,
         # which needs POSIX-visible paths; a URI-scheme checkpoint target
-        # (hdfs://, s3a://) means no shared mount — take the tall path,
-        # whose shuffle needs no side storage at all.
-        strategy = "packed"
+        # (hdfs://, s3a://) means no shared mount. Auto picks fall back
+        # to the tall path (its shuffle needs no side storage); an
+        # EXPLICIT columnar request gets an actionable error, never a
+        # silent strategy swap (same policy as the non-local guard
+        # below).
+        if auto_strategy:
+            strategy = "packed"
+        else:
+            raise ValueError(
+                "strategy='columnar' needs a POSIX-shared checkpoint_dir "
+                f"(got URI {config.checkpoint_dir!r}) — point checkpoint_dir "
+                "at a mounted path, or use the packed/unpivot strategy"
+            )
     if (
         auto_strategy
         and strategy == "columnar"

@@ -1468,13 +1468,18 @@ def q_stateful_user_stats(spark, sf_dir):
 def q_event_pivot(spark, sf_dir):
     """Long -> wide crosstab (the inverse of the MAS unpivot): per-user
     (count, value-sum) columns for an EXPLICIT event-type list — one
-    hash aggregation, stable schema, no distinct-collection job."""
+    hash aggregation, stable schema, no distinct-collection job.
+    Rounding happens HERE (oracle canonicalization), not inside the
+    operator — callers keep full-precision sums."""
     from polars_mas_spark.operators.olap import pivot_report
 
-    return pivot_report(
+    out = pivot_report(
         _t(spark, sf_dir, "events"), "user_id", "event_type", "value",
         ["view", "click", "purchase"],
     )
+    for v in ("view", "click", "purchase"):
+        out = out.withColumn(f"{v}_sum", F.round(F.col(f"{v}_sum"), 6))
+    return out
 
 
 @query(

@@ -912,3 +912,38 @@ def test_columnar_nan_sex_filter_parity(spark):
         pv, cv = p[field_], c[field_]
         same = (pv == cv) or (pd.isna(pv) and pd.isna(cv))
         assert same, (field_, pv, cv)
+
+
+def test_drop_strategy_nan_covariate_parity(spark):
+    """Review r4 follow-up: Spark's drop strategy is na.drop, which
+    removes float-NaN AND NULL covariate rows (unlike the sex filter's
+    `!=`, which keeps NaN). The columnar recipe's notna() matches that
+    exactly — pin it across strategies so nobody 'fixes' it into a
+    validity-bitmap keep again."""
+    rng = np.random.default_rng(67)
+    n = 160
+    pdf = pd.DataFrame(
+        {
+            "x": rng.normal(0, 1, n),
+            "q": rng.normal(0, 1, n),
+            "marker": rng.uniform(0, 1, n),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "cov",
+        F.when(F.col("marker") < 0.15, F.lit(float("nan")))       # dropped
+        .when(F.col("marker") < 0.3, F.lit(None).cast("double"))  # dropped
+        .otherwise(F.col("marker")),
+    ).drop("marker")
+    cfg = MASConfig(
+        predictors="x", dependents=["q"], covariates=["cov"],
+        model="linear", quantitative=True, min_case_count=10,
+        missing_covariate_values="drop",
+    ).resolve(df.columns)
+    from polars_mas_spark.pipeline import run_pipeline
+
+    c = run_pipeline(spark, cfg, df=df, strategy="columnar").toPandas().iloc[0]
+    p = run_pipeline(spark, cfg, df=df, strategy="packed").toPandas().iloc[0]
+    clean = df.na.drop(subset=["cov"]).count()
+    assert p["n_observations"] == clean
+    assert c["n_observations"] == clean

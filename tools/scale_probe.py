@@ -73,9 +73,12 @@ def main() -> None:
         fn = qs[name]
         plan = formatted_plan(fn(spark, SF_SMALL))
         n_exchanges = len(re.findall(r"\bExchange\b", plan))
-        # untimed warm-up at the small SF (codegen + broadcast warm)
+        # Untimed warm-up at BOTH scale factors (codegen + broadcast +
+        # shuffle-file warm) — asymmetric warm-up would inflate the
+        # ratio, the very metric this tool exists to measure.
         _time_query(spark, fn, SF_SMALL, 1)
         t_small = _time_query(spark, fn, SF_SMALL, args.passes)
+        _time_query(spark, fn, SF_BIG, 1)
         t_big = _time_query(spark, fn, SF_BIG, args.passes)
         ratio = t_big / t_small if t_small > 0 else float("inf")
         rows.append(
