@@ -40,6 +40,8 @@ DEFAULT_QUERIES = [
     "ann_bruteforce_topk", "ann_pq_topk",
     "mas_logistic_fanout", "mas_firth_fanout",
     "pack_docs", "ngram_contamination", "winnow_pairs",
+    "fuzzy_pairs", "cohort_retention", "scd2_merge_customers",
+    "event_pivot",
 ]
 
 
