@@ -127,3 +127,41 @@ def scd2_merge(
         .unionByName(closed_open.select(*out_cols))
         .unionByName(versions.select(*out_cols))
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time dimension join: attach to each fact row the
+    dimension version valid at the fact's timestamp
+    (``from <= ts < to``, open version = NULL ``to``). Facts whose key
+    has no valid version at ts keep NULL attributes (left join) —
+    facts predating a key's first version surface as unmatched instead
+    of silently borrowing a later version.
+
+    Plan shape: a plain key equi-join plus a range filter — each fact
+    matches at most ONE version by the SCD2 interval-partition
+    invariant, so the join output is |facts| rows, the shuffle is
+    key-partitioned, and no interval/cross machinery is needed. For
+    heavily versioned keys the per-key version count bounds the
+    pre-filter fan-out."""
+    from polars_mas_spark.colutils import qname
+
+    ts = F.col(f"__f__.{qname(ts_col)}")
+    valid = (F.col(f"__d__.{qname(from_col)}") <= ts) & (
+        F.col(f"__d__.{qname(to_col)}").isNull()
+        | (ts < F.col(f"__d__.{qname(to_col)}"))
+    )
+    d = dim.alias("__d__")
+    f_ = facts.alias("__f__")
+    return f_.join(
+        d,
+        (F.col(f"__f__.{qname(key_col)}") == F.col(f"__d__.{qname(key_col)}"))
+        & valid,
+        "left",
+    ).drop(F.col(f"__d__.{qname(key_col)}"))

@@ -1482,9 +1482,9 @@ def q_event_pivot(spark, sf_dir):
     return out
 
 
-@query(
-    "scd2_merge_customers",
-    """WITH cur AS (SELECT c_custkey AS cust, c_mktsegment AS seg,
+# Shared SCD2 CTE chain: the merge oracle and the point-in-time lookup
+# oracle both build the same versioned customer dimension.
+_SCD2_CTES = """cur AS (SELECT c_custkey AS cust, c_mktsegment AS seg,
                            DATE '1990-01-01' AS effective_from,
                            CAST(NULL AS DATE) AS effective_to
                     FROM customer WHERE c_custkey < 300),
@@ -1511,16 +1511,15 @@ def q_event_pivot(spark, sf_dir):
        firsts AS (SELECT cust, min(ts) AS cl FROM u4 GROUP BY 1),
        closed AS (SELECT c.cust, c.seg, c.effective_from,
                          COALESCE(f.cl, c.effective_to) AS effective_to
-                  FROM cur c LEFT JOIN firsts f USING (cust))
-    SELECT cust, seg, effective_from, effective_to FROM closed
-    UNION ALL
-    SELECT cust, seg, effective_from, effective_to FROM versions""",
-)
-def q_scd2_merge(spark, sf_dir):
-    """SCD2 merge: each customer's order-priority history (one update
-    per order date) applied to an open mktsegment dimension — closes
-    the open row at the first change, chains validity intervals, and
-    collapses consecutive no-op updates (operators/scd.py)."""
+                  FROM cur c LEFT JOIN firsts f USING (cust)),
+       dim AS (SELECT cust, seg, effective_from, effective_to FROM closed
+               UNION ALL
+               SELECT cust, seg, effective_from, effective_to FROM versions)"""
+
+
+def _scd2_customer_dim(spark, sf_dir):
+    """Spark-side twin of _SCD2_CTES' dim: the order-priority update
+    stream merged into the open mktsegment dimension."""
     from polars_mas_spark.operators.scd import scd2_merge
 
     cur = (
@@ -1543,6 +1542,52 @@ def q_scd2_merge(spark, sf_dir):
         .agg(F.max("o_orderpriority").alias("seg"))
     )
     return scd2_merge(cur, upd, "cust", ["seg"], "ts")
+
+
+@query(
+    "scd2_merge_customers",
+    f"WITH {_SCD2_CTES} SELECT cust, seg, effective_from, effective_to FROM dim",
+)
+def q_scd2_merge(spark, sf_dir):
+    """SCD2 merge: each customer's order-priority history (one update
+    per order date) applied to an open mktsegment dimension — closes
+    the open row at the first change, chains validity intervals, and
+    collapses consecutive no-op updates (operators/scd.py)."""
+    return _scd2_customer_dim(spark, sf_dir)
+
+
+@query(
+    "scd2_lookup_orders",
+    f"""WITH {_SCD2_CTES},
+       facts AS (SELECT o_orderkey AS order_key, o_custkey AS cust,
+                        o_orderdate AS ts
+                 FROM orders WHERE o_custkey < 300)
+    SELECT f.order_key, f.cust, d.seg, d.effective_from
+    FROM facts f LEFT JOIN dim d
+      ON d.cust = f.cust AND d.effective_from <= f.ts
+     AND (d.effective_to IS NULL OR f.ts < d.effective_to)""",
+)
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time dimension join: each order picks up the customer
+    segment version valid AT ITS ORDER DATE from the SCD2-merged
+    dimension — the temporal-warehouse consumer of scd2_merge
+    (operators/scd.py scd2_lookup; key equi-join + range filter, one
+    match per fact by the interval-partition invariant)."""
+    from polars_mas_spark.operators.scd import scd2_lookup
+
+    dim = _scd2_customer_dim(spark, sf_dir)
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    return scd2_lookup(facts, dim, "cust", "ts").select(
+        "order_key", "cust", "seg", "effective_from"
+    )
 
 
 @query(

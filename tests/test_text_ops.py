@@ -748,3 +748,67 @@ def test_scd2_merge_semantics(spark):
         (4, None, "2022-01-01"): "2022-03-01",
         (4, "Z", "2022-03-01"): None,
     }, rows
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """Facts pick up the version valid AT their ts: boundary fact at a
+    version's from-date gets that version; facts before the first
+    version stay unmatched (NULL attrs)."""
+    import datetime
+
+    from polars_mas_spark.operators.scd import scd2_lookup
+
+    d = datetime.date
+    dim = spark.createDataFrame(
+        [(1, "A", d(2020, 1, 1), d(2021, 1, 1)),
+         (1, "B", d(2021, 1, 1), None)],
+        "k long, seg string, effective_from date, effective_to date",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, d(2019, 6, 1)),   # predates history -> NULL
+         (11, 1, d(2020, 6, 1)),   # inside A
+         (12, 1, d(2021, 1, 1)),   # boundary: B starts, A ends (to excl)
+         (13, 2, d(2022, 1, 1))],  # unknown key -> NULL
+        "fid long, k long, ts date",
+    )
+    got = {r.fid: r.seg for r in scd2_lookup(facts, dim, "k", "ts").collect()}
+    assert got == {10: None, 11: "A", 12: "B", 13: None}, got
+
+
+def test_scd2_interval_partition_property(spark):
+    """Hypothesis-style invariant on a pseudo-random update stream: per
+    key, merged intervals are disjoint, chained (each to == next from),
+    exactly one open version, and consecutive versions differ."""
+    import datetime
+    import random
+
+    from polars_mas_spark.operators.scd import scd2_merge
+
+    rng = random.Random(17)
+    base = datetime.date(2020, 1, 1)
+    cur_rows = [
+        (k, rng.choice("ABC"), base, None) for k in range(1, 9)
+    ]
+    upd_rows = []
+    for k in range(1, 12):  # keys 9-11 are new
+        days = sorted(rng.sample(range(1, 400), rng.randint(1, 8)))
+        for day in days:
+            upd_rows.append(
+                (k, base + datetime.timedelta(days=day), rng.choice("ABCD"))
+            )
+    cur = spark.createDataFrame(
+        cur_rows, "k long, seg string, effective_from date, effective_to date"
+    )
+    upd = spark.createDataFrame(upd_rows, "k long, ts date, seg string")
+    out = scd2_merge(cur, upd, "k", ["seg"], "ts").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == set(range(1, 12))
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.effective_from)
+        opens = [r for r in rows if r.effective_to is None]
+        assert len(opens) == 1 and opens[0] is rows[-1], (k, rows)
+        for a, b in zip(rows, rows[1:]):
+            assert a.effective_to == b.effective_from, (k, a, b)
+            assert a.seg != b.seg, (k, a, b)  # no zero-change versions
