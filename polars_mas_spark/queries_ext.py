@@ -2823,6 +2823,39 @@ def q_purchase_attribution(spark, sf_dir):
 
 
 @query(
+    "unattributed_purchases",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+              epoch_us(p.ts) AS purchase_ts,
+              c.event_id AS click_id, epoch_us(c.ts) AS click_ts
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id
+        AND c.ts <= p.ts
+        AND c.ts >= p.ts - INTERVAL 1 HOUR""",
+)
+def q_unattributed_purchases(spark, sf_dir):
+    """LEFT-OUTER stream-stream attribution (streaming/events.
+    unattributed_purchases) in its batch/backfill form: every purchase,
+    NULL-padded when no same-user click precedes it in the lookback.
+    In streaming mode the watermark is what authorizes emitting the
+    NULL side (no future click can still match); the batch oracle is
+    the plain LEFT JOIN."""
+    from polars_mas_spark.streaming.events import unattributed_purchases
+
+    ev = _t(spark, sf_dir, "events")
+    out = unattributed_purchases(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        lookback_seconds=3600,
+    )
+    return out.select(
+        "purchase_id", "user_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts"),
+        "click_id", F.unix_micros("click_ts").alias("click_ts"),
+    )
+
+
+@query(
     "distinct_profile_orders",
     """SELECT 'o_custkey' AS column,
               count(DISTINCT o_custkey) AS n_distinct FROM orders

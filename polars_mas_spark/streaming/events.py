@@ -154,6 +154,51 @@ def purchase_attribution(
     )
 
 
+def unattributed_purchases(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lookback_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM left-outer attribution: every purchase, with NULL
+    click columns when no same-user click preceded it within the
+    lookback — the organic/paid split every attribution pipeline needs
+    alongside the inner join.
+
+    Outer stream-stream joins are where watermarks become SEMANTICS,
+    not just state hygiene: Spark can only emit the NULL-padded side of
+    an unmatched purchase once the click watermark has passed the end
+    of its match window (no future click can change the verdict), so
+    the watermark bounds both state size AND result latency. Same code
+    runs batch backfill (the oracle form: LEFT JOIN with the BETWEEN
+    condition)."""
+    c = clicks.select(
+        F.col(user_col).alias("__c_user__"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col(user_col), F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if p.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (p[user_col] == c["__c_user__"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (
+            c["click_ts"]
+            >= p["purchase_ts"] - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
+        )
+    )
+    return p.join(c, cond, "left_outer").select(
+        "purchase_id", user_col, "purchase_ts", "click_id", "click_ts"
+    )
+
+
 def _duration_ms(spec: str) -> int:
     """'2 hours' / '30 minutes' / '90 seconds' -> milliseconds."""
     qty, unit = spec.strip().split()

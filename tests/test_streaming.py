@@ -291,3 +291,64 @@ def test_running_user_stats_string_key_with_timeout(spark, events_dir):
     )
     assert (got["n_events"] == batch["n_events"]).all()
     assert abs(got["total"] - batch["total"]).max() < 1e-9
+
+
+def test_unattributed_purchases_stream_matches_batch(spark, events_dir):
+    """Left-outer stream-stream attribution as a REAL stream. Outer
+    emission semantics: matched rows stream out immediately and must
+    equal the batch inner results exactly; NULL-padded rows are only
+    authorized once the click watermark passes the purchase's match
+    window, so purchases near stream end legitimately stay PENDING —
+    the stream result is the batch LEFT JOIN restricted to
+    watermark-resolved purchases, never a wrong row."""
+    import datetime
+
+    from polars_mas_spark.streaming.events import unattributed_purchases
+
+    schema = spark.read.parquet(events_dir).schema
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "purchase"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    sp, sc = split(spark.readStream.schema(schema).parquet(events_dir))
+    out = unattributed_purchases(
+        sp, sc, lookback_seconds=600, watermark="2 minutes"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("unattr_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        tuple(r) for r in spark.sql("SELECT * FROM unattr_sink").collect()
+    }
+
+    bp, bc = split(spark.read.parquet(events_dir))
+    batch_rows = {
+        tuple(r)
+        for r in unattributed_purchases(
+            bp, bc, lookback_seconds=600, watermark="2 minutes"
+        ).collect()
+    }
+    # Never a wrong row, and every matched (inner) result present.
+    assert stream_rows <= batch_rows
+    matched = {r for r in batch_rows if r[3] is not None}
+    assert {r for r in stream_rows if r[3] is not None} == matched
+    # NULL verdicts: all resolved purchases emitted. A purchase is
+    # safely resolved once the final watermark (max event time - delay)
+    # has passed its whole match window; 120s extra margin for engine
+    # internals.
+    max_ts = max(r[2] for r in batch_rows)
+    cutoff = max_ts - datetime.timedelta(seconds=120 + 600 + 120)
+    expected_nulls = {
+        r for r in batch_rows if r[3] is None and r[2] <= cutoff
+    }
+    stream_nulls = {r for r in stream_rows if r[3] is None}
+    assert expected_nulls <= stream_nulls, (
+        sorted(expected_nulls - stream_nulls)[:5]
+    )
+    assert stream_nulls  # outer semantics actually exercised
