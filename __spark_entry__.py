@@ -70,7 +70,7 @@ _PRIORITY = [
     # entity-resolution fuzzy join, pivot crosstab, SCD2 merge.
     "model_quality_score", "cohort_retention", "funnel_steps",
     "fuzzy_pairs", "event_pivot", "scd2_merge_customers",
-    "scd2_lookup_orders",
+    "scd2_lookup_orders", "unattributed_purchases",
 ]
 
 
