@@ -641,3 +641,77 @@ def model_quality_score(
         F.round(score, 6).alias("model_score"),
         (score >= threshold).alias("kept"),
     )
+
+
+def char_trigram_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    vocab: int = 256,
+) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020) with a
+    self-trained character-trigram LM: count every char trigram over
+    the corpus once, smooth additively (``alpha``, alphabet size
+    ``vocab``), and score each document by its mean negative
+    log-likelihood and perplexity. High-ppl documents are gibberish /
+    non-language; low-ppl ones are boilerplate — the classic two-sided
+    quality signal.
+
+    Scale shape: ONE pass over corpus trigrams builds the counts (hash
+    aggregate with map-side combine); context (bigram) totals derive
+    from the trigram table itself — no second corpus pass; the model
+    table is bounded by the distinct-trigram count (<= charset^3,
+    corpus-independent) and BROADCASTS back, so scoring is a map-side
+    join over the exploded document trigrams. Unseen trigrams in a
+    seen context get the smoothed floor; unseen contexts get ln(1/V).
+    Documents shorter than 3 chars emit (0, NULL, NULL)."""
+    base = stage_columns(
+        df.select(
+            qcol(id_col).alias("doc_id"),
+            F.lower(F.coalesce(qcol(text_col), F.lit(""))).alias("__t__"),
+        ),
+        __tris__=F.when(
+            F.length(F.col("__t__")) >= 3,
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(F.col("__t__")) - 2, F.lit(1)),
+                ),
+                lambda i: F.substring(F.col("__t__"), i, 3),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    tris = base.select("doc_id", F.explode("__tris__").alias("tri"))
+    tri_counts = tris.groupBy("tri").agg(F.count("*").alias("c_tri"))
+    ctx_counts = tri_counts.groupBy(
+        F.substring("tri", 1, 2).alias("ctx")
+    ).agg(F.sum("c_tri").alias("c_ctx"))
+    model = tri_counts.join(
+        ctx_counts, F.substring(tri_counts["tri"], 1, 2) == ctx_counts["ctx"]
+    ).select(
+        "tri",
+        F.log(
+            (F.col("c_tri") + F.lit(float(alpha)))
+            / (F.col("c_ctx") + F.lit(float(alpha * vocab)))
+        ).alias("logp"),
+    )
+    scored = (
+        tris.join(F.broadcast(model), on="tri", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.avg(
+                -F.coalesce(
+                    F.col("logp"), F.log(F.lit(1.0 / vocab))
+                )
+            ).alias("nll_mean"),
+        )
+    )
+    ids = base.select("doc_id")
+    return ids.join(scored, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.col("nll_mean"),
+        F.exp("nll_mean").alias("ppl"),
+    )

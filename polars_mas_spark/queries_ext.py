@@ -520,6 +520,46 @@ def _model_quality_oracle_sql(n_buckets=256, seed=11, salt="qmodel"):
     FROM s"""
 
 
+@query(
+    "trigram_perplexity",
+    """WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+                  FROM documents),
+       tri AS (SELECT doc_id,
+                      unnest([substr(t, i, 3)
+                              for i in range(1, greatest(length(t) - 2, 0) + 1)])
+                        AS tri
+               FROM d WHERE length(t) >= 3),
+       tc AS (SELECT tri, count(*) AS c_tri FROM tri GROUP BY 1),
+       cc AS (SELECT substr(tri, 1, 2) AS ctx, sum(c_tri) AS c_ctx
+              FROM tc GROUP BY 1),
+       model AS (SELECT tri,
+                        ln((tc.c_tri::DOUBLE + 0.5)
+                           / (cc.c_ctx::DOUBLE + 128.0)) AS logp
+                 FROM tc JOIN cc ON substr(tc.tri, 1, 2) = cc.ctx),
+       sc AS (SELECT t.doc_id, count(*) AS n_trigrams,
+                     avg(-coalesce(m.logp, ln(1.0 / 256))) AS nll
+              FROM tri t LEFT JOIN model m USING (tri)
+              GROUP BY 1)
+    SELECT d.doc_id, coalesce(sc.n_trigrams, 0)::BIGINT AS n_trigrams,
+           round(sc.nll, 6) AS nll_mean, round(exp(sc.nll), 6) AS ppl
+    FROM d LEFT JOIN sc USING (doc_id)""",
+)
+def q_trigram_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter (Wenzek et al. 2020): corpus-wide
+    char-trigram counts (one pass, context totals derived from the
+    trigram table), additive smoothing, broadcast model scoring — mean
+    NLL + perplexity per document (text.char_trigram_scores)."""
+    out = tx.char_trigram_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        alpha=0.5, vocab=256,
+    )
+    return out.select(
+        "doc_id", "n_trigrams",
+        F.round("nll_mean", 6).alias("nll_mean"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
 @query("model_quality_score", _model_quality_oracle_sql())
 def q_model_quality_score(spark, sf_dir):
     """Hashing-trick linear quality classifier (fastText-style

@@ -812,3 +812,41 @@ def test_scd2_interval_partition_property(spark):
         for a, b in zip(rows, rows[1:]):
             assert a.effective_to == b.effective_from, (k, a, b)
             assert a.seg != b.seg, (k, a, b)  # no zero-change versions
+
+
+def test_char_trigram_scores_math(spark):
+    """Hand-computed LM on a two-doc corpus: counts, smoothing, unseen
+    floor, and the short-doc (0, NULL, NULL) contract."""
+    import math
+    from collections import Counter
+
+    from polars_mas_spark.operators.text import char_trigram_scores
+
+    texts = {1: "ababab", 2: "abcd", 3: "xy"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in char_trigram_scores(df, "doc_id", "text").collect()
+    }
+    # Corpus model (doc 3 contributes nothing: < 3 chars).
+    tris = []
+    for t in texts.values():
+        tris += [t[i:i + 3] for i in range(len(t) - 2)]
+    tc = Counter(tris)
+    cc = Counter()
+    for tri, c in tc.items():
+        cc[tri[:2]] += c
+    for doc_id, t in texts.items():
+        doc_tris = [t[i:i + 3] for i in range(len(t) - 2)]
+        if not doc_tris:
+            assert got[doc_id].n_trigrams == 0
+            assert got[doc_id].nll_mean is None and got[doc_id].ppl is None
+            continue
+        nll = sum(
+            -math.log((tc[x] + 0.5) / (cc[x[:2]] + 128.0)) for x in doc_tris
+        ) / len(doc_tris)
+        assert got[doc_id].n_trigrams == len(doc_tris)
+        assert abs(got[doc_id].nll_mean - nll) < 1e-9, (doc_id, nll)
+        assert abs(got[doc_id].ppl - math.exp(nll)) < 1e-6
+    # Repetitive text must be more predictable than one-off trigrams.
+    assert got[1].nll_mean < got[2].nll_mean
