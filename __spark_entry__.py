@@ -71,7 +71,7 @@ _PRIORITY = [
     "model_quality_score", "cohort_retention", "funnel_steps",
     "fuzzy_pairs", "event_pivot", "scd2_merge_customers",
     "scd2_lookup_orders", "unattributed_purchases",
-    "trigram_perplexity",
+    "trigram_perplexity", "leakage_safe_split",
 ]
 
 

@@ -458,6 +458,30 @@ def minhash_dedup_cc(
     min id. A star has the same connected components as the clique it
     replaces (all members reachable through the hub), so the survivor
     set is bit-identical while the edge list stays O(n x bands)."""
+    labels = minhash_component_labels(
+        df, id_col, text_col, num_hashes, bands, rows_per_band, max_rounds
+    )
+    losers = labels.filter(F.col("label") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_component_labels(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """(doc_id, label) for EVERY document: label = the minimum doc id of
+    its LSH near-dup connected component, own id for singletons. The
+    group key for anything that must treat near-duplicates as one unit
+    — leakage-safe train/eval splitting (a near-dup pair split across
+    sides leaks eval content into training), per-cluster sampling caps,
+    canonical-representative selection."""
     _check_banding(num_hashes, bands, rows_per_band)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes)
     star = _bucket_mins(_banded(sigs, bands, rows_per_band))
@@ -469,10 +493,10 @@ def minhash_dedup_cc(
         .distinct()
     )
     labels = connected_min_labels(edges, max_rounds)
-    losers = labels.filter(F.col("label") != F.col("doc_id")).select(
-        F.col("doc_id").alias(id_col)
+    ids = df.select(qcol(id_col).alias("doc_id"))
+    return ids.join(labels, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
     )
-    return df.join(losers, on=id_col, how="left_anti")
 
 
 # ---------------------------------------------------------------------------

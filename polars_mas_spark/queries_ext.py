@@ -32,6 +32,17 @@ from polars_mas_spark.streaming.events import (
     windowed_event_counts,
 )
 
+
+# DuckDB mirror of sampling.hash_bucket: first 8 md5 hex digits of
+# (salt || key) as an integer, mod buckets.
+def _bucket_sql(key_expr: str, buckets: int, salt: str = "") -> str:
+    # coalesce(..., chr(1)) mirrors sampling.hash_bucket's NULL-key
+    # sentinel (null keys bucket deterministically, never drop).
+    key = f"coalesce(CAST({key_expr} AS VARCHAR), chr(1))"
+    salted = f"'{salt}' || {key}" if salt else key
+    return f"(('0x' || substring(md5({salted}), 1, 8))::BIGINT % {buckets})"
+
+
 # DuckDB token CTE mirroring dedup._distinct_tokens (same regex, same
 # empty-token filter, per-document distinct).
 _TOKS = r"""toks AS (
@@ -152,6 +163,60 @@ def _minhash_dedup_cc_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4
         )
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT root FROM reach WHERE node < root)"""
+
+
+def _cc_labels_ctes(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    """Recursive-closure CTE chain ending in lab(doc_id, label) — the
+    per-document component-min label minhash_component_labels computes
+    distributively (singletons label themselves)."""
+    sig_cols = _minhash_sig_cols(num_hashes)
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
+            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""RECURSIVE {_TOKS}, {_MINHASH_HALVES},
+        sigs AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id),
+        edges AS (SELECT da AS src, db AS dst FROM cand
+                  UNION SELECT db, da FROM cand),
+        reach(root, node) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        comp AS (SELECT root AS doc_id, min(node) AS mn FROM reach
+                 GROUP BY root),
+        lab AS (SELECT d.doc_id,
+                       least(d.doc_id, coalesce(c.mn, d.doc_id)) AS label
+                FROM documents d LEFT JOIN comp c USING (doc_id))"""
+
+
+@query(
+    "leakage_safe_split",
+    f"""WITH {_cc_labels_ctes()}
+    SELECT doc_id, label,
+           CASE WHEN {_bucket_sql('label', 10000, 'split')} < 1000
+                THEN 'eval' ELSE 'train' END AS split
+    FROM lab""",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/eval split: the split key is the LSH near-dup
+    COMPONENT label, not the document id, so a near-duplicate pair can
+    never straddle train and eval (the classic eval-contamination
+    channel). Composition of minhash_component_labels +
+    train_eval_split; oracle replicates closure, labels, and the md5
+    bucket threshold."""
+    labels = dd.minhash_component_labels(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=4, rows_per_band=4,
+    )
+    return smp.train_eval_split(labels, "label", eval_fraction=0.1)
 
 
 @query("minhash_dedup_cc", _minhash_dedup_cc_oracle())
@@ -2395,16 +2460,6 @@ def q_mas_phewas_firth_1800(spark, sf_dir):
 # ===========================================================================
 # Deterministic sampling & sequence packing (training-data pipeline)
 # ===========================================================================
-
-# DuckDB mirror of sampling.hash_bucket: first 8 md5 hex digits of
-# (salt || key) as an integer, mod buckets.
-def _bucket_sql(key_expr: str, buckets: int, salt: str = "") -> str:
-    # coalesce(..., chr(1)) mirrors sampling.hash_bucket's NULL-key
-    # sentinel (null keys bucket deterministically, never drop).
-    key = f"coalesce(CAST({key_expr} AS VARCHAR), chr(1))"
-    salted = f"'{salt}' || {key}" if salt else key
-    return f"(('0x' || substring(md5({salted}), 1, 8))::BIGINT % {buckets})"
-
 
 @query(
     "hash_sample_docs",

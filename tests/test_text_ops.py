@@ -850,3 +850,32 @@ def test_char_trigram_scores_math(spark):
         assert abs(got[doc_id].ppl - math.exp(nll)) < 1e-6
     # Repetitive text must be more predictable than one-off trigrams.
     assert got[1].nll_mean < got[2].nll_mean
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    """Planted near-duplicates must land on the SAME split side (they
+    share an LSH component), while the split itself matches the keyed
+    hash of the component label."""
+    from polars_mas_spark.operators.dedup import minhash_component_labels
+    from polars_mas_spark.operators.sampling import train_eval_split
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    rows = [(1, base), (2, base + " extra"), (3, "completely different "
+            "words about cooking pasta with tomato sauce and basil")]
+    # Pad with distinct filler docs so buckets aren't degenerate.
+    rows += [(10 + i, f"filler document number {i} with unique content "
+              f"token{i} token{i + 1} token{i + 2}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = minhash_component_labels(
+        df, "doc_id", "text", num_hashes=16, bands=8, rows_per_band=2
+    )
+    out = {r.doc_id: (r.label, r.split)
+           for r in train_eval_split(labels, "label", eval_fraction=0.3)
+           .collect()}
+    assert out[1][0] == out[2][0] == 1          # same component
+    assert out[1][1] == out[2][1]               # -> same side, by key
+    assert out[3][0] == 3                       # singleton labels itself
+    assert len(out) == 33                       # every doc labeled
