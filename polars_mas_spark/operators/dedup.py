@@ -458,13 +458,34 @@ def minhash_dedup_cc(
     min id. A star has the same connected components as the clique it
     replaces (all members reachable through the hub), so the survivor
     set is bit-identical while the edge list stays O(n x bands)."""
-    labels = minhash_component_labels(
+    labels = _minhash_edge_labels(
         df, id_col, text_col, num_hashes, bands, rows_per_band, max_rounds
     )
+    # Losers come straight from the edge-participant labels — joining
+    # the full corpus in first (minhash_component_labels) would add a
+    # corpus-sized exchange for zero semantic change.
     losers = labels.filter(F.col("label") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def _minhash_edge_labels(
+    df, id_col, text_col, num_hashes, bands, rows_per_band, max_rounds
+) -> DataFrame:
+    """(doc_id, label) for edge-PARTICIPANT documents only (the LSH
+    candidate graph's nodes); singletons are absent."""
+    _check_banding(num_hashes, bands, rows_per_band)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
+    star = _bucket_mins(_banded(sigs, bands, rows_per_band))
+    edges = (
+        star.filter(F.col("doc_id") > F.col("bucket_min"))
+        .select(
+            F.col("bucket_min").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return connected_min_labels(edges, max_rounds)
 
 
 def minhash_component_labels(
@@ -482,17 +503,9 @@ def minhash_component_labels(
     — leakage-safe train/eval splitting (a near-dup pair split across
     sides leaks eval content into training), per-cluster sampling caps,
     canonical-representative selection."""
-    _check_banding(num_hashes, bands, rows_per_band)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes)
-    star = _bucket_mins(_banded(sigs, bands, rows_per_band))
-    edges = (
-        star.filter(F.col("doc_id") > F.col("bucket_min"))
-        .select(
-            F.col("bucket_min").alias("doc_a"), F.col("doc_id").alias("doc_b")
-        )
-        .distinct()
+    labels = _minhash_edge_labels(
+        df, id_col, text_col, num_hashes, bands, rows_per_band, max_rounds
     )
-    labels = connected_min_labels(edges, max_rounds)
     ids = df.select(qcol(id_col).alias("doc_id"))
     return ids.join(labels, on="doc_id", how="left").select(
         "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")

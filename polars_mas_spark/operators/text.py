@@ -663,8 +663,11 @@ def char_trigram_scores(
     from the trigram table itself — no second corpus pass; the model
     table is bounded by the distinct-trigram count (<= charset^3,
     corpus-independent) and BROADCASTS back, so scoring is a map-side
-    join over the exploded document trigrams. Unseen trigrams in a
-    seen context get the smoothed floor; unseen contexts get ln(1/V).
+    join over the exploded document trigrams. Any trigram absent from
+    the TRAINING corpus scores the uniform floor ln(1/V) — the model
+    table is keyed by trigram alone, so context-aware smoothing only
+    shapes probabilities of trigrams the corpus has seen (self-scoring,
+    the mode this operator runs in, never hits the floor at all).
     Documents shorter than 3 chars emit (0, NULL, NULL)."""
     base = stage_columns(
         df.select(

@@ -250,20 +250,17 @@ def funnel_analysis(
 
     Scale shape: step i is one filtered min-aggregate on the user key
     joined to the survivors of step i-1 — k linear hash shuffles for a
-    k-step funnel, never a per-user event-sequence sort or UDF. Each
-    survivor frame is persisted (it feeds both its count and the next
-    step) and is at most |users| rows."""
-    from pyspark import StorageLevel
-
+    k-step funnel, never a per-user event-sequence sort or UDF. The
+    whole result is ONE lazy plan; each survivor frame feeds both its
+    count branch and the next step, a shared prefix Spark collapses at
+    runtime via ReusedExchange."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     user = qcol(user_col)
     ts = qcol(ts_col)
     etype = qcol(type_col)
-    spark = df.sparkSession
-    counts: list[tuple[int, str, int]] = []
+    out = None
     cur = None
-    persisted = []
     for i, s in enumerate(steps):
         ev = df.filter(etype == s).select(
             user.alias("user"), ts.alias("__ts__")
@@ -283,13 +280,15 @@ def funnel_analysis(
             cur = chained.groupBy("user", "__t0__").agg(
                 F.min("__ts__").alias("__t__")
             )
-        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(cur)
-        # The count materializes the persisted frame; the next step
-        # reads it from cache instead of recomputing the chain.
-        counts.append((i + 1, s, cur.count()))
-    for p in persisted:
-        p.unpersist(blocking=False)
-    return spark.createDataFrame(
-        counts, "step int, event_type string, n_users bigint"
-    )
+        cnt = cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("event_type"),
+            F.col("n_users"),
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+    # One LAZY plan (auditable end-to-end, no eager jobs, nothing to
+    # unpersist): count branch i and the step-(i+1) chain share their
+    # aggregate prefix, which Spark's ReusedExchange collapses at
+    # runtime — no manual caching needed to avoid re-reading events
+    # k times.
+    return out

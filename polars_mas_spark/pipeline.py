@@ -72,7 +72,18 @@ def run_pipeline(
     if strategy == "columnar" and config.missing_covariate_values in (
         "forward", "backward",
     ):
-        strategy = "packed"  # ordered fills need the Spark window path
+        # Ordered fills need the Spark window path. Same explicit-vs-
+        # auto policy as the guards below: auto picks fall back, an
+        # explicit columnar request errors instead of silently swapping.
+        if auto_strategy:
+            strategy = "packed"
+        else:
+            raise ValueError(
+                "strategy='columnar' cannot run ordered "
+                f"({config.missing_covariate_values!r}) covariate fills — "
+                "they need the Spark window path; use packed/unpivot or a "
+                "different missing-value strategy"
+            )
     if strategy == "columnar" and config.checkpoint_dir and "://" in config.checkpoint_dir:
         # Columnar's per-task column-pruned reads go through pyarrow,
         # which needs POSIX-visible paths; a URI-scheme checkpoint target

@@ -137,34 +137,6 @@ def q_minhash_dedup(spark, sf_dir):
     ).select("doc_id")
 
 
-def _minhash_dedup_cc_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
-    sig_cols = _minhash_sig_cols(num_hashes)
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
-            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
-        )
-        for b in range(bands)
-    )
-    # Transitive closure over the symmetric candidate graph: a doc is a
-    # loser iff any strictly smaller doc is reachable (same component).
-    return f"""WITH RECURSIVE {_TOKS}, {_MINHASH_HALVES},
-        sigs AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
-        bands AS ({band_selects}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
-            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                        AND a.doc_id < b.doc_id),
-        edges AS (SELECT da AS src, db AS dst FROM cand
-                  UNION SELECT db, da FROM cand),
-        reach(root, node) AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src
-        )
-        SELECT doc_id FROM documents
-        WHERE doc_id NOT IN (SELECT root FROM reach WHERE node < root)"""
-
-
 def _cc_labels_ctes(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
     """Recursive-closure CTE chain ending in lab(doc_id, label) — the
     per-document component-min label minhash_component_labels computes
@@ -217,6 +189,16 @@ def q_leakage_safe_split(spark, sf_dir):
         num_hashes=16, bands=4, rows_per_band=4,
     )
     return smp.train_eval_split(labels, "label", eval_fraction=0.1)
+
+
+def _minhash_dedup_cc_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    # Survivors are exactly the per-doc component-min labels' fixpoints
+    # — built on the SAME CTE chain as the leakage_safe_split oracle so
+    # the closure logic exists once.
+    return (
+        f"WITH {_cc_labels_ctes(num_hashes, bands, rows)}\n"
+        "    SELECT doc_id FROM lab WHERE label = doc_id"
+    )
 
 
 @query("minhash_dedup_cc", _minhash_dedup_cc_oracle())

@@ -129,6 +129,18 @@ def purchase_attribution(
     production stream. State partitions by the join key, so scale-out
     follows the user-hash shuffle. Works identically on batch frames
     (the oracle form: a plain BETWEEN theta join)."""
+    return _attribution_join(
+        purchases, clicks, user_col, ts_col, lookback_seconds, watermark,
+        how="inner",
+    )
+
+
+def _attribution_join(
+    purchases, clicks, user_col, ts_col, lookback_seconds, watermark, how
+) -> DataFrame:
+    """Shared body of the inner/outer attribution joins — one place for
+    the watermarking and the time-range condition, so a fix to either
+    can't silently diverge the two variants."""
     c = clicks.select(
         F.col(user_col).alias("__c_user__"),
         F.col(ts_col).alias("click_ts"),
@@ -149,7 +161,7 @@ def purchase_attribution(
             >= p["purchase_ts"] - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
         )
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "purchase_id", user_col, "purchase_ts", "click_id", "click_ts"
     )
 
@@ -174,28 +186,9 @@ def unattributed_purchases(
     the watermark bounds both state size AND result latency. Same code
     runs batch backfill (the oracle form: LEFT JOIN with the BETWEEN
     condition)."""
-    c = clicks.select(
-        F.col(user_col).alias("__c_user__"),
-        F.col(ts_col).alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    p = purchases.select(
-        F.col(user_col), F.col(ts_col).alias("purchase_ts"),
-        F.col("event_id").alias("purchase_id"),
-    )
-    if p.isStreaming:
-        c = c.withWatermark("click_ts", watermark)
-        p = p.withWatermark("purchase_ts", watermark)
-    cond = (
-        (p[user_col] == c["__c_user__"])
-        & (c["click_ts"] <= p["purchase_ts"])
-        & (
-            c["click_ts"]
-            >= p["purchase_ts"] - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
-        )
-    )
-    return p.join(c, cond, "left_outer").select(
-        "purchase_id", user_col, "purchase_ts", "click_id", "click_ts"
+    return _attribution_join(
+        purchases, clicks, user_col, ts_col, lookback_seconds, watermark,
+        how="left_outer",
     )
 
 
