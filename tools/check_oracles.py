@@ -2,12 +2,20 @@
 ``queries()`` entry at sf=0.01 and compare against ``oracle_sql()`` via
 DuckDB (row count + column names + order-insensitive value hash).
 
-Usage: python tools/check_oracles.py [--jobs N] [name ...]
+Usage: python tools/check_oracles.py [--jobs N] [--arrow] [name ...]
 
 ``--jobs N`` runs N queries concurrently: Spark schedules concurrent
 jobs from one session fine, each worker thread gets its own DuckDB
 cursor, and most gate time is per-query driver latency rather than
 compute — measured ~4x faster at --jobs 4 on the full registry.
+
+By default the gate DISABLES spark.sql.execution.arrow.pyspark.enabled
+to replicate the driver's session (OSS Spark default): r4's only red,
+``mas_firth_sex2_golden``, passed locally but failed under the driver
+because ``createDataFrame(pandas)`` NaN->NULL conversion depends on
+that flag. Registered queries must be session-config independent; the
+gate now runs them under the stricter config. ``--arrow`` restores the
+builder default for A/B comparison.
 """
 
 from __future__ import annotations
@@ -130,8 +138,14 @@ def main():
         i = args.index("--jobs")
         jobs = int(args[i + 1])
         args = args[:i] + args[i + 2 :]
+    arrow = "--arrow" in args
+    if arrow:
+        args.remove("--arrow")
 
     spark = get_spark()
+    if not arrow:
+        # Replicate the driver's session config (see module docstring).
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
