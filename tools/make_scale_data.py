@@ -1,0 +1,111 @@
+"""Synthesize a 10x scale step BEYOND the driver's largest testdata
+(sf0.1) for the scaling probe: build /tmp/sfx0.1 (1 replica) and
+/tmp/sfx1 (10 replicas) of the five tables the shuffle-heaviest probe
+queries read (documents, embeddings, customer, orders, lineitem).
+
+Replication is workload-faithful, not naive duplication:
+
+- Keys (doc_id, vec_id, c_custkey, o_orderkey/o_custkey, l_orderkey)
+  shift by replica * 1e9 so key cardinality grows 10x like real data.
+- Document text gets a per-replica PER-WORD prefix (``r<i>x``), so
+  every shingle is replica-distinct: naive copies would turn every doc
+  into a 10-member near-dup cluster and quadratically inflate the pair
+  stage — the opposite of how real corpora grow. Per-word prefixing
+  keeps token counts and INTRA-replica near-dup structure identical
+  while making replicas disjoint, i.e. duplicate-cluster size stays
+  constant as volume grows. The SAME transform is applied to the
+  1-replica small side so the t(big)/t(small) ratio isolates data
+  volume, not the transform.
+- Embedding vectors get their first component shifted by 10*replica,
+  placing each replica in a distinct region (cluster structure repeats
+  per replica; total cluster count grows with data, per-cluster size
+  constant — again matching real corpus growth).
+
+Usage: python tools/make_scale_data.py [--replicas 10]
+       [--small /tmp/sfx0.1] [--big /tmp/sfx1]
+Then:  SCALE_PROBE_SMALL=/tmp/sfx0.1 SCALE_PROBE_BIG=/tmp/sfx1 \
+       python tools/scale_probe.py minhash_dedup semantic_dedup ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+KEY_STRIDE = 1_000_000_000
+
+TABLES = ["documents", "embeddings", "customer", "orders", "lineitem"]
+
+
+def _replica(spark, table: str, r: int):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SRC}/{table}.parquet")
+    off = F.lit(r * KEY_STRIDE).cast("long")
+    tag = f"r{r}x"
+    if table == "documents":
+        return df.select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.regexp_replace("text", r"(\w+)", tag + "$1").alias("text"),
+            "lang", "source", "n_chars",
+        )
+    if table == "embeddings":
+        e = F.col("embedding")
+        shifted = F.concat(
+            F.array((F.element_at(e, 1) + F.lit(float(10 * r))).cast("float")),
+            F.slice(e, 2, 1 << 20),
+        )
+        return df.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            shifted.alias("embedding"),
+            "label",
+        )
+    if table == "customer":
+        return df.select(
+            (F.col("c_custkey") + off).alias("c_custkey"),
+            F.concat(F.lit(tag), F.col("c_name")).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+    if table == "orders":
+        return df.select(
+            (F.col("o_orderkey") + off).alias("o_orderkey"),
+            (F.col("o_custkey") + off).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        )
+    if table == "lineitem":
+        return df.withColumn("l_orderkey", F.col("l_orderkey") + off)
+    raise ValueError(table)
+
+
+def build(spark, out_dir: str, replicas: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        parts = [_replica(spark, t, r) for r in range(replicas)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        print(f"{out_dir}/{t}.parquet: {replicas} replicas", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--small", default="/tmp/sfx0.1")
+    ap.add_argument("--big", default="/tmp/sfx1")
+    args = ap.parse_args()
+
+    from polars_mas_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, args.small, 1)
+    build(spark, args.big, args.replicas)
+
+
+if __name__ == "__main__":
+    main()
