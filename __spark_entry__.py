@@ -50,9 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # scheduled for r6 re-rotation). rint_full is permanent no_oracle
 # (DuckDB lacks inverse-normal) — parked at the very end.
 _PRIORITY = [
-    # Needs-evidence-now: r4's only red (session-config bug fixed) and
-    # the new driver-binding logistic golden.
+    # Needs-evidence-now: r4's only red (session-config bug fixed), the
+    # new driver-binding logistic golden, and the two REAL media
+    # decoders (WAV / netpbm) that replace the r4 NotImplementedError
+    # plug points.
     "mas_firth_sex2_golden", "mas_logistic_mtcars_golden",
+    "audio_features_wav", "image_features_netpbm",
     # r1-era (no driver row since round 1).
     "token_count", "fingerprint", "ann_bruteforce_topk",
     "embedding_neardup", "rolling_agg", "topk_per_group", "asof_join",
@@ -80,9 +83,10 @@ _PRIORITY = [
     "bonferroni", "bh_fdr", "standard_scale", "min_max_scale",
     "log_transform", "rint_blom", "json_extract",
     # r2-era dedup chain (minhash_dedup bench-weak in r4 — re-pin
-    # correctness alongside the perf bisect).
-    "exact_dedup_summary", "exact_dedup", "minhash_signatures",
-    "minhash_dedup", "minhash_dedup_cc", "simhash",
+    # correctness alongside the perf bisect). exact_dedup_summary and
+    # minhash_signatures sit just past the cap: their operators stay
+    # bound through exact_dedup / minhash_dedup(+cc) here.
+    "exact_dedup", "minhash_dedup", "minhash_dedup_cc", "simhash",
     "simhash_hamming_pairs", "word_shingles", "jaccard_pairs",
     # r2-era text curation (lang_id also bench-weak in r4).
     "lang_id", "text_quality",

@@ -5,17 +5,22 @@ Beyond-reference surface. The design treats image/audio/video as
 steps run as Arrow-batched ``mapInPandas`` so each Python worker sees
 whole record batches, never single rows.
 
-The actual media decoding libraries (PIL/ffmpeg/librosa) are NOT
-available in this environment, so the decode internals are stubbed:
-``decoder="fake"`` (default) parses a deterministic fake header so the
-Spark-side plumbing — schema, batching, partitioning, UDF signature —
-is fully real and testable; ``decoder="real"`` raises
-NotImplementedError at the exact point a real decoder would plug in.
+Decoders are PLUGGABLE: ``decoder=`` accepts a registered name or any
+callable. Two real pure-Python decoders ship (no codec libraries
+needed): ``"netpbm"`` parses binary P5/P6 images and ``"wav"`` parses
+RIFF/WAVE PCM audio (8/16-bit, any channel count). Heavier formats
+(JPEG/MP3/video) need PIL/ffmpeg-class libraries that are not in this
+container — plug them in by passing a callable with the same contract
+as `decode_netpbm` / `decode_wav`. ``decoder="fake"`` (default for the
+driver queries) derives features from raw byte stats with no format
+parsing, exercising identical Spark plumbing with a DuckDB-expressible
+oracle.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -41,6 +46,132 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("mean_byte", T.DoubleType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Real pure-Python decoders + matching encoders (test/query scaffolding).
+# Decoder contract: take one payload (bytes), return the decoded tuple,
+# or None when the payload is not a well-formed instance of the format
+# (callers map None to zeroed feature rows — corrupt media must never
+# kill a 100 TB scan).
+# ---------------------------------------------------------------------------
+
+
+def decode_netpbm(buf: bytes):
+    """Binary netpbm decoder (P5 grayscale / P6 RGB, maxval < 256).
+
+    Returns ``(width, height, pixels: np.uint8 ndarray)`` — pixels are
+    the raw raster bytes (w*h for P5, w*h*3 for P6) — or None for
+    malformed/truncated input. Header comments (``#`` to end of line)
+    and arbitrary whitespace are handled per the netpbm spec."""
+    import numpy as np
+
+    magic = buf[:2]
+    if magic not in (b"P5", b"P6"):
+        return None
+    i, toks = 2, []
+    while len(toks) < 3 and i < len(buf):
+        c = buf[i : i + 1]
+        if c in (b" ", b"\t", b"\r", b"\n"):
+            i += 1
+        elif c == b"#":
+            j = buf.find(b"\n", i)
+            i = len(buf) if j < 0 else j + 1
+        else:
+            j = i
+            while j < len(buf) and buf[j : j + 1] not in (
+                b" ", b"\t", b"\r", b"\n", b"#",
+            ):
+                j += 1
+            toks.append(buf[i:j])
+            i = j
+    if len(toks) < 3 or i >= len(buf):
+        return None
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        return None
+    i += 1  # exactly one whitespace byte separates header from raster
+    need = w * h * (3 if magic == b"P6" else 1)
+    if len(buf) - i < need:
+        return None
+    px = np.frombuffer(buf, np.uint8, count=need, offset=i)
+    return w, h, px
+
+
+def netpbm_encode(width: int, height: int, pixels: bytes, rgb: bool = False) -> bytes:
+    """Inverse of `decode_netpbm` for tests/payload synthesis."""
+    magic = b"P6" if rgb else b"P5"
+    return magic + b"\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_wav(buf: bytes):
+    """RIFF/WAVE PCM decoder (8-bit unsigned or 16-bit signed LE, any
+    channel count — channels are averaged to mono).
+
+    Returns ``(sample_rate, samples: float64 ndarray in [-1, 1])`` or
+    None for non-WAV/compressed/truncated input. Chunk walk honors the
+    spec's word alignment, so extra chunks (LIST, fact, ...) are
+    skipped correctly."""
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(buf):
+        cid = buf[i : i + 4]
+        sz = int.from_bytes(buf[i + 4 : i + 8], "little")
+        body = buf[i + 8 : i + 8 + sz]
+        if len(body) < sz:
+            return None
+        if cid == b"fmt " and sz >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, nch, rate, _byte_rate, _block_align, bits = fmt
+    if audio_fmt != 1 or nch < 1 or rate <= 0:  # PCM only
+        return None
+    if bits == 8:
+        s = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        s = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(np.float64)
+        s = s / 32768.0
+    else:
+        return None
+    if nch > 1:
+        s = s[: s.size // nch * nch].reshape(-1, nch).mean(axis=1)
+    return int(rate), s
+
+
+def wav_encode_pcm8(samples: bytes, rate: int = 8000) -> bytes:
+    """Canonical 44-byte-header mono 8-bit PCM WAV (inverse of
+    `decode_wav` for that profile) for tests/payload synthesis."""
+    n = len(samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data" + struct.pack("<I", n) + samples
+    )
+
+
+IMAGE_DECODERS: dict[str, Callable] = {"netpbm": decode_netpbm}
+AUDIO_DECODERS: dict[str, Callable] = {"wav": decode_wav}
+
+
+def _resolve_decoder(decoder, registry: dict[str, Callable], kind: str):
+    if callable(decoder):
+        return decoder
+    if decoder in registry:
+        return registry[decoder]
+    raise ValueError(
+        f"unknown {kind} decoder {decoder!r}: pass a callable or one of "
+        f"{['fake', *registry]}"
+    )
 
 
 def attach_media_metadata(
@@ -72,37 +203,53 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
-    The fake decoder derives deterministic width/height from the first
-    bytes of the payload, standing in where PIL.Image.open would go; the
-    rest of the operator (Arrow batching, schema, per-batch loop) is the
-    real production shape."""
+    ``decoder="netpbm"`` (or any callable with `decode_netpbm`'s
+    contract) REALLY decodes: width/height from the parsed header,
+    mean_byte over the raster pixels only; undecodable payloads yield a
+    zeroed feature row (width=height=0, mean_byte=0.0) with the true
+    n_bytes, never an error. ``decoder="fake"`` derives deterministic
+    pseudo-dimensions from the first payload bytes with no format
+    parsing — same plumbing, DuckDB-expressible math."""
+
+    real = (
+        None if decoder == "fake"
+        else _resolve_decoder(decoder, IMAGE_DECODERS, "image")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in it:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "Real media decoding requires PIL/ffmpeg on executors; "
-                    "plug the decoder in here."
-                )
             # Per-payload decode is inherent (PIL would also be called
             # per image) but all byte statistics are numpy — no Python
             # loop over raw bytes (VERDICT r1 #8; matches the audio twin).
-            payloads = [
-                np.frombuffer(bytes(p or b""), dtype=np.uint8)
-                for p in pdf[content_col]
-            ]
-            n = np.array([b.size for b in payloads], dtype=np.int64)
-            width = np.array(
-                [int(b[0]) if b.size else 0 for b in payloads], dtype=np.int64
-            ) + 1
-            height = np.array(
-                [int(b[1]) if b.size > 1 else 0 for b in payloads], dtype=np.int64
-            ) + 1
-            mean_byte = np.array(
-                [float(b.mean()) if b.size else 0.0 for b in payloads]
-            )
+            bufs = [bytes(p or b"") for p in pdf[content_col]]
+            n = np.array([len(b) for b in bufs], dtype=np.int64)
+            if real is not None:
+                decoded = [real(b) for b in bufs]
+                width = np.array(
+                    [d[0] if d else 0 for d in decoded], dtype=np.int64
+                )
+                height = np.array(
+                    [d[1] if d else 0 for d in decoded], dtype=np.int64
+                )
+                mean_byte = np.array(
+                    [float(d[2].mean()) if d and d[2].size else 0.0
+                     for d in decoded]
+                )
+            else:
+                payloads = [np.frombuffer(b, dtype=np.uint8) for b in bufs]
+                width = np.array(
+                    [int(b[0]) if b.size else 0 for b in payloads],
+                    dtype=np.int64,
+                ) + 1
+                height = np.array(
+                    [int(b[1]) if b.size > 1 else 0 for b in payloads],
+                    dtype=np.int64,
+                ) + 1
+                mean_byte = np.array(
+                    [float(b.mean()) if b.size else 0.0 for b in payloads]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").to_numpy(),
@@ -162,21 +309,53 @@ def extract_audio_features(
     decoder: str = "fake",
 ) -> DataFrame:
     """Audio twin of extract_image_features: decode + summarize binary
-    audio payloads via mapInPandas. The fake decoder treats the payload
-    as 8-bit PCM at a header-derived sample rate (standing in where
-    librosa/ffmpeg would go); batching, schema, and the vectorized
-    numpy feature math are the real production shape."""
+    audio payloads via mapInPandas.
+
+    ``decoder="wav"`` (or any callable with `decode_wav`'s contract)
+    REALLY decodes RIFF/WAVE PCM: sample_rate/samples from the parsed
+    chunks, rms over the decoded [-1, 1] samples; undecodable payloads
+    yield a zeroed feature row with the true n_bytes, never an error.
+    ``decoder="fake"`` treats the raw payload as headerless 8-bit PCM
+    at a first-byte-derived rate — same plumbing, DuckDB-expressible
+    math (exact dyadic sums, see the segment-sum comment)."""
+
+    real = (
+        None if decoder == "fake"
+        else _resolve_decoder(decoder, AUDIO_DECODERS, "audio")
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
         for pdf in it:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "Real audio decoding requires librosa/ffmpeg on "
-                    "executors; plug the decoder in here."
+            if real is not None:
+                bufs = [bytes(p or b"") for p in pdf[content_col]]
+                decoded = [real(b) for b in bufs]
+                rate = np.array(
+                    [d[0] if d else 0 for d in decoded], dtype=np.int32
                 )
+                n_samples = np.array(
+                    [d[1].size if d else 0 for d in decoded], dtype=np.int64
+                )
+                rms = np.array(
+                    [float(np.sqrt(np.mean(d[1] ** 2))) if d and d[1].size
+                     else 0.0
+                     for d in decoded]
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].to_numpy(),
+                        "n_bytes": np.array(
+                            [len(b) for b in bufs], dtype=np.int64
+                        ),
+                        "sample_rate": rate,
+                        "n_samples": n_samples,
+                        "duration_s": n_samples / np.maximum(rate, 1),
+                        "rms": rms,
+                    },
+                )[cols]
+                continue
             m = len(pdf)
             if m == 0:
                 yield pd.DataFrame(columns=cols)

@@ -1944,6 +1944,93 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+def _media_payloads(docs, kind: str):
+    """Synthesize real media payloads from document text (mapInPandas):
+    ``wav`` wraps the UTF-8 bytes as mono 8-bit PCM at 8000 Hz behind a
+    canonical 44-byte RIFF header; ``netpbm`` wraps them as a P5
+    grayscale image one pixel row wide. Exercises the encoders the real
+    decoders are tested against."""
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            bufs = [(t or "").encode("utf-8") for t in pdf["text"]]
+            if kind == "wav":
+                content = [mm.wav_encode_pcm8(b, rate=8000) for b in bufs]
+            else:
+                content = [mm.netpbm_encode(len(b), 1, b) for b in bufs]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    return docs.mapInPandas(gen, schema="doc_id long, content binary")
+
+
+@query(
+    "audio_features_wav",
+    f"""WITH {_MEDIA_BYTES_CTE},
+       g AS (SELECT doc_id, n,
+                    CASE WHEN n > 0
+                         THEN list_sum(list_transform(
+                                bytes,
+                                b -> ((b - 128.0) / 128.0) * ((b - 128.0) / 128.0)))
+                         ELSE 0.0 END AS sq
+             FROM f)
+    SELECT doc_id, (44 + n)::BIGINT AS n_bytes, 8000::INTEGER AS sample_rate,
+           n::BIGINT AS n_samples,
+           round(n::DOUBLE / 8000, 6) AS duration_s,
+           round(sqrt(sq / greatest(n, 1)), 6) AS rms
+    FROM g""",
+)
+def q_audio_features_wav(spark, sf_dir):
+    """The REAL WAV decoder end-to-end (no codec libraries needed:
+    RIFF/WAVE PCM is header + raw samples): document text is wrapped as
+    mono 8-bit PCM at 8000 Hz by the matching encoder, then
+    extract_audio_features(decoder="wav") parses the chunks and
+    computes sample stats from the DECODED samples. The oracle derives
+    the identical features from the text characters (payload = 44-byte
+    header + UTF-8 bytes; each rms term is an exact dyadic rational, so
+    both engines agree bit-for-bit — see _MEDIA_BYTES_CTE)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = mm.extract_audio_features(
+        _media_payloads(docs, "wav"), "doc_id", "content", decoder="wav"
+    )
+    return out.select(
+        "doc_id", "n_bytes", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@query(
+    "image_features_netpbm",
+    f"""WITH {_MEDIA_BYTES_CTE}
+    SELECT doc_id,
+           n::INTEGER AS width,
+           (CASE WHEN n > 0 THEN 1 ELSE 0 END)::INTEGER AS height,
+           (10 + length(n::VARCHAR) + n)::BIGINT AS n_bytes,
+           round(CASE WHEN n > 0 THEN list_sum(bytes)::DOUBLE / n
+                      ELSE 0.0 END, 6) AS mean_byte
+    FROM f""",
+)
+def q_image_features_netpbm(spark, sf_dir):
+    """The REAL netpbm decoder end-to-end: document text is wrapped as
+    a P5 grayscale image (width = byte count, height 1) by the matching
+    encoder, then extract_image_features(decoder="netpbm") parses the
+    header and averages the DECODED raster. The oracle replays the
+    header arithmetic (n_bytes = 'P5\\n{{w}} 1\\n255\\n' + raster) and
+    pixel mean from the text characters; empty documents produce an
+    unparseable zero-width header, which the decoder degrades to a
+    zeroed row — the oracle's n = 0 branch mirrors that exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = mm.extract_image_features(
+        _media_payloads(docs, "netpbm"), "doc_id", "content", decoder="netpbm"
+    )
+    return out.select(
+        "doc_id", "width", "height", "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
 # ===========================================================================
 # The MAS fan-out itself (applyInPandas), SQL-checked via closed-form OLS
 # ===========================================================================

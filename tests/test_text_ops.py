@@ -87,19 +87,126 @@ def test_audio_rms_with_trailing_empty_in_one_batch(spark):
     assert out.loc[1, "rms"] == 0.0 and out.loc[2, "rms"] == 0.0
 
 
-def test_audio_real_decoder_raises(spark):
+def test_unknown_decoder_fails_fast(spark):
     import pytest as _pytest
 
     from polars_mas_spark.operators.multimodal import (
-        extract_audio_features, text_as_binary,
+        extract_audio_features, extract_image_features, text_as_binary,
     )
 
     df = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
-    out = extract_audio_features(
-        text_as_binary(df, "text"), "doc_id", "content", decoder="real"
+    binned = text_as_binary(df, "text")
+    # Driver-side, before any job runs — a typo must not cost a scan.
+    with _pytest.raises(ValueError, match="unknown audio decoder"):
+        extract_audio_features(binned, "doc_id", "content", decoder="mp3")
+    with _pytest.raises(ValueError, match="unknown image decoder"):
+        extract_image_features(binned, "doc_id", "content", decoder="jpeg")
+
+
+def test_wav_decoder_roundtrip_and_16bit():
+    """Pure-Python RIFF/WAVE decoder: 8-bit round-trip through the
+    matching encoder, a hand-built 16-bit stereo file (downmixed to
+    mono), chunk-walk past an extra LIST chunk, and rejection of
+    malformed input."""
+    import struct
+
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        decode_wav, wav_encode_pcm8,
     )
-    with _pytest.raises(Exception, match="NotImplementedError|decoding"):
-        out.collect()
+
+    # 8-bit mono round-trip.
+    pcm = bytes([0, 64, 128, 192, 255])
+    rate, s = decode_wav(wav_encode_pcm8(pcm, rate=44100))
+    assert rate == 44100
+    np.testing.assert_allclose(
+        s, (np.frombuffer(pcm, np.uint8).astype(float) - 128.0) / 128.0
+    )
+
+    # 16-bit stereo with an extra LIST chunk between fmt and data;
+    # channels downmix by mean: (1000, -1000) -> 0, (32767, 32767) -> ~1.
+    frames = struct.pack("<4h", 1000, -1000, 32767, 32767)
+    body = (
+        b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, s = decode_wav(buf)
+    assert rate == 16000 and s.size == 2
+    assert s[0] == 0.0 and abs(s[1] - 32767.0 / 32768.0) < 1e-12
+
+    # Rejections: not RIFF, truncated data chunk, compressed format.
+    assert decode_wav(b"abcd") is None
+    assert decode_wav(buf[:-2]) is None
+    bad = buf.replace(
+        struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16),
+        struct.pack("<IHHIIHH", 16, 85, 2, 16000, 64000, 4, 16),  # mp3 tag
+    )
+    assert decode_wav(bad) is None
+
+
+def test_netpbm_decoder_roundtrip_p5_p6_comments():
+    """Pure-Python netpbm decoder: P5 round-trip through the matching
+    encoder, P6 with header comments, truncated-raster rejection."""
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        decode_netpbm, netpbm_encode,
+    )
+
+    px = bytes(range(12))
+    w, h, out = decode_netpbm(netpbm_encode(4, 3, px))
+    assert (w, h) == (4, 3)
+    np.testing.assert_array_equal(out, np.frombuffer(px, np.uint8))
+
+    # P6 RGB (2x2 = 12 raster bytes) with comments inside the header.
+    buf = b"P6 # rgb\n# another comment\n 2\t2\n255\n" + px
+    w, h, out = decode_netpbm(buf)
+    assert (w, h) == (2, 2) and out.size == 12
+
+    assert decode_netpbm(b"P5\n4 3\n255\n" + px[:-1]) is None  # truncated
+    assert decode_netpbm(b"P5\n0 3\n255\n") is None  # zero width
+    assert decode_netpbm(b"JFIF....") is None
+
+
+def test_real_decoders_through_spark(spark):
+    """The wav/netpbm decoders through the full mapInPandas operators:
+    real payloads decode to real features; a corrupt payload in the
+    same batch degrades to a zeroed row instead of failing the scan."""
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features,
+        netpbm_encode, wav_encode_pcm8,
+    )
+
+    pcm = bytes([128, 255, 0, 128])
+    wav_rows = [(0, wav_encode_pcm8(pcm, rate=8000)), (1, b"not-audio")]
+    adf = spark.createDataFrame(wav_rows, "doc_id long, content binary")
+    aout = (
+        extract_audio_features(adf, "doc_id", "content", decoder="wav")
+        .toPandas().set_index("doc_id")
+    )
+    sig = (np.frombuffer(pcm, np.uint8).astype(float) - 128.0) / 128.0
+    assert aout.loc[0, "sample_rate"] == 8000
+    assert aout.loc[0, "n_samples"] == 4
+    assert abs(aout.loc[0, "duration_s"] - 4 / 8000) < 1e-12
+    assert abs(aout.loc[0, "rms"] - float(np.sqrt((sig**2).mean()))) < 1e-12
+    assert aout.loc[1, "sample_rate"] == 0 and aout.loc[1, "rms"] == 0.0
+    assert aout.loc[1, "n_bytes"] == len(b"not-audio")
+
+    px = bytes([10, 20, 30, 40, 50, 60])
+    img_rows = [(0, netpbm_encode(3, 2, px)), (1, b"\xff\xd8corrupt")]
+    idf = spark.createDataFrame(img_rows, "doc_id long, content binary")
+    iout = (
+        extract_image_features(idf, "doc_id", "content", decoder="netpbm")
+        .toPandas().set_index("doc_id")
+    )
+    assert (iout.loc[0, "width"], iout.loc[0, "height"]) == (3, 2)
+    assert abs(iout.loc[0, "mean_byte"] - 35.0) < 1e-12
+    assert iout.loc[1, "width"] == 0 and iout.loc[1, "mean_byte"] == 0.0
 
 
 def test_simhash_segment_blocking_full_recall(spark):
