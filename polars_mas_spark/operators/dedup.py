@@ -701,7 +701,14 @@ def fuzzy_pairs(
     and the band key explodes to d+1 keys, never a cross join). The
     two candidate sets overlap at the boundary; dropDuplicates merges
     them. Levenshtein runs JVM-side (F.levenshtein with the threshold
-    variant, which abandons rows early past the bound)."""
+    variant, which abandons rows early past the bound).
+
+    NULL contract: rows with NULL text are EXCLUDED — their ids never
+    appear in any pair (edit distance to an absent string is
+    undefined; NULL-NULL pairs would otherwise flood the output as
+    distance-0 matches). Callers who want NULLs matched as empty
+    strings should coalesce(text, '') beforehand — empty strings
+    participate normally through the length-band path."""
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
     if q < 1:

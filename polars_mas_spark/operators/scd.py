@@ -40,6 +40,12 @@ def scd2_merge(
       surviving update opens a version closed by the next one's ts.
     - New keys (no current row) just build their chain; untouched keys
       pass through unchanged.
+    - Update timestamps must be >= the open version's ``from``
+      (out-of-order catch-up belongs upstream, not in a merge that
+      cannot rewrite closed history). Violations RAISE at execution
+      time rather than silently producing an inverted open-row
+      interval (``to`` < ``from``) that no point-in-time lookup would
+      ever match — i.e. silently erasing the key's pre-update history.
     """
     if not tracked_cols:
         raise ValueError("scd2_merge needs at least one tracked column")
@@ -112,15 +118,31 @@ def scd2_merge(
         F.lead("__ts__").over(w).alias(to_col),
     )
 
-    # 4. Close open rows of keys that changed.
+    # 4. Close open rows of keys that changed. A close timestamp
+    #    BEFORE the open row's effective_from would produce an inverted
+    #    interval that matches no lookup ts (silently erasing the key's
+    #    pre-update history) — fail the job instead; the error carries
+    #    the offending key.
     firsts = u.groupBy(key_col).agg(F.min("__ts__").alias("__close__"))
     out_cols = [key_col, *tracked_cols, from_col, to_col]
-    closed_open = (
-        cur_open.join(firsts, on=key_col, how="left")
-        .select(
-            key_col, *tracked_cols, from_col,
-            F.coalesce(F.col("__close__"), qcol(to_col)).alias(to_col),
-        )
+    stale = F.col("__close__").isNotNull() & (
+        F.col("__close__") < qcol(from_col)
+    )
+    close_ts = F.when(
+        stale,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "scd2_merge: update ts precedes the open version's "
+                    f"{from_col} for key "
+                ),
+                key.cast("string"),
+                F.lit(" — updates may not rewrite closed history"),
+            )
+        ),
+    ).otherwise(F.coalesce(F.col("__close__"), qcol(to_col)))
+    closed_open = cur_open.join(firsts, on=key_col, how="left").select(
+        key_col, *tracked_cols, from_col, close_ts.alias(to_col)
     )
     return (
         cur_rest.select(*out_cols)

@@ -754,6 +754,17 @@ def ivf_pq_topk(
         bucketed, cb, id_col="neighbor_id", vec_col="__res__",
         passthrough=["__bucket__"],
     )
+    # Release the heavy cache: `bucketed` holds full vectors + residuals
+    # (~2x corpus vector size) and the returned DataFrame's lineage
+    # would otherwise pin those blocks for as long as the caller holds
+    # the result. localCheckpoint truncates the lineage at `enc` —
+    # m one-byte codes + a bucket id per vector, ~2*dim*8/m smaller —
+    # so the vector cache is reclaimable immediately. The trade:
+    # a lost executor can no longer recompute its enc partitions
+    # (MEMORY_AND_DISK blocks, not replicated) — acceptable for an
+    # index build, which callers re-run wholesale on failure.
+    enc = enc.localCheckpoint(eager=True)
+    bucketed.unpersist()
     bc_cb = spark.sparkContext.broadcast(cb)
 
     @pandas_udf(ArrayType(DoubleType()))

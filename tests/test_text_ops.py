@@ -857,6 +857,30 @@ def test_scd2_merge_semantics(spark):
     }, rows
 
 
+def test_scd2_merge_rejects_stale_update(spark):
+    """An update older than the open version's effective_from must FAIL
+    the job (ADVICE r4): closing the open row before it opened would
+    build an inverted interval that no point-in-time lookup matches —
+    i.e. silently erase the key's pre-update history."""
+    import datetime
+
+    import pytest as _pytest
+
+    from polars_mas_spark.operators.scd import scd2_merge
+
+    d = datetime.date
+    cur = spark.createDataFrame(
+        [(1, "A", d(2020, 6, 1), None)],
+        "k long, seg string, effective_from date, effective_to date",
+    )
+    upd = spark.createDataFrame(
+        [(1, d(2020, 1, 1), "B")],  # predates the open version
+        "k long, ts date, seg string",
+    )
+    with _pytest.raises(Exception, match="precedes the open version"):
+        scd2_merge(cur, upd, "k", ["seg"], "ts").collect()
+
+
 def test_scd2_lookup_point_in_time(spark):
     """Facts pick up the version valid AT their ts: boundary fact at a
     version's from-date gets that version; facts before the first
