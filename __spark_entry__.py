@@ -87,7 +87,11 @@ _PRIORITY = [
     # minhash_signatures sit just past the cap: their operators stay
     # bound through exact_dedup / minhash_dedup(+cc) here.
     "exact_dedup", "minhash_dedup", "minhash_dedup_cc", "simhash",
-    "simhash_hamming_pairs", "word_shingles", "jaccard_pairs",
+    "simhash_hamming_pairs", "jaccard_pairs",
+    # New r5 operator: global quality-ranked token-budget selection
+    # (two-phase range-block running sum). word_shingles yields its
+    # slot: the shingle operator stays bound through jaccard_pairs.
+    "budget_select_docs",
     # r2-era text curation (lang_id also bench-weak in r4).
     "lang_id", "text_quality",
 ]

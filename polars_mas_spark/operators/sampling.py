@@ -201,6 +201,99 @@ def cap_tokens_per_source(
     ).drop("__prior__")
 
 
+def select_until_budget(
+    df: DataFrame,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """GLOBAL quality-ranked budget selection: rank every row by
+    ``(score desc, id asc)`` across the whole corpus and select the
+    prefix whose inclusive running ``weight`` stays within ``budget`` —
+    the "keep the best N-tokens' worth of documents" curation step that
+    sits between per-source caps ([[cap_tokens_per_source]] allocates
+    per domain) and packing (the budget here is the corpus-level token
+    target of a training run).
+
+    Returns all rows plus ``cum_weight`` (inclusive running weight in
+    global rank order) and ``selected`` (cum_weight <= budget). With
+    non-negative weights the running sum is monotone, so the selected
+    set is exactly a prefix of the ranking — deterministic and
+    engine-portable (one SQL window sum reproduces it). Negative
+    weights RAISE at execution time: they would break the prefix
+    property and silently turn the cut into a data-order lottery. Rows
+    with NULL/NaN score or NULL weight are never selected and carry
+    NULL cum_weight (they have no defined rank position).
+
+    Scale shape — the naive ``sum() over (order by score)`` funnels
+    the corpus through ONE task; this is the same two-phase
+    range-block pattern as functions.transforms.blom_fractions:
+    ~equi-depth descending score blocks from one approxQuantile job,
+    a tiny per-block weight aggregate -> driver prefix offsets, then a
+    block-partitioned window. Blocks with offset > budget could even be
+    dropped before the window at 100 TB; they are kept here because the
+    report (selected + rejected with positions) is the useful output."""
+    from polars_mas_spark.operators.fills import range_block_column
+
+    _BB = "__pms_budget_block__"
+    score, weight, key = qcol(score_col), qcol(weight_col), qcol(id_col)
+    valid = score.isNotNull() & weight.isNotNull()
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(df.schema[score_col].dataType, (DoubleType, FloatType)):
+        valid = valid & ~F.isnan(score)
+    vdf = df.filter(valid)
+
+    block_expr, n_blocks = range_block_column(
+        vdf, score_col, num_blocks
+        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        descending=True,
+    )
+    blocked = vdf.withColumn(_BB, block_expr).repartition(n_blocks, F.col(_BB))
+    totals = {
+        r[_BB]: r["w"]
+        for r in blocked.groupBy(_BB).agg(F.sum(weight).alias("w")).collect()
+    }
+    offsets, running = [0] * n_blocks, 0
+    for b in range(n_blocks):  # block 0 = highest scores (descending)
+        offsets[b] = running
+        running += totals.get(b, 0) or 0
+    offset = F.element_at(
+        F.array(*[F.lit(int(o)) for o in offsets]), F.col(_BB) + 1
+    )
+
+    checked_weight = F.when(
+        weight < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"select_until_budget: negative {weight_col} for "
+                    f"{id_col} "
+                ),
+                key.cast("string"),
+                F.lit(" — weights must be >= 0 for a prefix cut to exist"),
+            )
+        ),
+    ).otherwise(weight)
+    w = (
+        Window.partitionBy(_BB)
+        .orderBy(score.desc(), key.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (F.sum(checked_weight).over(w) + offset).cast("long")
+    out_valid = (
+        blocked.withColumn("cum_weight", cum)
+        .withColumn("selected", F.col("cum_weight") <= F.lit(int(budget)))
+        .drop(_BB)
+    )
+    out_invalid = df.filter(~valid).withColumn(
+        "cum_weight", F.lit(None).cast("long")
+    ).withColumn("selected", F.lit(False))
+    return out_valid.unionByName(out_invalid)
+
+
 def train_eval_split(
     df: DataFrame,
     key_col: str,

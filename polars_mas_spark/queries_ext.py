@@ -2667,6 +2667,43 @@ def _docs_ntok(spark, sf_dir):
 
 
 @query(
+    "budget_select_docs",
+    f"""WITH {_NTOK_SQL},
+       s AS (SELECT doc_id, n_tokens,
+                    {_bucket_sql('doc_id', 10000, 'qual')} AS score
+             FROM ntok),
+       r AS (SELECT doc_id, score, n_tokens,
+                    (sum(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ))::BIGINT AS cum_weight
+             FROM s)
+    SELECT doc_id, score::BIGINT AS score, n_tokens::BIGINT AS n_tokens,
+           cum_weight, cum_weight <= 30000 AS selected
+    FROM r""",
+)
+def q_budget_select_docs(spark, sf_dir):
+    """Global quality-ranked token-budget selection (the corpus-level
+    "keep the best 30k tokens" cut, operators/sampling.py
+    select_until_budget): documents ranked by a deterministic
+    pseudo-quality score (hash bucket — engine-portable), weighted by
+    whitespace token count, selected while the GLOBAL running total
+    stays within budget. The Spark side is the two-phase range-block
+    running sum (no single-task global window — plan-audited); the
+    oracle is the naive one-window SQL it must equal exactly, incl.
+    cum_weight at every row and the tie order (score desc, doc_id)."""
+    docs = _docs_ntok(spark, sf_dir)
+    scored = docs.withColumn(
+        "score", smp.hash_bucket(F.col("doc_id"), 10000, "qual")
+    )
+    out = smp.select_until_budget(scored, "score", "n_tokens", 30000, "doc_id")
+    return out.select(
+        "doc_id", "score", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_weight", "selected",
+    )
+
+
+@query(
     "pack_docs",
     f"""WITH {_NTOK_SQL},
     sharded AS (

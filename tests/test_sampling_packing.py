@@ -203,3 +203,46 @@ def test_pack_utilization_spanning_docs(spark):
     assert list(out["tokens_in_pack"]) == [1000, 1000, 1000, 600]
     assert (out["fill_fraction"] <= 1.0).all()
     assert out.loc[3, "fill_fraction"] == 0.6
+
+
+def test_select_until_budget_prefix_and_ties(spark):
+    """Global budget cut: selection is exactly the prefix of
+    (score desc, id asc); ties order by id; cum_weight matches the
+    naive single-window computation; NULL score/weight rows are never
+    selected and carry NULL cum_weight."""
+    from polars_mas_spark.operators.sampling import select_until_budget
+
+    rows = [
+        # (id, score, weight) -> rank order: 3(9), 1(7), 4(7), 2(5), 5(1)
+        (1, 7.0, 10), (2, 5.0, 10), (3, 9.0, 10), (4, 7.0, 10), (5, 1.0, 10),
+        (6, None, 10), (7, 3.0, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, w long")
+    out = (
+        select_until_budget(df, "score", "w", budget=30, id_col="doc_id",
+                            num_blocks=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(out["selected"]) == [True, False, True, True, False, False,
+                                     False]
+    assert out.loc[3, "cum_weight"] == 10          # best score first
+    assert out.loc[1, "cum_weight"] == 20          # tie at 7: id 1 < id 4
+    assert out.loc[4, "cum_weight"] == 30
+    assert out.loc[2, "cum_weight"] == 40
+    assert out.loc[5, "cum_weight"] == 50
+    import pandas as pd
+    assert pd.isna(out.loc[6, "cum_weight"]) and pd.isna(out.loc[7, "cum_weight"])
+
+
+def test_select_until_budget_rejects_negative_weight(spark):
+    """Negative weights break the prefix property (cum no longer
+    monotone) — must raise, not silently mis-cut."""
+    import pytest
+
+    from polars_mas_spark.operators.sampling import select_until_budget
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 10), (2, 1.0, -3)], "doc_id long, score double, w long"
+    )
+    with pytest.raises(Exception, match="weights must be >= 0"):
+        select_until_budget(df, "score", "w", 100, "doc_id").collect()
