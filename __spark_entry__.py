@@ -86,12 +86,13 @@ _PRIORITY = [
     # correctness alongside the perf bisect). exact_dedup_summary and
     # minhash_signatures sit just past the cap: their operators stay
     # bound through exact_dedup / minhash_dedup(+cc) here.
-    "exact_dedup", "minhash_dedup", "minhash_dedup_cc", "simhash",
+    "exact_dedup", "minhash_dedup", "minhash_dedup_cc",
     "simhash_hamming_pairs", "jaccard_pairs",
-    # New r5 operator: global quality-ranked token-budget selection
-    # (two-phase range-block running sum). word_shingles yields its
-    # slot: the shingle operator stays bound through jaccard_pairs.
-    "budget_select_docs",
+    # New r5 operators: global quality-ranked token-budget selection
+    # (two-phase range-block running sum) and JL random projection.
+    # word_shingles/simhash yield their slots: those operators stay
+    # bound through jaccard_pairs / simhash_hamming_pairs.
+    "budget_select_docs", "jl_project_embeddings",
     # r2-era text curation (lang_id also bench-weak in r4).
     "lang_id", "text_quality",
 ]

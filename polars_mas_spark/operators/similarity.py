@@ -147,6 +147,63 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 7,
+    out_col: str = "projected",
+    codegen_max_cells: int = 16384,
+) -> DataFrame:
+    """Johnson-Lindenstrauss Gaussian random projection: reduce each
+    embedding to ``out_dim`` components ``y_j = <r_j, x> / sqrt(out_dim)``
+    with the same seeded, 6-decimal-rounded plane generator as lsh_topk
+    — deterministic across runs, engines, and partition recomputation.
+
+    The dimensionality-reduction front end of a similarity pipeline:
+    project once, then run dedup/ANN in the cheaper space (JL: pairwise
+    distances are preserved within 1±eps for out_dim = O(log n / eps^2)).
+
+    Two physical paths, identical semantics:
+    - ``out_dim * dim <= codegen_max_cells``: the projection matrix is
+      inlined as literal arrays and each component is a zip_with dot —
+      whole-stage codegen, map-only, and exactly reproducible in SQL
+      (sequential array-order summation; the oracle relies on this).
+    - larger matrices: one vectorized Arrow pandas UDF doing a numpy
+      matmul against a broadcast matrix (a 768->128 projection is ~100k
+      literals — past what a driver should plan). BLAS summation order
+      differs from the sequential dot in the last bits (~1e-13
+      relative), so the codegen path is the oracle-binding one and the
+      paths are asserted equal to 1e-9 in tests, not bit-identical.
+    """
+    import math
+
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    planes = _hyperplanes(dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    key, vec = qcol(id_col).alias(id_col), qcol(vec_col)
+    if out_dim * dim <= codegen_max_cells:
+        comps = [
+            dot(vec, F.array(*[F.lit(float(v)) for v in p])) * F.lit(inv)
+            for p in planes
+        ]
+        return df.select(key, F.array(*comps).alias(out_col))
+
+    R = np.asarray(planes, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(R)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def project(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        Y = X @ bc.value.T * inv
+        return pd.Series([row.tolist() for row in Y])
+
+    return df.select(key, project(vec).alias(out_col))
+
+
 def _infer_dim(corpus: DataFrame, vec_col: str) -> int:
     first = corpus.select(F.size(qcol(vec_col))).first()
     if first is None or first[0] is None or first[0] < 0:

@@ -1166,6 +1166,54 @@ def q_ann_lsh(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
+def _jl_oracle_sql(dim=64, out_dim=8, seed=7):
+    """DuckDB mirror of similarity.random_projection's codegen path:
+    each component is a literal-plane dot product scaled by the SAME
+    1/sqrt(out_dim) double literal (repr round-trips exactly), summed
+    in array order by both engines; round(.,6) makes the hash stable."""
+    import math
+
+    from polars_mas_spark.operators.similarity import _hyperplanes
+
+    inv = 1.0 / math.sqrt(out_dim)
+    planes = _hyperplanes(dim, out_dim, seed)
+    comps = ", ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + f"]) * {inv!r}, 6) AS p{j}"
+        for j, p in enumerate(planes)
+    )
+    return (
+        "SELECT vec_id, "
+        + comps
+        + " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+
+
+@query("jl_project_embeddings", _jl_oracle_sql())
+def q_jl_project_embeddings(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 8 (the
+    dimensionality-reduction front end of the similarity pipeline,
+    operators/similarity.py random_projection): seeded Gaussian planes
+    shipped as literals, each component a JVM zip_with dot — map-only,
+    zero shuffle. The oracle recomputes every component from the same
+    literal planes; rounded to 6 decimals the values are identical
+    (sequential array-order summation on both engines). The large-dim
+    Arrow matmul path is asserted equal to this one in
+    tests/test_similarity_ops.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = sim.random_projection(emb, out_dim=8, dim=64)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("projected", j + 1), 6).alias(f"p{j}")
+            for j in range(8)
+        ],
+    )
+
+
 # ===========================================================================
 # Window-family operators
 # ===========================================================================

@@ -308,3 +308,44 @@ def test_ivfpq_separate_query_table(emb, spark):
     # tied; ties break to the lowest id).
     for qid in (100, 101, 102):
         assert top.get(qid) == qid - 100, top
+
+
+def test_random_projection_paths_agree_and_preserve_distance(spark):
+    """The Arrow matmul path must numerically match the codegen
+    literal-dot path (same seeded planes; BLAS vs sequential summation
+    differs only in last bits), and the projection must roughly
+    preserve pairwise distance ratios (the JL property it exists for)."""
+    import numpy as np
+
+    from polars_mas_spark.operators.similarity import random_projection
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .limit(64)
+    )
+    a = (
+        random_projection(emb, out_dim=16, dim=64)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    b = (
+        random_projection(emb, out_dim=16, dim=64, codegen_max_cells=1)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    A = np.vstack(a["projected"].to_numpy())
+    B = np.vstack(b["projected"].to_numpy())
+    np.testing.assert_allclose(A, B, rtol=1e-9, atol=1e-12)
+
+    X = np.vstack(
+        emb.toPandas().sort_values("vec_id")["embedding"].to_numpy()
+    )
+    rng = np.random.RandomState(3)
+    idx = rng.choice(len(X), size=(40, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d_hi = np.linalg.norm(X[idx[:, 0]] - X[idx[:, 1]], axis=1)
+    d_lo = np.linalg.norm(A[idx[:, 0]] - A[idx[:, 1]], axis=1)
+    ratio = d_lo / d_hi
+    # 16 of 64 dims: JL distortion is loose but bounded — no collapse,
+    # no blow-up, centered near 1.
+    assert 0.4 < ratio.min() and ratio.max() < 1.9, (ratio.min(), ratio.max())
+    assert abs(float(np.median(ratio)) - 1.0) < 0.25
