@@ -63,9 +63,13 @@ _PRIORITY = [
     # Streaming family (stream==batch parity also unit-tested):
     "windowed_event_counts", "stream_dedup", "session_window_agg",
     "stateful_user_stats",
-    # Sampling / split / mixture / cap:
-    "hash_sample_docs", "stratified_sample_docs", "train_eval_split",
+    # Sampling / split / mixture / cap (stratified_sample_docs sits
+    # just past the cap — mixture_sample_docs exercises the same
+    # threshold-ladder mechanism):
+    "hash_sample_docs", "train_eval_split",
     "mixture_sample_docs", "cap_tokens_per_source",
+    # New r5 operator: hard-negative mining (LSH ranking slice).
+    "hard_negatives",
     # Profiles:
     "table_profile", "distinct_profile_orders",
     # k-means + semantic dedup (semantic_dedup also bench-weak in r4):

@@ -278,6 +278,47 @@ def lsh_topk(
     return _topk_per_query(scored, k)
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_pos: int = 5,
+    n_neg: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 7,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query, the ``n_neg`` nearest LSH candidates RANKED BELOW the top
+    ``k_pos`` — close enough to be confusable (that is what makes them
+    hard), ranked out of the positive set. Returns
+    ``(query_id, negative_id, cos, neg_rank)`` with neg_rank 1..n_neg.
+
+    Built on lsh_topk's candidate generation + the deterministic
+    (cos desc, id asc) ranking: one ranking pass at k_pos + n_neg, then
+    a rank slice — positives and negatives come from the SAME ranking,
+    so the two sets are disjoint by construction and reproducible
+    across runs/engines. A query whose bucket candidates run out before
+    k_pos + n_neg yields fewer (possibly zero) negatives rather than
+    padding with easy randoms — mix in hash-sampled randoms explicitly
+    if the training recipe wants them."""
+    ranked = lsh_topk(
+        corpus, queries, k=k_pos + n_neg,
+        num_planes=num_planes, num_tables=num_tables,
+        id_col=id_col, vec_col=vec_col, dim=dim, seed=seed,
+        query_id_col=query_id_col,
+    )
+    return ranked.filter(F.col("rank") > k_pos).select(
+        "query_id",
+        F.col("neighbor_id").alias("negative_id"),
+        "cos",
+        (F.col("rank") - k_pos).alias("neg_rank"),
+    )
+
+
 def _normalize_rows(M: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(M, axis=1, keepdims=True)
     n[n == 0] = 1.0

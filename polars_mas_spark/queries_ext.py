@@ -924,13 +924,17 @@ def q_ann_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
-def _lsh_oracle_sql(dim=64, num_planes=6, num_tables=4, seed=7, k=5):
+def _lsh_oracle_sql(
+    dim=64, num_planes=6, num_tables=4, seed=7, k=5, final_select=None
+):
     """DuckDB mirror of similarity.lsh_topk: the hyperplanes are a pure
     function of (dim, num_planes, seed) rounded to 6 decimals, so the
     sign-bit bucketing is SQL-expressible as literal-list dot products.
     Both engines read the same parquet floats, cast to double, and sum
     products in array order; a sign flip would need |dot| < ~1e-12,
-    which random embeddings never hit."""
+    which random embeddings never hit. ``final_select`` replaces the
+    default top-k projection over the ``ranked`` CTE (used by the
+    hard-negative miner to slice ranks k_pos+1..k_pos+n_neg)."""
     from polars_mas_spark.operators.similarity import _hyperplanes
 
     def lit_list(plane):
@@ -965,8 +969,11 @@ def _lsh_oracle_sql(dim=64, num_planes=6, num_tables=4, seed=7, k=5):
                                             ORDER BY cos DESC, neighbor_id ASC)
                            AS rk
                   FROM scored)
-    SELECT query_id, neighbor_id, round(cos, 4) AS cos
+    """ + (
+        final_select
+        or f"""SELECT query_id, neighbor_id, round(cos, 4) AS cos
     FROM ranked WHERE rk <= {k}"""
+    )
 
 
 def _pq_oracle_sql(dim=64, m=16, ksub=64, k=5):
@@ -1164,6 +1171,36 @@ def q_ann_lsh(spark, sf_dir):
     return sim.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, num_planes=6, dim=64
     ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
+@query(
+    "hard_negatives",
+    _lsh_oracle_sql(
+        num_planes=6,
+        final_select="""SELECT query_id, neighbor_id AS negative_id,
+           round(cos, 4) AS cos, (rk - 5)::BIGINT AS neg_rank
+    FROM ranked WHERE rk > 5 AND rk <= 10""",
+    ),
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.py hard_negatives): per query,
+    the 5 nearest LSH candidates ranked just below the top-5 positives
+    — the confusable-but-wrong examples a contrastive trainer wants.
+    Same candidate generation and deterministic ranking as ann_lsh_topk
+    (ONE ranking at k_pos + n_neg, then a rank slice, so positives and
+    negatives are disjoint by construction); the oracle is the LSH
+    mirror with the identical slice."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = sim.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k_pos=5, n_neg=5, num_planes=6, dim=64,
+    )
+    return out.select(
+        "query_id", "negative_id", F.round("cos", 4).alias("cos"),
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+    )
 
 
 def _jl_oracle_sql(dim=64, out_dim=8, seed=7):

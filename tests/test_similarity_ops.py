@@ -349,3 +349,29 @@ def test_random_projection_paths_agree_and_preserve_distance(spark):
     # no blow-up, centered near 1.
     assert 0.4 < ratio.min() and ratio.max() < 1.9, (ratio.min(), ratio.max())
     assert abs(float(np.median(ratio)) - 1.0) < 0.25
+
+
+def test_hard_negatives_disjoint_from_positives(spark):
+    """Negatives are exactly ranks k_pos+1..k_pos+n_neg of the SAME
+    ranking lsh_topk produces: disjoint from the top-k_pos positives,
+    neg_rank contiguous from 1, and never the query itself."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    qs = emb.filter(F.col("vec_id") < 10)
+    pos = sim.lsh_topk(emb, qs, k=3, num_planes=4, dim=64).toPandas()
+    neg = sim.hard_negatives(
+        emb, qs, k_pos=3, n_neg=4, num_planes=4, dim=64
+    ).toPandas()
+    pos_pairs = set(zip(pos["query_id"], pos["neighbor_id"]))
+    neg_pairs = set(zip(neg["query_id"], neg["negative_id"]))
+    assert pos_pairs and neg_pairs
+    assert not pos_pairs & neg_pairs
+    assert (neg["query_id"] != neg["negative_id"]).all()
+    for qid, grp in neg.groupby("query_id"):
+        ranks = sorted(grp["neg_rank"])
+        assert ranks == list(range(1, len(ranks) + 1)), (qid, ranks)
+        # negatives are WORSE than the worst positive for this query
+        worst_pos = pos[pos["query_id"] == qid]["cos"].min()
+        assert (grp["cos"] <= worst_pos + 1e-12).all()
