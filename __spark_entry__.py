@@ -83,9 +83,14 @@ _PRIORITY = [
     "winsorize_acctbal", "robust_scale_acctbal",
     # OLAP rollup/cube + partition pruning:
     "event_rollup", "event_cube", "partitioned_scan_prune",
-    # r2-era: corrections + transforms (standalone rows last seen r2).
-    "bonferroni", "bh_fdr", "standard_scale", "min_max_scale",
+    # r2-era: corrections + transforms (standalone rows last seen r2;
+    # min_max_scale sits just past the cap — same covariate-scaling
+    # machinery as standard_scale, which stays).
+    "bonferroni", "bh_fdr", "standard_scale",
     "log_transform", "rint_blom", "json_extract",
+    # New r5 operator: CCNet-style normalized dedup (planted noisy
+    # mirrors must collapse; digests value-bound).
+    "normalized_dedup",
     # r2-era dedup chain (minhash_dedup bench-weak in r4 — re-pin
     # correctness alongside the perf bisect). exact_dedup_summary and
     # minhash_signatures sit just past the cap: their operators stay

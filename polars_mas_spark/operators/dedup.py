@@ -63,6 +63,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def normalized_digest(col) -> "F.Column":
+    """CCNet-style normalization digest (Wenzek et al. 2020 §4.1
+    normalizes before hashing so case/punctuation/digit variants
+    collapse): lowercase, digits -> '0', every non-[a-z0] run -> one
+    space, trim, then md5. Built from lower/regexp_replace/trim only —
+    Java regex and RE2 read these classes identically, so the DuckDB
+    oracle reproduces the digest byte-for-byte (DuckDB side needs the
+    'g' flag: Spark's regexp_replace is global by default)."""
+    t = F.lower(col.cast("string"))
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.trim(F.regexp_replace(t, "[^a-z0]+", " "))
+    return F.md5(t)
+
+
+def normalized_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup over the NORMALIZED content digest: case,
+    punctuation, whitespace-shape and digit variants of the same text
+    collapse to one group; the lowest-id representative survives. The
+    first dedup pass of a web-corpus pipeline (cheaper than any near-dup
+    method, catches the bulk of boilerplate mirrors). Same single
+    digest-shuffle shape and NULL contract as [[exact_dedup]]: NULL
+    text rows pass through undeduplicated."""
+    nonnull = df.filter(qcol(text_col).isNotNull())
+    keep = (
+        nonnull.select(
+            qcol(id_col).alias("doc_id"),
+            normalized_digest(qcol(text_col)).alias("digest"),
+        )
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias(id_col))
+    )
+    return nonnull.join(keep, on=id_col, how="left_semi").unionByName(
+        df.filter(qcol(text_col).isNull())
+    )
+
+
 def incremental_exact_dedup(
     new_df: DataFrame, seen_df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

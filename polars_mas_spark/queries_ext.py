@@ -80,6 +80,52 @@ def q_exact_dedup(spark, sf_dir):
     )
 
 
+# Spark regexp_replace is global; DuckDB needs the explicit 'g' flag.
+_NORM_DIGEST_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'),"
+    " '[^a-z0]+', ' ', 'g')))"
+)
+
+
+@query(
+    "normalized_dedup",
+    f"""WITH base AS (
+         SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+         UNION ALL
+         SELECT doc_id + 1000000, upper(text) || '!!!'
+         FROM documents WHERE text IS NOT NULL
+       ),
+       d AS (SELECT doc_id, {_NORM_DIGEST_SQL} AS norm_digest FROM base),
+       k AS (SELECT norm_digest, min(doc_id) AS keep FROM d
+             GROUP BY norm_digest)
+    SELECT d.doc_id, d.norm_digest
+    FROM d JOIN k ON d.norm_digest = k.norm_digest AND d.doc_id = k.keep""",
+)
+def q_normalized_dedup(spark, sf_dir):
+    """CCNet-style normalized dedup (dedup.py normalized_dedup): the
+    corpus is doubled with PLANTED noisy mirrors (uppercased +
+    punctuation suffix, ids shifted by 1e6) that exact dedup would keep
+    but normalization collapses — the result must be exactly the
+    original documents, with each survivor's normalization digest
+    value-bound so the lower/digit/punct/trim chain matches DuckDB's
+    byte-for-byte. Streaming twin: streaming.events
+    stream_normalized_dedup (first arrival wins within the watermark;
+    stream==batch parity in tests/test_streaming.py)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    noisy = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!!")).alias("text"),
+    )
+    out = dd.normalized_dedup(docs.unionByName(noisy), "doc_id", "text")
+    return out.select(
+        "doc_id", dd.normalized_digest(F.col("text")).alias("norm_digest")
+    )
+
+
 _MINHASH_HALVES = """h AS (SELECT doc_id,
             CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) AS h1,
             CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS h2

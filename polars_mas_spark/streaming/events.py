@@ -10,7 +10,7 @@ state partitions across executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_mas_spark.colutils import qcol
@@ -86,6 +86,51 @@ def stream_dedup(
     """Exactly-once-per-key event dedup within the watermark horizon."""
     return _with_watermark(stream, ts_col, watermark).dropDuplicates(
         [*key_cols, ts_col]
+    )
+
+
+def stream_normalized_dedup(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate suppression on the CCNet normalization
+    digest (operators.dedup.normalized_digest): the first arrival of
+    each normalized content wins; case/punctuation/digit variants
+    arriving later inside the watermark horizon are dropped. State is
+    one digest per distinct content bounded by the watermark —
+    dropDuplicatesWithinWatermark evicts expired digests, so state
+    never grows with stream lifetime.
+
+    On a BATCH frame (the backfill/parity form) ``id_col`` is required
+    and the survivor is the (ts, id)-minimal row per digest — a
+    deterministic stand-in for "first arrival" (plain dropDuplicates
+    keeps whichever row a shuffle happens to deliver first). The two
+    forms agree whenever the stream is replayed in timestamp order,
+    which is what the stream==batch parity test does."""
+    from polars_mas_spark.operators.dedup import normalized_digest
+
+    with_digest = _with_watermark(stream, ts_col, watermark).withColumn(
+        "__norm_digest__", normalized_digest(qcol(text_col))
+    )
+    if with_digest.isStreaming:
+        return with_digest.dropDuplicatesWithinWatermark(
+            ["__norm_digest__"]
+        ).drop("__norm_digest__")
+    if id_col is None:
+        raise ValueError(
+            "batch stream_normalized_dedup needs id_col: without a "
+            "tiebreak the surviving duplicate is shuffle-order lottery"
+        )
+    w = Window.partitionBy("__norm_digest__").orderBy(
+        qcol(ts_col).asc(), qcol(id_col).asc()
+    )
+    return (
+        with_digest.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__norm_digest__")
     )
 
 

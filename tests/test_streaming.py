@@ -352,3 +352,59 @@ def test_unattributed_purchases_stream_matches_batch(spark, events_dir):
         sorted(expected_nulls - stream_nulls)[:5]
     )
     assert stream_nulls  # outer semantics actually exercised
+
+
+def test_stream_normalized_dedup_matches_batch(spark):
+    """Normalized near-dup suppression as a REAL stream: the surviving
+    normalized-digest SET (arrival-order independent, unlike the
+    surviving ids) must equal the batch form's, and the batch form must
+    deterministically keep the (ts, id)-minimal variant."""
+    import shutil
+    import tempfile
+
+    from polars_mas_spark.operators.dedup import normalized_digest
+    from polars_mas_spark.streaming.events import stream_normalized_dedup
+
+    tmp = tempfile.mkdtemp(prefix="pms_normdedup_")
+    try:
+        rows = []
+        for i in range(60):
+            # letters, not digits: digit-to-'0' normalization would
+            # (correctly) collapse numbered docs into one group
+            base = f"doc {chr(97 + i % 20)} body words here"
+            variant = [base, base.upper() + "!!!", "  " + base + ".. "][i % 3]
+            rows.append((i, f"2024-01-01 00:{i:02d}:00", variant))
+        df = (
+            spark.createDataFrame(rows, "doc_id long, ts_str string, text string")
+            .withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+        batch = stream_normalized_dedup(
+            spark.read.parquet(tmp), "text", id_col="doc_id"
+        )
+        got = batch.select("doc_id").toPandas()["doc_id"].tolist()
+        # 20 distinct normalized contents; (ts, id)-minimal = ids 0..19.
+        assert sorted(got) == list(range(20))
+
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        out = stream_normalized_dedup(stream, "text")
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory").queryName("norm_dedup_sink")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        sdf = spark.sql("SELECT * FROM norm_dedup_sink")
+        s_digests = {
+            r[0]
+            for r in sdf.select(normalized_digest(F.col("text"))).collect()
+        }
+        b_digests = {
+            r[0]
+            for r in batch.select(normalized_digest(F.col("text"))).collect()
+        }
+        assert sdf.count() == 20 and s_digests == b_digests
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
