@@ -28,8 +28,10 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q18ish",
     "exact_dedup",
+    "normalized_dedup",
     "minhash_dedup",
     "semantic_dedup",
+    "budget_select_docs",
     "text_quality",
     "quality_filter",
     "token_count",
