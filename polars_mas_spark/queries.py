@@ -1085,3 +1085,62 @@ def q_tpch_q22ish(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q21ish",
+    """WITH late AS (
+         SELECT DISTINCT l.l_orderkey, l.l_suppkey
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY),
+       sups AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT lt.l_suppkey AS suppkey, count(*) AS numwait
+    FROM late lt
+    WHERE EXISTS (SELECT 1 FROM sups s
+                  WHERE s.l_orderkey = lt.l_orderkey
+                    AND s.l_suppkey <> lt.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = lt.l_orderkey
+                        AND l2.l_suppkey <> lt.l_suppkey)
+    GROUP BY lt.l_suppkey
+    ORDER BY numwait DESC, suppkey
+    LIMIT 50""",
+)
+def q_tpch_q21ish(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting) adapted to
+    the trimmed schema (no receipt/commit dates — "late" = shipped >80
+    days after the order date): per supplier, count multi-supplier
+    orders where it is the ONLY late shipper. Exercises the one
+    relational shape the other tpch_* queries don't: EXISTS + NOT
+    EXISTS against the SAME fact table — a left-semi join (another
+    supplier participates) composed with a left-anti join (no other
+    supplier is late), both shuffling only distinct (order, supplier)
+    pairs, never raw lineitems."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 80))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sups = li.select("l_orderkey", "l_suppkey").distinct()
+    lt, s2, l2 = late.alias("lt"), sups.alias("s2"), late.alias("l2")
+    others_exist = lt.join(
+        s2,
+        (F.col("lt.l_orderkey") == F.col("s2.l_orderkey"))
+        & (F.col("lt.l_suppkey") != F.col("s2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = others_exist.alias("lt").join(
+        l2,
+        (F.col("lt.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("lt.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
+        .limit(50)
+    )
