@@ -294,6 +294,79 @@ def select_until_budget(
     return out_valid.unionByName(out_invalid)
 
 
+def select_top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    weight_col: str,
+    fraction: float,
+    id_col: str,
+) -> DataFrame:
+    """PER-GROUP quality-ranked budget selection (the nucleus/top-p
+    shape applied to data curation): within each group — typically a
+    source/domain — rank rows by ``(score desc, id asc)`` and select
+    the prefix whose inclusive running ``weight`` stays within
+    ``fraction`` of the group's total weight. "Keep the best 30% of
+    every domain's tokens" — quality pressure that cannot wipe out a
+    whole (small or low-scoring) domain the way a single global cut
+    ([[select_until_budget]]) can.
+
+    Returns all rows plus ``cum_weight``, ``group_weight`` and
+    ``selected``. Same contracts as the global variant: non-negative
+    weights (prefix property), NULL score/weight rows never selected.
+    Scale shape: one hash shuffle on the group for the window + one
+    broadcast-joined per-group total — a group's rows bound the window
+    partition, so a hot domain is bounded by its own size (pre-thin
+    with [[deterministic_sample]] under extreme single-domain skew)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    score, weight, key = qcol(score_col), qcol(weight_col), qcol(id_col)
+    grp = qcol(group_col)
+    valid = score.isNotNull() & weight.isNotNull()
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(df.schema[score_col].dataType, (DoubleType, FloatType)):
+        valid = valid & ~F.isnan(score)
+    vdf = df.filter(valid)
+    totals = vdf.groupBy(grp.alias(group_col)).agg(
+        F.sum(weight).cast("long").alias("group_weight")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score.desc(), key.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    checked_weight = F.when(
+        weight < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"select_top_fraction_per_group: negative {weight_col} "
+                    f"for {id_col} "
+                ),
+                key.cast("string"),
+                F.lit(" — weights must be >= 0 for a prefix cut to exist"),
+            )
+        ),
+    ).otherwise(weight)
+    out_valid = (
+        vdf.join(F.broadcast(totals), on=group_col)
+        .withColumn("cum_weight", F.sum(checked_weight).over(w).cast("long"))
+        .withColumn(
+            "selected",
+            F.col("cum_weight")
+            <= F.floor(F.col("group_weight") * F.lit(float(fraction))),
+        )
+    )
+    out_invalid = (
+        df.filter(~valid)
+        .withColumn("group_weight", F.lit(None).cast("long"))
+        .withColumn("cum_weight", F.lit(None).cast("long"))
+        .withColumn("selected", F.lit(False))
+    )
+    return out_valid.unionByName(out_invalid)
+
+
 def train_eval_split(
     df: DataFrame,
     key_col: str,

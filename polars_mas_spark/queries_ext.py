@@ -2835,6 +2835,50 @@ def q_budget_select_docs(spark, sf_dir):
 
 
 @query(
+    "top_fraction_per_source",
+    f"""WITH {_NTOK_SQL},
+       s AS (SELECT d.doc_id, d.source, n.n_tokens,
+                    {_bucket_sql('d.doc_id', 10000, 'qual')} AS score
+             FROM documents d JOIN ntok n USING (doc_id)),
+       t AS (SELECT source, sum(n_tokens)::BIGINT AS group_weight
+             FROM s GROUP BY source),
+       r AS (SELECT s.doc_id, s.source, s.score, s.n_tokens, t.group_weight,
+                    (sum(s.n_tokens) OVER (
+                       PARTITION BY s.source
+                       ORDER BY s.score DESC, s.doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ))::BIGINT AS cum_weight
+             FROM s JOIN t USING (source))
+    SELECT doc_id, source, score::BIGINT AS score,
+           n_tokens::BIGINT AS n_tokens, group_weight, cum_weight,
+           cum_weight <= floor(group_weight * 0.3) AS selected
+    FROM r""",
+)
+def q_top_fraction_per_source(spark, sf_dir):
+    """Per-source nucleus-style budget selection (sampling.py
+    select_top_fraction_per_group): within every source, keep the
+    best-scored documents covering 30% of that source's tokens —
+    quality pressure that cannot wipe out a small domain the way one
+    global cut ([[budget_select_docs]]) can. Oracle binds cum_weight
+    and the cut at every row (per-source window sum over the identical
+    (score desc, id) order)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    scored = docs.select(
+        "doc_id", "source", ws.alias("n_tokens"),
+        smp.hash_bucket(F.col("doc_id"), 10000, "qual").alias("score"),
+    )
+    out = smp.select_top_fraction_per_group(
+        scored, "source", "score", "n_tokens", 0.3, "doc_id"
+    )
+    return out.select(
+        "doc_id", "source", "score",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "group_weight", "cum_weight", "selected",
+    )
+
+
+@query(
     "pack_docs",
     f"""WITH {_NTOK_SQL},
     sharded AS (

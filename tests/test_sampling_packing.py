@@ -246,3 +246,35 @@ def test_select_until_budget_rejects_negative_weight(spark):
     )
     with pytest.raises(Exception, match="weights must be >= 0"):
         select_until_budget(df, "score", "w", 100, "doc_id").collect()
+
+
+def test_select_top_fraction_per_group(spark):
+    """Per-group nucleus cut: within each group selection is the
+    (score desc, id) prefix bounded by fraction * group_total; small
+    groups keep their share (no global starvation); NULLs unselected."""
+    from polars_mas_spark.operators.sampling import (
+        select_top_fraction_per_group,
+    )
+
+    rows = [
+        # big group: total 100 -> floor(0.5*100)=50 -> top 2 by score
+        ("big", 1, 9.0, 25), ("big", 2, 7.0, 25), ("big", 3, 5.0, 25),
+        ("big", 4, 3.0, 25),
+        # small group: total 10 -> 5 -> only the best one (weight 5)
+        ("small", 5, 2.0, 5), ("small", 6, 1.0, 5),
+        # invalid rows
+        ("big", 7, None, 10), ("small", 8, 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, score double, w long"
+    )
+    out = (
+        select_top_fraction_per_group(df, "source", "score", "w", 0.5, "doc_id")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(out["selected"]) == [True, True, False, False, True, False,
+                                     False, False]
+    assert out.loc[2, "cum_weight"] == 50 and out.loc[3, "cum_weight"] == 75
+    assert out.loc[5, "group_weight"] == 10
+    import pandas as pd
+    assert pd.isna(out.loc[7, "cum_weight"]) and pd.isna(out.loc[8, "cum_weight"])
