@@ -155,6 +155,41 @@ def mixture_sample(
     return df.filter(hash_bucket(qcol(key_col), buckets, salt) < thresh)
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    temperature: float,
+    salt: str = "tmix",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Temperature-flattened domain mixture (the UniMax/multilingual-
+    sampling shape): target shares proportional to ``count^(1/T)``
+    instead of hand-picked weights — T = 1 reproduces the natural
+    distribution exactly (every row kept: the feasible total is the
+    corpus itself), larger T flattens toward uniform, downsampling
+    dominant domains toward the smallest one's scale. Delegates to
+    [[mixture_sample]]'s no-upsampling threshold machinery, so the
+    sample stays a zero-shuffle deterministic hash filter; the share
+    computation costs one extra tiny per-stratum count aggregate."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        row[0]: row[1]
+        for row in df.groupBy(qcol(strata_col)).count().collect()
+    }
+    weights = {
+        s: float(n) ** (1.0 / temperature)
+        for s, n in counts.items()
+        if s is not None and n > 0
+    }
+    if not weights:
+        raise ValueError(
+            "temperature_mixture_sample: no non-NULL stratum has any rows"
+        )
+    return mixture_sample(df, key_col, strata_col, weights, salt, buckets)
+
+
 def cap_tokens_per_source(
     df: DataFrame,
     source_col: str,

@@ -3124,6 +3124,53 @@ def q_mixture_sample_docs(spark, sf_dir):
     )
 
 
+# The testdata sources are deliberately uniform (25 docs each), which
+# would make ANY temperature a no-op; derive a 70/20/10-skewed domain
+# label so the flattening has something to flatten.
+_TMIX_DOMAIN_SQL = (
+    "CASE WHEN doc_id % 10 < 7 THEN 'web' "
+    "WHEN doc_id % 10 < 9 THEN 'code' ELSE 'curated' END"
+)
+
+
+@query(
+    "temperature_mixture_docs",
+    f"""WITH d0 AS (SELECT doc_id, {_TMIX_DOMAIN_SQL} AS domain
+                    FROM documents),
+        cnt AS (SELECT domain, CAST(count(*) AS DOUBLE) AS n
+                FROM d0 GROUP BY domain),
+        w AS (SELECT domain, n, sqrt(n) AS wgt FROM cnt),
+        tot AS (SELECT sum(wgt) AS tw FROM w),
+        sh AS (SELECT domain, n, wgt / (SELECT tw FROM tot) AS share FROM w),
+        feas AS (SELECT min(n / share) AS t FROM sh),
+        thr AS (SELECT domain,
+                       CAST(floor(share * (SELECT t FROM feas) / n * 10000
+                                  + 0.5) AS BIGINT) AS k
+                FROM sh)
+        SELECT d.doc_id, d.domain FROM d0 d
+        JOIN thr ON d.domain = thr.domain
+        WHERE {_bucket_sql('d.doc_id', 10000, 'tmix')} < k""",
+)
+def q_temperature_mixture_docs(spark, sf_dir):
+    """Temperature-flattened domain mixture at T = 2 (sampling.py
+    temperature_mixture_sample): shares proportional to sqrt(count) —
+    the UniMax-style rebalance that downsamples dominant domains toward
+    the small ones (documents get a planted 70/20/10 domain label; the
+    uniform natural sources would make any temperature a no-op). T = 2
+    makes the share computation a square root, which IEEE 754 rounds
+    identically in every engine, so the oracle recomputes the exact
+    thresholds end-to-end in SQL (counts -> sqrt shares -> feasible
+    total -> floor(x+0.5) bucket cutoffs)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, "web")
+        .when(F.col("doc_id") % 10 < 9, "code")
+        .otherwise("curated")
+        .alias("domain"),
+    )
+    return smp.temperature_mixture_sample(docs, "doc_id", "domain", 2.0)
+
+
 @query(
     "purchases_in_click_sessions",
     """WITH iv AS (

@@ -278,3 +278,27 @@ def test_select_top_fraction_per_group(spark):
     assert out.loc[5, "group_weight"] == 10
     import pandas as pd
     assert pd.isna(out.loc[7, "cum_weight"]) and pd.isna(out.loc[8, "cum_weight"])
+
+
+def test_temperature_mixture_sample(spark):
+    """T = 1 reproduces the natural distribution (keeps every row); a
+    high temperature flattens a skewed mix toward uniform (the dominant
+    stratum is downsampled toward the smallest's scale); T <= 0 raises."""
+    import pytest
+
+    from polars_mas_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "big" if i % 10 < 8 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    assert temperature_mixture_sample(df, "doc_id", "src", 1.0).count() == 1000
+
+    flat = temperature_mixture_sample(df, "doc_id", "src", 100.0)
+    by = {r[0]: r[1] for r in flat.groupBy("src").count().collect()}
+    # near-uniform target: big should shrink toward small's count (200);
+    # hash-rate noise at 10k buckets is small.
+    assert by["small"] >= 190
+    assert by["big"] < 300
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mixture_sample(df, "doc_id", "src", 0.0)
