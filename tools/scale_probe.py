@@ -42,6 +42,9 @@ DEFAULT_QUERIES = [
     "pack_docs", "ngram_contamination", "winnow_pairs",
     "fuzzy_pairs", "cohort_retention", "scd2_merge_customers",
     "event_pivot",
+    # r5 operators
+    "budget_select_docs", "top_fraction_per_source", "normalized_dedup",
+    "jl_project_embeddings", "hard_negatives", "temperature_mixture_docs",
 ]
 
 
