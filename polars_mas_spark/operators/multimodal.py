@@ -93,7 +93,12 @@ def decode_netpbm(buf: bytes):
         return None
     if w <= 0 or h <= 0 or not 0 < maxval < 256:
         return None
-    i += 1  # exactly one whitespace byte separates header from raster
+    # Exactly one WHITESPACE byte separates header from raster (netpbm
+    # spec). The tokenizer also stops at '#', so without this guard a
+    # comment between maxval and the raster would be read as pixels.
+    if buf[i : i + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        return None
+    i += 1
     need = w * h * (3 if magic == b"P6" else 1)
     if len(buf) - i < need:
         return None

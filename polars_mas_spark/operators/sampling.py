@@ -102,6 +102,7 @@ def mixture_sample(
     weights: dict[str, float],
     salt: str = "mix",
     buckets: int = DEFAULT_BUCKETS,
+    counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Resample strata to a TARGET MIXTURE (domain weighting for a
     pretraining mix: "40% web, 30% code, 30% curated"): compute the
@@ -120,12 +121,16 @@ def mixture_sample(
     size); the sample itself is the same zero-shuffle bucket filter as
     ``stratified_sample``. Thresholds are integers computed as
     ``floor(x + 0.5)`` so an engine-portable oracle reproduces the
-    exact row set.
+    exact row set. ``counts``: precomputed per-stratum row counts —
+    pass them when the caller already aggregated them
+    ([[temperature_mixture_sample]] does) to skip a second full-corpus
+    count scan.
     """
-    counts = {
-        row[0]: row[1]
-        for row in df.groupBy(qcol(strata_col)).count().collect()
-    }
+    if counts is None:
+        counts = {
+            row[0]: row[1]
+            for row in df.groupBy(qcol(strata_col)).count().collect()
+        }
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError(
@@ -166,12 +171,15 @@ def temperature_mixture_sample(
     """Temperature-flattened domain mixture (the UniMax/multilingual-
     sampling shape): target shares proportional to ``count^(1/T)``
     instead of hand-picked weights — T = 1 reproduces the natural
-    distribution exactly (every row kept: the feasible total is the
-    corpus itself), larger T flattens toward uniform, downsampling
-    dominant domains toward the smallest one's scale. Delegates to
-    [[mixture_sample]]'s no-upsampling threshold machinery, so the
-    sample stays a zero-shuffle deterministic hash filter; the share
-    computation costs one extra tiny per-stratum count aggregate."""
+    distribution exactly (every non-NULL-stratum row kept: the
+    feasible total is the corpus itself), larger T flattens toward
+    uniform, downsampling dominant domains toward the smallest one's
+    scale. Rows with a NULL stratum are EXCLUDED at every temperature
+    (mixture_sample's weight ladder cannot name NULL; assign unlabeled
+    rows a sentinel domain upstream to keep them). Delegates to
+    [[mixture_sample]]'s no-upsampling threshold machinery with the
+    counts passed through, so the corpus is scanned once and the
+    sample stays a zero-shuffle deterministic hash filter."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     counts = {
@@ -187,7 +195,9 @@ def temperature_mixture_sample(
         raise ValueError(
             "temperature_mixture_sample: no non-NULL stratum has any rows"
         )
-    return mixture_sample(df, key_col, strata_col, weights, salt, buckets)
+    return mixture_sample(
+        df, key_col, strata_col, weights, salt, buckets, counts=counts
+    )
 
 
 def cap_tokens_per_source(
@@ -236,6 +246,18 @@ def cap_tokens_per_source(
     ).drop("__prior__")
 
 
+def _valid_numeric(df: DataFrame, col: str):
+    """Non-NULL (and non-NaN for float columns) predicate — a NaN
+    weight would otherwise poison the per-block sums and crash the
+    driver's int() offset conversion."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    valid = qcol(col).isNotNull()
+    if isinstance(df.schema[col].dataType, (DoubleType, FloatType)):
+        valid = valid & ~F.isnan(qcol(col))
+    return valid
+
+
 def select_until_budget(
     df: DataFrame,
     score_col: str,
@@ -259,8 +281,13 @@ def select_until_budget(
     engine-portable (one SQL window sum reproduces it). Negative
     weights RAISE at execution time: they would break the prefix
     property and silently turn the cut into a data-order lottery. Rows
-    with NULL/NaN score or NULL weight are never selected and carry
-    NULL cum_weight (they have no defined rank position).
+    with NULL/NaN score or NULL/NaN weight are never selected and carry
+    NULL cum_weight (they have no defined rank position). Weights are
+    TOKEN COUNTS — integers: a fractional weight column works but its
+    per-block subtotal is truncated toward zero at the block boundary
+    offsets (cum_weight stays a BIGINT), so near-boundary rows may
+    differ from the fractional one-window SQL; cast/round weights
+    upstream if they are not already integral.
 
     Scale shape — the naive ``sum() over (order by score)`` funnels
     the corpus through ONE task; this is the same two-phase
@@ -274,11 +301,7 @@ def select_until_budget(
 
     _BB = "__pms_budget_block__"
     score, weight, key = qcol(score_col), qcol(weight_col), qcol(id_col)
-    valid = score.isNotNull() & weight.isNotNull()
-    from pyspark.sql.types import DoubleType, FloatType
-
-    if isinstance(df.schema[score_col].dataType, (DoubleType, FloatType)):
-        valid = valid & ~F.isnan(score)
+    valid = _valid_numeric(df, score_col) & _valid_numeric(df, weight_col)
     vdf = df.filter(valid)
 
     block_expr, n_blocks = range_block_column(
@@ -348,7 +371,10 @@ def select_top_fraction_per_group(
 
     Returns all rows plus ``cum_weight``, ``group_weight`` and
     ``selected``. Same contracts as the global variant: non-negative
-    weights (prefix property), NULL score/weight rows never selected.
+    INTEGER weights (prefix property; fractional weights truncate at
+    the BIGINT cum), rows with NULL/NaN score or weight — or a NULL
+    group, which has no defined "its domain's total" — are reported
+    unselected with NULL cum_weight, never silently dropped.
     Scale shape: one hash shuffle on the group for the window + one
     broadcast-joined per-group total — a group's rows bound the window
     partition, so a hot domain is bounded by its own size (pre-thin
@@ -357,11 +383,14 @@ def select_top_fraction_per_group(
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     score, weight, key = qcol(score_col), qcol(weight_col), qcol(id_col)
     grp = qcol(group_col)
-    valid = score.isNotNull() & weight.isNotNull()
-    from pyspark.sql.types import DoubleType, FloatType
-
-    if isinstance(df.schema[score_col].dataType, (DoubleType, FloatType)):
-        valid = valid & ~F.isnan(score)
+    # NULL group rows would vanish in the inner totals join (NULL keys
+    # never equi-match) instead of landing in either output branch —
+    # route them to the unselected branch explicitly.
+    valid = (
+        _valid_numeric(df, score_col)
+        & _valid_numeric(df, weight_col)
+        & grp.isNotNull()
+    )
     vdf = df.filter(valid)
     totals = vdf.groupBy(grp.alias(group_col)).agg(
         F.sum(weight).cast("long").alias("group_weight")

@@ -197,9 +197,18 @@ def random_projection(
 
     @pandas_udf(ArrayType(DoubleType()))
     def project(v: pd.Series) -> pd.Series:
-        X = np.vstack(v.to_numpy()).astype(np.float64)
-        Y = X @ bc.value.T * inv
-        return pd.Series([row.tolist() for row in Y])
+        # NULL embeddings project to NULL, matching the codegen path
+        # (zip_with/aggregate over NULL yields NULL) — one bad vector
+        # must not kill a corpus-scale scan.
+        vals = v.to_numpy()
+        mask = np.array([x is not None for x in vals])
+        out = [None] * len(vals)
+        if mask.any():
+            X = np.vstack(vals[mask]).astype(np.float64)
+            Y = X @ bc.value.T * inv
+            for i, row in zip(np.flatnonzero(mask), Y):
+                out[i] = row.tolist()
+        return pd.Series(out)
 
     return df.select(key, project(vec).alias(out_col))
 

@@ -109,16 +109,24 @@ def stream_normalized_dedup(
     deterministic stand-in for "first arrival" (plain dropDuplicates
     keeps whichever row a shuffle happens to deliver first). The two
     forms agree whenever the stream is replayed in timestamp order,
-    which is what the stream==batch parity test does."""
+    which is what the stream==batch parity test does.
+
+    NULL-text rows PASS THROUGH undeduplicated in both forms — the
+    same contract as batch normalized_dedup (md5(NULL) = NULL would
+    otherwise become one shared dedup key and silently collapse every
+    text-less event after the first)."""
     from polars_mas_spark.operators.dedup import normalized_digest
 
-    with_digest = _with_watermark(stream, ts_col, watermark).withColumn(
+    marked = _with_watermark(stream, ts_col, watermark)
+    nulls = marked.filter(qcol(text_col).isNull())
+    with_digest = marked.filter(qcol(text_col).isNotNull()).withColumn(
         "__norm_digest__", normalized_digest(qcol(text_col))
     )
     if with_digest.isStreaming:
-        return with_digest.dropDuplicatesWithinWatermark(
+        deduped = with_digest.dropDuplicatesWithinWatermark(
             ["__norm_digest__"]
         ).drop("__norm_digest__")
+        return deduped.unionByName(nulls)
     if id_col is None:
         raise ValueError(
             "batch stream_normalized_dedup needs id_col: without a "
@@ -127,11 +135,12 @@ def stream_normalized_dedup(
     w = Window.partitionBy("__norm_digest__").orderBy(
         qcol(ts_col).asc(), qcol(id_col).asc()
     )
-    return (
+    deduped = (
         with_digest.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
         .drop("__rn__", "__norm_digest__")
     )
+    return deduped.unionByName(nulls)
 
 
 def enrich_events(

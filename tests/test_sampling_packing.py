@@ -302,3 +302,58 @@ def test_temperature_mixture_sample(spark):
 
     with pytest.raises(ValueError, match="temperature"):
         temperature_mixture_sample(df, "doc_id", "src", 0.0)
+
+
+def test_budget_selection_null_group_and_nan_weight(spark):
+    """Review r5: a NULL-group row must be REPORTED unselected, not
+    silently vanish in the totals join; a NaN weight must land in the
+    invalid branch instead of poisoning the block sums / crashing the
+    driver's offset int()."""
+    import pandas as pd
+
+    from polars_mas_spark.operators.sampling import (
+        select_top_fraction_per_group, select_until_budget,
+    )
+
+    rows = [
+        ("a", 1, 5.0, 10.0), ("a", 2, 4.0, 10.0),
+        (None, 3, 9.0, 10.0),            # NULL group
+        ("a", 4, 3.0, float("nan")),     # NaN weight
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, score double, w double"
+    )
+    out = (
+        select_top_fraction_per_group(df, "source", "score", "w", 1.0, "doc_id")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert len(out) == 4                       # nothing vanished
+    assert not out.loc[3, "selected"] and pd.isna(out.loc[3, "cum_weight"])
+    assert not out.loc[4, "selected"] and pd.isna(out.loc[4, "cum_weight"])
+    assert out.loc[1, "selected"] and out.loc[2, "selected"]
+    assert out.loc[2, "group_weight"] == 20    # NaN row not in the total
+
+    gout = (
+        select_until_budget(df, "score", "w", 100, "doc_id", num_blocks=2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert len(gout) == 4
+    assert not gout.loc[4, "selected"] and pd.isna(gout.loc[4, "cum_weight"])
+
+
+def test_temperature_mixture_counts_passed_once(spark):
+    """temperature_mixture_sample must hand its counts to
+    mixture_sample (one corpus count scan, not two)."""
+    from unittest import mock
+
+    from polars_mas_spark.operators import sampling as smp_mod
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(20)],
+        "doc_id long, src string",
+    )
+    with mock.patch.object(
+        smp_mod, "mixture_sample", wraps=smp_mod.mixture_sample
+    ) as spy:
+        smp_mod.temperature_mixture_sample(df, "doc_id", "src", 2.0).count()
+        assert spy.call_args.kwargs.get("counts") == {"x": 10, "y": 10}

@@ -375,3 +375,17 @@ def test_hard_negatives_disjoint_from_positives(spark):
         # negatives are WORSE than the worst positive for this query
         worst_pos = pos[pos["query_id"] == qid]["cos"].min()
         assert (grp["cos"] <= worst_pos + 1e-12).all()
+
+
+def test_random_projection_arrow_path_null_embedding(spark):
+    """Review r5: the Arrow matmul path must degrade a NULL embedding to
+    a NULL projection (like the codegen path), not crash the scan."""
+    rows = [(1, [1.0] * 8), (2, None), (3, [2.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        sim.random_projection(df, out_dim=4, dim=8, codegen_max_cells=1)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    assert out.loc[2, "projected"] is None
+    assert out.loc[1, "projected"] is not None
+    assert len(out.loc[3, "projected"]) == 4

@@ -408,3 +408,50 @@ def test_stream_normalized_dedup_matches_batch(spark):
         assert sdf.count() == 20 and s_digests == b_digests
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_normalized_dedup_null_text_passthrough(spark):
+    """Review r5: NULL-text rows must pass through BOTH forms
+    undeduplicated (md5(NULL)=NULL would otherwise become one shared
+    dedup key and collapse every text-less event after the first)."""
+    import shutil
+    import tempfile
+
+    from polars_mas_spark.streaming.events import stream_normalized_dedup
+
+    tmp = tempfile.mkdtemp(prefix="pms_normnull_")
+    try:
+        rows = [
+            (0, "2024-01-01 00:00:00", "same text"),
+            (1, "2024-01-01 00:01:00", None),
+            (2, "2024-01-01 00:02:00", None),
+            (3, "2024-01-01 00:03:00", "SAME TEXT!"),
+        ]
+        df = (
+            spark.createDataFrame(rows, "doc_id long, ts_str string, text string")
+            .withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+        batch_ids = sorted(
+            r.doc_id
+            for r in stream_normalized_dedup(
+                spark.read.parquet(tmp), "text", id_col="doc_id"
+            ).collect()
+        )
+        assert batch_ids == [0, 1, 2]  # both NULLs kept, variant dropped
+
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).parquet(tmp)
+        q = (
+            stream_normalized_dedup(stream, "text")
+            .writeStream.format("memory").queryName("normnull_sink")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r.doc_id for r in spark.sql("SELECT * FROM normnull_sink").collect()
+        )
+        assert got == [0, 1, 2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1010,3 +1010,15 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     assert out[1][1] == out[2][1]               # -> same side, by key
     assert out[3][0] == 3                       # singleton labels itself
     assert len(out) == 33                       # every doc labeled
+
+
+def test_netpbm_rejects_comment_after_maxval():
+    """Review r5: the header tokenizer also stops at '#', so a comment
+    between maxval and the raster must be rejected as malformed, not
+    read as pixel bytes."""
+    from polars_mas_spark.operators.multimodal import decode_netpbm
+
+    px = bytes(range(12))
+    assert decode_netpbm(b"P5\n4 3\n255# comment\n" + px) is None
+    # the legitimate single-whitespace form still decodes
+    assert decode_netpbm(b"P5\n4 3\n255\n" + px) is not None
