@@ -82,6 +82,11 @@ def range_block_column(
             "range-blocked operators need a numeric or timestamp order "
             "column (add a numeric ingest id)."
         )
+    if num_blocks <= 1:
+        # One block = no boundaries; approxQuantile with an empty
+        # probability list throws (found by the budget-selection
+        # property test at num_blocks=1).
+        return F.lit(0), 1
     probs = [i / num_blocks for i in range(1, num_blocks)]
     ordd = qcol(order_col).cast("double")
     cuts = (

@@ -199,3 +199,38 @@ def test_packed_fanout_matches_unpivot_any_shape(
     b = (run_associations(df, cfg, strategy="packed", n_buckets=n_buckets)
          .toPandas().sort_values("dependent").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
+
+
+budget_rows = st.lists(
+    st.tuples(
+        st.floats(min_value=-5, max_value=5, allow_nan=False,
+                  allow_infinity=False),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=budget_rows, budget=st.integers(min_value=0, max_value=120),
+       blocks=st.integers(min_value=1, max_value=5))
+@SETTINGS
+def test_select_until_budget_matches_naive(spark, rows, budget, blocks):
+    """The two-phase range-block running sum must equal the naive
+    single-pass computation on ANY (score, weight) multiset, any budget,
+    any block count — including constant scores (everything collapses
+    into one block) and heavy score ties."""
+    from polars_mas_spark.operators.sampling import select_until_budget
+
+    data = [(i, float(s), int(w)) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, score double, w long")
+    got = {
+        r.doc_id: (r.cum_weight, r.selected)
+        for r in select_until_budget(
+            df, "score", "w", budget, "doc_id", num_blocks=blocks
+        ).collect()
+    }
+    cum = 0
+    for i, s, w in sorted(data, key=lambda t: (-t[1], t[0])):
+        cum += w
+        assert got[i] == (cum, cum <= budget), (i, got[i], cum, budget)
