@@ -55,6 +55,50 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.sparkSession.createDataFrame(out, schema)
 
 
+def embedding_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """One-row sanity report over an embedding column — the pre-flight
+    check before pointing dedup/ANN at a vector corpus: total vectors,
+    NULLs, wrong-dimension rows (vs ``expected_dim`` or the modal
+    inferred dim), non-finite vectors (any NaN/Inf component), exact
+    zero vectors (cosine against them is undefined), and the L2-norm
+    min/mean/max over the clean ones. One aggregation pass, all JVM
+    higher-order functions — no Python, no shuffle beyond the agg."""
+    v = qcol(vec_col)
+    if expected_dim is None:
+        first = df.select(F.size(v)).filter(F.size(v) >= 0).first()
+        if first is None:
+            raise ValueError("cannot infer dim: no non-NULL vectors")
+        expected_dim = int(first[0])
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == float("inf"))
+    )
+    clean = (
+        v.isNotNull()
+        & (F.size(v) == expected_dim)
+        & ~nonfinite
+    )
+    norm = F.sqrt(sq)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(v.isNull(), 1)).alias("n_null"),
+        F.count(
+            F.when(v.isNotNull() & (F.size(v) != expected_dim), 1)
+        ).alias("n_wrong_dim"),
+        F.count(F.when(v.isNotNull() & nonfinite, 1)).alias("n_nonfinite"),
+        F.count(F.when(clean & (sq == 0.0), 1)).alias("n_zero"),
+        F.round(F.min(F.when(clean, norm)), 6).alias("norm_min"),
+        F.round(F.avg(F.when(clean, norm)), 6).alias("norm_mean"),
+        F.round(F.max(F.when(clean, norm)), 6).alias("norm_max"),
+    ).withColumn("dim", F.lit(expected_dim))
+
+
 def distinct_profile(
     df: DataFrame, cols: list[str] | None = None, exact: bool = False
 ) -> DataFrame:

@@ -160,6 +160,37 @@ def mixture_sample(
     return df.filter(hash_bucket(qcol(key_col), buckets, salt) < thresh)
 
 
+def sample_n_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "npg",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exactly ``min(n, group_size)`` rows per group, deterministically:
+    rank each group's rows by ``(hash_bucket(key), key)`` and keep the
+    first ``n`` — the "fixed eval slice per domain" sampler (a rate
+    sampler can't promise exact counts; an unordered ``limit`` per
+    group isn't stable across runs). Same key ⇒ same verdict until the
+    group's membership changes near the boundary.
+
+    One hash shuffle on the group; the per-group sort is bounded by the
+    group's own size. NULL groups form their own group (window
+    partitions treat NULL as a key, unlike equi-joins) — unlabeled rows
+    get a deterministic slice too rather than vanishing."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    w = Window.partitionBy(qcol(group_col)).orderBy(
+        hash_bucket(qcol(key_col), buckets, salt).asc(), qcol(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     key_col: str,

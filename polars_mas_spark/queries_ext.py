@@ -1886,6 +1886,44 @@ def q_table_profile(spark, sf_dir):
 
 
 @query(
+    "embedding_profile",
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       n AS (SELECT v,
+                    CASE WHEN v IS NOT NULL AND len(v) = 64
+                              AND NOT EXISTS (SELECT 1 FROM unnest(v) AS u(x)
+                                              WHERE isnan(x) OR isinf(x))
+                         THEN sqrt(list_sum(list_transform(v, x -> x * x)))
+                         END AS norm
+             FROM e)
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           sum(CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 1 ELSE 0 END)
+             ::BIGINT AS n_wrong_dim,
+           sum(CASE WHEN v IS NOT NULL AND EXISTS (
+                 SELECT 1 FROM unnest(v) AS u(x) WHERE isnan(x) OR isinf(x))
+               THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+           sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+           round(min(norm), 6) AS norm_min,
+           round(avg(norm), 6) AS norm_mean,
+           round(max(norm), 6) AS norm_max,
+           64::INTEGER AS dim
+    FROM n""",
+)
+def q_embedding_profile(spark, sf_dir):
+    """Embedding-corpus pre-flight report (operators/profile.py
+    embedding_profile): NULL / wrong-dimension / non-finite / zero
+    vector counts + L2-norm spread, one JVM aggregation pass — the
+    sanity gate before dedup/ANN. Oracle replays the norm arithmetic
+    per vector in SQL."""
+    from polars_mas_spark.operators.profile import embedding_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_profile(emb, "embedding", expected_dim=64).withColumn(
+        "dim", F.col("dim").cast("int")
+    )
+
+
+@query(
     "salted_join_events",
     """SELECT e.event_id, e.user_id, round(e.value, 6) AS value,
               c.c_name, c.c_mktsegment
@@ -3131,6 +3169,26 @@ _TMIX_DOMAIN_SQL = (
     "CASE WHEN doc_id % 10 < 7 THEN 'web' "
     "WHEN doc_id % 10 < 9 THEN 'code' ELSE 'curated' END"
 )
+
+
+@query(
+    "sample_n_per_source",
+    f"""WITH r AS (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY {_bucket_sql('doc_id', 10000, 'npg')} ASC,
+                           doc_id ASC) AS rn
+         FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 5""",
+)
+def q_sample_n_per_source(spark, sf_dir):
+    """Exactly-5-docs-per-source deterministic slice (sampling.py
+    sample_n_per_group): hash-ranked so the slice is stable across
+    runs/engines — the fixed per-domain eval-set sampler. Oracle
+    replays the identical (bucket, id) ranking."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return smp.sample_n_per_group(docs, "doc_id", "source", 5)
 
 
 @query(

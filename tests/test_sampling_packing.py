@@ -357,3 +357,25 @@ def test_temperature_mixture_counts_passed_once(spark):
     ) as spy:
         smp_mod.temperature_mixture_sample(df, "doc_id", "src", 2.0).count()
         assert spy.call_args.kwargs.get("counts") == {"x": 10, "y": 10}
+
+
+def test_sample_n_per_group_exact_and_stable(spark):
+    """Exactly min(n, group_size) per group; same key set across
+    reruns; NULL group gets its own slice."""
+    from polars_mas_spark.operators.sampling import sample_n_per_group
+
+    rows = [(i, ["a", "b", None][i % 3]) for i in range(90)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out1 = sample_n_per_group(df, "doc_id", "src", 7).toPandas()
+    sizes = {
+        (k if isinstance(k, str) else None): v
+        for k, v in out1.groupby("src", dropna=False).size().items()
+    }
+    assert sizes == {"a": 7, "b": 7, "tiny": 1, None: 7}
+    out2 = sample_n_per_group(df, "doc_id", "src", 7).toPandas()
+    assert set(out1["doc_id"]) == set(out2["doc_id"])
+    # n=0 -> empty; negative raises
+    assert sample_n_per_group(df, "doc_id", "src", 0).count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="n must be"):
+        sample_n_per_group(df, "doc_id", "src", -1)

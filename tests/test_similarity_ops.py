@@ -389,3 +389,23 @@ def test_random_projection_arrow_path_null_embedding(spark):
     assert out.loc[2, "projected"] is None
     assert out.loc[1, "projected"] is not None
     assert len(out.loc[3, "projected"]) == 4
+
+
+def test_embedding_profile_dirty_corpus(spark):
+    """The pre-flight report must count NULL / wrong-dim / non-finite /
+    zero vectors separately and compute norm stats over clean rows only."""
+    from polars_mas_spark.operators.profile import embedding_profile
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5
+        (2, [0.0, 0.0]),            # zero vector (clean, norm 0)
+        (3, None),                  # NULL
+        (4, [1.0]),                 # wrong dim
+        (5, [float("nan"), 1.0]),   # non-finite
+        (6, [float("inf"), 1.0]),   # non-finite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_profile(df, "embedding", expected_dim=2).collect()[0]
+    assert r.n_rows == 6 and r.n_null == 1 and r.n_wrong_dim == 1
+    assert r.n_nonfinite == 2 and r.n_zero == 1
+    assert r.norm_min == 0.0 and r.norm_max == 5.0 and r.dim == 2
