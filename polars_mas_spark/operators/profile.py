@@ -62,8 +62,9 @@ def embedding_profile(
 ) -> DataFrame:
     """One-row sanity report over an embedding column — the pre-flight
     check before pointing dedup/ANN at a vector corpus: total vectors,
-    NULLs, wrong-dimension rows (vs ``expected_dim`` or the modal
-    inferred dim), non-finite vectors (any NaN/Inf component), exact
+    NULLs, wrong-dimension rows (vs ``expected_dim``, defaulting to the
+    first non-NULL vector's length), non-finite vectors (any NaN/Inf
+    component), exact
     zero vectors (cosine against them is undefined), and the L2-norm
     min/mean/max over the clean ones. One aggregation pass, all JVM
     higher-order functions — no Python, no shuffle beyond the agg."""
