@@ -182,6 +182,89 @@ def create_dummy_covariates(
     return df
 
 
+def covariate_correlations(
+    df: DataFrame, covariates: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlations of the covariate columns — ONE
+    aggregation job computing all C*(C-1)/2 ``corr`` aggregates as
+    parallel expressions (C is small by MAS construction, O(10-20), so
+    the wide 1-row result is driver-safe at any sample count). Returns
+    the long (col_a, col_b, corr) table, col_a < col_b in list order.
+    Feed to [[drop_correlated_covariates]] or inspect directly: a
+    |r| ~ 1 pair makes the regression design (near-)singular, which
+    the per-fit validation then rejects pair by pair — cheaper to
+    catch once here."""
+    if len(covariates) < 2:
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, corr double"
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(covariates)
+        for b in covariates[i + 1 :]
+    ]
+    # Not F.corr: under ANSI mode (this engine's default) corr on a
+    # zero-variance column RAISES DIVIDE_BY_ZERO mid-task instead of
+    # returning NULL. Aggregate the never-dividing stable moments
+    # (covar_samp + stddev_samp over the pairwise-complete mask) and do
+    # the one division per pair driver-side where the zero guard is a
+    # plain `if`. Pairwise-complete semantics match SQL corr exactly.
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        ca, cb = qcol(a).cast("double"), qcol(b).cast("double")
+        both = ca.isNotNull() & cb.isNotNull()
+        aggs.append(F.covar_samp(ca, cb).alias(f"__cov_{i}"))
+        aggs.append(F.stddev_samp(F.when(both, ca)).alias(f"__sa_{i}"))
+        aggs.append(F.stddev_samp(F.when(both, cb)).alias(f"__sb_{i}"))
+    row = df.agg(*aggs).first()
+    out = []
+    for i, (a, b) in enumerate(pairs):
+        cov, sa, sb = row[f"__cov_{i}"], row[f"__sa_{i}"], row[f"__sb_{i}"]
+        r = (
+            None
+            if cov is None or not sa or not sb
+            else max(-1.0, min(1.0, cov / (sa * sb)))
+        )
+        out.append((a, b, r))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double"
+    )
+
+
+def drop_correlated_covariates(
+    df: DataFrame, config: MASConfig, threshold: float = 0.95
+) -> DataFrame:
+    """Drop near-collinear covariates BEFORE the fan-out: walk the
+    covariates in config order and drop any column whose |r| with an
+    already-kept earlier column exceeds ``threshold`` (greedy
+    first-kept-wins — deterministic, order-defined, the standard
+    feature-pruning rule). Updates ``config.covariate_columns`` in
+    place like the reference's constant-covariate drop
+    (preprocessing.py:65-79); NULL correlations (a constant column —
+    corr undefined) never trigger a drop: constants are
+    [[drop_constant_covariates]]'s job and have their own failure
+    story. Cost: one aggregation job (covariate_correlations)."""
+    covs = list(config.covariate_columns)
+    corr = {
+        (r.col_a, r.col_b): r.corr
+        for r in covariate_correlations(df, covs).collect()
+    }
+    kept: list[str] = []
+    for c in covs:
+        collinear = any(
+            (v := corr.get((k, c))) is not None and abs(v) > threshold
+            for k in kept
+        )
+        if not collinear:
+            kept.append(c)
+    dropped = [c for c in covs if c not in kept]
+    config.covariate_columns = kept
+    # drop-by-name, not qcol: drop(str) matches the literal column name,
+    # which is exactly right for dotted phecode names (same as
+    # drop_constant_covariates above).
+    return df.drop(*dropped) if dropped else df
+
+
 def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
     """Full preprocessing chain in reference order (pipeline.py:22-27).
 

@@ -24,6 +24,7 @@ from polars_mas_spark.operators import text as tx
 from polars_mas_spark.operators import windows as wd
 from polars_mas_spark.operators.fills import backward_fill, forward_fill
 from polars_mas_spark.operators.postprocessing import benjamini_hochberg, bonferroni
+from polars_mas_spark.operators.preprocessing import covariate_correlations
 from polars_mas_spark.functions.transforms import rint
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -433,6 +434,34 @@ def q_drop_constant_diag(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+_CORR_PAIR = """SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(corr({a}, {b}), 6) AS corr FROM lineitem"""
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "covariate_corr",
+    " UNION ALL ".join(
+        _CORR_PAIR.format(a=a, b=b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ),
+)
+def q_covariate_corr(spark, sf_dir):
+    """Pairwise Pearson correlations of the design columns — the
+    pre-flight collinearity diagnostic behind drop_correlated_covariates
+    (a preprocessing step the reference lacks; its per-fit validation
+    only discovers a singular design pair by pair, association.py-side).
+    One aggregation job computes all C*(C-1)/2 stable moment triples;
+    the oracle is DuckDB's closed-form corr() over the same pairs."""
+    li = _t(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    out = covariate_correlations(li, _CORR_COLS)
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr")
+    )
 
 
 # ===========================================================================

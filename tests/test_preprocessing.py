@@ -358,3 +358,49 @@ def test_ordered_fill_empty_frame_and_bad_order_col(spark):
     strs = spark.createDataFrame([("a", 1.0)], "rid string, v double")
     with pt.raises(ValueError, match="non-numeric type"):
         forward_fill(strs, ["v"], "rid").count()
+
+
+def test_covariate_correlations_values_and_guards(spark):
+    """Pearson r over the pairwise-complete mask; a constant column
+    yields NULL (never an ANSI divide-by-zero task failure); NULL rows
+    are excluded pairwise, not listwise."""
+    from polars_mas_spark.operators.preprocessing import covariate_correlations
+
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1, 5.0, None if i % 2 else float(i))
+         for i in range(20)],
+        "a double, b double, e double, f double",
+    )
+    rows = {(r.col_a, r.col_b): r.corr
+            for r in covariate_correlations(df, ["a", "b", "e", "f"]).collect()}
+    assert rows[("a", "b")] == pytest.approx(1.0)
+    assert rows[("a", "e")] is None  # constant: undefined, not an error
+    assert rows[("a", "f")] == pytest.approx(1.0)  # pairwise-complete
+    assert rows[("e", "f")] is None
+    # Fewer than 2 covariates: empty result, no job.
+    assert covariate_correlations(df, ["a"]).count() == 0
+
+
+def test_drop_correlated_covariates_greedy_first_kept_wins(spark):
+    """b (|r|=1 with a) and f (|r|=1 with a on its non-null rows) drop;
+    d (uncorrelated) and e (constant -> NULL corr, the constant-drop
+    operator's job) survive; config list updated in place."""
+    from polars_mas_spark.operators.preprocessing import (
+        drop_correlated_covariates,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1, float(i % 3), 5.0,
+          None if i % 2 else float(i), float(i), 0.0)
+         for i in range(30)],
+        "a double, b double, d double, e double, f double, rid double, y double",
+    )
+    cfg = _cfg(covariates=["a", "b", "d", "e", "f"])
+    cfg.resolve(df.columns)
+    out = drop_correlated_covariates(df, cfg, threshold=0.95)
+    assert cfg.covariate_columns == ["a", "d", "e"]
+    assert set(out.columns) == {"a", "d", "e", "rid", "y"}
+    # Below-threshold frame is returned untouched (same object).
+    cfg2 = _cfg(covariates=["d", "e"])
+    cfg2.resolve(df.columns)
+    assert drop_correlated_covariates(df, cfg2) is df
