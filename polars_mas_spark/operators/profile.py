@@ -120,3 +120,57 @@ def distinct_profile(
     return df.sparkSession.createDataFrame(
         out, "column string, n_distinct long"
     )
+
+
+def quantile_profile(
+    df: DataFrame,
+    cols: list[str],
+    quantiles: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    group_col: str | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Long-form quantile report (group?, column, q, value) — the
+    distribution snapshot behind length/score cutoff decisions (e.g.
+    "trim documents above the p99 token count per source").
+
+    Default is ``approx_percentile`` — a fixed-size mergeable sketch
+    per (group, column), the only shape that survives 100 TB (error
+    <= 1/accuracy in RANK, not value). ``exact=True`` swaps in the
+    interpolated exact ``percentile`` (DuckDB ``quantile_cont`` parity,
+    the oracle mode) whose per-group sort buffer is fine at QA scale
+    and wrong at corpus scale. One aggregation job either way: all
+    columns x all quantiles as parallel aggregates, unpivoted to long
+    via a stack() projection (no second shuffle)."""
+    qs = [float(x) for x in quantiles]
+    fn = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, F.lit(accuracy))
+    )
+    aggs = [
+        fn(qcol(c).cast("double"), F.array(*[F.lit(x) for x in qs])).alias(
+            f"__q_{c}"
+        )
+        for c in cols
+    ]
+    keys = [qcol(group_col)] if group_col else []
+    wide = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    # stack() the per-column arrays into long form, then posexplode the
+    # quantile array against its literal probabilities.
+    pairs = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(f"__q_{c}")]
+    stacked = wide.select(
+        *([qcol(group_col)] if group_col else []),
+        F.stack(F.lit(len(cols)), *pairs).alias("column", "__vals__"),
+    )
+    probs = F.array(*[F.lit(x) for x in qs])
+    return stacked.select(
+        *([qcol(group_col)] if group_col else []),
+        "column",
+        F.posexplode(F.arrays_zip(probs.alias("q"), F.col("__vals__").alias("v"))),
+    ).select(
+        *([qcol(group_col)] if group_col else []),
+        "column",
+        F.col("col.q").alias("q"),
+        F.round(F.col("col.v"), 6).alias("value"),
+    )

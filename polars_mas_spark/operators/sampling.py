@@ -479,3 +479,49 @@ def train_eval_split(
     return df.withColumn(
         out_col, F.when(b < F.lit(k), F.lit("eval")).otherwise(F.lit("train"))
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows:
+    inclusion probability proportional to ``weight_col`` (Efraimidis &
+    Spirtakis 2006 exponential-jitter keys — the standard one-pass
+    distributed weighted reservoir). The uniform draw is the same
+    engine-portable md5 construction as :func:`hash_bucket`, so the
+    sample is a pure function of (key, salt): stable under partition
+    recomputation, reruns, and engines (the DuckDB oracle replays it).
+
+    Rank key: ``ln(u)/w`` taken LARGEST first (monotone with the
+    textbook ``u^(1/w)``; log form avoids pow-overflow for tiny
+    weights). Top-n is a TakeOrderedAndProject — per-partition heaps
+    merged on the driver, no global sort, so this scales as a map-only
+    pass + n-row merge. Rows with NULL/NaN/non-positive weight are
+    excluded (a zero weight means "never sample me"; documented
+    contract, same NULL philosophy as select_until_budget)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = qcol(weight_col).cast("double")
+    # 32-bit md5 prefix -> u in (0,1): (h + 0.5) / 2^32 never hits 0 or
+    # 1, so ln(u) is always finite.
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), qcol(key_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    rank_key = F.log(u) / w
+    eligible = df.filter(
+        qcol(key_col).isNotNull() & _valid_numeric(df, weight_col) & (w > 0)
+    )
+    return (
+        eligible.withColumn("__es_key__", rank_key)
+        .orderBy(F.col("__es_key__").desc(), qcol(key_col).asc())
+        .limit(n)
+        .drop("__es_key__")
+    )

@@ -3637,3 +3637,107 @@ def q_cap_tokens_per_source(spark, sf_dir):
         docs, "source", "n_tokens", budget=600, order_col="doc_id"
     )
     return out.select("doc_id", "source", "n_tokens")
+
+
+@query(
+    "resample_interpolate_events",
+    """WITH src AS (
+           SELECT event_type AS k, epoch(ts) AS es, value AS v
+           FROM events WHERE event_id % 13 = 0 AND ts IS NOT NULL),
+       s AS (
+           SELECT k, (floor(es / 3600) * 3600)::BIGINT AS b, avg(v) AS v
+           FROM src GROUP BY 1, 2),
+       r AS (SELECT k, min(b) AS lo, max(b) AS hi FROM s GROUP BY 1),
+       spine AS (
+           SELECT k, unnest(range(lo, hi + 3600, 3600))::BIGINT AS b FROM r),
+       g AS (SELECT spine.k, spine.b, s.v FROM spine LEFT JOIN s USING (k, b)),
+       w AS (
+           SELECT k, b, v,
+               last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               first_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY b
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+           FROM g)
+       SELECT k AS event_type, b AS bucket_s,
+              round(CASE WHEN v IS NOT NULL THEN v
+                         WHEN pv IS NULL THEN nv
+                         WHEN nv IS NULL THEN pv
+                         ELSE pv + (nv - pv) * (b - pb) / (nb - pb)
+                    END, 6) AS value,
+              (v IS NULL) AS interpolated
+       FROM w""",
+)
+def q_resample_interpolate_events(spark, sf_dir):
+    """Time-series regularization (operators/windows.
+    resample_interpolate): thin the event stream to 1-in-13 rows so the
+    hourly grid has real gaps, then resample per event_type onto a
+    3600 s grid with linear interpolation between surviving points and
+    edge clamping. The oracle replays the spine + IGNORE-NULLS window
+    construction in DuckDB; bucket is compared as epoch seconds to keep
+    the hash free of cross-engine timestamp canonicalization."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 13 == 0)
+        .select("event_type", "ts", "value")
+    )
+    out = wd.resample_interpolate(ev, "event_type", "ts", "value", 3600)
+    return out.select(
+        "event_type",
+        F.col("bucket_ts").cast("long").alias("bucket_s"),
+        F.round("value", 6).alias("value"),
+        "interpolated",
+    )
+
+
+_QPROF_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+@query(
+    "quantile_profile_orders",
+    " UNION ALL ".join(
+        f"""SELECT o_orderstatus, 'o_totalprice' AS column, {q}::DOUBLE AS q,
+            round(quantile_cont(o_totalprice, {q}), 6) AS value
+            FROM orders GROUP BY o_orderstatus"""
+        for q in _QPROF_QS
+    ),
+)
+def q_quantile_profile_orders(spark, sf_dir):
+    """Grouped quantile report (operators/profile.quantile_profile,
+    exact mode): the per-status price distribution snapshot. Exact
+    interpolated percentile == DuckDB quantile_cont (both type-7); the
+    default approx mode is the 100 TB path (mergeable sketch, rows-only
+    checkable) and is unit-tested against this exact mode instead."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    from polars_mas_spark.operators.profile import quantile_profile
+
+    return quantile_profile(
+        orders, ["o_totalprice"], _QPROF_QS,
+        group_col="o_orderstatus", exact=True,
+    )
+
+
+@query(
+    "weighted_sample_docs",
+    """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+               ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0) / n_chars AS k
+           FROM documents WHERE doc_id IS NOT NULL AND n_chars > 0)
+       ORDER BY k DESC, doc_id LIMIT 200""",
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling (operators/sampling.
+    weighted_sample_n): 200 documents drawn without replacement with
+    probability proportional to length — the Efraimidis-Spirtakis
+    exponential-jitter rank replayed exactly by the oracle from the
+    same md5-derived uniforms, so both engines select the identical
+    row set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = smp.weighted_sample_n(docs, "doc_id", "n_chars", n=200)
+    return out.select("doc_id", "n_chars")

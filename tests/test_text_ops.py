@@ -1022,3 +1022,100 @@ def test_netpbm_rejects_comment_after_maxval():
     assert decode_netpbm(b"P5\n4 3\n255# comment\n" + px) is None
     # the legitimate single-whitespace form still decodes
     assert decode_netpbm(b"P5\n4 3\n255\n" + px) is not None
+
+
+def test_resample_interpolate_linear_and_edges(spark):
+    """Interior gaps interpolate linearly on the grid; leading/trailing
+    gaps clamp to the nearest observation; multiple points in one
+    bucket average; independent keys never bleed into each other."""
+    import datetime as dt
+
+    from polars_mas_spark.operators.windows import resample_interpolate
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 5), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 40), 30.0),   # same bucket: avg 20
+        ("a", dt.datetime(2024, 1, 1, 3, 10), 50.0),
+        ("b", dt.datetime(2024, 1, 1, 1, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.bucket_ts.hour): (r.value, r.interpolated)
+        for r in resample_interpolate(df, "k", "ts", "v", 3600).collect()
+    }
+    assert out[("a", 0)] == (20.0, False)
+    assert out[("a", 1)] == (30.0, True)   # 20 + (50-20)*1/3
+    assert out[("a", 2)] == (40.0, True)
+    assert out[("a", 3)] == (50.0, False)
+    assert out[("b", 1)] == (5.0, False)
+    assert len(out) == 5  # b's spine is a single bucket — no bleed
+
+
+def test_quantile_profile_exact_vs_approx(spark):
+    """Exact mode reproduces the closed-form interpolated percentile;
+    approx mode (the 100 TB path) lands within the sketch's rank
+    tolerance of the exact answer; grouped mode keys rows correctly."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.profile import quantile_profile
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("g"),
+        F.col("id").cast("double").alias("x"),
+    )
+    exact = {
+        (r.column, r.q): r.value
+        for r in quantile_profile(df, ["x"], [0.5, 0.9], exact=True).collect()
+    }
+    assert exact[("x", 0.5)] == 499.5
+    assert exact[("x", 0.9)] == 899.1
+    approx = {
+        (r.column, r.q): r.value
+        for r in quantile_profile(df, ["x"], [0.5, 0.9]).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= 2.0  # rank error 1e-4 * n=1000 << 2
+    grouped = {
+        (r.g, r.q): r.value
+        for r in quantile_profile(
+            df, ["x"], [0.5], group_col="g", exact=True
+        ).collect()
+    }
+    assert grouped[(0, 0.5)] == 499.0 and grouped[(1, 0.5)] == 500.0
+
+
+def test_weighted_sample_n_contract(spark):
+    """Deterministic across runs, excludes non-positive/NULL weights,
+    returns exactly n rows, and skews toward heavy weights."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.sampling import weighted_sample_n
+
+    df = spark.range(2000).select(
+        "id",
+        F.when(F.col("id") % 100 == 0, None)
+        .when(F.col("id") % 100 == 1, -1.0)
+        .otherwise((F.col("id") % 10 + 1).cast("double"))
+        .alias("w"),
+    )
+    a = sorted(r.id for r in weighted_sample_n(df, "id", "w", 300).collect())
+    b = sorted(r.id for r in weighted_sample_n(df, "id", "w", 300).collect())
+    assert a == b and len(a) == 300
+    assert not any(i % 100 in (0, 1) for i in a)  # excluded weights
+    # Different salt: a decorrelated (different) sample.
+    c = sorted(
+        r.id for r in weighted_sample_n(df, "id", "w", 300, salt="s2").collect()
+    )
+    assert c != a
+    # Expected mean weight under w-proportional sampling is
+    # E[w^2]/E[w] = 7 for w uniform on 1..10, vs population mean 5.5.
+    mean_w = (
+        spark.createDataFrame([(i,) for i in a], "id long")
+        .join(df, "id")
+        .agg(F.avg("w"))
+        .first()[0]
+    )
+    assert mean_w > 6.0
+    with pt.raises(ValueError, match="positive"):
+        weighted_sample_n(df, "id", "w", 0)
