@@ -73,6 +73,10 @@ def create_parser() -> argparse.ArgumentParser:
                     help="Multiple-testing correction (bh adds FDR-adjusted p-values)")
     ap.add_argument("--order-col", type=str, default=None,
                     help="Row-order column required by forward/backward fill")
+    ap.add_argument("--drop-correlated-above", type=float, default=None,
+                    metavar="R",
+                    help="Drop covariates with pairwise |Pearson r| above R "
+                         "with an earlier-kept covariate (default: off)")
 
     ph = p.add_argument_group("PheCode Options")
     pw = ph.add_mutually_exclusive_group()
@@ -130,6 +134,7 @@ def config_from_args(args: argparse.Namespace):
         output_type=args.output_type,
         correction=args.correction,
         order_col=args.order_col,
+        drop_correlated_above=args.drop_correlated_above,
     )
 
 

@@ -131,6 +131,12 @@ class MASConfig:
     # preprocessing.py:111-132). None = system temp dir, auto-cleaned.
     # On a multi-node cluster this must be shared storage.
     checkpoint_dir: str | None = None
+    # Spark-specific extension: drop covariates whose pairwise |Pearson
+    # r| with an earlier-kept covariate exceeds this threshold, BEFORE
+    # the fan-out (preprocessing.drop_correlated_covariates). None =
+    # off (reference behavior: a collinear design is only discovered
+    # per-fit by the kernel's singularity validation).
+    drop_correlated_above: float | None = None
     # Sex-specific phecode restriction (the reference's dead code at
     # constants.py:14-16; R PheWAS semantics): dependent column ->
     # required value of the ``sex_col`` covariate. Restricted dependents

@@ -293,6 +293,12 @@ def preprocess(df: DataFrame, config: MASConfig) -> DataFrame:
     df = create_dummy_covariates(
         df, config, level_sets={c: row[f"__lv_{c}"] for c in cats}
     )
+    if config.drop_correlated_above is not None:
+        # After one-hot so dummy columns participate; adds exactly one
+        # aggregation job (covariate_correlations), opt-in.
+        df = drop_correlated_covariates(
+            df, config, threshold=config.drop_correlated_above
+        )
     return df
 
 

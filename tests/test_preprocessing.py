@@ -404,3 +404,34 @@ def test_drop_correlated_covariates_greedy_first_kept_wins(spark):
     cfg2 = _cfg(covariates=["d", "e"])
     cfg2.resolve(df.columns)
     assert drop_correlated_covariates(df, cfg2) is df
+
+
+def test_preprocess_drop_correlated_opt_in(spark):
+    """drop_correlated_above wires the greedy pruner into the chain
+    (after one-hot, so dummies participate); default None is off."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "rid": range(12),
+            "age": [float(i) for i in range(12)],
+            "age2": [2.0 * i + 3 for i in range(12)],
+            "bmi": [float(i % 4) for i in range(12)],
+            "y": [i % 2 for i in range(12)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cfg = _cfg(covariates=["age", "age2", "bmi"],
+               missing_covariate_values="zero",
+               drop_correlated_above=0.95)
+    cfg.resolve(df.columns)
+    from polars_mas_spark.operators.preprocessing import preprocess
+
+    out = preprocess(df, cfg)
+    assert cfg.covariate_columns == ["age", "bmi"]
+    assert "age2" not in out.columns
+    # Off by default: same data, no flag, nothing dropped.
+    cfg2 = _cfg(covariates=["age", "age2", "bmi"],
+                missing_covariate_values="zero")
+    cfg2.resolve(df.columns)
+    assert "age2" in preprocess(df, cfg2).columns
