@@ -1,0 +1,104 @@
+"""Categorical vocabulary encoding: fit a (value -> dense id) dictionary
+over a string column and apply it with a broadcast join.
+
+Beyond-reference surface — the standard label/vocabulary-encoding step
+of a feature or training-data pipeline (the ML-library StringIndexer
+shape, rebuilt on plain DataFrame ops so it needs no ML runtime and
+stays oracle-checkable).
+
+Scale shape: the naive fit is ``row_number() OVER (ORDER BY value)``
+over the distinct values — a single-task global window. This fit
+instead md5-buckets the distinct values ([[hash_bucket]]'s
+engine-portable construction), collects only the per-bucket COUNTS
+(<= ``buckets`` rows, driver-bounded), turns them into prefix offsets,
+and assigns ``offset[bucket] + row_number within bucket ORDER BY
+value`` — every window is bucket-partitioned, nothing global, and the
+id assignment is a pure deterministic function of the value set (same
+ids on every rerun, every engine; the DuckDB oracle replays the exact
+bucket/offset arithmetic). Ids are dense in [0, |vocab|) but NOT
+globally value-ordered (ordered within a bucket only) — dense and
+stable is what embedding tables need; global order is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_mas_spark.colutils import qcol
+from polars_mas_spark.operators.sampling import hash_bucket
+
+DEFAULT_ID_BUCKETS = 64
+
+
+def fit_vocabulary(
+    df: DataFrame,
+    col: str,
+    buckets: int = DEFAULT_ID_BUCKETS,
+    salt: str = "",
+) -> DataFrame:
+    """Fit the dictionary: one DataFrame (value string, id long) with
+    ids dense in [0, n_distinct). NULL values are excluded — NULL is
+    "absent", not a category; encode_column maps it to the default id.
+
+    Two jobs: distinct + per-bucket counts (collect <= ``buckets``
+    rows), then the bucket-partitioned rank job that emits the table.
+    """
+    vals = (
+        df.select(qcol(col).cast("string").alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .withColumn("__bk__", hash_bucket(F.col("value"), buckets, salt))
+    )
+    counts = {
+        r["__bk__"]: r["n"]
+        for r in vals.groupBy("__bk__").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, running = [0] * buckets, 0
+    for b in range(buckets):
+        offsets[b] = running
+        running += counts.get(b, 0)
+    offset = F.element_at(
+        F.array(*[F.lit(int(o)) for o in offsets]),
+        (F.col("__bk__") + 1).cast("int"),
+    )
+    w = Window.partitionBy("__bk__").orderBy(F.col("value").asc())
+    return vals.select(
+        "value",
+        (offset + F.row_number().over(w) - 1).cast("long").alias("id"),
+    )
+
+
+def encode_column(
+    df: DataFrame,
+    col: str,
+    vocab: DataFrame | None = None,
+    out_col: str | None = None,
+    default_id: int = -1,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Replace ``col``'s values with their vocabulary ids in ``out_col``
+    (default ``{col}_id``). Unseen values and NULLs get ``default_id``
+    (-1, the conventional OOV slot). ``vocab`` defaults to a fresh
+    :func:`fit_vocabulary` on the same frame; pass a stored dictionary
+    to guarantee train/serve consistency. ``broadcast=True`` is right
+    for every vocabulary that fits an executor (the usual case — ids
+    exist precisely because the value set is small); disable it for a
+    genuinely huge dictionary and let AQE pick the join."""
+    if vocab is None:
+        vocab = fit_vocabulary(df, col)
+    out = out_col or f"{col}_id"
+    v = vocab.select(
+        F.col("value").alias("__voc_value__"), F.col("id").alias("__voc_id__")
+    )
+    if broadcast:
+        v = F.broadcast(v)
+    return (
+        df.join(
+            v, qcol(col).cast("string") == F.col("__voc_value__"), "left"
+        )
+        .withColumn(
+            out, F.coalesce(F.col("__voc_id__"), F.lit(int(default_id)))
+        )
+        .drop("__voc_value__", "__voc_id__")
+    )

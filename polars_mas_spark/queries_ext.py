@@ -3741,3 +3741,35 @@ def q_weighted_sample_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     out = smp.weighted_sample_n(docs, "doc_id", "n_chars", n=200)
     return out.select("doc_id", "n_chars")
+
+
+@query(
+    "vocab_encode_sources",
+    """WITH v AS (SELECT DISTINCT source AS value FROM documents
+                  WHERE source IS NOT NULL),
+       b AS (SELECT value,
+                    ('0x' || substring(md5(value), 1, 8))::BIGINT % 64 AS bk
+             FROM v),
+       c AS (SELECT bk, count(*) AS n FROM b GROUP BY bk),
+       o AS (SELECT bk, coalesce(sum(n) OVER (ORDER BY bk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             FROM c),
+       ids AS (SELECT b.value,
+                      (o.off + row_number() OVER (PARTITION BY b.bk
+                           ORDER BY b.value) - 1)::BIGINT AS id
+               FROM b JOIN o USING (bk))
+       SELECT d.doc_id, d.source, COALESCE(ids.id, -1)::BIGINT AS source_id
+       FROM documents d LEFT JOIN ids ON d.source = ids.value""",
+)
+def q_vocab_encode_sources(spark, sf_dir):
+    """Vocabulary encoding (operators/encoding): fit dense ids over the
+    source column with the bucketed two-phase fit (per-bucket windows +
+    driver prefix offsets — no global single-task window), then apply
+    via broadcast join. The oracle replays the md5-bucket / offset /
+    within-bucket-rank arithmetic, so both engines assign identical
+    ids."""
+    from polars_mas_spark.operators import encoding as enc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = enc.encode_column(docs, "source")
+    return out.select("doc_id", "source", "source_id")

@@ -379,3 +379,33 @@ def test_sample_n_per_group_exact_and_stable(spark):
     import pytest
     with pytest.raises(ValueError, match="n must be"):
         sample_n_per_group(df, "doc_id", "src", -1)
+
+
+def test_vocabulary_encoding_dense_stable_oov(spark):
+    """Ids are dense [0, n), deterministic across refits, NULL and
+    unseen values map to the default id, and a stored vocab reproduces
+    train/serve-consistent ids on new data."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.encoding import (
+        encode_column,
+        fit_vocabulary,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("a",), (None,)], "v string"
+    )
+    vocab = fit_vocabulary(df, "v")
+    rows = {r.value: r.id for r in vocab.collect()}
+    assert sorted(rows.values()) == [0, 1, 2]  # dense, NULL excluded
+    refit = {r.value: r.id for r in fit_vocabulary(df, "v").collect()}
+    assert refit == rows  # deterministic
+    enc = {
+        (r.v): r.v_id
+        for r in encode_column(df, "v", vocab=vocab).collect()
+    }
+    assert enc[None] == -1
+    assert enc["a"] == rows["a"]
+    new = spark.createDataFrame([("b",), ("zzz",)], "v string")
+    enc2 = {r.v: r.v_id for r in encode_column(new, "v", vocab=vocab).collect()}
+    assert enc2["b"] == rows["b"] and enc2["zzz"] == -1
