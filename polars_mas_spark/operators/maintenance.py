@@ -1,0 +1,243 @@
+"""Table maintenance: snapshot diffing, changelog (CDC) application,
+and declarative data-quality checks.
+
+Beyond-reference surface — the operational layer around any long-lived
+table: "what changed between yesterday's and today's snapshot", "apply
+this upsert/delete changelog to the base table", "does the table still
+satisfy its contract". All three are plain DataFrame programs:
+
+- :func:`snapshot_diff` — ONE full-outer join on the key (each side
+  shuffles once on the key it would shuffle on anyway); every column
+  comparison is a map-side null-safe expression; unchanged rows are
+  dropped by default so output is proportional to the churn, not the
+  table.
+- :func:`cdc_apply` — latest-change-wins compaction (key-partitioned
+  window over the changelog only) + one full-outer join against the
+  base; deletes drop, upserts replace, untouched base rows pass
+  through. Scale is bounded by |base| + |changelog|, never their
+  product.
+- :func:`dq_checks` — rule list compiled into the MINIMUM number of
+  jobs: all row-local rules (not_null / accepted_values / range) fuse
+  into one aggregate pass; each uniqueness rule is one groupBy; each
+  foreign-key rule is one anti-join count. Output is one tiny row per
+  rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from polars_mas_spark.colutils import qcol
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of two snapshots keyed by ``key_cols``:
+    (keys..., change_type in added|removed|changed[|unchanged],
+    changed_cols — comma-joined sorted column names, '' unless
+    changed). Comparison is null-safe (NULL == NULL holds; NULL vs
+    value is a change). ``compare_cols`` defaults to every shared
+    non-key column."""
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(
+        *[qcol(k).alias(f"__k_{k}") for k in key_cols],
+        F.lit(True).alias("__in_old__"),
+        *[qcol(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[qcol(k).alias(f"__nk_{k}") for k in key_cols],
+        F.lit(True).alias("__in_new__"),
+        *[qcol(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__k_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    diffs = [
+        F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+        )
+        for c in sorted(compare_cols)
+    ]
+    # concat_ws skips NULL args (both here and in the SQL oracle), so
+    # this is the sorted list of changed column names.
+    changed_cols = F.concat_ws(",", *diffs) if diffs else F.lit("")
+    change = (
+        F.when(F.col("__in_old__").isNull(), F.lit("added"))
+        .when(F.col("__in_new__").isNull(), F.lit("removed"))
+        .when(changed_cols != "", F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"__k_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        change.alias("change_type"),
+        F.when(change == "changed", changed_cols)
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+    op_col: str = "op",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply an insert/update/delete changelog to a base snapshot:
+    the LATEST change per key — ordered by (``ts_col``, ``seq_col``);
+    the sequence column makes the order total, same-timestamp ties are
+    otherwise a lottery — wins. Op semantics: ``D`` deletes the key,
+    anything else upserts ``value_cols``. Keys absent from the
+    changelog pass through unchanged; upserts of unknown keys insert.
+
+    Shape: one key-partitioned window over the CHANGELOG only (row 1
+    per key), then one full-outer join with the base — both shuffles
+    are keyed on the natural key, nothing iterative."""
+    if value_cols is None:
+        value_cols = [
+            c
+            for c in changes.columns
+            if c not in set(key_cols) | {ts_col, seq_col, op_col}
+        ]
+    w = Window.partitionBy(*[qcol(k) for k in key_cols]).orderBy(
+        qcol(ts_col).desc(), qcol(seq_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            *[qcol(k).alias(f"__ck_{k}") for k in key_cols],
+            qcol(op_col).alias("__op__"),
+            *[qcol(c).alias(f"__c_{c}") for c in value_cols],
+        )
+    )
+    cond = None
+    for k in key_cols:
+        eq = qcol(k).eqNullSafe(F.col(f"__ck_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    j = base.join(latest, cond, "full_outer")
+    alive = F.col("__op__").isNull() | (F.col("__op__") != "D")
+    # Inserted keys (changelog-only) carry NULL for base columns not in
+    # value_cols — the changelog simply doesn't know them.
+    out_cols = []
+    for c in base.columns:
+        if c in set(key_cols):
+            out_cols.append(
+                F.coalesce(qcol(c), F.col(f"__ck_{c}")).alias(c)
+            )
+        elif c in set(value_cols):
+            out_cols.append(
+                F.when(F.col("__op__").isNotNull(), F.col(f"__c_{c}"))
+                .otherwise(qcol(c))
+                .alias(c)
+            )
+        else:
+            out_cols.append(qcol(c))
+    return j.filter(alive).select(*out_cols)
+
+
+def dq_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Run declarative data-quality rules; returns one row per rule:
+    (rule string, violations long, passed bool). Rule dicts:
+
+    - ``{"type": "not_null", "col": c}`` — NULLs in c
+    - ``{"type": "accepted_values", "col": c, "values": [...]}`` —
+      non-NULL values outside the list
+    - ``{"type": "range", "col": c, "min": x, "max": y}`` — non-NULL
+      values outside [x, y] (either bound optional)
+    - ``{"type": "unique", "cols": [c, ...]}`` — rows beyond the first
+      per duplicate key (exact; NULL keys group together)
+    - ``{"type": "foreign_key", "col": c, "ref": DataFrame,
+      "ref_col": r}`` — non-NULL values with no match in ref (an
+      anti-join count; broadcast the ref side when it is a dimension)
+
+    Row-local rules fuse into ONE aggregate job however many there
+    are; unique/foreign_key rules cost one keyed job each. The result
+    is a handful of rows — collect-safe at any table size."""
+    agg_exprs, agg_names = [], []
+    keyed: list[tuple[str, DataFrame]] = []
+    for i, r in enumerate(rules):
+        t = r["type"]
+        if t == "not_null":
+            name = f"not_null({r['col']})"
+            expr = F.count(F.when(qcol(r["col"]).isNull(), 1))
+        elif t == "accepted_values":
+            name = f"accepted_values({r['col']})"
+            expr = F.count(
+                F.when(
+                    qcol(r["col"]).isNotNull()
+                    & ~qcol(r["col"]).isin(list(r["values"])),
+                    1,
+                )
+            )
+        elif t == "range":
+            name = f"range({r['col']})"
+            c = qcol(r["col"])
+            bad = F.lit(False)
+            if r.get("min") is not None:
+                bad = bad | (c < F.lit(r["min"]))
+            if r.get("max") is not None:
+                bad = bad | (c > F.lit(r["max"]))
+            expr = F.count(F.when(c.isNotNull() & bad, 1))
+        elif t == "unique":
+            cols = list(r["cols"])
+            name = f"unique({','.join(cols)})"
+            extra = (
+                df.groupBy(*[qcol(c) for c in cols])
+                .agg(F.count(F.lit(1)).alias("__n__"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("__n__") - 1), F.lit(0)
+                    ).alias("violations")
+                )
+            )
+            keyed.append((name, extra))
+            continue
+        elif t == "foreign_key":
+            name = f"foreign_key({r['col']}->{r['ref_col']})"
+            ref = r["ref"].select(qcol(r["ref_col"]).alias("__fk__")).distinct()
+            extra = (
+                df.select(qcol(r["col"]).alias("__v__"))
+                .filter(F.col("__v__").isNotNull())
+                .join(ref, F.col("__v__") == F.col("__fk__"), "left_anti")
+                .agg(F.count(F.lit(1)).alias("violations"))
+            )
+            keyed.append((name, extra))
+            continue
+        else:
+            raise ValueError(f"unknown rule type: {t!r} (rule #{i})")
+        agg_exprs.append(expr.alias(f"__r_{len(agg_names)}"))
+        agg_names.append(name)
+
+    results: list[tuple[str, int]] = []
+    if agg_exprs:
+        row = df.agg(*agg_exprs).first()
+        results += [
+            (name, int(row[f"__r_{i}"])) for i, name in enumerate(agg_names)
+        ]
+    for name, frame in keyed:
+        results.append((name, int(frame.first()["violations"])))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(n, v, v == 0) for n, v in results],
+        "rule string, violations long, passed boolean",
+    )

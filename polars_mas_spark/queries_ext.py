@@ -3773,3 +3773,173 @@ def q_vocab_encode_sources(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     out = enc.encode_column(docs, "source")
     return out.select("doc_id", "source", "source_id")
+
+
+@query(
+    "snapshot_diff_customers",
+    """WITH newt AS (
+           SELECT c_custkey, c_name, c_nationkey,
+                  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100
+                       ELSE c_acctbal END AS c_acctbal,
+                  c_mktsegment
+           FROM customer WHERE c_custkey % 7 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+                  c_mktsegment
+           FROM customer WHERE c_custkey % 11 = 0),
+       j AS (
+           SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+                  (o.c_custkey IS NULL) AS is_added,
+                  (n.c_custkey IS NULL) AS is_removed,
+                  concat_ws(',',
+                      CASE WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                           THEN 'c_acctbal' END,
+                      CASE WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                           THEN 'c_mktsegment' END,
+                      CASE WHEN o.c_name IS DISTINCT FROM n.c_name
+                           THEN 'c_name' END,
+                      CASE WHEN o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                           THEN 'c_nationkey' END) AS cc
+           FROM customer o FULL OUTER JOIN newt n
+             ON o.c_custkey = n.c_custkey)
+       SELECT c_custkey,
+              CASE WHEN is_added THEN 'added'
+                   WHEN is_removed THEN 'removed'
+                   ELSE 'changed' END AS change_type,
+              CASE WHEN is_added OR is_removed THEN '' ELSE cc END
+                  AS changed_cols
+       FROM j WHERE is_added OR is_removed OR cc <> ''""",
+)
+def q_snapshot_diff_customers(spark, sf_dir):
+    """Snapshot reconciliation (operators/maintenance.snapshot_diff):
+    the "new" snapshot is the customer table with planted churn —
+    every 7th key removed, every 5th balance bumped, every 11th key
+    cloned under key+1e6 — and the diff must report exactly that churn
+    (one full-outer key join, null-safe column compares, unchanged rows
+    dropped). The oracle replants the identical churn in SQL."""
+    from polars_mas_spark.operators import maintenance as mt
+
+    cust = _t(spark, sf_dir, "customer")
+    newt = (
+        cust.filter(F.col("c_custkey") % 7 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 11 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    return mt.snapshot_diff(cust, newt, ["c_custkey"])
+
+
+@query(
+    "cdc_apply_orders",
+    """WITH latest AS (
+           SELECT l_orderkey, l_extendedprice, l_returnflag
+           FROM (SELECT l_orderkey, l_extendedprice, l_returnflag,
+                        row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+                 FROM lineitem)
+           WHERE rn = 1)
+       SELECT o.o_orderkey,
+              round(CASE WHEN l.l_orderkey IS NOT NULL
+                         THEN l.l_extendedprice
+                         ELSE o.o_totalprice END, 6) AS o_totalprice,
+              o.o_orderstatus
+       FROM orders o LEFT JOIN latest l ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_orderkey IS NULL OR l.l_returnflag <> 'R'""",
+)
+def q_cdc_apply_orders(spark, sf_dir):
+    """Changelog application (operators/maintenance.cdc_apply): treat
+    lineitem as a CDC stream on orders — each line an update setting
+    the order's price to its extended price, returns ('R') a delete —
+    and compact latest-change-wins by (ship date, line number). The
+    oracle is the classic row_number-1 compaction + left join."""
+    from polars_mas_spark.operators import maintenance as mt
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    changes = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_shipdate").alias("ts"),
+        F.col("l_linenumber").alias("seq"),
+        F.when(F.col("l_returnflag") == "R", "D").otherwise("U").alias("op"),
+        F.col("l_extendedprice").alias("o_totalprice"),
+    )
+    out = mt.cdc_apply(
+        base, changes, ["o_orderkey"], "ts", "seq", "op", ["o_totalprice"]
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+
+
+@query(
+    "dq_checks_orders",
+    """SELECT 'not_null(o_custkey)' AS rule,
+              count(CASE WHEN o_custkey IS NULL THEN 1 END)::BIGINT
+                  AS violations,
+              count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS passed
+       FROM orders
+       UNION ALL
+       SELECT 'accepted_values(o_orderstatus)',
+              count(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 END)::BIGINT,
+              count(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 END) = 0
+       FROM orders
+       UNION ALL
+       SELECT 'range(o_totalprice)',
+              count(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 300000)
+                         THEN 1 END)::BIGINT,
+              count(CASE WHEN o_totalprice IS NOT NULL
+                          AND (o_totalprice < 0 OR o_totalprice > 300000)
+                         THEN 1 END) = 0
+       FROM orders
+       UNION ALL
+       SELECT 'unique(o_orderkey)',
+              (count(*) - count(DISTINCT o_orderkey))::BIGINT,
+              count(*) = count(DISTINCT o_orderkey)
+       FROM orders
+       UNION ALL
+       SELECT 'foreign_key(o_custkey->c_custkey)',
+              count(*)::BIGINT, count(*) = 0
+       FROM orders o WHERE o.o_custkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)""",
+)
+def q_dq_checks_orders(spark, sf_dir):
+    """Declarative data-quality suite (operators/maintenance.
+    dq_checks): five contract rules over orders — the three row-local
+    rules fuse into ONE aggregate job, uniqueness is one groupBy,
+    the referential check is one anti-join against customer. The
+    range bound (300k) is chosen so real violations exist — the
+    report must count them, not just pass."""
+    from polars_mas_spark.operators import maintenance as mt
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return mt.dq_checks(
+        orders,
+        [
+            {"type": "not_null", "col": "o_custkey"},
+            {"type": "accepted_values", "col": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"type": "range", "col": "o_totalprice", "min": 0,
+             "max": 300000},
+            {"type": "unique", "cols": ["o_orderkey"]},
+            {"type": "foreign_key", "col": "o_custkey", "ref": cust,
+             "ref_col": "c_custkey"},
+        ],
+    )

@@ -1,0 +1,90 @@
+"""Table-maintenance operators: snapshot diff, CDC apply, DQ checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_mas_spark.operators.maintenance import (
+    cdc_apply,
+    dq_checks,
+    snapshot_diff,
+)
+
+
+def test_snapshot_diff_classification_null_safe(spark):
+    """added/removed/changed classified per key; NULL==NULL is NOT a
+    change, NULL vs value IS; changed_cols sorted and comma-joined;
+    unchanged rows excluded unless asked for."""
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (5, None, 1.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b2", None), (4, "d", 40.0), (5, "x", 2.0)],
+        "k long, s string, v double",
+    )
+    rows = {
+        r.k: (r.change_type, r.changed_cols)
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert rows == {
+        2: ("changed", "s"),          # NULL v == NULL v: not a change
+        3: ("removed", ""),
+        4: ("added", ""),
+        5: ("changed", "s,v"),        # NULL s vs 'x' IS a change; sorted
+    }
+    with_unchanged = snapshot_diff(old, new, ["k"], include_unchanged=True)
+    assert with_unchanged.filter(
+        F.col("change_type") == "unchanged"
+    ).count() == 1
+
+
+def test_cdc_apply_latest_wins_delete_insert(spark):
+    """Latest (ts, seq) change wins; D deletes; unknown-key upsert
+    inserts with NULL non-value columns; untouched keys pass through."""
+    base = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z")],
+        "k long, v double, tag string",
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, 5, 1, "U", 11.0),
+            (1, 5, 2, "U", 12.0),   # same ts: seq breaks the tie
+            (2, 7, 1, "D", None),
+            (9, 8, 1, "U", 90.0),
+        ],
+        "k long, ts long, seq long, op string, v double",
+    )
+    out = {
+        r.k: (r.v, r.tag)
+        for r in cdc_apply(base, ch, ["k"], "ts", "seq", "op", ["v"]).collect()
+    }
+    assert out == {1: (12.0, "x"), 3: (30.0, "z"), 9: (90.0, None)}
+
+
+def test_dq_checks_rules_and_fusion(spark):
+    """Each rule type counts its violations; unknown types raise."""
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "y", -1.0), (2, "q", 50.0), (None, "x", 5.0)],
+        "k long, tag string, v double",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "id long")
+    rows = {
+        r.rule: (r.violations, r.passed)
+        for r in dq_checks(
+            df,
+            [
+                {"type": "not_null", "col": "k"},
+                {"type": "accepted_values", "col": "tag", "values": ["x", "y"]},
+                {"type": "range", "col": "v", "min": 0.0, "max": 10.0},
+                {"type": "unique", "cols": ["k"]},
+                {"type": "foreign_key", "col": "k", "ref": dim, "ref_col": "id"},
+            ],
+        ).collect()
+    }
+    assert rows["not_null(k)"] == (1, False)
+    assert rows["accepted_values(tag)"] == (1, False)
+    assert rows["range(v)"] == (2, False)          # -1 and 50
+    assert rows["unique(k)"] == (1, False)         # duplicate k=2
+    assert rows["foreign_key(k->id)"] == (0, True)  # NULL k exempt
+    with pytest.raises(ValueError, match="unknown rule type"):
+        dq_checks(df, [{"type": "nope"}])
