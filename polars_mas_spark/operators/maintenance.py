@@ -241,3 +241,70 @@ def dq_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
         [(n, v, v == 0) for n, v in results],
         "rule string, violations long, passed boolean",
     )
+
+
+def drift_psi(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    bin_edges: list[float],
+    smoothing: float = 1e-4,
+) -> DataFrame:
+    """Population-stability-index drift report for one numeric column
+    between two snapshots — the standard ML-monitoring statistic for
+    "has this feature's distribution moved since training".
+
+    ``bin_edges`` are EXPLICIT interior edges (callers derive them once
+    from the baseline's quantiles and pin them — recomputing edges per
+    run would make PSI drift when nothing moved). Values bucket as
+    (-inf, e1), [e1, e2), ..., [ek, inf); NULLs get their own bucket
+    (a null-rate shift is drift too). Each side is ONE aggregate of
+    k+2 conditional counts — no shuffle beyond the two aggregates, no
+    row movement; the per-bucket report joins two (k+2)-row frames.
+
+    Returns (bucket string, old_frac, new_frac, psi_term) plus a final
+    ('__total__', ..., PSI) row; ``smoothing`` floors each fraction so
+    an empty bucket cannot produce an infinite term (the conventional
+    guard)."""
+    edges = [float(e) for e in bin_edges]
+    if edges != sorted(edges) or len(set(edges)) != len(edges):
+        raise ValueError("bin_edges must be strictly increasing")
+
+    def bucket_counts(df: DataFrame) -> list[tuple[str, int]]:
+        c = qcol(col).cast("double")
+        conds = [("null", c.isNull())]
+        lo = None
+        for e in edges:
+            name = f"[{lo},{e})" if lo is not None else f"(-inf,{e})"
+            cond = (c < e) if lo is None else ((c >= lo) & (c < e))
+            conds.append((name, c.isNotNull() & cond))
+            lo = e
+        conds.append((f"[{lo},inf)", c.isNotNull() & (c >= lo)))
+        row = df.agg(
+            *[
+                F.count(F.when(cond, 1)).alias(f"__b_{i}")
+                for i, (_, cond) in enumerate(conds)
+            ]
+        ).first()
+        return [(name, int(row[f"__b_{i}"])) for i, (name, _) in enumerate(conds)]
+
+    oc, nc = bucket_counts(old), bucket_counts(new)
+    ot, nt = sum(v for _, v in oc) or 1, sum(v for _, v in nc) or 1
+    import math
+
+    def r6(x: float) -> float:
+        # SQL ROUND (half away from zero), not Python's banker's round:
+        # keeps the report reproducible against SQL engines.
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    out, total = [], 0.0
+    for (name, o), (_, n) in zip(oc, nc):
+        p = max(o / ot, smoothing)
+        q = max(n / nt, smoothing)
+        term = (q - p) * math.log(q / p)
+        total += term
+        out.append((name, r6(o / ot), r6(n / nt), r6(term)))
+    out.append(("__total__", 1.0, 1.0, r6(total)))
+    return old.sparkSession.createDataFrame(
+        out, "bucket string, old_frac double, new_frac double, psi_term double"
+    )

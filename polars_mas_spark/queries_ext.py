@@ -3943,3 +3943,80 @@ def q_dq_checks_orders(spark, sf_dir):
              "ref_col": "c_custkey"},
         ],
     )
+
+
+def _psi_oracle(edges: list[float], old_sql: str, new_sql: str) -> str:
+    """Replay drift_psi's bucket/fraction/term arithmetic in SQL: two
+    conditional-count aggregates, a VALUES unpivot carrying the bucket
+    labels in operator order, smoothing via GREATEST, ln term, and the
+    '__total__' sum row."""
+    conds = ["v IS NULL"]
+    names = ["null"]
+    lo = None
+    for e in edges:
+        conds.append(
+            f"v IS NOT NULL AND v < {e!r}"
+            if lo is None
+            else f"v >= {lo!r} AND v < {e!r}"
+        )
+        names.append(f"(-inf,{e!r})" if lo is None else f"[{lo!r},{e!r})")
+        lo = e
+    conds.append(f"v IS NOT NULL AND v >= {lo!r}")
+    names.append(f"[{lo!r},inf)")
+    k = len(conds)
+    cnt = lambda i, c: f"count(CASE WHEN {c} THEN 1 END) AS b{i}"
+    rows = ",\n".join(
+        f"('{names[i]}', {i}, (SELECT b{i} FROM oc), (SELECT b{i} FROM nc))"
+        for i in range(k)
+    )
+    tot = " + ".join(f"b{i}" for i in range(k))
+    return f"""WITH o AS ({old_sql}), n AS ({new_sql}),
+    oc AS (SELECT {', '.join(cnt(i, c) for i, c in enumerate(conds))} FROM o),
+    nc AS (SELECT {', '.join(cnt(i, c) for i, c in enumerate(conds))} FROM n),
+    b(bucket, ord, co, cn) AS (VALUES {rows}),
+    t AS (SELECT bucket, ord,
+                 co::DOUBLE / (SELECT {tot} FROM oc) AS p0,
+                 cn::DOUBLE / (SELECT {tot} FROM nc) AS q0
+          FROM b),
+    terms AS (SELECT bucket, ord, p0, q0,
+                     (GREATEST(q0, 0.0001) - GREATEST(p0, 0.0001))
+                     * ln(GREATEST(q0, 0.0001) / GREATEST(p0, 0.0001)) AS term
+              FROM t)
+    SELECT bucket, round(p0, 6) AS old_frac, round(q0, 6) AS new_frac,
+           round(term, 6) AS psi_term
+    FROM terms
+    UNION ALL
+    SELECT '__total__', 1.0::DOUBLE, 1.0::DOUBLE,
+           round(sum(term), 6) FROM terms"""
+
+
+_PSI_EDGES = [0.0, 2500.0, 5000.0, 7500.0]
+
+
+@query(
+    "drift_psi_acctbal",
+    _psi_oracle(
+        _PSI_EDGES,
+        "SELECT c_acctbal AS v FROM customer",
+        """SELECT CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 200
+                       ELSE c_acctbal END AS v FROM customer""",
+    ),
+)
+def q_drift_psi_acctbal(spark, sf_dir):
+    """Population-stability-index drift report (operators/maintenance.
+    drift_psi): the "new" snapshot shifts every 3rd customer's balance
+    by +200, and the report must quantify the resulting bucket
+    migration against PINNED bin edges (recomputed edges would hide
+    drift). Two conditional-count aggregates, PSI math driver-side on
+    k+2 counts; the oracle replays fractions, smoothing, and ln terms
+    to 6 dp."""
+    from polars_mas_spark.operators import maintenance as mt
+
+    cust = _t(spark, sf_dir, "customer")
+    new = cust.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 200
+        ).otherwise(F.col("c_acctbal")),
+    )
+    return mt.drift_psi(cust, new, "c_acctbal", _PSI_EDGES)

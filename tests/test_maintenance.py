@@ -88,3 +88,39 @@ def test_dq_checks_rules_and_fusion(spark):
     assert rows["foreign_key(k->id)"] == (0, True)  # NULL k exempt
     with pytest.raises(ValueError, match="unknown rule type"):
         dq_checks(df, [{"type": "nope"}])
+
+
+def test_drift_psi_buckets_nulls_and_total(spark):
+    """Fractions per pinned bucket (NULL bucket included), PSI zero
+    for identical snapshots, positive under a planted shift, and
+    smoothing keeps empty buckets finite; bad edges raise."""
+    from polars_mas_spark.operators.maintenance import drift_psi
+
+    old = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 11, 12, 13]] + [(None,)],
+        "v double",
+    )
+    same = {
+        r.bucket: r.psi_term
+        for r in drift_psi(old, old, "v", [10.0]).collect()
+    }
+    assert same["__total__"] == 0.0
+    shifted = spark.createDataFrame(
+        [(float(v),) for v in [1, 11, 12, 13, 14, 15]] + [(None,)],
+        "v double",
+    )
+    rows = {
+        r.bucket: (r.old_frac, r.new_frac, r.psi_term)
+        for r in drift_psi(old, shifted, "v", [10.0]).collect()
+    }
+    of, nf, _ = rows["(-inf,10.0)"]
+    assert (of, nf) == (round(3 / 7, 6), round(1 / 7, 6))
+    assert rows["null"][0] == rows["null"][1] == round(1 / 7, 6)
+    assert rows["__total__"][2] > 0.1
+    # Empty-bucket smoothing: no inf/nan even when a bucket has no mass.
+    sparse = drift_psi(old, shifted, "v", [10.0, 1e9]).collect()
+    assert all(abs(r.psi_term) < 1e9 for r in sparse)
+    import pytest as pt
+
+    with pt.raises(ValueError, match="strictly increasing"):
+        drift_psi(old, old, "v", [5.0, 5.0])
