@@ -63,7 +63,7 @@ def create_parser() -> argparse.ArgumentParser:
     tx.add_argument("--logt", action="store_true",
                     help="Log transform of dependents")
     ap.add_argument("-m", "--model", type=str, default="firth",
-                    choices=["firth", "logistic", "linear"])
+                    choices=["firth", "logistic", "linear", "poisson"])
     ap.add_argument("-mc", "--min-case-count", type=int, default=20)
     ap.add_argument("-mcv", "--missing-covariate-values", type=str, default="fail",
                     choices=["fail", "drop", "forward", "backward", "min", "max",

@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Literal, Sequence
 
-Model = Literal["firth", "logistic", "linear"]
+Model = Literal["firth", "logistic", "linear", "poisson"]
 MissingStrategy = Literal[
     "fail", "drop", "forward", "backward", "min", "max", "mean", "zero", "one"
 ]
@@ -167,6 +167,12 @@ class MASConfig:
             self.categorical_covariates, column_names
         )
 
+        if self.model == "poisson" and not self.quantitative:
+            raise ValueError(
+                "Poisson models fit COUNT dependents: set "
+                "quantitative=True (-qt). Binary case/control "
+                "validation does not apply to counts."
+            )
         preds = set(self.predictor_columns)
         deps = set(self.dependent_columns)
         covs = set(self.covariate_columns)

@@ -429,3 +429,80 @@ def firth_fit(X: np.ndarray, y: np.ndarray, ci_method: str = "profile") -> dict:
         "ci_low": float(ci_low),
         "ci_high": float(ci_high),
     }
+
+
+# ---------------------------------------------------------------------------
+# Poisson (log-linear count regression, Newton-Raphson)
+# ---------------------------------------------------------------------------
+
+
+def _poisson_loglik(y: np.ndarray, eta: np.ndarray) -> float:
+    """Log-likelihood up to the y!-constant (constant drops out of every
+    comparison the solver makes)."""
+    return float(y @ eta - np.exp(eta).sum())
+
+
+def poisson_fit(X: np.ndarray, y: np.ndarray) -> dict:
+    """Poisson (log-link) count regression, Wald inference on
+    coefficient 0 — the same output contract as ols_fit/logistic_fit
+    so the fan-out machinery treats it like any other kernel (beyond
+    reference: the reference's model set stops at firth/logistic/
+    linear, models.py:40-83).
+
+    Newton-Raphson with step-halving on the (constant-dropped)
+    log-likelihood: mu = exp(eta) makes the raw Newton step prone to
+    overshoot into overflow for steep designs, and halving until the
+    objective improves is the standard safeguard (textbook IRLS
+    globalization). Start at beta = [0,...,0, log(mean(y)+eps)] — the
+    intercept-only MLE — so the first step is already well-scaled.
+    """
+    Xc = add_intercept(np.asarray(X, dtype=np.float64))
+    y = np.asarray(y, dtype=np.float64)
+    n, k = Xc.shape
+    if np.any(y < 0):
+        raise ValueError("Poisson model requires non-negative counts")
+    beta = np.zeros(k)
+    beta[-1] = math.log(float(y.mean()) + 1e-12)
+    ll = _poisson_loglik(y, Xc @ beta)
+    converged = False
+    for _ in range(50):
+        eta = Xc @ beta
+        mu = np.exp(np.clip(eta, -700, 700))
+        grad = Xc.T @ (y - mu)
+        hess = (Xc * mu[:, None]).T @ Xc
+        try:
+            step = np.linalg.solve(hess, grad)
+        except np.linalg.LinAlgError:
+            step = np.linalg.lstsq(hess, grad, rcond=None)[0]
+        # Step-halving line search on the log-likelihood.
+        scale, improved = 1.0, False
+        for _h in range(30):
+            cand = beta + scale * step
+            ll_cand = _poisson_loglik(y, Xc @ cand)
+            if ll_cand >= ll - 1e-12:
+                improved = True
+                break
+            scale *= 0.5
+        if not improved:
+            break
+        beta, ll = cand, ll_cand
+        if np.max(np.abs(scale * step)) < 1e-9:
+            converged = True
+            break
+    mu = np.exp(np.clip(Xc @ beta, -700, 700))
+    hess = (Xc * mu[:, None]).T @ Xc
+    try:
+        cov = np.linalg.inv(hess)
+    except np.linalg.LinAlgError:
+        cov = np.linalg.pinv(hess)
+    se = math.sqrt(max(cov[0, 0], 0.0))
+    z = beta[0] / se if se > 0 else math.nan
+    pval = 2.0 * norm_sf(abs(z)) if not math.isnan(z) else math.nan
+    return {
+        "pval": pval,
+        "beta": float(beta[0]),
+        "se": se,
+        "converged": bool(converged),
+        "ci_low": float(beta[0] - _Z975 * se),
+        "ci_high": float(beta[0] + _Z975 * se),
+    }

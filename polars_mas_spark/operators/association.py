@@ -38,7 +38,12 @@ from pyspark.sql import types as T
 
 from polars_mas_spark.colutils import qcol, qname
 from polars_mas_spark.config import MASConfig
-from polars_mas_spark.functions.stats import firth_fit, logistic_fit, ols_fit
+from polars_mas_spark.functions.stats import (
+    firth_fit,
+    logistic_fit,
+    ols_fit,
+    poisson_fit,
+)
 
 PRED_VALUE = "__pred_value__"
 DEP_VALUE = "__dep_value__"
@@ -94,11 +99,18 @@ _MODEL_FUNCS: dict[str, Callable] = {
     "firth": firth_fit,
     "logistic": logistic_fit,
     "linear": ols_fit,
+    "poisson": poisson_fit,
 }
+
+# Models whose result rows carry n_observations instead of
+# cases/controls (Poisson dependents are counts — quantitative).
+_QUANT_MODELS = ("linear", "poisson")
 
 
 def result_schema(model: str) -> T.StructType:
-    return LINEAR_RESULT_SCHEMA if model == "linear" else BINARY_RESULT_SCHEMA
+    return (
+        LINEAR_RESULT_SCHEMA if model in _QUANT_MODELS else BINARY_RESULT_SCHEMA
+    )
 
 
 def safe_covariate_pairs(covariates: list[str]) -> list[tuple[str, str]]:
@@ -573,7 +585,7 @@ def make_kernel(
     Restricted dependents are fitted only on matching-sex rows (R PheWAS
     semantics); the sex covariate then goes constant in that subset and
     the per-group constant drop removes it from the design naturally."""
-    defaults = _LINEAR_DEFAULTS if model == "linear" else _BINARY_DEFAULTS
+    defaults = _LINEAR_DEFAULTS if model in _QUANT_MODELS else _BINARY_DEFAULTS
     columns = [f.name for f in result_schema(model).fields]
     fit_func = _MODEL_FUNCS[model]
     cov_pairs = safe_covariate_pairs(covariates)
@@ -973,7 +985,7 @@ def _complete_pairs(
     model = config.model
     num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
     pairs = _pair_frame(spark, config.predictor_columns, config.dependent_columns)
-    defaults = dict(_LINEAR_DEFAULTS if model == "linear" else _BINARY_DEFAULTS)
+    defaults = dict(_LINEAR_DEFAULTS if model in _QUANT_MODELS else _BINARY_DEFAULTS)
     defaults["failed_reason"] = "No data after dropping nulls."
     schema_types = {f.name: f.dataType for f in result_schema(model).fields}
     present = fitted.withColumn("__present__", F.lit(True))

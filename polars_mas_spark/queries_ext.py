@@ -4020,3 +4020,39 @@ def q_drift_psi_acctbal(spark, sf_dir):
         ).otherwise(F.col("c_acctbal")),
     )
     return mt.drift_psi(cust, new, "c_acctbal", _PSI_EDGES)
+
+
+@query(
+    "mas_poisson_rate_golden",
+    """SELECT 'exposure' AS predictor, 'y' AS dependent,
+              round(ln(avg(CASE WHEN x = 1 THEN y END)
+                       / avg(CASE WHEN x = 0 THEN y END)), 6) AS beta,
+              round(sqrt(1.0 / sum(CASE WHEN x = 1 THEN y END)
+                         + 1.0 / sum(CASE WHEN x = 0 THEN y END)), 6) AS se,
+              count(*)::BIGINT AS n_observations
+       FROM (SELECT (event_id % 7)::DOUBLE AS y,
+                    (user_id % 2)::DOUBLE AS x FROM events)""",
+)
+def q_mas_poisson_rate_golden(spark, sf_dir):
+    """The Poisson kernel as a DRIVER-BINDING query (same device as
+    mas_firth_2x2_haldane): with a single binary predictor the Poisson
+    MLE has the closed form beta = ln(mean1/mean0), se = sqrt(1/S1 +
+    1/S0), which DuckDB computes directly — so the distributed
+    iterative fit (packed fan-out -> applyInPandas Newton kernel) is
+    value-checked end-to-end, not rows-only. Counts derive
+    deterministically from event ids in both engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 7).cast("double").alias("y"),
+        (F.col("user_id") % 2).cast("double").alias("exposure"),
+    )
+    cfg = MASConfig(
+        predictors="exposure", dependents=["y"], model="poisson",
+        quantitative=True, min_case_count=10,
+    )
+    res = run_associations(ev, cfg.resolve(ev.columns))
+    return res.select(
+        "predictor", "dependent",
+        F.round("beta", 6).alias("beta"),
+        F.round("se", 6).alias("se"),
+        "n_observations",
+    )

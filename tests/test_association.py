@@ -947,3 +947,35 @@ def test_drop_strategy_nan_covariate_parity(spark):
     clean = df.na.drop(subset=["cov"]).count()
     assert p["n_observations"] == clean
     assert c["n_observations"] == clean
+
+
+def test_poisson_fanout_with_covariate(spark):
+    """The Poisson kernel through the distributed fan-out: converges,
+    reports n_observations (quantitative contract), and the
+    adjusted-rate beta direction matches the planted signal; config
+    rejects poisson without quantitative=True."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    n = 400
+    x = rng.binomial(1, 0.5, n).astype(float)
+    cov = rng.uniform(0, 1, n)
+    mu = np.exp(0.7 * x + 0.4 * cov + 0.2)
+    y = rng.poisson(mu).astype(float)
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": x, "cov": cov, "y": y})
+    )
+    cfg = MASConfig(
+        predictors="x", dependents=["y"], covariates=["cov"],
+        model="poisson", quantitative=True, min_case_count=10,
+    ).resolve(df.columns)
+    row = run_associations(df, cfg).toPandas().iloc[0]
+    assert bool(row["converged"])
+    assert row["n_observations"] == n
+    assert 0.4 < row["beta"] < 1.0  # planted 0.7, Wald se ~0.06
+    assert row["ci_low"] < row["beta"] < row["ci_high"]
+    with pytest.raises(ValueError, match="quantitative"):
+        MASConfig(
+            predictors="x", dependents=["y"], model="poisson"
+        ).resolve(["x", "y"])

@@ -204,3 +204,45 @@ def test_firth_sex2_golden():
     # Published LRT p-value (logistf summary): age 6.148205e-03.
     res_age = firth_fit(X[:, [0, 1, 2, 3, 4, 5]], y)
     assert res_age["pval"] == pytest.approx(6.148205e-03, abs=1e-5)
+
+
+def test_poisson_binary_predictor_closed_form():
+    """Single binary predictor + intercept: the Poisson MLE is exactly
+    beta = ln(mean1/mean0), se = sqrt(1/S1 + 1/S0) (group-saturated
+    model) — the same closed form the mas_poisson_rate_golden oracle
+    computes in SQL."""
+    from polars_mas_spark.functions.stats import poisson_fit
+
+    x = np.array([0.0] * 6 + [1.0] * 6)
+    y = np.array([1, 2, 3, 2, 1, 3, 4, 6, 5, 7, 4, 4], dtype=float)
+    m0, m1 = y[:6].mean(), y[6:].mean()
+    s0, s1 = y[:6].sum(), y[6:].sum()
+    out = poisson_fit(x[:, None], y)
+    assert out["converged"]
+    assert out["beta"] == pytest.approx(math.log(m1 / m0), abs=1e-8)
+    assert out["se"] == pytest.approx(math.sqrt(1 / s1 + 1 / s0), abs=1e-8)
+    assert 0 < out["pval"] < 1
+    assert out["ci_low"] < out["beta"] < out["ci_high"]
+
+
+def test_poisson_exact_fixed_point_multicovariate():
+    """If y_i = exp(x_i . b_true) EXACTLY, the score at b_true is zero
+    and the strictly concave log-likelihood makes b_true the unique
+    MLE — an exact solver check needing no external fit."""
+    from polars_mas_spark.functions.stats import poisson_fit
+
+    rng = np.random.RandomState(7)
+    X = rng.uniform(-1, 1, size=(80, 3))
+    b_true = np.array([0.8, -0.5, 0.3, 0.9])  # last = intercept
+    Xc = np.column_stack([X, np.ones(80)])
+    y = np.exp(Xc @ b_true)
+    out = poisson_fit(X, y)
+    assert out["converged"]
+    assert out["beta"] == pytest.approx(0.8, abs=1e-7)
+
+
+def test_poisson_rejects_negative_counts():
+    from polars_mas_spark.functions.stats import poisson_fit
+
+    with pytest.raises(ValueError, match="non-negative"):
+        poisson_fit(np.ones((3, 1)), np.array([1.0, -1.0, 2.0]))
