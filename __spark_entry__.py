@@ -56,6 +56,15 @@ _PRIORITY = [
     # plug points.
     "mas_firth_sex2_golden", "mas_logistic_mtcars_golden",
     "audio_features_wav", "image_features_netpbm",
+    # New-in-r5 operator FAMILIES with no driver row yet: the Poisson
+    # kernel (closed-form rate-ratio oracle — the fourth model family),
+    # the collinearity diagnostic, time-series resample/interpolate,
+    # and the table-maintenance trio (snapshot diff / CDC apply / DQ
+    # rules). Six r3/r2-era slots yielded below; each yielding query's
+    # operator family keeps other in-window (or e2e-bound) coverage.
+    "mas_poisson_rate_golden", "covariate_corr",
+    "resample_interpolate_events", "snapshot_diff_customers",
+    "cdc_apply_orders", "dq_checks_orders",
     # r1-era (no driver row since round 1).
     "token_count", "fingerprint", "ann_bruteforce_topk",
     "embedding_neardup", "rolling_agg", "topk_per_group", "asof_join",
@@ -66,7 +75,9 @@ _PRIORITY = [
     # Sampling / split / mixture / cap (stratified_sample_docs sits
     # just past the cap — mixture_sample_docs exercises the same
     # threshold-ladder mechanism):
-    "hash_sample_docs", "train_eval_split",
+    # hash_sample_docs yields (deterministic_sample's md5-threshold
+    # base stays bound through train_eval_split and mixture).
+    "train_eval_split",
     "mixture_sample_docs", "cap_tokens_per_source",
     # New r5 operator: hard-negative mining (LSH ranking slice).
     "hard_negatives",
@@ -75,19 +86,25 @@ _PRIORITY = [
     # k-means + semantic dedup (semantic_dedup also bench-weak in r4):
     "kmeans_assign", "semantic_dedup",
     # Set ops:
-    "users_intersect", "users_except",
+    # users_intersect yields its slot to the r5 set (intersect and
+    # except share the distinct semi/anti-join machinery).
+    "users_except",
     # Join strategies (salted skew join, bucketed zero-shuffle,
     # as-of with forward tolerance):
     "salted_join_events", "enrich_events", "asof_join_forward_tolerance",
     # Robust transforms:
     "winsorize_acctbal", "robust_scale_acctbal",
     # OLAP rollup/cube + partition pruning:
-    "event_rollup", "event_cube", "partitioned_scan_prune",
+    # event_cube yields (same one-Expand grouping-set machinery as
+    # rollup).
+    "event_rollup", "partitioned_scan_prune",
     # r2-era: corrections + transforms (standalone rows last seen r2;
     # min_max_scale sits just past the cap — same covariate-scaling
     # machinery as standard_scale, which stays).
-    "bonferroni", "bh_fdr", "standard_scale",
-    "log_transform", "rint_blom", "json_extract",
+    # bonferroni and log_transform yield: both are oracle-bound
+    # inside the r4-green mas_pipeline_e2e chain / trivially scoped;
+    # bh_fdr + rint_blom keep the corrections/transforms families.
+    "bh_fdr", "standard_scale", "rint_blom", "json_extract",
     # New r5 operator: CCNet-style normalized dedup (planted noisy
     # mirrors must collapse; digests value-bound).
     "normalized_dedup",
@@ -95,7 +112,9 @@ _PRIORITY = [
     # correctness alongside the perf bisect). exact_dedup_summary and
     # minhash_signatures sit just past the cap: their operators stay
     # bound through exact_dedup / minhash_dedup(+cc) here.
-    "exact_dedup", "minhash_dedup", "minhash_dedup_cc",
+    # minhash_dedup_cc yields (the connected-component machinery is
+    # also oracle-bound through r4-green leakage_safe_split).
+    "exact_dedup", "minhash_dedup",
     "simhash_hamming_pairs", "jaccard_pairs",
     # New r5 operators: global quality-ranked token-budget selection
     # (two-phase range-block running sum) and JL random projection.
