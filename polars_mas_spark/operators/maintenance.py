@@ -308,3 +308,47 @@ def drift_psi(
     return old.sparkSession.createDataFrame(
         out, "bucket string, old_frac double, new_frac double, psi_term double"
     )
+
+
+def table_digest(
+    df: DataFrame, cols: list[str] | None = None, salt: str = ""
+) -> DataFrame:
+    """Order-independent content fingerprint of a table — the cheap
+    cross-environment equality check ("did the migration/backfill
+    produce the same table?") that avoids sorting or diffing anything:
+    one row (n_rows, xor_digest, sum_digest).
+
+    Per-row digest: first 8 hex digits of md5 over a canonical
+    '|'-joined encoding of ``cols`` (NULL -> a \\x01 sentinel distinct
+    from the empty string). Aggregation is commutative (XOR + a
+    modular sum + count), so partition order, shuffle order, and
+    engine never matter; the md5 construction is the same
+    engine-portable one as the samplers, so another engine (the DuckDB
+    oracle) reproduces the digest bit-for-bit. XOR alone is blind to
+    duplicated row pairs (x XOR x = 0); the (count, modular-sum) pair
+    restores sensitivity to duplication — collisions now need equal
+    count AND equal sum AND equal xor. The modular reduction (% 10^6+3
+    per row) keeps the BIGINT sum overflow-free up to ~9e12 rows.
+
+    Float columns: cast-to-string formatting is engine-specific
+    (Spark's Java Double.toString vs C printf) — round/format floats
+    to strings explicitly upstream if cross-engine digests must match;
+    int/string/date columns are portable as-is. One aggregate job,
+    map-side combined, zero shuffle beyond the final merge."""
+    cols = cols or df.columns
+    enc = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(qcol(c).cast("string"), F.lit("\x01"))
+            for c in cols
+        ],
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), enc)), 1, 8), 16, 10
+    ).cast("bigint")
+    tmp = df.select(h.alias("__h__"))
+    return tmp.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__h__)").alias("xor_digest"),
+        F.sum(F.col("__h__") % 1000003).alias("sum_digest"),
+    )

@@ -4056,3 +4056,29 @@ def q_mas_poisson_rate_golden(spark, sf_dir):
         F.round("se", 6).alias("se"),
         "n_observations",
     )
+
+
+@query(
+    "table_digest_customer",
+    """WITH h AS (
+           SELECT ('0x' || substring(md5(
+                      concat_ws('|',
+                          coalesce(c_custkey::VARCHAR, chr(1)),
+                          coalesce(c_name, chr(1)),
+                          coalesce(c_mktsegment, chr(1)))), 1, 8))::BIGINT AS v
+           FROM customer)
+       SELECT count(*)::BIGINT AS n_rows,
+              bit_xor(v) AS xor_digest,
+              sum(v % 1000003)::BIGINT AS sum_digest
+       FROM h""",
+)
+def q_table_digest_customer(spark, sf_dir):
+    """Order-independent table fingerprint (operators/maintenance.
+    table_digest) over the portable (int/string) customer columns: the
+    oracle reproduces the md5/XOR/modular-sum digest bit-for-bit from
+    the same rows, proving the digest is a pure content function —
+    partition/engine/order independent."""
+    from polars_mas_spark.operators import maintenance as mt
+
+    cust = _t(spark, sf_dir, "customer")
+    return mt.table_digest(cust, ["c_custkey", "c_name", "c_mktsegment"])

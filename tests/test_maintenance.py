@@ -124,3 +124,49 @@ def test_drift_psi_buckets_nulls_and_total(spark):
 
     with pt.raises(ValueError, match="strictly increasing"):
         drift_psi(old, old, "v", [5.0, 5.0])
+
+
+def test_snapshot_diff_self_is_empty_and_cdc_idempotent(spark):
+    """Structural invariants: diff(x, x) reports nothing; applying the
+    same changelog twice equals applying it once (latest-wins is a
+    projection, not an accumulation)."""
+    from polars_mas_spark.operators.maintenance import cdc_apply, snapshot_diff
+
+    base = spark.createDataFrame(
+        [(i, float(i), f"t{i % 3}") for i in range(50)],
+        "k long, v double, tag string",
+    )
+    assert snapshot_diff(base, base, ["k"]).count() == 0
+    ch = spark.createDataFrame(
+        [(i, 1, 1, "D" if i % 7 == 0 else "U", float(i) * 2)
+         for i in range(0, 60, 2)],
+        "k long, ts long, seq long, op string, v double",
+    )
+    once = cdc_apply(base, ch, ["k"], "ts", "seq", "op", ["v"])
+    twice = cdc_apply(once, ch, ["k"], "ts", "seq", "op", ["v"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    assert snapshot_diff(once, twice, ["k"]).count() == 0
+
+
+def test_table_digest_order_independent_and_sensitive(spark):
+    """Same content in any partitioning -> same digest; one changed
+    row -> different digest; a duplicated row flips sum/count even
+    though XOR alone cancels."""
+    from polars_mas_spark.operators.maintenance import table_digest
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "k long, s string"
+    )
+    d1 = table_digest(df).first()
+    d2 = table_digest(df.repartition(7, "s")).first()
+    assert tuple(d1) == tuple(d2)
+    changed = df.withColumn(
+        "s", F.when(F.col("k") == 42, "X").otherwise(F.col("s"))
+    )
+    assert tuple(table_digest(changed).first()) != tuple(d1)
+    duped = df.unionAll(df.limit(1))
+    d3 = table_digest(duped).first()
+    assert d3.n_rows == d1.n_rows + 1  # count catches duplication...
+    assert d3.xor_digest != d1.xor_digest or d3.sum_digest != d1.sum_digest

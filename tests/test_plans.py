@@ -298,3 +298,41 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     after = len(glob.glob(f"{path}/event_type=*/*.parquet"))
     assert after < before and after == 5
     assert spark.read.parquet(path).count() == n_before
+
+
+def test_vocab_encode_applies_via_broadcast(spark, qs):
+    """The dictionary side of encode_column must broadcast (it exists
+    because the value set is small); the fit must contain no
+    single-partition global window."""
+    plan = plan_of(qs["vocab_encode_sources"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_takeordered_not_global_sort(spark, qs):
+    """Top-n by jitter key must compile to TakeOrderedAndProject
+    (per-partition heaps merged on the driver), never a full global
+    Sort + Limit of the corpus."""
+    plan = plan_of(qs["weighted_sample_docs"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_maintenance_joins_are_hash_not_nested_loop(spark, qs):
+    """snapshot_diff and cdc_apply are single key-join programs — no
+    nested-loop/cartesian fallback, exactly one join each."""
+    for name in ("snapshot_diff_customers", "cdc_apply_orders"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_resample_windows_are_key_partitioned(spark, qs):
+    """No single-partition window in the interpolation: every window
+    partitions by the series key."""
+    plan = plan_of(qs["resample_interpolate_events"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # A global (unpartitioned) window would appear as an Exchange
+    # SinglePartition feeding a Window; assert none exists.
+    import re
+
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", plan)
