@@ -45,6 +45,12 @@ DEFAULT_QUERIES = [
     # r5 operators
     "budget_select_docs", "top_fraction_per_source", "normalized_dedup",
     "jl_project_embeddings", "hard_negatives", "temperature_mixture_docs",
+    # r5 second wave: time-series resample, weighted sampling, vocab
+    # encoding, maintenance family, Poisson kernel
+    "resample_interpolate_events", "weighted_sample_docs",
+    "vocab_encode_sources", "snapshot_diff_customers", "cdc_apply_orders",
+    "dq_checks_orders", "drift_psi_acctbal", "table_digest_customer",
+    "quantile_profile_orders", "covariate_corr", "mas_poisson_rate_golden",
 ]
 
 
