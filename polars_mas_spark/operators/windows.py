@@ -382,3 +382,82 @@ def resample_interpolate(
         interp.alias("value"),
         v.isNull().alias("interpolated"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order transition matrix over each user's event stream:
+    (from_type, to_type, n, prob) where prob is row-normalized over
+    from_type — the Markov-chain summary behind "what do users do
+    next" analyses. One user-partitioned lag window + one hash
+    aggregate; ``tiebreak_col`` makes same-timestamp order total (the
+    same determinism rule as topk_per_group)."""
+    w = Window.partitionBy(qcol(user_col)).orderBy(
+        qcol(ts_col).asc(), qcol(tiebreak_col).asc()
+    )
+    pairs = (
+        df.withColumn("__prev__", F.lag(qcol(type_col)).over(w))
+        .filter(F.col("__prev__").isNotNull())
+        .groupBy(
+            F.col("__prev__").alias("from_type"),
+            qcol(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "prob", F.col("n") / F.sum("n").over(tot)
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_seconds: int = 1800,
+    max_steps: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N session paths: sessionize, take each session's first
+    ``max_steps`` event types in (ts, tiebreak) order, join them with
+    '>' into a path string, and count sessions per path — the classic
+    "how do journeys start" report. Deterministic by construction:
+    the path is built from sort_array over (ts, tiebreak, type)
+    structs, NEVER collect_list's arrival order (which varies run to
+    run). Shape: the sessionize window + one (user, session) aggregate
+    + one path aggregate + a TakeOrdered top-N — everything keyed,
+    nothing global except the final N-row merge."""
+    s = sessionize(df, user_col, ts_col, gap_seconds)
+    per_session = (
+        s.groupBy(qcol(user_col).alias("__u__"), F.col("session_id"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        qcol(ts_col).alias("t"),
+                        qcol(tiebreak_col).alias("k"),
+                        qcol(type_col).cast("string").alias("e"),
+                    )
+                )
+            ).alias("__evs__")
+        )
+        .select(
+            F.array_join(
+                F.slice(F.transform("__evs__", lambda x: x["e"]), 1, max_steps),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_n)
+    )

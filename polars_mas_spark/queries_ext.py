@@ -4082,3 +4082,68 @@ def q_table_digest_customer(spark, sf_dir):
 
     cust = _t(spark, sf_dir, "customer")
     return mt.table_digest(cust, ["c_custkey", "c_name", "c_mktsegment"])
+
+
+@query(
+    "event_transitions",
+    """WITH p AS (
+           SELECT lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS f,
+                  event_type AS t
+           FROM events),
+       c AS (SELECT f AS from_type, t AS to_type, count(*) AS n
+             FROM p WHERE f IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n::BIGINT AS n,
+              round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6)
+                  AS prob
+       FROM c""",
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream (operators/windows.event_transitions): one user-keyed lag
+    window + one hash aggregate + a tiny from_type-normalization
+    window over the K^2 matrix rows."""
+    ev = _t(spark, sf_dir, "events")
+    out = wd.event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+    return out.select(
+        "from_type", "to_type", "n", F.round("prob", 6).alias("prob")
+    )
+
+
+@query(
+    "session_paths",
+    """WITH o AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS prev_ts
+           FROM events),
+       s AS (
+           SELECT user_id, ts, event_id, event_type,
+                  sum(CASE WHEN prev_ts IS NULL
+                            OR (epoch_ns(ts) // 1000000000)
+                               - (epoch_ns(prev_ts) // 1000000000) > 1800
+                           THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+           FROM o),
+       paths AS (
+           SELECT array_to_string(
+                      (array_agg(event_type ORDER BY ts, event_id))[1:5],
+                      '>') AS path
+           FROM s GROUP BY user_id, sid)
+       SELECT path, count(*)::BIGINT AS n_sessions
+       FROM paths GROUP BY path
+       ORDER BY n_sessions DESC, path ASC LIMIT 20""",
+)
+def q_session_paths(spark, sf_dir):
+    """Top-20 session-opening paths (operators/windows.session_paths):
+    30-min sessionization, first 5 event types per session in
+    deterministic (ts, event_id) order joined with '>', counted and
+    TakeOrdered. The oracle rebuilds the identical sessionization
+    (truncated-seconds gap parity) and path strings."""
+    ev = _t(spark, sf_dir, "events")
+    return wd.session_paths(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap_seconds=1800, max_steps=5, top_n=20,
+    )

@@ -1119,3 +1119,56 @@ def test_weighted_sample_n_contract(spark):
     assert mean_w > 6.0
     with pt.raises(ValueError, match="positive"):
         weighted_sample_n(df, "id", "w", 0)
+
+
+def test_event_transitions_counts_and_rowwise_probs(spark):
+    """Transitions counted per user in (ts, tiebreak) order; prob
+    normalizes within from_type; first event per user contributes no
+    transition."""
+    import datetime as dt
+
+    import pytest
+
+    from polars_mas_spark.operators.windows import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, e in enumerate(["a", "b", "a", "c"]):      # u1: a>b, b>a, a>c
+        rows.append((1, t0 + dt.timedelta(minutes=i), i, e))
+    for i, e in enumerate(["a", "b"]):                # u2: a>b
+        rows.append((2, t0 + dt.timedelta(minutes=i), 10 + i, e))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, e string")
+    out = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in event_transitions(df, "u", "ts", "e", "eid").collect()
+    }
+    assert out[("a", "b")] == (2, pytest.approx(2 / 3))
+    assert out[("a", "c")] == (1, pytest.approx(1 / 3))
+    assert out[("b", "a")] == (1, pytest.approx(1.0))
+    assert len(out) == 3
+
+
+def test_session_paths_deterministic_truncation_and_gaps(spark):
+    """Paths split at the gap, truncate at max_steps, and order events
+    by (ts, tiebreak) — never collect order."""
+    import datetime as dt
+
+    from polars_mas_spark.operators.windows import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1 session 1: a,b,c,d,e,f (truncates to 5); session 2 after 1h: x
+    for i, e in enumerate(["a", "b", "c", "d", "e", "f"]):
+        rows.append((1, t0 + dt.timedelta(minutes=i), i, e))
+    rows.append((1, t0 + dt.timedelta(hours=2), 99, "x"))
+    # u2: same opening pair
+    rows.append((2, t0, 0, "a"))
+    rows.append((2, t0 + dt.timedelta(minutes=1), 1, "b"))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, e string")
+    out = {
+        r.path: r.n_sessions
+        for r in session_paths(
+            df, "u", "ts", "e", "eid", gap_seconds=1800, max_steps=5
+        ).collect()
+    }
+    assert out == {"a>b>c>d>e": 1, "x": 1, "a>b": 1}
