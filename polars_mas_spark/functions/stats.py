@@ -1,4 +1,5 @@
-"""Regression kernels: OLS, logistic (Newton/IRLS), and Firth-penalized logistic.
+"""Regression kernels: OLS, logistic (Newton/IRLS), Firth-penalized
+logistic, and Poisson (log-link counts/rates, beyond-reference).
 
 These reproduce the statistical contract of the reference engine
 (/root/reference/src/polars_mas/models.py:9-83) without its dependencies
@@ -442,7 +443,9 @@ def _poisson_loglik(y: np.ndarray, eta: np.ndarray) -> float:
     return float(y @ eta - np.exp(eta).sum())
 
 
-def poisson_fit(X: np.ndarray, y: np.ndarray) -> dict:
+def poisson_fit(
+    X: np.ndarray, y: np.ndarray, offset: np.ndarray | None = None
+) -> dict:
     """Poisson (log-link) count regression, Wald inference on
     coefficient 0 — the same output contract as ols_fit/logistic_fit
     so the fan-out machinery treats it like any other kernel (beyond
@@ -461,12 +464,20 @@ def poisson_fit(X: np.ndarray, y: np.ndarray) -> dict:
     n, k = Xc.shape
     if np.any(y < 0):
         raise ValueError("Poisson model requires non-negative counts")
+    # Exposure offset (log person-time / log denominator): eta = X.b +
+    # offset with coefficient fixed at 1 — turns the model into a RATE
+    # regression. None = the plain count model.
+    off = (
+        np.zeros(n)
+        if offset is None
+        else np.asarray(offset, dtype=np.float64)
+    )
     beta = np.zeros(k)
-    beta[-1] = math.log(float(y.mean()) + 1e-12)
-    ll = _poisson_loglik(y, Xc @ beta)
+    beta[-1] = math.log(float(y.mean()) + 1e-12) - float(off.mean())
+    ll = _poisson_loglik(y, Xc @ beta + off)
     converged = False
     for _ in range(50):
-        eta = Xc @ beta
+        eta = Xc @ beta + off
         mu = np.exp(np.clip(eta, -700, 700))
         grad = Xc.T @ (y - mu)
         hess = (Xc * mu[:, None]).T @ Xc
@@ -478,7 +489,7 @@ def poisson_fit(X: np.ndarray, y: np.ndarray) -> dict:
         scale, improved = 1.0, False
         for _h in range(30):
             cand = beta + scale * step
-            ll_cand = _poisson_loglik(y, Xc @ cand)
+            ll_cand = _poisson_loglik(y, Xc @ cand + off)
             if ll_cand >= ll - 1e-12:
                 improved = True
                 break
@@ -489,7 +500,7 @@ def poisson_fit(X: np.ndarray, y: np.ndarray) -> dict:
         if np.max(np.abs(scale * step)) < 1e-9:
             converged = True
             break
-    mu = np.exp(np.clip(Xc @ beta, -700, 700))
+    mu = np.exp(np.clip(Xc @ beta + off, -700, 700))
     hess = (Xc * mu[:, None]).T @ Xc
     try:
         cov = np.linalg.inv(hess)

@@ -4147,3 +4147,49 @@ def q_session_paths(spark, sf_dir):
         ev, "user_id", "ts", "event_type", "event_id",
         gap_seconds=1800, max_steps=5, top_n=20,
     )
+
+
+_ZO_CUST_EDGES = [300.0, 600.0, 900.0, 1200.0]
+_ZO_PRICE_EDGES = [50000.0, 100000.0, 150000.0, 200000.0, 250000.0]
+_ZO_BITS = 8
+
+
+def _zorder_oracle() -> str:
+    """Replay zorder_value's bin + Morton-interleave arithmetic in SQL
+    (column-major, MSB first): bid_j // 2^bit % 2 lands at
+    2^(bit*k + k-1-j)."""
+
+    def bid(col: str, edges: list[float]) -> str:
+        return " + ".join(
+            f"(CASE WHEN {col} >= {e!r} THEN 1 ELSE 0 END)" for e in edges
+        )
+
+    bids = [
+        f"({bid('o_custkey', _ZO_CUST_EDGES)})",
+        f"({bid('o_totalprice', _ZO_PRICE_EDGES)})",
+    ]
+    k = len(bids)
+    terms = []
+    for bit in range(_ZO_BITS):
+        for j, b in enumerate(bids):
+            pos = bit * k + (k - 1 - j)
+            terms.append(f"(({b} // {2 ** bit}) % 2) * {2 ** pos}")
+    return f"""SELECT o_orderkey, ({' + '.join(terms)})::BIGINT AS zval
+               FROM orders"""
+
+
+@query("zorder_key_orders", _zorder_oracle())
+def q_zorder_key_orders(spark, sf_dir):
+    """The Z-order clustering key (sources/writers.zorder_value): Morton
+    interleave of pinned-edge bin ids over (o_custkey, o_totalprice) —
+    the sort key write_zordered clusters parquet files/row-groups by so
+    min/max stats prune scans filtered on EITHER column. Pure JVM bit
+    arithmetic; the oracle recomputes every bit position."""
+    from polars_mas_spark.sources.writers import zorder_value
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    z = zorder_value(
+        {"o_custkey": _ZO_CUST_EDGES, "o_totalprice": _ZO_PRICE_EDGES},
+        bits=_ZO_BITS,
+    )
+    return orders.select("o_orderkey", z.alias("zval"))

@@ -199,3 +199,79 @@ def compact_parquet(
         fs.rename(P(old), P(base))  # roll back; tmp stays for retry
         raise IOError(f"compact_parquet: failed to move compacted copy into {base}")
     fs.delete(P(old), True)
+
+
+def zorder_value(
+    bin_edges: dict[str, list[float]], bits: int = 16
+):
+    """Column expression: the Morton (Z-order) interleave of each row's
+    per-column bin ids — the multi-column data-skipping sort key.
+
+    Sorting (or range-partitioning) a table by this value clusters rows
+    that are close in EVERY listed column into the same parquet row
+    groups, so min/max statistics prune scans filtered on ANY of the
+    columns — the standard lakehouse trick for "we filter on either
+    customer or price, pick one sort order" tables.
+
+    ``bin_edges`` maps column -> explicit ascending interior edges
+    (same pinned-edges philosophy as drift_psi: the key must be a pure
+    row function, never depend on a sampled quantile that shifts
+    between writes). Each column's bin id is clamped to ``bits`` bits;
+    ids are bit-interleaved column-major (first column owns the most
+    significant bit of each group). NULLs bin to 0 (sort first). Pure
+    JVM expression — usable in sortWithinPartitions/repartitionByRange
+    with zero extra jobs."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.colutils import qcol
+
+    cols = list(bin_edges)
+    ids = []
+    for c in cols:
+        edges = [float(e) for e in bin_edges[c]]
+        if edges != sorted(edges) or len(set(edges)) != len(edges):
+            raise ValueError(f"bin_edges[{c!r}] must be strictly increasing")
+        if len(edges) >= (1 << bits):
+            raise ValueError(f"too many edges for {bits}-bit bin ids")
+        v = qcol(c).cast("double")
+        # bin id = number of edges <= v (0 for NULL).
+        bid = F.lit(0)
+        for e in edges:
+            bid = bid + F.when(v >= F.lit(e), 1).otherwise(0)
+        ids.append(F.coalesce(bid, F.lit(0)).cast("long"))
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    # Interleave from the most significant bin bit down. bitwiseOR/AND,
+    # not |/&: Python's operators on Columns are LOGICAL or/and.
+    for bit in range(bits - 1, -1, -1):
+        for bid in ids:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(bid, bit).bitwiseAND(one)
+            )
+    return z
+
+
+def write_zordered(
+    df,
+    path: str,
+    bin_edges: dict[str, list[float]],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order key: repartitionByRange on
+    the z-value (range partitions = files, so each file owns a compact
+    z-range) then sortWithinPartitions — both on the SAME key, so the
+    second sort is partition-local. Row-group min/max stats then prune
+    on every binned column, not just a lexicographic leader."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(bin_edges)
+    out = df.withColumn("__z__", z)
+    if num_files:
+        out = out.repartitionByRange(num_files, F.col("__z__"))
+    (
+        out.sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -100,3 +100,70 @@ def test_erfc_vec_nan_propagates():
     assert abs(out[1] - 1.0) < 1e-15
     assert abs(out[2] - 0.15729920705028513) < 1e-12
     assert abs(out[3] - 2.0) < 1e-15
+
+
+def test_zorder_value_matches_reference_interleave(spark):
+    """The Morton key equals a straight Python bit-interleave of the
+    bin ids; NULLs bin to 0; invalid edges raise."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.sources.writers import zorder_value
+
+    edges = {"a": [10.0, 20.0, 30.0], "b": [100.0]}
+    rows = [(5.0, 50.0), (15.0, 150.0), (25.0, None), (None, 500.0), (35.0, 99.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = [
+        r.z
+        for r in df.select(
+            zorder_value(edges, bits=4).alias("z")
+        ).collect()
+    ]
+
+    def ref(a, b):
+        bid_a = 0 if a is None else sum(1 for e in edges["a"] if a >= e)
+        bid_b = 0 if b is None else sum(1 for e in edges["b"] if b >= e)
+        z = 0
+        for bit in range(3, -1, -1):
+            z = (z << 1) | ((bid_a >> bit) & 1)
+            z = (z << 1) | ((bid_b >> bit) & 1)
+        return z
+
+    assert got == [ref(a, b) for a, b in rows]
+    with pt.raises(ValueError, match="strictly increasing"):
+        zorder_value({"a": [2.0, 1.0]})
+
+
+def test_write_zordered_clusters_files_by_z_range(spark, tmp_path):
+    """Round-trips losslessly and actually clusters: with range
+    partitioning on the z-key, per-file z ranges must not all overlap
+    (the whole point of the layout is disjoint-ish clusters)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.sources.writers import write_zordered, zorder_value
+
+    df = spark.range(2000).select(
+        (F.col("id") % 50).cast("double").alias("x"),
+        (F.col("id") % 37).cast("double").alias("y"),
+        F.col("id"),
+    )
+    edges = {"x": [10.0, 20.0, 30.0, 40.0], "y": [10.0, 20.0, 30.0]}
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, edges, num_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert sorted(r.id for r in back.select("id").collect()) == list(range(2000))
+    z = zorder_value(edges, bits=4).alias("z")
+    ranges = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        one = spark.read.parquet(f).select(z).agg(
+            F.min("z"), F.max("z")
+        ).first()
+        ranges.append((one[0], one[1]))
+    ranges.sort()
+    # Range partitioning on z => consecutive files' ranges can touch at
+    # the boundary but not strictly interleave.
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo2 >= lo1 and lo2 >= hi1 - 0  # non-interleaved ordering

@@ -246,3 +246,22 @@ def test_poisson_rejects_negative_counts():
 
     with pytest.raises(ValueError, match="non-negative"):
         poisson_fit(np.ones((3, 1)), np.array([1.0, -1.0, 2.0]))
+
+
+def test_poisson_offset_rate_closed_form():
+    """With a binary predictor and per-row exposure offsets, the MLE
+    rate ratio is (S1/E1)/(S0/E0) where E = total exposure per group —
+    the classic person-time closed form."""
+    from polars_mas_spark.functions.stats import poisson_fit
+
+    x = np.array([0.0] * 4 + [1.0] * 4)
+    expo = np.array([2.0, 3.0, 1.0, 4.0, 5.0, 2.0, 3.0, 2.0])
+    y = np.array([1, 2, 1, 3, 6, 3, 4, 3], dtype=float)
+    out = poisson_fit(x[:, None], y, offset=np.log(expo))
+    r0 = y[:4].sum() / expo[:4].sum()
+    r1 = y[4:].sum() / expo[4:].sum()
+    assert out["converged"]
+    assert out["beta"] == pytest.approx(math.log(r1 / r0), abs=1e-8)
+    assert out["se"] == pytest.approx(
+        math.sqrt(1 / y[4:].sum() + 1 / y[:4].sum()), abs=1e-8
+    )
