@@ -631,6 +631,11 @@ def q_rint_blom(spark, sf_dir):
 
 @query("rint_full")  # probit not expressible in DuckDB -> rows-only check
 def q_rint_full(spark, sf_dir):
+    """Full rank-based inverse-normal transform (--rint): Blom rank
+    fractions through the probit. Permanently rows-only — DuckDB has
+    no inverse-normal function — so the probit itself is bound by the
+    vectorized golden tests in test_distributions.py instead; the rank
+    step's SQL-expressible half is value-bound by rint_blom."""
     p = _t(spark, sf_dir, "part")
     out = rint(p.select("p_partkey", "p_retailprice"), "p_retailprice", "price_rint")
     return out.select("p_partkey", F.round(F.col("price_rint"), 6).alias("price_rint"))
