@@ -60,12 +60,14 @@ def snapshot_diff(
     )
     cond = None
     for k in key_cols:
-        eq = F.col(f"__k_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        # qcol, not F.col: the alias embeds the user name, so a dotted
+        # key like '250.1' needs backticks to resolve.
+        eq = qcol(f"__k_{k}").eqNullSafe(qcol(f"__nk_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
     diffs = [
         F.when(
-            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+            ~qcol(f"__o_{c}").eqNullSafe(qcol(f"__n_{c}")), F.lit(c)
         )
         for c in sorted(compare_cols)
     ]
@@ -80,7 +82,7 @@ def snapshot_diff(
     )
     out = j.select(
         *[
-            F.coalesce(F.col(f"__k_{k}"), F.col(f"__nk_{k}")).alias(k)
+            F.coalesce(qcol(f"__k_{k}"), qcol(f"__nk_{k}")).alias(k)
             for k in key_cols
         ],
         change.alias("change_type"),
@@ -132,7 +134,7 @@ def cdc_apply(
     )
     cond = None
     for k in key_cols:
-        eq = qcol(k).eqNullSafe(F.col(f"__ck_{k}"))
+        eq = qcol(k).eqNullSafe(qcol(f"__ck_{k}"))
         cond = eq if cond is None else (cond & eq)
     j = base.join(latest, cond, "full_outer")
     alive = F.col("__op__").isNull() | (F.col("__op__") != "D")
@@ -142,11 +144,11 @@ def cdc_apply(
     for c in base.columns:
         if c in set(key_cols):
             out_cols.append(
-                F.coalesce(qcol(c), F.col(f"__ck_{c}")).alias(c)
+                F.coalesce(qcol(c), qcol(f"__ck_{c}")).alias(c)
             )
         elif c in set(value_cols):
             out_cols.append(
-                F.when(F.col("__op__").isNotNull(), F.col(f"__c_{c}"))
+                F.when(F.col("__op__").isNotNull(), qcol(f"__c_{c}"))
                 .otherwise(qcol(c))
                 .alias(c)
             )

@@ -146,19 +146,23 @@ def quantile_profile(
     fn = F.percentile if exact else (
         lambda c, p: F.percentile_approx(c, p, F.lit(accuracy))
     )
+    # Internal aliases are INDEX-keyed, never name-keyed: a user column
+    # like '250.1' embedded in an alias would make the bare F.col
+    # reference below reparse the dot as a struct access (the exact
+    # trap colutils.qcol exists for).
     aggs = [
         fn(qcol(c).cast("double"), F.array(*[F.lit(x) for x in qs])).alias(
-            f"__q_{c}"
+            f"__q_{i}"
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     keys = [qcol(group_col)] if group_col else []
     wide = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
     # stack() the per-column arrays into long form, then posexplode the
     # quantile array against its literal probabilities.
     pairs = []
-    for c in cols:
-        pairs += [F.lit(c), F.col(f"__q_{c}")]
+    for i, c in enumerate(cols):
+        pairs += [F.lit(c), F.col(f"__q_{i}")]
     stacked = wide.select(
         *([qcol(group_col)] if group_col else []),
         F.stack(F.lit(len(cols)), *pairs).alias("column", "__vals__"),

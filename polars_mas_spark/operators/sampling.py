@@ -525,3 +525,35 @@ def weighted_sample_n(
         .limit(n)
         .drop("__es_key__")
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    boundary,
+    embargo_seconds: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe TIME-based train/test split: rows strictly before
+    ``boundary - embargo`` are 'train', rows at/after ``boundary`` are
+    'test', and the embargo window between them is quarantined as
+    'embargo' (dropped by convention) — the purge gap that stops
+    look-ahead leakage when features aggregate trailing windows (a
+    train row whose rolling feature reaches into test time would
+    otherwise leak labels backwards). NULL timestamps get their own
+    'unknown' verdict rather than silently joining a side.
+
+    Map-only (a pure projection — no shuffle, no state); ``boundary``
+    is anything Spark can cast to timestamp (string or datetime)."""
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    ts = qcol(ts_col)
+    b = F.lit(boundary).cast("timestamp")
+    train_end = b.cast("long") - F.lit(int(embargo_seconds))
+    verdict = (
+        F.when(ts.isNull(), "unknown")
+        .when(ts.cast("long") < train_end, "train")
+        .when(ts >= b, "test")
+        .otherwise("embargo")
+    )
+    return df.withColumn(out_col, verdict)

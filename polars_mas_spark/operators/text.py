@@ -718,3 +718,100 @@ def char_trigram_scores(
         F.col("nll_mean"),
         F.exp("nll_mean").alias("ppl"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents per query under the
+    Okapi/Lucene scoring function — the lexical-retrieval baseline a
+    training-data platform needs next to its embedding ANN (hard-
+    negative mining, eval-set construction, contamination hunting all
+    start from "find the documents about X").
+
+    score(q,d) = sum over query terms of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene's variant —
+    never negative, unlike the raw Robertson idf).
+
+    Shape: ONE corpus pass (explode -> (doc, token, tf) aggregate, the
+    same whitespace tokenization as tfidf_top_terms), then the query
+    side — distinct (query, token) pairs, broadcast — filters that
+    table down to query-term rows, so document frequencies, lengths,
+    and scores all aggregate over query-relevant rows only. N and
+    avgdl enter as broadcast 1-row aggregates (no eager action).
+    Per-query top-k is a bounded window keyed on the query. Documents
+    with no query term never appear (score 0 by definition); query
+    term multiplicity is ignored (set semantics, the common choice)."""
+    tf = (
+        docs.select(
+            qcol(doc_id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != ""
+                )
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = lens.agg(
+        F.avg("dl").alias("__avgdl__")
+    ).crossJoin(docs.agg(F.count("*").alias("__N__")))
+    qt = queries.select(
+        qcol(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(qcol(query_text_col)), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("token"),
+    ).distinct()
+    tf_q = tf.join(F.broadcast(qt.select("token").distinct()), "token")
+    dfreq = tf_q.groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    scored = (
+        tf_q.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(qt), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("__N__") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("__avgdl__"))
+                )
+            ).alias("__s__"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__s__").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )

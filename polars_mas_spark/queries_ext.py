@@ -3843,7 +3843,9 @@ def q_snapshot_diff_customers(spark, sf_dir):
            SELECT l_orderkey, l_extendedprice, l_returnflag
            FROM (SELECT l_orderkey, l_extendedprice, l_returnflag,
                         row_number() OVER (PARTITION BY l_orderkey
-                            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+                            ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                     l_extendedprice DESC,
+                                     l_returnflag DESC) AS rn
                  FROM lineitem)
            WHERE rn = 1)
        SELECT o.o_orderkey,
@@ -3865,10 +3867,18 @@ def q_cdc_apply_orders(spark, sf_dir):
     base = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+    # seq must make the per-key order TOTAL (cdc_apply's contract).
+    # The generated lineitem has 8 duplicate (orderkey, shipdate,
+    # linenumber) groups with different prices — a bare linenumber seq
+    # made "latest" a tie lottery (caught as a run-to-run oracle-hash
+    # flap). A struct seq is ordered lexicographically, so appending
+    # the remaining payload fields totalizes the order in both engines.
     changes = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"),
         F.col("l_shipdate").alias("ts"),
-        F.col("l_linenumber").alias("seq"),
+        F.struct(
+            "l_linenumber", "l_extendedprice", "l_returnflag"
+        ).alias("seq"),
         F.when(F.col("l_returnflag") == "R", "D").otherwise("U").alias("op"),
         F.col("l_extendedprice").alias("o_totalprice"),
     )
@@ -4193,3 +4203,88 @@ def q_zorder_key_orders(spark, sf_dir):
         bits=_ZO_BITS,
     )
     return orders.select("o_orderkey", z.alias("zval"))
+
+
+@query(
+    "temporal_split_events",
+    """SELECT event_id,
+              CASE WHEN ts IS NULL THEN 'unknown'
+                   WHEN (epoch_ns(ts) // 1000000000)
+                        < (epoch_ns(TIMESTAMP '2024-06-01 00:00:00')
+                           // 1000000000) - 86400 THEN 'train'
+                   WHEN ts >= TIMESTAMP '2024-06-01 00:00:00' THEN 'test'
+                   ELSE 'embargo' END AS split
+       FROM events""",
+)
+def q_temporal_split_events(spark, sf_dir):
+    """Purged time-based split (operators/sampling.temporal_split):
+    train before boundary-minus-embargo, test at/after the boundary,
+    a 1-day quarantined embargo between (the look-ahead-leakage purge
+    gap), NULL ts -> 'unknown'. Map-only projection; the oracle replays
+    the truncated-seconds boundary arithmetic."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = smp.temporal_split(
+        ev, "ts", "2024-06-01 00:00:00", embargo_seconds=86400
+    )
+    return out.select("event_id", "split")
+
+
+@query(
+    "bm25_topk_docs",
+    r"""WITH tf AS (
+          SELECT doc_id, t.token, count(*) AS tf
+          FROM documents,
+               UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t(token)
+          WHERE t.token <> ''
+          GROUP BY doc_id, t.token),
+        lens AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        stats AS (SELECT (SELECT avg(dl) FROM lens) AS avgdl,
+                         (SELECT count(*) FROM documents) AS n),
+        qt AS (
+          SELECT DISTINCT q.doc_id AS query_id, t.token
+          FROM (SELECT doc_id,
+                       (list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> ''))[1:3] AS qtoks
+                FROM documents WHERE doc_id IN (3, 103, 203)) q,
+               UNNEST(q.qtoks) AS t(token)),
+        dfq AS (SELECT token, count(*) AS df FROM tf
+                WHERE token IN (SELECT token FROM qt) GROUP BY token),
+        scored AS (
+          SELECT qt.query_id, tf.doc_id,
+                 sum(ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                        + 0.75 * lens.dl / stats.avgdl))) AS score
+          FROM tf
+          JOIN dfq USING (token) JOIN qt USING (token)
+          JOIN lens USING (doc_id), stats
+          GROUP BY qt.query_id, tf.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id ASC) AS rank,
+                 score
+          FROM scored)
+        SELECT query_id, doc_id, rank::INTEGER AS rank,
+               round(score, 6) AS score
+        FROM ranked WHERE rank <= 5""",
+)
+def q_bm25_topk_docs(spark, sf_dir):
+    """BM25 lexical retrieval (operators/text.bm25_topk): three queries
+    derived deterministically from document openings (first 3 tokens of
+    docs 3/103/203) ranked against the whole corpus under Lucene BM25
+    (k1=1.2, b=0.75). One corpus tokenize pass; query terms broadcast;
+    the oracle replays tokenization, df/len/avgdl, and the full scoring
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    queries = docs.filter(F.col("doc_id").isin(3, 103, 203)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("query_text"),
+    )
+    out = tx.bm25_topk(docs, queries, k=5)
+    return out.select(
+        "query_id", "doc_id", "rank", F.round("score", 6).alias("score")
+    )

@@ -170,3 +170,42 @@ def test_table_digest_order_independent_and_sensitive(spark):
     d3 = table_digest(duped).first()
     assert d3.n_rows == d1.n_rows + 1  # count catches duplication...
     assert d3.xor_digest != d1.xor_digest or d3.sum_digest != d1.sum_digest
+
+
+def test_new_operators_accept_dotted_column_names(spark):
+    """qcol discipline (colutils): dotted user column names must work
+    through every new operator — F.col('250.1') would parse as a
+    struct access and fail or silently misresolve."""
+    from polars_mas_spark.operators.maintenance import (
+        dq_checks,
+        drift_psi,
+        snapshot_diff,
+        table_digest,
+    )
+    from polars_mas_spark.operators.preprocessing import covariate_correlations
+    from polars_mas_spark.operators.profile import quantile_profile
+    from polars_mas_spark.operators.sampling import (
+        temporal_split,
+        weighted_sample_n,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(i) * 2 + 1) for i in range(40)],
+        ["id", "250.1", "008.5"],
+    )
+    corr = {
+        (r.col_a, r.col_b): r.corr
+        for r in covariate_correlations(df, ["250.1", "008.5"]).collect()
+    }
+    assert corr[("250.1", "008.5")] == 1.0
+    assert quantile_profile(df, ["250.1"], [0.5], exact=True).count() == 1
+    assert weighted_sample_n(df, "id", "008.5", 10).count() == 10
+    assert table_digest(df, ["250.1"]).first().n_rows == 40
+    assert snapshot_diff(df, df, ["id"]).count() == 0
+    assert drift_psi(df, df, "250.1", [20.0]).count() == 4  # 3 buckets + total
+    rules = dq_checks(df, [{"type": "not_null", "col": "250.1"}]).collect()
+    assert rules[0].violations == 0
+    import datetime as dt
+
+    ts_df = df.withColumn("ts", F.lit(dt.datetime(2024, 1, 1)))
+    assert temporal_split(ts_df, "ts", "2024-06-01").count() == 40

@@ -1172,3 +1172,66 @@ def test_session_paths_deterministic_truncation_and_gaps(spark):
         ).collect()
     }
     assert out == {"a>b>c>d>e": 1, "x": 1, "a>b": 1}
+
+
+def test_bm25_hand_computed_scores(spark):
+    """Tiny corpus where every BM25 quantity is hand-checkable: idf
+    uses the Lucene non-negative variant, tf saturation and length
+    normalization apply, docs without query terms never appear."""
+    import math
+
+    import pytest
+
+    from polars_mas_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog"),        # dl 2
+            (2, "cat cat cat"),    # dl 3
+            (3, "bird"),           # dl 1
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(10, "cat")], "query_id long, query_text string")
+    rows = {
+        r.doc_id: (r.rank, r.score)
+        for r in bm25_topk(docs, queries, k=5).collect()
+    }
+    n, df_cat, avgdl, k1, b = 3, 2, 2.0, 1.2, 0.75
+    idf = math.log(1 + (n - df_cat + 0.5) / (df_cat + 0.5))
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(rows) == {1, 2}  # doc 3 has no query term
+    assert rows[2][1] == pytest.approx(s(3, 3), rel=1e-9)
+    assert rows[1][1] == pytest.approx(s(1, 2), rel=1e-9)
+    assert rows[2][0] == 1 and rows[1][0] == 2  # saturation still ranks tf=3 first
+
+
+def test_temporal_split_boundaries_and_embargo(spark):
+    """Strict train/embargo/test boundaries at truncated-second
+    precision; NULL ts quarantined as 'unknown'; negative embargo
+    raises."""
+    import datetime as dt
+
+    import pytest as pt
+
+    from polars_mas_spark.operators.sampling import temporal_split
+
+    b = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, b - dt.timedelta(days=2)),            # train
+        (2, b - dt.timedelta(days=1)),            # exactly train_end -> embargo
+        (3, b - dt.timedelta(hours=1)),           # embargo
+        (4, b),                                   # test (inclusive)
+        (5, None),                                # unknown
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    out = {
+        r.k: r.split
+        for r in temporal_split(df, "ts", "2024-06-01 00:00:00", 86400).collect()
+    }
+    assert out == {1: "train", 2: "embargo", 3: "embargo", 4: "test", 5: "unknown"}
+    with pt.raises(ValueError, match=">= 0"):
+        temporal_split(df, "ts", "2024-06-01", -1)
