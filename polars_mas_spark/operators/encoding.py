@@ -44,11 +44,16 @@ def fit_vocabulary(
     Two jobs: distinct + per-bucket counts (collect <= ``buckets``
     rows), then the bucket-partitioned rank job that emits the table.
     """
+    # persist: the counts collect below and the rank job the caller
+    # executes would otherwise each re-pay the full scan + distinct
+    # shuffle. The cache is released by the ContextCleaner once the
+    # caller drops the returned frame (review r5 finding).
     vals = (
         df.select(qcol(col).cast("string").alias("value"))
         .where(F.col("value").isNotNull())
         .distinct()
         .withColumn("__bk__", hash_bucket(F.col("value"), buckets, salt))
+        .persist()
     )
     counts = {
         r["__bk__"]: r["n"]

@@ -269,6 +269,8 @@ def drift_psi(
     an empty bucket cannot produce an infinite term (the conventional
     guard)."""
     edges = [float(e) for e in bin_edges]
+    if not edges:
+        raise ValueError("bin_edges must be non-empty (pin at least one edge)")
     if edges != sorted(edges) or len(set(edges)) != len(edges):
         raise ValueError("bin_edges must be strictly increasing")
 
@@ -332,22 +334,24 @@ def table_digest(
     count AND equal sum AND equal xor. The modular reduction (% 10^6+3
     per row) keeps the BIGINT sum overflow-free up to ~9e12 rows.
 
-    Float columns: cast-to-string formatting is engine-specific
+    Float columns: cast-to-string formatting is engine-specific (and
+    length() must agree on character counting for non-BMP unicode)
     (Spark's Java Double.toString vs C printf) — round/format floats
     to strings explicitly upstream if cross-engine digests must match;
     int/string/date columns are portable as-is. One aggregate job,
     map-side combined, zero shuffle beyond the final merge."""
     cols = cols or df.columns
-    enc = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(qcol(c).cast("string"), F.lit("\x01"))
-            for c in cols
-        ],
-    )
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), enc)), 1, 8), 16, 10
-    ).cast("bigint")
+
+    def field(c):
+        v = qcol(c).cast("string")
+        return F.when(v.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.length(v).cast("string"), F.lit(":"), v)
+        )
+
+    enc = F.concat_ws("|", *[field(c) for c in cols])
+    from polars_mas_spark.operators.sampling import md5_u32
+
+    h = md5_u32(enc, salt, null_sentinel=False)
     tmp = df.select(h.alias("__h__"))
     return tmp.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -39,6 +39,26 @@ def _threshold(fraction: float, buckets: int) -> int:
     return int(math.floor(fraction * buckets + 0.5))
 
 
+def md5_u32(key: Column, salt: str = "", null_sentinel: bool = True) -> Column:
+    """THE engine-portable hash primitive shared by every deterministic
+    sampler/digest in this engine: the first 8 hex digits of
+    ``md5(salt || cast(key as string))`` as a BIGINT in [0, 2^32).
+    Single definition on purpose — the cross-engine oracle parity story
+    requires every consumer (hash_bucket, weighted_sample_n,
+    maintenance.table_digest, encoding.fit_vocabulary) to use
+    byte-identical construction; DuckDB mirror:
+    ``('0x' || substring(md5(...), 1, 8))::BIGINT``.
+    ``null_sentinel`` hashes NULL as a \x01 sentinel; pass False when
+    the caller guarantees/filters non-NULL keys and wants NULL to
+    propagate."""
+    ks = key.cast("string")
+    if null_sentinel:
+        ks = F.coalesce(ks, F.lit("\x01"))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), ks)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def hash_bucket(key: Column, buckets: int = DEFAULT_BUCKETS, salt: str = "") -> Column:
     """Deterministic bucket in ``[0, buckets)`` from a key column.
 
@@ -52,8 +72,7 @@ def hash_bucket(key: Column, buckets: int = DEFAULT_BUCKETS, salt: str = "") -> 
     to 'train' — inconsistent and invisible. The DuckDB mirror is
     ``md5('salt' || coalesce(CAST(k AS VARCHAR), chr(1)))``.
     """
-    s = F.concat(F.lit(salt), F.coalesce(key.cast("string"), F.lit("\x01")))
-    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint") % buckets
+    return md5_u32(key, salt) % buckets
 
 
 def deterministic_sample(
@@ -502,18 +521,19 @@ def weighted_sample_n(
     merged on the driver, no global sort, so this scales as a map-only
     pass + n-row merge. Rows with NULL/NaN/non-positive weight are
     excluded (a zero weight means "never sample me"; documented
-    contract, same NULL philosophy as select_until_budget)."""
+    contract, same NULL philosophy as select_until_budget).
+
+    CONTRACT: ``key_col`` must uniquely identify rows — it is the
+    sampling unit. Duplicate keys share one jitter draw and an
+    identical tiebreak, so which duplicates cross the selection
+    boundary is unspecified (and may vary across partitionings);
+    de-duplicate or synthesize a unique key first."""
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
     w = qcol(weight_col).cast("double")
     # 32-bit md5 prefix -> u in (0,1): (h + 0.5) / 2^32 never hits 0 or
     # 1, so ln(u) is always finite.
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), qcol(key_col).cast("string"))), 1, 8
-        ),
-        16, 10,
-    ).cast("double")
+    h = md5_u32(qcol(key_col), salt, null_sentinel=False).cast("double")
     u = (h + F.lit(0.5)) / F.lit(4294967296.0)
     rank_key = F.log(u) / w
     eligible = df.filter(

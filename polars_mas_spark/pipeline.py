@@ -84,6 +84,21 @@ def run_pipeline(
                 "they need the Spark window path; use packed/unpivot or a "
                 "different missing-value strategy"
             )
+    if strategy == "columnar" and config.drop_correlated_above is not None:
+        # The correlated-covariate pruner runs inside preprocess(); the
+        # columnar path replaces preprocess() with a PrepRecipe that
+        # does not consult it, so the flag would be SILENTLY ignored —
+        # the same model would differ by physical strategy (review r5
+        # finding). Same policy as the ordered-fill guard: auto falls
+        # back to the tall path, explicit columnar errors.
+        if auto_strategy:
+            strategy = "packed"
+        else:
+            raise ValueError(
+                "strategy='columnar' does not apply drop_correlated_above "
+                "(the PrepRecipe path has no correlation pass); use "
+                "packed/unpivot, or drop the flag"
+            )
     if strategy == "columnar" and config.checkpoint_dir and "://" in config.checkpoint_dir:
         # Columnar's per-task column-pruned reads go through pyarrow,
         # which needs POSIX-visible paths; a URI-scheme checkpoint target

@@ -4073,9 +4073,14 @@ def q_mas_poisson_rate_golden(spark, sf_dir):
     """WITH h AS (
            SELECT ('0x' || substring(md5(
                       concat_ws('|',
-                          coalesce(c_custkey::VARCHAR, chr(1)),
-                          coalesce(c_name, chr(1)),
-                          coalesce(c_mktsegment, chr(1)))), 1, 8))::BIGINT AS v
+                          CASE WHEN c_custkey IS NULL THEN 'n'
+                               ELSE 'v' || length(c_custkey::VARCHAR)
+                                    || ':' || c_custkey::VARCHAR END,
+                          CASE WHEN c_name IS NULL THEN 'n'
+                               ELSE 'v' || length(c_name) || ':' || c_name END,
+                          CASE WHEN c_mktsegment IS NULL THEN 'n'
+                               ELSE 'v' || length(c_mktsegment) || ':'
+                                    || c_mktsegment END)), 1, 8))::BIGINT AS v
            FROM customer)
        SELECT count(*)::BIGINT AS n_rows,
               bit_xor(v) AS xor_digest,

@@ -209,3 +209,17 @@ def test_new_operators_accept_dotted_column_names(spark):
 
     ts_df = df.withColumn("ts", F.lit(dt.datetime(2024, 1, 1)))
     assert temporal_split(ts_df, "ts", "2024-06-01").count() == 40
+
+
+def test_table_digest_delimiter_injection_resistant(spark):
+    """Length-prefixed fields: a delimiter inside a value cannot shift
+    a boundary — ('a|b','c') and ('a','b|c') digest differently, as do
+    NULL vs the literal sentinel strings."""
+    from polars_mas_spark.operators.maintenance import table_digest
+
+    d1 = table_digest(spark.createDataFrame([("a|b", "c")], "x string, y string")).first()
+    d2 = table_digest(spark.createDataFrame([("a", "b|c")], "x string, y string")).first()
+    assert (d1.xor_digest, d1.sum_digest) != (d2.xor_digest, d2.sum_digest)
+    d3 = table_digest(spark.createDataFrame([(None, "c")], "x string, y string")).first()
+    d4 = table_digest(spark.createDataFrame([("n", "c")], "x string, y string")).first()
+    assert (d3.xor_digest, d3.sum_digest) != (d4.xor_digest, d4.sum_digest)

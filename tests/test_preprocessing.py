@@ -435,3 +435,41 @@ def test_preprocess_drop_correlated_opt_in(spark):
                 missing_covariate_values="zero")
     cfg2.resolve(df.columns)
     assert "age2" in preprocess(df, cfg2).columns
+
+
+def test_pipeline_columnar_guard_for_correlated_drop(spark, tmp_path):
+    """drop_correlated_above must never be silently ignored: an
+    explicit columnar request errors, an auto pick falls back to the
+    tall path and actually prunes (review r5 finding)."""
+    import pandas as pd
+    import pytest as pt
+
+    from polars_mas_spark.pipeline import run_pipeline
+
+    pdf = pd.DataFrame(
+        {
+            "x": [float(i) for i in range(60)],
+            "age": [float(i % 9) for i in range(60)],
+            "age2": [2.0 * (i % 9) + 1 for i in range(60)],
+            **{f"y{j}": [(i + j) % 2 for i in range(60)] for j in range(8)},
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cfg = MASConfig(
+        predictors="x", dependents=[f"y{j}" for j in range(8)],
+        covariates=["age", "age2"], model="logistic", min_case_count=5,
+        missing_covariate_values="zero", drop_correlated_above=0.9,
+    )
+    with pt.raises(ValueError, match="drop_correlated_above"):
+        run_pipeline(spark, cfg, df=df, strategy="columnar")
+    # Auto: 8 pairs >= 8 would pick columnar; the guard reroutes to
+    # packed and the pruner runs (age2 leaves every equation).
+    cfg2 = MASConfig(
+        predictors="x", dependents=[f"y{j}" for j in range(8)],
+        covariates=["age", "age2"], model="logistic", min_case_count=5,
+        missing_covariate_values="zero", drop_correlated_above=0.9,
+    )
+    res = run_pipeline(spark, cfg2, df=df).toPandas()
+    assert len(res) == 8
+    assert not any("age2" in e for e in res["equation"].dropna())
+    assert cfg2.covariate_columns == ["age"]
