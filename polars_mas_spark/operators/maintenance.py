@@ -314,6 +314,21 @@ def drift_psi(
     )
 
 
+def _digest_encoding(cols: list[str]):
+    """Canonical row encoding shared by table_digest and its streaming
+    twin (streaming.events.stream_table_digest): length-prefixed fields
+    ``v{len}:{val}`` (NULL -> ``n``), '|'-joined — a prefix code, so
+    embedded delimiters cannot shift field boundaries."""
+
+    def field(c):
+        v = qcol(c).cast("string")
+        return F.when(v.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.length(v).cast("string"), F.lit(":"), v)
+        )
+
+    return F.concat_ws("|", *[field(c) for c in cols])
+
+
 def table_digest(
     df: DataFrame, cols: list[str] | None = None, salt: str = ""
 ) -> DataFrame:
@@ -341,14 +356,7 @@ def table_digest(
     int/string/date columns are portable as-is. One aggregate job,
     map-side combined, zero shuffle beyond the final merge."""
     cols = cols or df.columns
-
-    def field(c):
-        v = qcol(c).cast("string")
-        return F.when(v.isNull(), F.lit("n")).otherwise(
-            F.concat(F.lit("v"), F.length(v).cast("string"), F.lit(":"), v)
-        )
-
-    enc = F.concat_ws("|", *[field(c) for c in cols])
+    enc = _digest_encoding(cols)
     from polars_mas_spark.operators.sampling import md5_u32
 
     h = md5_u32(enc, salt, null_sentinel=False)

@@ -331,3 +331,26 @@ def running_user_stats(
             ),
         )
     )
+
+
+def stream_table_digest(
+    stream: DataFrame, cols: list[str] | None = None, salt: str = ""
+) -> DataFrame:
+    """Streaming twin of maintenance.table_digest: the same commutative
+    (count, XOR, modular-sum) content fingerprint maintained
+    incrementally over a stream — commutativity is exactly what makes
+    the digest a legal streaming aggregate (each micro-batch folds in
+    map-side, no ordering or watermark needed; state is ONE tiny row).
+    Run with outputMode("complete") (or "update"); the same call on a
+    batch frame returns the batch digest, so stream-vs-batch parity is
+    a direct equality check."""
+    from polars_mas_spark.operators.maintenance import _digest_encoding
+    from polars_mas_spark.operators.sampling import md5_u32
+
+    cols = cols or stream.columns
+    h = md5_u32(_digest_encoding(cols), salt, null_sentinel=False)
+    return stream.select(h.alias("__h__")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__h__)").alias("xor_digest"),
+        F.sum(F.col("__h__") % 1000003).alias("sum_digest"),
+    )

@@ -455,3 +455,28 @@ def test_stream_normalized_dedup_null_text_passthrough(spark):
         assert got == [0, 1, 2]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_digest_matches_batch(spark, events_dir):
+    """The commutative content digest folded incrementally over a real
+    readStream equals the one-shot batch digest — micro-batch order
+    cannot matter by construction."""
+    from polars_mas_spark.streaming.events import stream_table_digest
+
+    result = _run_stream(
+        spark, events_dir,
+        lambda s: stream_table_digest(s, ["event_id", "event_type"]),
+        "digest_sink",
+    ).collect()
+    batch = stream_table_digest(
+        spark.read.parquet(events_dir), ["event_id", "event_type"]
+    ).collect()
+    assert len(result) == 1 and len(batch) == 1
+    assert tuple(result[0]) == tuple(batch[0])
+    # And the streaming twin agrees with the batch operator itself.
+    from polars_mas_spark.operators.maintenance import table_digest
+
+    direct = table_digest(
+        spark.read.parquet(events_dir), ["event_id", "event_type"]
+    ).collect()
+    assert tuple(direct[0]) == tuple(batch[0])
