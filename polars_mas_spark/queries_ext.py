@@ -4293,3 +4293,29 @@ def q_bm25_topk_docs(spark, sf_dir):
     return out.select(
         "query_id", "doc_id", "rank", F.round("score", 6).alias("score")
     )
+
+
+@query(
+    "shuffle_order_docs",
+    """SELECT doc_id FROM (
+           SELECT doc_id,
+                  ('0x' || substring(md5('ep1' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT AS h
+           FROM documents)
+       ORDER BY h, doc_id LIMIT 50""",
+)
+def q_shuffle_order_docs(spark, sf_dir):
+    """The deterministic training-order shuffle's ordering contract
+    (sources/writers.write_shuffled): the first 50 documents of epoch
+    'ep1' — TakeOrdered on the salted md5 hash, reproduced exactly by
+    the oracle. Re-salting ('ep2') yields a decorrelated epoch order
+    without rewriting data."""
+    from polars_mas_spark.operators.sampling import md5_u32
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.withColumn("__h__", md5_u32(F.col("doc_id"), "ep1"))
+        .orderBy("__h__", "doc_id")
+        .limit(50)
+        .select("doc_id")
+    )

@@ -275,3 +275,37 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_shuffled(
+    df,
+    path: str,
+    key_col: str,
+    salt: str = "",
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet in DETERMINISTIC pseudo-random order — the global
+    example shuffle a training run reads sequentially (epoch order must
+    be random w.r.t. any data property, yet reproducible run to run and
+    auditable per example). Order key = the engine-portable md5 hash of
+    ``key_col`` ([[md5_u32]], salt = epoch/seed): repartitionByRange on
+    the hash gives each output file a contiguous hash range (no global
+    sort — range exchange + partition-local sorts), sortWithinPartitions
+    finishes the total order. Re-salting re-shuffles without touching
+    the data; same salt always reproduces the same byte order."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.colutils import qcol
+    from polars_mas_spark.operators.sampling import md5_u32
+
+    h = md5_u32(qcol(key_col), salt)
+    out = df.withColumn("__shuf__", h)
+    if num_files:
+        out = out.repartitionByRange(num_files, F.col("__shuf__"))
+    (
+        out.sortWithinPartitions("__shuf__", key_col)
+        .drop("__shuf__")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -167,3 +167,33 @@ def test_write_zordered_clusters_files_by_z_range(spark, tmp_path):
     # the boundary but not strictly interleave.
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert lo2 >= lo1 and lo2 >= hi1 - 0  # non-interleaved ordering
+
+
+def test_write_shuffled_deterministic_and_resaltable(spark, tmp_path):
+    """Same salt -> identical global order across independent writes;
+    different salt -> different order; round-trip lossless; per-file
+    hash ranges disjoint (range layout, no global sort)."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.sampling import md5_u32
+    from polars_mas_spark.sources.writers import write_shuffled
+
+    df = spark.range(500).select(F.col("id"))
+
+    def order(path, salt):
+        write_shuffled(df, path, "id", salt=salt, num_files=3)
+        back = spark.read.parquet(path)
+        assert back.count() == 500
+        return [
+            r.id
+            for r in back.withColumn("__h__", md5_u32(F.col("id"), salt))
+            .orderBy("__h__", "id")
+            .collect()
+        ]
+
+    a = order(str(tmp_path / "s1"), "ep1")
+    b = order(str(tmp_path / "s2"), "ep1")
+    c = order(str(tmp_path / "s3"), "ep2")
+    assert a == b
+    assert a != c
+    assert sorted(a) == list(range(500))
