@@ -1178,3 +1178,225 @@ def q_tpch_q21ish(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
         .limit(50)
     )
+
+
+# ===========================================================================
+# TPC-H shapes, second wave (q8/q9/q12/q15/q17-ish). q2/q11/q20 need the
+# partsupp table, which the generated testdata does not include.
+# ===========================================================================
+
+
+@query(
+    "tpch_q12ish",
+    """SELECT l.l_returnflag,
+              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+              sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_returnflag IN ('A', 'R')
+         AND l.l_shipdate >= DATE '1996-01-01'
+         AND l.l_shipdate < DATE '1997-01-01'
+       GROUP BY l.l_returnflag""",
+)
+def q_tpch_q12ish(spark, sf_dir):
+    """Q12 shape (shipping-priority split; l_returnflag standing in for
+    the absent l_shipmode): fact-fact equi-join + conditional counts."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q15ish",
+    """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01'
+             AND l_shipdate < DATE '1996-04-01'
+           GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name,
+              round(r.total_revenue, 2) AS total_revenue
+       FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def q_tpch_q15ish(spark, sf_dir):
+    """Q15 shape (top-revenue supplier): aggregate view + scalar-max
+    subquery join-back. The max enters as a broadcast 1-row crossJoin
+    (no single-partition window over the supplier aggregate)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx__"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx__"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q17ish",
+    """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+             FROM lineitem GROUP BY l_partkey) t
+         ON t.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_thresh""",
+)
+def q_tpch_q17ish(spark, sf_dir):
+    """Q17 shape (small-quantity-order revenue): correlated per-part
+    average decorrelated into an aggregate + join-back — the classic
+    rewrite Catalyst would otherwise need a subquery for; part
+    dimension broadcasts, the per-part threshold joins on the fact
+    key."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    thresh = li.groupBy(F.col("l_partkey").alias("__tk__")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thresh, li["l_partkey"] == F.col("__tk__"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q9ish",
+    """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       WHERE p.p_name LIKE '%red%'
+       GROUP BY n.n_name, year(o.o_orderdate)""",
+)
+def q_tpch_q9ish(spark, sf_dir):
+    """Q9 shape (product-line profit by nation and year, sans the
+    partsupp supply-cost term the testdata lacks): a 5-table star —
+    three broadcast dims + one fact-fact join + two-key aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "tpch_q8ish",
+    """WITH vol AS (
+           SELECT year(o.o_orderdate) AS o_year,
+                  l.l_extendedprice * (1 - l.l_discount) AS volume,
+                  sn.n_name AS supp_nation
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = cn.n_regionkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+           WHERE r.r_name = 'AMERICA'
+             AND o.o_orderdate >= DATE '1995-01-01'
+             AND o.o_orderdate < DATE '1997-01-01')
+       SELECT o_year,
+              round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                             ELSE 0 END) / sum(volume), 6) AS mkt_share
+       FROM vol GROUP BY o_year""",
+)
+def q_tpch_q8ish(spark, sf_dir):
+    """Q8 shape (national market share): a 7-table snowflake — nation
+    joined TWICE under different roles (customer's vs supplier's), all
+    dimensions broadcast, share = conditional-sum ratio per year."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(0.0)
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
