@@ -47,6 +47,11 @@ HEADLINE = [
     "event_rollup",
     "mas_logistic_fanout",
     "mas_firth_fanout",
+    # r5 families (kept tracked round-over-round from here on): CDC
+    # compaction, BM25 retrieval, time-series resample.
+    "cdc_apply_orders",
+    "bm25_topk_docs",
+    "resample_interpolate_events",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

@@ -366,3 +366,30 @@ def table_digest(
         F.expr("bit_xor(__h__)").alias("xor_digest"),
         F.sum(F.col("__h__") % 1000003).alias("sum_digest"),
     )
+
+
+def derive_bin_edges(
+    df: DataFrame, col: str, k: int = 10, relative_error: float = 1e-3
+) -> list[float]:
+    """Derive ``k``-bucket equi-depth interior edges from a BASELINE
+    snapshot — the one-time companion to :func:`drift_psi` and
+    ``writers.zorder_value``, both of which require PINNED edges (an
+    edge recomputed per run would make PSI read zero for real drift
+    and reshuffle a z-layout on every write). One ``approxQuantile``
+    job (mergeable sketch, no shuffle); duplicate quantiles from
+    heavy-tailed data are collapsed so the result is always strictly
+    increasing (fewer than k-1 edges on low-cardinality columns).
+    Persist the returned list next to the model/layout it baselines."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (at least one interior edge)")
+    probs = [i / k for i in range(1, k)]
+    cuts = (
+        df.select(qcol(col).cast("double").alias("__v__"))
+        .dropna()
+        .stat.approxQuantile("__v__", probs, relative_error)
+    )
+    out: list[float] = []
+    for c in cuts:
+        if not out or c > out[-1]:
+            out.append(float(c))
+    return out

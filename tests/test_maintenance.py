@@ -223,3 +223,25 @@ def test_table_digest_delimiter_injection_resistant(spark):
     d3 = table_digest(spark.createDataFrame([(None, "c")], "x string, y string")).first()
     d4 = table_digest(spark.createDataFrame([("n", "c")], "x string, y string")).first()
     assert (d3.xor_digest, d3.sum_digest) != (d4.xor_digest, d4.sum_digest)
+
+
+def test_derive_bin_edges_equidepth_and_dedup(spark):
+    """Edges come back strictly increasing, roughly equi-depth on
+    uniform data, collapsed on constant data; k<2 raises."""
+    from pyspark.sql import functions as F2
+
+    import pytest as pt
+
+    from polars_mas_spark.operators.maintenance import derive_bin_edges, drift_psi
+
+    df = spark.range(1000).select(F2.col("id").cast("double").alias("v"))
+    edges = derive_bin_edges(df, "v", k=4)
+    assert edges == sorted(edges) and len(edges) == 3
+    assert 200 < edges[0] < 300 and 700 < edges[2] < 800
+    # The derived edges feed drift_psi directly (zero drift on self).
+    rows = {r.bucket: r.psi_term for r in drift_psi(df, df, "v", edges).collect()}
+    assert rows["__total__"] == 0.0
+    const = spark.range(100).select(F2.lit(5.0).alias("v"))
+    assert derive_bin_edges(const, "v", k=5) == [5.0]
+    with pt.raises(ValueError, match="k must be"):
+        derive_bin_edges(df, "v", k=1)
