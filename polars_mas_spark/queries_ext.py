@@ -4319,3 +4319,51 @@ def q_shuffle_order_docs(spark, sf_dir):
         .limit(50)
         .select("doc_id")
     )
+
+
+@query(
+    "entity_clusters",
+    """WITH RECURSIVE c AS (
+           SELECT c_custkey AS id, c_name AS t
+           FROM customer WHERE c_custkey < 400),
+       p AS (SELECT a.id AS da, b.id AS db
+             FROM c a JOIN c b ON a.id < b.id
+             WHERE levenshtein(a.t, b.t) <= 1),
+       edges AS (SELECT da AS src, db AS dst FROM p
+                 UNION SELECT db, da FROM p),
+       reach(root, node) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+       comp AS (SELECT root AS id, min(node) AS mn FROM reach GROUP BY root)
+       SELECT c.id AS c_custkey,
+              least(c.id, coalesce(comp.mn, c.id)) AS cluster_id
+       FROM c LEFT JOIN comp USING (id)""",
+)
+def q_entity_clusters(spark, sf_dir):
+    """End-to-end entity resolution: fuzzy blocking (q-gram levenshtein
+    pairs) composed with pointer-doubling connected components — each
+    customer labeled with the MIN id of its name-similarity cluster,
+    singletons self-labeled. The oracle is the UNBLOCKED brute-force
+    pair set closed by a recursive CTE, so both the blocking's
+    losslessness and the distributed CC converge to the same
+    partition."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 400)
+        .select("c_custkey", "c_name")
+    )
+    pairs = dd.fuzzy_pairs(cust, "c_custkey", "c_name", max_distance=1, q=2)
+    labels = dd.connected_min_labels(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    )
+    return (
+        cust.select(F.col("c_custkey").alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("c_custkey"),
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+        )
+    )
