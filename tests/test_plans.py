@@ -336,3 +336,19 @@ def test_resample_windows_are_key_partitioned(spark, qs):
     import re
 
     assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", plan)
+
+
+def test_tpch_wave2_dims_broadcast(spark, qs):
+    """The new star/snowflake shapes must broadcast every dimension:
+    q9ish (part/supplier/nation) and q8ish (customer/nation x2/region/
+    supplier) may shuffle only the fact-fact join."""
+    plan9 = plan_of(qs["tpch_q9ish"](spark, SF_DIR))
+    assert _op_count(plan9, "BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan9
+    plan8 = plan_of(qs["tpch_q8ish"](spark, SF_DIR))
+    assert _op_count(plan8, "BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan8
+    # q15ish's scalar max enters as a broadcast 1-row join, never a
+    # single-partition window over the supplier aggregate.
+    plan15 = plan_of(qs["tpch_q15ish"](spark, SF_DIR))
+    assert "Window" not in plan15
