@@ -49,6 +49,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # kernel family, and TPC-H set sit right after the cap (checked r4,
 # scheduled for r6 re-rotation). rint_full is permanent no_oracle
 # (DuckDB lacks inverse-normal) — parked at the very end.
+# R6 ROTATION QUEUE (newest queries with no driver row yet, all locally
+# gate-green): bm25_topk_docs, entity_clusters, zorder_key_orders,
+# session_paths, event_transitions, temporal_split_events,
+# shuffle_order_docs, table_digest_customer, drift_psi_acctbal,
+# vocab_encode_sources, weighted_sample_docs, quantile_profile_orders,
+# tpch_q8ish/q9ish/q12ish/q15ish/q17ish — plus re-rotating the r4-green
+# relational core + TPC-H wave 1 + kernel family parked past the cap.
 _PRIORITY = [
     # Needs-evidence-now: r4's only red (session-config bug fixed), the
     # new driver-binding logistic golden, and the two REAL media
