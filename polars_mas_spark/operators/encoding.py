@@ -44,10 +44,12 @@ def fit_vocabulary(
     Two jobs: distinct + per-bucket counts (collect <= ``buckets``
     rows), then the bucket-partitioned rank job that emits the table.
     """
-    # persist: the counts collect below and the rank job the caller
-    # executes would otherwise each re-pay the full scan + distinct
-    # shuffle. The cache is released by the ContextCleaner once the
-    # caller drops the returned frame (review r5 finding).
+    # persist: the counts collect below and the rank job would
+    # otherwise each re-pay the full scan + distinct shuffle. The cache
+    # lifetime is bounded by THIS function: the id table is eagerly
+    # materialized (localCheckpoint) before vals is unpersisted in the
+    # finally, so repeated fits in a long-lived session cannot
+    # accumulate cached distinct-value blocks (r5 advice).
     vals = (
         df.select(qcol(col).cast("string").alias("value"))
         .where(F.col("value").isNotNull())
@@ -55,23 +57,31 @@ def fit_vocabulary(
         .withColumn("__bk__", hash_bucket(F.col("value"), buckets, salt))
         .persist()
     )
-    counts = {
-        r["__bk__"]: r["n"]
-        for r in vals.groupBy("__bk__").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, running = [0] * buckets, 0
-    for b in range(buckets):
-        offsets[b] = running
-        running += counts.get(b, 0)
-    offset = F.element_at(
-        F.array(*[F.lit(int(o)) for o in offsets]),
-        (F.col("__bk__") + 1).cast("int"),
-    )
-    w = Window.partitionBy("__bk__").orderBy(F.col("value").asc())
-    return vals.select(
-        "value",
-        (offset + F.row_number().over(w) - 1).cast("long").alias("id"),
-    )
+    try:
+        counts = {
+            r["__bk__"]: r["n"]
+            for r in vals.groupBy("__bk__")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        offsets, running = [0] * buckets, 0
+        for b in range(buckets):
+            offsets[b] = running
+            running += counts.get(b, 0)
+        offset = F.element_at(
+            F.array(*[F.lit(int(o)) for o in offsets]),
+            (F.col("__bk__") + 1).cast("int"),
+        )
+        w = Window.partitionBy("__bk__").orderBy(F.col("value").asc())
+        out = vals.select(
+            "value",
+            (offset + F.row_number().over(w) - 1).cast("long").alias("id"),
+        )
+        # eager=True computes the <= n_distinct id rows now, truncating
+        # the lineage back through the persisted frame.
+        return out.localCheckpoint(eager=True)
+    finally:
+        vals.unpersist()
 
 
 def encode_column(

@@ -120,6 +120,16 @@ def cdc_apply(
             for c in changes.columns
             if c not in set(key_cols) | {ts_col, seq_col, op_col}
         ]
+    # The output schema is exactly the base schema, so a value column
+    # the base doesn't have cannot be applied — raise instead of
+    # silently ignoring it (r5 advice).
+    unknown = [c for c in value_cols if c not in set(base.columns)]
+    if unknown:
+        raise ValueError(
+            f"value_cols not present in base schema: {unknown}; "
+            "cdc_apply emits the base schema, so changelog-only value "
+            "columns cannot be carried through"
+        )
     w = Window.partitionBy(*[qcol(k) for k in key_cols]).orderBy(
         qcol(ts_col).desc(), qcol(seq_col).desc()
     )
@@ -261,8 +271,9 @@ def drift_psi(
     run would make PSI drift when nothing moved). Values bucket as
     (-inf, e1), [e1, e2), ..., [ek, inf); NULLs get their own bucket
     (a null-rate shift is drift too). Each side is ONE aggregate of
-    k+2 conditional counts — no shuffle beyond the two aggregates, no
-    row movement; the per-bucket report joins two (k+2)-row frames.
+    k+2 conditional counts, and the two sides are unioned so the whole
+    report is ONE Spark job — no shuffle beyond the aggregates, no row
+    movement; the report is computed from two (k+2)-count rows.
 
     Returns (bucket string, old_frac, new_frac, psi_term) plus a final
     ('__total__', ..., PSI) row; ``smoothing`` floors each fraction so
@@ -274,25 +285,42 @@ def drift_psi(
     if edges != sorted(edges) or len(set(edges)) != len(edges):
         raise ValueError("bin_edges must be strictly increasing")
 
-    def bucket_counts(df: DataFrame) -> list[tuple[str, int]]:
-        c = qcol(col).cast("double")
-        conds = [("null", c.isNull())]
-        lo = None
-        for e in edges:
-            name = f"[{lo},{e})" if lo is not None else f"(-inf,{e})"
-            cond = (c < e) if lo is None else ((c >= lo) & (c < e))
-            conds.append((name, c.isNotNull() & cond))
-            lo = e
-        conds.append((f"[{lo},inf)", c.isNotNull() & (c >= lo)))
-        row = df.agg(
+    c = qcol(col).cast("double")
+    conds = [("null", c.isNull())]
+    lo = None
+    for e in edges:
+        name = f"[{lo},{e})" if lo is not None else f"(-inf,{e})"
+        cond = (c < e) if lo is None else ((c >= lo) & (c < e))
+        conds.append((name, c.isNotNull() & cond))
+        lo = e
+    conds.append((f"[{lo},inf)", c.isNotNull() & (c >= lo)))
+
+    def counts_frame(df: DataFrame, side: str) -> DataFrame:
+        return df.agg(
+            F.lit(side).alias("__side__"),
             *[
                 F.count(F.when(cond, 1)).alias(f"__b_{i}")
                 for i, (_, cond) in enumerate(conds)
-            ]
-        ).first()
-        return [(name, int(row[f"__b_{i}"])) for i, (name, _) in enumerate(conds)]
+            ],
+        )
 
-    oc, nc = bucket_counts(old), bucket_counts(new)
+    # One job for both snapshots: union the two 1-row aggregates and
+    # collect once (two separate .first() calls would pay job-launch
+    # overhead twice for the same answer).
+    rows = {
+        r["__side__"]: r
+        for r in counts_frame(old, "old")
+        .unionByName(counts_frame(new, "new"))
+        .collect()
+    }
+    oc = [
+        (name, int(rows["old"][f"__b_{i}"]))
+        for i, (name, _) in enumerate(conds)
+    ]
+    nc = [
+        (name, int(rows["new"][f"__b_{i}"]))
+        for i, (name, _) in enumerate(conds)
+    ]
     ot, nt = sum(v for _, v in oc) or 1, sum(v for _, v in nc) or 1
     import math
 
@@ -338,8 +366,11 @@ def table_digest(
     one row (n_rows, xor_digest, sum_digest).
 
     Per-row digest: first 8 hex digits of md5 over a canonical
-    '|'-joined encoding of ``cols`` (NULL -> a \\x01 sentinel distinct
-    from the empty string). Aggregation is commutative (XOR + a
+    '|'-joined length-prefixed encoding of ``cols`` — each field is
+    ``v{len}:{val}``, NULL is the bare ``n`` marker (distinct from the
+    empty string's ``v0:``); see :func:`_digest_encoding`, which any
+    cross-engine oracle must replay exactly. Aggregation is
+    commutative (XOR + a
     modular sum + count), so partition order, shuffle order, and
     engine never matter; the md5 construction is the same
     engine-portable one as the samplers, so another engine (the DuckDB

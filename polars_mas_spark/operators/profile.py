@@ -77,8 +77,17 @@ def embedding_profile(
     sq = F.aggregate(
         v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
     )
+    # A NULL component counts as non-finite: with a bare isnan/isinf
+    # predicate, F.exists over a NULL element is SQL NULL, so the whole
+    # `clean` expression goes NULL and the row lands in NO category
+    # (while DuckDB's EXISTS treats it as false and calls it clean).
+    # Folding x IS NULL into the predicate makes every vector land in
+    # exactly one bucket on both engines.
     nonfinite = F.exists(
-        v, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == float("inf"))
+        v,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x) == float("inf")),
     )
     clean = (
         v.isNotNull()

@@ -190,7 +190,11 @@ def random_projection(
             dot(vec, F.array(*[F.lit(float(v)) for v in p])) * F.lit(inv)
             for p in planes
         ]
-        return df.select(key, F.array(*comps).alias(out_col))
+        # NULL embedding -> SQL NULL (not an array of NULL components):
+        # F.array(NULL dots) is a non-NULL array, which would diverge
+        # from the Arrow path's SQL NULL for the same input.
+        projected = F.when(vec.isNotNull(), F.array(*comps))
+        return df.select(key, projected.alias(out_col))
 
     R = np.asarray(planes, dtype=np.float64)
     bc = df.sparkSession.sparkContext.broadcast(R)

@@ -431,12 +431,23 @@ def session_paths(
     "how do journeys start" report. Deterministic by construction:
     the path is built from sort_array over (ts, tiebreak, type)
     structs, NEVER collect_list's arrival order (which varies run to
-    run). Shape: the sessionize window + one (user, session) aggregate
-    + one path aggregate + a TakeOrdered top-N — everything keyed,
-    nothing global except the final N-row merge."""
+    run). Shape: the sessionize window + a (user, session) rank filter
+    that keeps only the first ``max_steps`` events per session BEFORE
+    any collection (so a degenerate bot session with millions of
+    events inside the gap window cannot inflate one aggregate row —
+    per-session state is bounded at max_steps structs) + one
+    (user, session) aggregate + one path aggregate + a TakeOrdered
+    top-N — everything keyed, nothing global except the final N-row
+    merge. The rank window and the aggregate share the
+    (user, session) partitioning, so the filter adds no shuffle."""
     s = sessionize(df, user_col, ts_col, gap_seconds)
+    w_step = Window.partitionBy(
+        qcol(user_col), F.col("session_id")
+    ).orderBy(qcol(ts_col).asc(), qcol(tiebreak_col).asc())
     per_session = (
-        s.groupBy(qcol(user_col).alias("__u__"), F.col("session_id"))
+        s.withColumn("__step__", F.row_number().over(w_step))
+        .filter(F.col("__step__") <= max_steps)
+        .groupBy(qcol(user_col).alias("__u__"), F.col("session_id"))
         .agg(
             F.sort_array(
                 F.collect_list(
@@ -450,8 +461,7 @@ def session_paths(
         )
         .select(
             F.array_join(
-                F.slice(F.transform("__evs__", lambda x: x["e"]), 1, max_steps),
-                ">",
+                F.transform("__evs__", lambda x: x["e"]), ">"
             ).alias("path")
         )
     )

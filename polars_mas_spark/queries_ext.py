@@ -1891,7 +1891,7 @@ def q_table_profile(spark, sf_dir):
        n AS (SELECT v,
                     CASE WHEN v IS NOT NULL AND len(v) = 64
                               AND NOT EXISTS (SELECT 1 FROM unnest(v) AS u(x)
-                                              WHERE isnan(x) OR isinf(x))
+                                              WHERE x IS NULL OR isnan(x) OR isinf(x))
                          THEN sqrt(list_sum(list_transform(v, x -> x * x)))
                          END AS norm
              FROM e)
@@ -1900,7 +1900,7 @@ def q_table_profile(spark, sf_dir):
            sum(CASE WHEN v IS NOT NULL AND len(v) <> 64 THEN 1 ELSE 0 END)
              ::BIGINT AS n_wrong_dim,
            sum(CASE WHEN v IS NOT NULL AND EXISTS (
-                 SELECT 1 FROM unnest(v) AS u(x) WHERE isnan(x) OR isinf(x))
+                 SELECT 1 FROM unnest(v) AS u(x) WHERE x IS NULL OR isnan(x) OR isinf(x))
                THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
            sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
            round(min(norm), 6) AS norm_min,

@@ -61,6 +61,20 @@ def test_cdc_apply_latest_wins_delete_insert(spark):
     assert out == {1: (12.0, "x"), 3: (30.0, "z"), 9: (90.0, None)}
 
 
+def test_cdc_apply_rejects_changelog_only_value_col(spark):
+    """r5 advice: a value_cols entry absent from the base schema used to
+    be silently dropped (output iterates base.columns); it must raise."""
+    import pytest
+
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    ch = spark.createDataFrame(
+        [(1, 5, 1, "U", 11.0, "extra")],
+        "k long, ts long, seq long, op string, v double, w string",
+    )
+    with pytest.raises(ValueError, match="value_cols not present"):
+        cdc_apply(base, ch, ["k"], "ts", "seq", "op", ["v", "w"])
+
+
 def test_dq_checks_rules_and_fusion(spark):
     """Each rule type counts its violations; unknown types raise."""
     df = spark.createDataFrame(

@@ -378,17 +378,21 @@ def test_hard_negatives_disjoint_from_positives(spark):
 
 
 def test_random_projection_arrow_path_null_embedding(spark):
-    """Review r5: the Arrow matmul path must degrade a NULL embedding to
-    a NULL projection (like the codegen path), not crash the scan."""
+    """Review r5/r6: BOTH physical paths must degrade a NULL embedding
+    to SQL NULL (the codegen path used to emit an array of NULL
+    components there), not crash the scan."""
     rows = [(1, [1.0] * 8), (2, None), (3, [2.0] * 8)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    out = (
-        sim.random_projection(df, out_dim=4, dim=8, codegen_max_cells=1)
-        .toPandas().set_index("vec_id").sort_index()
-    )
-    assert out.loc[2, "projected"] is None
-    assert out.loc[1, "projected"] is not None
-    assert len(out.loc[3, "projected"]) == 4
+    for max_cells in (1, 16384):  # 1 -> Arrow path, 16384 -> codegen
+        out = (
+            sim.random_projection(
+                df, out_dim=4, dim=8, codegen_max_cells=max_cells
+            )
+            .toPandas().set_index("vec_id").sort_index()
+        )
+        assert out.loc[2, "projected"] is None, max_cells
+        assert out.loc[1, "projected"] is not None, max_cells
+        assert len(out.loc[3, "projected"]) == 4, max_cells
 
 
 def test_embedding_profile_dirty_corpus(spark):
@@ -403,9 +407,12 @@ def test_embedding_profile_dirty_corpus(spark):
         (4, [1.0]),                 # wrong dim
         (5, [float("nan"), 1.0]),   # non-finite
         (6, [float("inf"), 1.0]),   # non-finite
+        (7, [None, 1.0]),           # NULL component -> non-finite bucket
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     r = embedding_profile(df, "embedding", expected_dim=2).collect()[0]
-    assert r.n_rows == 6 and r.n_null == 1 and r.n_wrong_dim == 1
-    assert r.n_nonfinite == 2 and r.n_zero == 1
+    assert r.n_rows == 7 and r.n_null == 1 and r.n_wrong_dim == 1
+    # r5 advice: a vector with a NULL component must land in exactly
+    # one category (non-finite), not vanish via NULL predicate logic.
+    assert r.n_nonfinite == 3 and r.n_zero == 1
     assert r.norm_min == 0.0 and r.norm_max == 5.0 and r.dim == 2
