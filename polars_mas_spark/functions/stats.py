@@ -196,6 +196,7 @@ def _firth_newton(
     max_step: float = 5.0,
     gtol: float = 1e-5,
     xtol: float = 1e-5,
+    max_halvings: int = 12,
 ) -> tuple[np.ndarray, np.ndarray, bool, np.ndarray, np.ndarray, np.ndarray]:
     """Firth-penalized Newton iteration over the `free` coefficient subset
     (boolean mask); fixed coordinates stay at their beta0 value. Used for
@@ -203,16 +204,27 @@ def _firth_newton(
     at zero, penalty still from the full-model information matrix).
 
     Hyperparameters match the reference's logistf-default pins
-    (/root/reference/src/polars_mas/models.py:33-40).
+    (/root/reference/src/polars_mas/models.py:33-40), plus
+    penalized-likelihood-monotone step halving (logistf's maxhs
+    safeguard): a candidate step that DECREASES the PLL is halved until
+    it doesn't. Without it the clamped Newton step can 2-cycle forever
+    — observed on an LRT null fit whose free intercept sits ~6 units
+    from its optimum with a +/-5 step clamp (r6: the fan-out golden's
+    planted odds-ratio-81 dependent). Halving never moves the fixed
+    point, so converged numerics are unchanged.
     """
     n, k = Xc.shape
     beta = np.zeros(k) if beta0 is None else beta0.astype(np.float64).copy()
     converged = False
-    fisher = np.eye(k)
-    for _ in range(max_iter):
-        p = _sigmoid(Xc @ beta)
+
+    def state(b):
+        p = _sigmoid(Xc @ b)
         w = p * (1.0 - p)
-        fisher = (Xc * w[:, None]).T @ Xc
+        return p, w, (Xc * w[:, None]).T @ Xc
+
+    p, w, fisher = state(beta)
+    pll = _pll_from_parts(y, p, fisher)
+    for _ in range(max_iter):
         try:
             fisher_inv = np.linalg.inv(fisher)
         except np.linalg.LinAlgError:
@@ -234,13 +246,23 @@ def _firth_newton(
         if mx > max_step:
             step = step * (max_step / mx)
             mx = max_step
-        beta[free] += step
+        # Monotone-ascent safeguard: halve a PLL-decreasing step. The
+        # accepted candidate's state doubles as the next iteration's
+        # state, so the well-behaved path costs exactly what the
+        # unguarded loop did (one state eval per iteration).
+        cand = beta.copy()
+        for _hs in range(max_halvings + 1):
+            cand[free] = beta[free] + step
+            p2, w2, f2 = state(cand)
+            pll2 = _pll_from_parts(y, p2, f2)
+            if pll2 >= pll - 1e-12:
+                break
+            step = step * 0.5
+            mx = mx * 0.5
+        beta, p, w, fisher, pll = cand, p2, w2, f2, pll2
         if mx <= xtol and np.max(np.abs(score_f), initial=0.0) <= gtol:
             converged = True
             break
-    p = _sigmoid(Xc @ beta)
-    w = p * (1.0 - p)
-    fisher = (Xc * w[:, None]).T @ Xc
     try:
         cov = np.linalg.inv(fisher)
     except np.linalg.LinAlgError:

@@ -2355,6 +2355,109 @@ def q_mas_firth_fanout(spark, sf_dir):
     )
 
 
+_FANOUT_GOLDEN_SQL = """WITH t AS (
+  SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS x,
+         CASE WHEN (l_quantity > 25) <> (l_orderkey % 20 = 0)
+              THEN 1 ELSE 0 END AS y1,
+         CASE WHEN (l_quantity > 25) <> (l_orderkey % 10 = 0)
+              THEN 1 ELSE 0 END AS y2,
+         CASE WHEN (l_quantity <= 25) <> (l_suppkey % 15 = 0)
+              THEN 1 ELSE 0 END AS y3
+  FROM lineitem),
+u AS (
+  SELECT 'y1' AS dep, y1 AS y, x FROM t
+  UNION ALL SELECT 'y2', y2, x FROM t
+  UNION ALL SELECT 'y3', y3, x FROM t),
+c AS (
+  SELECT dep,
+         sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS cc,
+         sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM u GROUP BY dep)
+SELECT 'xbin' AS predictor, dep AS dependent,
+       round(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (cc + 0.5))), 6) + 0.0
+         AS beta,
+       (a + b) AS cases, (cc + d) AS controls,
+       (a + b + cc + d) AS total_n,
+       TRUE AS converged, TRUE AS bonferroni_significant
+FROM c"""
+
+
+@query("mas_firth_fanout_golden", _FANOUT_GOLDEN_SQL)
+def q_mas_firth_fanout_golden(spark, sf_dir):
+    """DRIVER-HASH-BINDING golden for the fan-out PATH itself (VERDICT
+    r5 next-steps #5): mas_firth_2x2_haldane binds the Firth solver on
+    a single pair, but the packed fan-out machinery (pair packing, the
+    grouped kernel loop, case/control accounting, bonferroni wiring —
+    association.py run_associations + pipeline.py corrections) was only
+    rows-bound. Here ONE packed run_pipeline call fans out to THREE
+    planted 2x2 dependents (y = xbin XOR key-derived noise, odds ratios
+    ~81-361 so Bonferroni significance is overwhelming by
+    construction); each fit's Firth estimate is EXACTLY the
+    Haldane-Anscombe +1/2 log odds ratio, a closed form both engines
+    compute from the contingency counts. Self-filtering golden (sex2
+    pattern): a row survives ONLY if the distributed fit reproduces the
+    closed form within 1e-5 AND the pipeline's cases/controls/total_n
+    equal the contingency margins AND the corrected significance flag
+    is set — any drift in the packed path drops rows and fails the
+    rowcount/hash compare. Returned values are the closed-form ones, so
+    the compare never sits on a float-rounding boundary. Reference:
+    fan-out orchestration main.py:61-103, Firth contract
+    models.py:9-53."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity") > 25
+    wide = li.select(
+        x.cast("double").alias("xbin"),
+        (x != (F.col("l_orderkey") % 20 == 0)).cast("double").alias("y1"),
+        (x != (F.col("l_orderkey") % 10 == 0)).cast("double").alias("y2"),
+        ((~x) != (F.col("l_suppkey") % 15 == 0)).cast("double").alias("y3"),
+    )
+    cfg = MASConfig(
+        predictors="xbin", dependents=["y1", "y2", "y3"],
+        model="firth", min_case_count=10,
+    )
+    res = run_pipeline(spark, cfg, df=wide, strategy="packed")
+
+    long = wide.select(
+        "xbin",
+        F.expr("stack(3, 'y1', y1, 'y2', y2, 'y3', y3) AS (dep, y)"),
+    )
+    cell = lambda xv, yv: F.sum(  # noqa: E731
+        F.when((F.col("xbin") == xv) & (F.col("y") == yv), 1).otherwise(0)
+    )
+    cont = long.groupBy("dep").agg(
+        cell(1.0, 1.0).alias("a"), cell(0.0, 1.0).alias("b"),
+        cell(1.0, 0.0).alias("cc"), cell(0.0, 0.0).alias("d"),
+    )
+    closed = cont.select(
+        F.col("dep").alias("dependent"),
+        F.log(
+            ((F.col("a") + 0.5) * (F.col("d") + 0.5))
+            / ((F.col("b") + 0.5) * (F.col("cc") + 0.5))
+        ).alias("beta_closed"),
+        (F.col("a") + F.col("b")).alias("cases_closed"),
+        (F.col("cc") + F.col("d")).alias("controls_closed"),
+        (F.col("a") + F.col("b") + F.col("cc") + F.col("d")).alias("n_closed"),
+    )
+    ok = res.join(F.broadcast(closed), "dependent").filter(
+        F.col("converged")
+        & (F.abs(F.col("beta") - F.col("beta_closed")) < 1e-5)
+        & (F.col("cases") == F.col("cases_closed"))
+        & (F.col("controls") == F.col("controls_closed"))
+        & (F.col("total_n") == F.col("n_closed"))
+        & F.col("bonferroni_significant")
+    )
+    return ok.select(
+        "predictor", "dependent",
+        F.round("beta_closed", 6).alias("beta"),
+        F.col("cases_closed").alias("cases"),
+        F.col("controls_closed").alias("controls"),
+        F.col("n_closed").alias("total_n"),
+        "converged", "bonferroni_significant",
+    )
+
+
 @query(
     "mas_firth_2x2_haldane",
     """WITH t AS (

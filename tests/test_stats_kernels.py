@@ -265,3 +265,27 @@ def test_poisson_offset_rate_closed_form():
     assert out["se"] == pytest.approx(
         math.sqrt(1 / y[4:].sum() + 1 / y[:4].sum()), abs=1e-8
     )
+
+
+def test_firth_lrt_null_fit_no_step_clamp_oscillation():
+    """r6 regression: a strong planted effect (OR ~81, n large) made the
+    LRT null fit 2-cycle forever between +/-max_step-clamped Newton
+    steps (the free intercept starts ~6 units from its optimum at the
+    warm start), so `converged` came back False with correct betas.
+    The PLL-monotone step-halving safeguard must converge it, and the
+    converged estimate must still be the 2x2 Haldane closed form."""
+    from polars_mas_spark.functions.stats import firth_fit
+
+    rng = np.random.RandomState(11)
+    n = 20000
+    x = (rng.rand(n) < 0.5).astype(float)
+    noise = rng.rand(n) < 0.1
+    y = np.where(noise, 1.0 - x, x)
+    out = firth_fit(x[:, None], y)
+    a = ((x == 1) & (y == 1)).sum() + 0.5
+    b = ((x == 0) & (y == 1)).sum() + 0.5
+    c = ((x == 1) & (y == 0)).sum() + 0.5
+    d = ((x == 0) & (y == 0)).sum() + 0.5
+    assert out["converged"]
+    assert out["beta"] == pytest.approx(math.log(a * d / (b * c)), abs=1e-5)
+    assert out["pval"] < 1e-10

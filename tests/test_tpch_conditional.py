@@ -1,0 +1,87 @@
+"""The conditional TPC-H third wave (q2/q11/q20-ish) — these register
+with the driver only when the generator ever emits partsupp
+(queries._HAS_PARTSUPP), but the query functions themselves must work
+TODAY so the round the table appears they go green without edits.
+
+The test synthesizes a standard-schema partsupp next to symlinked
+sf0.001 tables and cross-checks every result against DuckDB running the
+same shape on the same files (the registered oracle with the pinned
+sf0.01 path swapped for the synthetic dir).
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from polars_mas_spark import queries as q
+
+SF_DIR_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ps_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_ps")
+    for t in (
+        "region nation customer supplier part orders lineitem".split()
+    ):
+        os.symlink(f"{SF_DIR_SMALL}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    # Deterministic synthetic partsupp: 4 suppliers per part, standard
+    # TPC-H columns, values keyed off (partkey, suppkey) so both
+    # engines see identical data.
+    con.execute(
+        f"""COPY (
+          SELECT p.p_partkey AS ps_partkey,
+                 1 + (p.p_partkey * 7 + s.i) % 100 AS ps_suppkey,
+                 ((p.p_partkey * 13 + s.i * 17) % 9999)::INTEGER
+                   AS ps_availqty,
+                 round(1.0 + ((p.p_partkey * 31 + s.i * 11) % 1000)
+                       / 10.0, 2) AS ps_supplycost
+          FROM read_parquet('{SF_DIR_SMALL}/part.parquet') p,
+               (SELECT unnest([0, 1, 2, 3]) AS i) s
+        ) TO '{d}/partsupp.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    return str(d)
+
+
+def _oracle(sql: str, ps_dir: str):
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem".split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{ps_dir}/{t}.parquet')"
+        )
+    sql = sql.replace(q._PARTSUPP_SF001, f"{ps_dir}/partsupp.parquet")
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def _compare(spark_df, sql, ps_dir):
+    got = sorted(tuple(r) for r in spark_df.collect())
+    want = sorted(tuple(r) for r in _oracle(sql, ps_dir))
+    assert len(got) > 0, "vacuous: query returned no rows"
+    assert got == want
+
+
+def test_q2ish_min_cost_supplier(spark, ps_dir):
+    _compare(q.q_tpch_q2ish(spark, ps_dir), q._TPCH_Q2ISH_ORACLE, ps_dir)
+
+
+def test_q11ish_group_share_having(spark, ps_dir):
+    _compare(q.q_tpch_q11ish(spark, ps_dir), q._TPCH_Q11ISH_ORACLE, ps_dir)
+
+
+def test_q20ish_availability_semijoin(spark, ps_dir):
+    _compare(q.q_tpch_q20ish(spark, ps_dir), q._TPCH_Q20ISH_ORACLE, ps_dir)
+
+
+def test_registration_is_conditional():
+    """Dormant while the driver's testdata lacks partsupp; the probe
+    (tools/probe_testdata.py) reports presence every round."""
+    present = os.path.exists(q._PARTSUPP_SF001)
+    assert ("tpch_q2ish" in q.QUERIES) == present
+    assert ("tpch_q11ish" in q.QUERIES) == present
+    assert ("tpch_q20ish" in q.QUERIES) == present

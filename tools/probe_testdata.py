@@ -80,6 +80,22 @@ def main() -> None:
                     bad.append(
                         f"{d}/{t}.{col}: {cols[col]} not in expected {sorted(ok)}"
                     )
+    # Optional-table probe (VERDICT r5 next-steps #3): TPC-H q2/q11/q20
+    # shapes need partsupp, which the driver's generator has never
+    # emitted. queries.py registers them conditionally on this same
+    # check — if the table ever appears, they go live the same round.
+    for d in dirs:
+        try:
+            schema = pq.read_schema(f"{d}/partsupp.parquet")
+            cols = {f.name: str(f.type) for f in schema}
+            print(
+                f"{d}/partsupp: PRESENT ("
+                + ", ".join(f"{k}:{v}" for k, v in cols.items())
+                + ") — tpch_q2ish/q11ish/q20ish auto-enable"
+            )
+        except Exception:
+            print(f"{d}/partsupp: absent (tpch_q2ish/q11ish/q20ish dormant)")
+
     if bad:
         print("\nDRIFT DETECTED:")
         for b in bad:
