@@ -223,7 +223,12 @@ def _firth_newton(
         return p, w, (Xc * w[:, None]).T @ Xc
 
     p, w, fisher = state(beta)
-    pll = _pll_from_parts(y, p, fisher)
+    # pll is evaluated lazily: the monotone safeguard only engages on
+    # LARGE steps (>= 1, where clamp-induced 2-cycles and overshoot
+    # live); small near-convergence Newton steps skip the O(n)
+    # log-likelihood pass entirely, keeping the well-behaved hot path
+    # at the unguarded loop's cost (None = stale/not computed).
+    pll = None
     for _ in range(max_iter):
         try:
             fisher_inv = np.linalg.inv(fisher)
@@ -246,19 +251,27 @@ def _firth_newton(
         if mx > max_step:
             step = step * (max_step / mx)
             mx = max_step
-        # Monotone-ascent safeguard: halve a PLL-decreasing step. The
-        # accepted candidate's state doubles as the next iteration's
-        # state, so the well-behaved path costs exactly what the
-        # unguarded loop did (one state eval per iteration).
+        # Monotone-ascent safeguard: halve a PLL-decreasing LARGE step.
+        # The accepted candidate's state doubles as the next iteration's
+        # state, so the guarded path costs one state eval per halving
+        # try and the small-step path costs exactly what the unguarded
+        # loop did (one state eval per iteration, no PLL pass).
         cand = beta.copy()
-        for _hs in range(max_halvings + 1):
+        if mx >= 1.0:
+            if pll is None:
+                pll = _pll_from_parts(y, p, fisher)
+            for _hs in range(max_halvings + 1):
+                cand[free] = beta[free] + step
+                p2, w2, f2 = state(cand)
+                pll2 = _pll_from_parts(y, p2, f2)
+                if pll2 >= pll - 1e-12:
+                    break
+                step = step * 0.5
+                mx = mx * 0.5
+        else:
             cand[free] = beta[free] + step
             p2, w2, f2 = state(cand)
-            pll2 = _pll_from_parts(y, p2, f2)
-            if pll2 >= pll - 1e-12:
-                break
-            step = step * 0.5
-            mx = mx * 0.5
+            pll2 = None
         beta, p, w, fisher, pll = cand, p2, w2, f2, pll2
         if mx <= xtol and np.max(np.abs(score_f), initial=0.0) <= gtol:
             converged = True
