@@ -55,14 +55,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #         curation_pipeline) that keep every chained stage oracle-bound.
 # Parked past the cap (latest evidence r5, or bound through in-window
 # composites): the r5 extension rotation, TPC-H wave 1, dedup/ANN/text
-# families. R7 ROTATION QUEUE: re-rotate TPC-H wave 1 (r4 evidence:
-# tpch_q1/q3/q5ish/q6/q4ish/q13ish/q16ish/q18ish/q7ish/q10ish/q14ish/
-# q19ish/q22ish), the r4-era curation/dedup chain (fuzzy_pairs,
-# repetition_signals, pii_scrub, quality_filter, trigram_perplexity,
-# model_quality_score, winnow_*, ngram_contamination, decontaminate),
-# packing + scd2 + cohort/funnel + ann_ivf/pq family (r4), and
-# json/orc roundtrips. rint_full stays last (permanent no_oracle —
-# DuckDB lacks inverse-normal).
+# families. R7 ROTATION QUEUE (from tools/evidence_age.py, which
+# derives ages from the CORRECTNESS_r*.json history): FIRST the r2-era
+# tail — TPC-H wave 1 (tpch_q1/q3/q5ish/q6/q4ish/q13ish/q16ish/q18ish/
+# q7ish/q10ish/q14ish/q19ish/q22ish), exact_dedup_summary,
+# minhash_signatures, minhash_dedup_cc, simhash, word_shingles — then
+# the r4-era curation/dedup chain (fuzzy_pairs, repetition_signals,
+# pii_scrub, quality_filter, trigram_perplexity, model_quality_score,
+# winnow_*, ngram_contamination), packing + scd2 + cohort/funnel +
+# ann_ivf/pq family, and json/orc roundtrips. rint_full stays last
+# (permanent no_oracle — DuckDB lacks inverse-normal).
 _PRIORITY = [
     # --- never-driver-checked backlog (22) ---
     "bm25_topk_docs", "entity_clusters", "zorder_key_orders",

@@ -85,3 +85,28 @@ def test_registration_is_conditional():
     assert ("tpch_q2ish" in q.QUERIES) == present
     assert ("tpch_q11ish" in q.QUERIES) == present
     assert ("tpch_q20ish" in q.QUERIES) == present
+
+
+def test_conditional_wave_plans(spark, ps_dir):
+    """Scale-shape assertions for the dormant wave (they can't appear in
+    tools/audit_plans.py until partsupp ships): every dimension join
+    broadcasts, nothing cartesian, and q2's min-cost decorrelation is a
+    partsupp-keyed window, not a self-join."""
+    from polars_mas_spark.plans import formatted_plan, op_count
+
+    p2 = formatted_plan(q.q_tpch_q2ish(spark, ps_dir))
+    assert op_count(p2, "CartesianProduct") == 0
+    assert op_count(p2, "BroadcastNestedLoopJoin") == 0
+    # supplier, nation, region, part all broadcast; partsupp never does
+    assert op_count(p2, "BroadcastHashJoin") >= 4
+    assert "Window" in p2  # decorrelated min-cost, one keyed window
+
+    p11 = formatted_plan(q.q_tpch_q11ish(spark, ps_dir))
+    assert op_count(p11, "CartesianProduct") == 0
+    assert op_count(p11, "BroadcastHashJoin") >= 2
+    # the scalar total is a driver literal, not a single-partition window
+    assert "Window" not in p11
+
+    p20 = formatted_plan(q.q_tpch_q20ish(spark, ps_dir))
+    assert op_count(p20, "CartesianProduct") == 0
+    assert "LeftSemi" in p20
