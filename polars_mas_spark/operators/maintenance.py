@@ -115,21 +115,26 @@ def cdc_apply(
     per key), then one full-outer join with the base — both shuffles
     are keyed on the natural key, nothing iterative."""
     if value_cols is None:
+        # Defaulted: every shared non-key/ts/seq/op column. Changelog
+        # metadata columns the base doesn't have are simply not value
+        # columns here.
         value_cols = [
             c
             for c in changes.columns
             if c not in set(key_cols) | {ts_col, seq_col, op_col}
+            and c in set(base.columns)
         ]
-    # The output schema is exactly the base schema, so a value column
-    # the base doesn't have cannot be applied — raise instead of
-    # silently ignoring it (r5 advice).
-    unknown = [c for c in value_cols if c not in set(base.columns)]
-    if unknown:
-        raise ValueError(
-            f"value_cols not present in base schema: {unknown}; "
-            "cdc_apply emits the base schema, so changelog-only value "
-            "columns cannot be carried through"
-        )
+    else:
+        # Explicitly passed: the output schema is exactly the base
+        # schema, so a value column the base doesn't have cannot be
+        # applied — raise instead of silently ignoring it (r5 advice).
+        unknown = [c for c in value_cols if c not in set(base.columns)]
+        if unknown:
+            raise ValueError(
+                f"value_cols not present in base schema: {unknown}; "
+                "cdc_apply emits the base schema, so changelog-only "
+                "value columns cannot be carried through"
+            )
     w = Window.partitionBy(*[qcol(k) for k in key_cols]).orderBy(
         qcol(ts_col).desc(), qcol(seq_col).desc()
     )

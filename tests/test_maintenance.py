@@ -259,3 +259,15 @@ def test_derive_bin_edges_equidepth_and_dedup(spark):
     assert derive_bin_edges(const, "v", k=5) == [5.0]
     with pt.raises(ValueError, match="k must be"):
         derive_bin_edges(df, "v", k=1)
+
+
+def test_cdc_apply_defaulted_value_cols_skip_changelog_metadata(spark):
+    """With value_cols=None, changelog-only metadata columns are simply
+    not value columns (only the explicit-pass path raises)."""
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    ch = spark.createDataFrame(
+        [(1, 5, 1, "U", 11.0, "src-a")],
+        "k long, ts long, seq long, op string, v double, origin string",
+    )
+    out = cdc_apply(base, ch, ["k"], "ts", "seq", "op").collect()
+    assert [(r.k, r.v) for r in out] == [(1, 11.0)]
