@@ -36,6 +36,7 @@ def fit_vocabulary(
     col: str,
     buckets: int = DEFAULT_ID_BUCKETS,
     salt: str = "",
+    collect_rows_max: int = 1_000_000,
 ) -> DataFrame:
     """Fit the dictionary: one DataFrame (value string, id long) with
     ids dense in [0, n_distinct). NULL values are excluded — NULL is
@@ -43,13 +44,18 @@ def fit_vocabulary(
 
     Two jobs: distinct + per-bucket counts (collect <= ``buckets``
     rows), then the bucket-partitioned rank job that emits the table.
+
+    The returned table is materialized while the distinct frame is
+    still cached, and the cache is always released before returning
+    (r5 advice: cache lifetime bounded by this function). When the
+    vocabulary fits ``collect_rows_max`` it is collected and rebuilt as
+    a literal frame — fully fault-tolerant, no executor-local state
+    (``localCheckpoint`` is deliberately avoided: its blocks are
+    unrecoverable under the cluster profile's dynamic allocation /
+    decommissioning). A larger vocabulary keeps full lineage instead;
+    its first downstream action re-pays one distinct pass — the safe
+    trade at scale, since a multi-GB collect to the driver is worse.
     """
-    # persist: the counts collect below and the rank job would
-    # otherwise each re-pay the full scan + distinct shuffle. The cache
-    # lifetime is bounded by THIS function: the id table is eagerly
-    # materialized (localCheckpoint) before vals is unpersisted in the
-    # finally, so repeated fits in a long-lived session cannot
-    # accumulate cached distinct-value blocks (r5 advice).
     vals = (
         df.select(qcol(col).cast("string").alias("value"))
         .where(F.col("value").isNotNull())
@@ -77,9 +83,13 @@ def fit_vocabulary(
             "value",
             (offset + F.row_number().over(w) - 1).cast("long").alias("id"),
         )
-        # eager=True computes the <= n_distinct id rows now, truncating
-        # the lineage back through the persisted frame.
-        return out.localCheckpoint(eager=True)
+        if running <= collect_rows_max:
+            # Driver-bounded by the count just computed; tuple-built
+            # with an explicit schema (CLAUDE.md: never via pandas).
+            rows = [(r["value"], r["id"]) for r in out.collect()]
+            spark = df.sparkSession
+            return spark.createDataFrame(rows, schema="value string, id bigint")
+        return out
     finally:
         vals.unpersist()
 

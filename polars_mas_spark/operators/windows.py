@@ -441,9 +441,18 @@ def session_paths(
     merge. The rank window and the aggregate share the
     (user, session) partitioning, so the filter adds no shuffle."""
     s = sessionize(df, user_col, ts_col, gap_seconds)
+    # The rank order includes type_col as the last key so the KEPT set
+    # is total even if (ts, tiebreak) ever ties (generated data has
+    # produced duplicate "unique" keys before — the lineitem dup-row
+    # lesson); same-type ties beyond that are interchangeable in the
+    # path string, so the output stays deterministic regardless.
     w_step = Window.partitionBy(
         qcol(user_col), F.col("session_id")
-    ).orderBy(qcol(ts_col).asc(), qcol(tiebreak_col).asc())
+    ).orderBy(
+        qcol(ts_col).asc(),
+        qcol(tiebreak_col).asc(),
+        qcol(type_col).cast("string").asc(),
+    )
     per_session = (
         s.withColumn("__step__", F.row_number().over(w_step))
         .filter(F.col("__step__") <= max_steps)

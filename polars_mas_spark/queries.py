@@ -1496,22 +1496,27 @@ _TPCH_Q11ISH_ORACLE = (
     f"""WITH ps AS (SELECT * FROM read_parquet('{_PARTSUPP_SF001}')),
        val AS (
            SELECT ps.ps_partkey,
-                  sum(ps.ps_supplycost * ps.ps_availqty) AS value
+                  round(sum(ps.ps_supplycost * ps.ps_availqty), 2) AS value
            FROM ps
            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
            JOIN nation n ON n.n_nationkey = s.s_nationkey
            WHERE n.n_name = 'NATION_3'
            GROUP BY ps.ps_partkey)
-    SELECT ps_partkey, round(value, 6) AS value
+    SELECT ps_partkey, value
     FROM val
-    WHERE value > (SELECT sum(value) * 0.001 FROM val)"""
+    WHERE value > (SELECT round(sum(value), 2) * 0.001 FROM val)"""
 )
 def q_tpch_q11ish(spark, sf_dir):
     """Q11 shape (group-share HAVING): per-part inventory value for
     one nation, kept when above a fraction of the nation total. The
     scalar total is computed once and pushed back as a literal (a
     driver-bounded single-row collect) — no single-partition window,
-    no cross join."""
+    no cross join. Both per-part value and the grand total are rounded
+    to 2 decimals before comparing (mathematically exact here:
+    2-decimal costs x integer quantities, accumulated double error
+    << 0.005), so the threshold comparison's operands are the SAME
+    doubles on both engines and a part can never straddle the cut by
+    an ulp of summation-order noise."""
     ps = _partsupp(spark, sf_dir).select(
         "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost"
     )
@@ -1526,14 +1531,14 @@ def q_tpch_q11ish(spark, sf_dir):
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("ps_partkey")
         .agg(
-            F.sum(
-                F.col("ps_supplycost") * F.col("ps_availqty")
+            F.round(
+                F.sum(F.col("ps_supplycost") * F.col("ps_availqty")), 2
             ).alias("value")
         )
     )
-    total = val.agg(F.sum("value")).first()[0] or 0.0
+    total = val.agg(F.round(F.sum("value"), 2)).first()[0] or 0.0
     return val.filter(F.col("value") > total * 0.001).select(
-        "ps_partkey", F.round("value", 6).alias("value")
+        "ps_partkey", "value"
     )
 
 _TPCH_Q20ISH_ORACLE = (

@@ -4247,7 +4247,8 @@ def q_event_transitions(spark, sf_dir):
            FROM o),
        paths AS (
            SELECT array_to_string(
-                      (array_agg(event_type ORDER BY ts, event_id))[1:5],
+                      (array_agg(event_type
+                                 ORDER BY ts, event_id, event_type))[1:5],
                       '>') AS path
            FROM s GROUP BY user_id, sid)
        SELECT path, count(*)::BIGINT AS n_sessions

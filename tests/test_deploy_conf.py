@@ -67,7 +67,7 @@ def test_conf_parses_and_covers_the_sizing_knobs():
     cores = int(conf["spark.executor.instances"]) * int(
         conf["spark.executor.cores"]
     )
-    assert cores <= int(conf["spark.sql.shuffle.partitions"]) <= 4 * cores
+    assert 2 * cores <= int(conf["spark.sql.shuffle.partitions"]) <= 4 * cores
 
 
 _DRIVE = r"""

@@ -409,3 +409,22 @@ def test_vocabulary_encoding_dense_stable_oov(spark):
     new = spark.createDataFrame([("b",), ("zzz",)], "v string")
     enc2 = {r.v: r.v_id for r in encode_column(new, "v", vocab=vocab).collect()}
     assert enc2["b"] == rows["b"] and enc2["zzz"] == -1
+
+
+def test_vocabulary_large_path_matches_collected(spark):
+    """collect_rows_max=0 forces the lineage-kept branch (the
+    above-threshold cluster path, which avoids both the driver collect
+    and localCheckpoint's unrecoverable executor-local blocks); it must
+    produce the same table as the collected literal-frame branch, and
+    stay correct when evaluated after the internal cache is released."""
+    from polars_mas_spark.operators.encoding import fit_vocabulary
+
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(30)], "v string"
+    )
+    small = {r.value: r.id for r in fit_vocabulary(df, "v").collect()}
+    big = fit_vocabulary(df, "v", collect_rows_max=0)
+    # evaluated only now — after the finally-unpersist — so this also
+    # proves the plan recomputes correctly from full lineage
+    assert {r.value: r.id for r in big.collect()} == small
+    assert len(small) == 7

@@ -82,18 +82,39 @@ def main() -> None:
                     )
     # Optional-table probe (VERDICT r5 next-steps #3): TPC-H q2/q11/q20
     # shapes need partsupp, which the driver's generator has never
-    # emitted. queries.py registers them conditionally on this same
-    # check — if the table ever appears, they go live the same round.
+    # emitted. Registration keys SOLELY off the pinned driver-gate path
+    # (queries._PARTSUPP_SF001 = sf0.01) — presence at any other sf dir
+    # does not enable them, and once enabled, running them against an
+    # sf dir that lacks the table would fail on read. Report both cases
+    # explicitly so a partial rollout by the generator is visible.
+    sys.path.insert(0, "/root/repo")
+    from polars_mas_spark.queries import _HAS_PARTSUPP, _PARTSUPP_SF001
+
+    reg_dir = _PARTSUPP_SF001.rsplit("/", 1)[0]
     for d in dirs:
         try:
             schema = pq.read_schema(f"{d}/partsupp.parquet")
             cols = {f.name: str(f.type) for f in schema}
+            gate = (
+                "tpch_q2ish/q11ish/q20ish auto-enable"
+                if d.rstrip("/") == reg_dir
+                else "registration keys off "
+                + reg_dir
+                + (" (enabled)" if _HAS_PARTSUPP else " (still dormant!)")
+            )
             print(
                 f"{d}/partsupp: PRESENT ("
                 + ", ".join(f"{k}:{v}" for k, v in cols.items())
-                + ") — tpch_q2ish/q11ish/q20ish auto-enable"
+                + ") — "
+                + gate
             )
         except Exception:
+            if _HAS_PARTSUPP:
+                bad.append(
+                    f"{d}/partsupp: MISSING while {reg_dir} has it — "
+                    "registered tpch_q2ish/q11ish/q20ish would fail on "
+                    "this sf_dir"
+                )
             print(f"{d}/partsupp: absent (tpch_q2ish/q11ish/q20ish dormant)")
 
     if bad:
