@@ -38,7 +38,7 @@ sys.path.insert(0, "/root/repo")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 KEY_STRIDE = 1_000_000_000
 
-TABLES = ["documents", "embeddings", "customer", "orders", "lineitem"]
+TABLES = ["documents", "embeddings", "customer", "orders", "lineitem", "events"]
 
 
 def _replica(spark, table: str, r: int):
@@ -78,6 +78,18 @@ def _replica(spark, table: str, r: int):
         )
     if table == "lineitem":
         return df.withColumn("l_orderkey", F.col("l_orderkey") + off)
+    if table == "events":
+        # Shift user_id (and event_id) so 10x data = 10x USERS with the
+        # same per-user session-length distribution — real traffic
+        # growth. Keeping ts/event_type/value as-is preserves gap
+        # structure, so sessionize/window costs scale with user count,
+        # the exact claim the session/transition probes test.
+        return df.select(
+            (F.col("event_id") + off).alias("event_id"),
+            "ts",
+            (F.col("user_id") + off).alias("user_id"),
+            "event_type", "value", "props",
+        )
     raise ValueError(table)
 
 
