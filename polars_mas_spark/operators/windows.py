@@ -395,10 +395,15 @@ def event_transitions(
     (from_type, to_type, n, prob) where prob is row-normalized over
     from_type — the Markov-chain summary behind "what do users do
     next" analyses. One user-partitioned lag window + one hash
-    aggregate; ``tiebreak_col`` makes same-timestamp order total (the
-    same determinism rule as topk_per_group)."""
+    aggregate; ``tiebreak_col`` plus ``type_col`` as a final key make
+    the lag order total even if (ts, tiebreak) ever carries duplicates
+    (the lineitem dup-row lesson — rows tied on all three keys are
+    interchangeable in every transition pair, so the counts stay
+    deterministic regardless)."""
     w = Window.partitionBy(qcol(user_col)).orderBy(
-        qcol(ts_col).asc(), qcol(tiebreak_col).asc()
+        qcol(ts_col).asc(),
+        qcol(tiebreak_col).asc(),
+        qcol(type_col).cast("string").asc(),
     )
     pairs = (
         df.withColumn("__prev__", F.lag(qcol(type_col)).over(w))

@@ -4206,7 +4206,7 @@ def q_table_digest_customer(spark, sf_dir):
     "event_transitions",
     """WITH p AS (
            SELECT lag(event_type) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id) AS f,
+                      ORDER BY ts, event_id, event_type) AS f,
                   event_type AS t
            FROM events),
        c AS (SELECT f AS from_type, t AS to_type, count(*) AS n

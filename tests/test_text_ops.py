@@ -1148,6 +1148,60 @@ def test_event_transitions_counts_and_rowwise_probs(spark):
     assert len(out) == 3
 
 
+def test_window_paths_deterministic_under_duplicate_keys(spark):
+    """The flap class CLAUDE.md documents: generated data has produced
+    duplicate 'unique' keys before (lineitem), so session_paths and
+    event_transitions must give identical output when (ts, tiebreak)
+    ties straddle the max_steps boundary, for ANY input row order or
+    partitioning — the type column is the totalizing third key."""
+    import datetime as dt
+    import random
+
+    from polars_mas_spark.operators.windows import (
+        event_transitions,
+        session_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1: 4 unique steps, then THREE events tied on (ts, eid) with
+    # distinct types at positions 5-7 — the max_steps=5 cut falls
+    # inside the tie group.
+    for i, e in enumerate(["a", "b", "c", "d"]):
+        rows.append((1, t0 + dt.timedelta(minutes=i), i, e))
+    tie_ts = t0 + dt.timedelta(minutes=4)
+    for e in ["z", "y", "x"]:
+        rows.append((1, tie_ts, 99, e))
+    # u2: a fully tied pair at the session start
+    rows.append((2, t0, 0, "q"))
+    rows.append((2, t0, 0, "p"))
+
+    baselines = None
+    for seed in (1, 2, 3):
+        shuffled = rows[:]
+        random.Random(seed).shuffle(shuffled)
+        df = spark.createDataFrame(
+            shuffled, "u long, ts timestamp, eid long, e string"
+        ).repartition(seed + 1)
+        paths = sorted(
+            (r.path, r.n_sessions)
+            for r in session_paths(
+                df, "u", "ts", "e", "eid", gap_seconds=1800, max_steps=5
+            ).collect()
+        )
+        trans = sorted(
+            (r.from_type, r.to_type, r.n)
+            for r in event_transitions(df, "u", "ts", "e", "eid").collect()
+        )
+        if baselines is None:
+            baselines = (paths, trans)
+        else:
+            assert (paths, trans) == baselines, f"seed {seed} diverged"
+    # The tie resolves by type ascending: x, y precede z at the cut.
+    assert ("a>b>c>d>x", 1) in baselines[0]
+    assert ("p>q", 1) in baselines[0]
+
+
 def test_session_paths_deterministic_truncation_and_gaps(spark):
     """Paths split at the gap, truncate at max_steps, and order events
     by (ts, tiebreak) — never collect order."""

@@ -60,6 +60,54 @@ EXPECT: dict[str, dict[str, set[str]]] = {
     },
 }
 
+# Uniqueness invariants the window-oracle orderings depend on: every
+# (PARTITION BY ... ORDER BY ...) in the registry is total only because
+# these keys are duplicate-free in the generated data (fills/rolling/
+# topk order by event_id; CDC/SCD synthesize from o_orderkey; dedup and
+# ANN oracles key doc_id/vec_id). lineitem is deliberately ABSENT — the
+# generator emits duplicate (orderkey, shipdate, linenumber) rows and
+# every lineitem oracle is already totalized for it. A regression here
+# is the flap class CLAUDE.md documents; catching it at round start
+# beats diagnosing a green/red gate flap later.
+UNIQUE_KEYS: dict[str, list[list[str]]] = {
+    "events": [["event_id"]],
+    "orders": [["o_orderkey"]],
+    "documents": [["doc_id"]],
+    "embeddings": [["vec_id"]],
+}
+# Warn-only: duplicate (user_id, ts) would make asof_join's
+# latest-right-row tie engine-dependent; sessionize/session_paths are
+# already tie-proof, so this is a heads-up, not drift.
+WARN_KEYS: dict[str, list[list[str]]] = {
+    "events": [["user_id", "ts"]],
+}
+
+
+def check_unique(d: str, bad: list[str]) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for table, keysets in {**UNIQUE_KEYS, **WARN_KEYS}.items():
+        path = f"{d}/{table}.parquet"
+        for keys in keysets:
+            cols = ", ".join(keys)
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM (SELECT {cols} FROM "
+                    f"read_parquet('{path}') GROUP BY {cols} "
+                    "HAVING count(*) > 1)"
+                ).fetchone()[0]
+            except Exception as e:
+                bad.append(f"{d}/{table} uniqueness probe failed: {e}")
+                continue
+            if n == 0:
+                continue
+            msg = f"{d}/{table} ({cols}): {n} duplicated key groups"
+            if keys in UNIQUE_KEYS.get(table, []):
+                bad.append(msg + " — window-oracle orderings assume unique")
+            else:
+                print(f"WARN {msg} — asof-join tie resolution now engine-dependent")
+
 
 def main() -> None:
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
@@ -116,6 +164,9 @@ def main() -> None:
                     "this sf_dir"
                 )
             print(f"{d}/partsupp: absent (tpch_q2ish/q11ish/q20ish dormant)")
+
+    for d in dirs:
+        check_unique(d, bad)
 
     if bad:
         print("\nDRIFT DETECTED:")
