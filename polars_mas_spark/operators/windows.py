@@ -127,7 +127,15 @@ def asof_join(
 
     Union-sentinel implementation: one shuffle on (key, ts); scales with
     key cardinality, never materializes candidate pairs. The tolerance
-    is a map-side post-filter on the carried match — no extra shuffle."""
+    is a map-side post-filter on the carried match — no extra shuffle.
+
+    Tie semantics: when several RIGHT rows share the matched (key, ts),
+    which one is carried is unspecified — the same contract as pandas
+    ``merge_asof`` and DuckDB ``ASOF JOIN`` (both order-dependent), so
+    no cross-engine oracle can pin it. Feed a right side that is unique
+    per (key, ts) — pre-aggregate if it isn't;
+    ``tools/probe_testdata.py`` warns when the generated events table
+    violates this for the registered query."""
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns
