@@ -55,6 +55,12 @@ def fit_vocabulary(
     decommissioning). A larger vocabulary keeps full lineage instead;
     its first downstream action re-pays one distinct pass — the safe
     trade at scale, since a multi-GB collect to the driver is worse.
+    The lineage branch bakes the bucket offsets computed here into the
+    plan, so it requires a DETERMINISTIC source (the standard Spark
+    lineage-recompute contract): a vocabulary fit over sample()/limit
+    output must be materialized by the caller (write it, or lower
+    ``collect_rows_max``) or the recomputed distinct set could disagree
+    with the frozen offsets and produce non-dense ids silently.
     """
     vals = (
         df.select(qcol(col).cast("string").alias("value"))

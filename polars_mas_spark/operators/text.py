@@ -408,7 +408,11 @@ def winnow_pairs(
     # sides of the self-join (and the max_df filter), and without
     # truncation each branch re-evaluates the md5-per-position
     # fingerprint expression — measured 35s -> 3s on 100 docs. The
-    # table is tiny (a few fingerprints per document).
+    # table is tiny (a few fingerprints per document). Caveat shared
+    # with the dedup CC loop: localCheckpoint blocks are executor-local
+    # and unrecoverable, but the exposure window is this operator's own
+    # job — a decommissioned executor fails the query loudly and a
+    # retry rebuilds from source (nothing checkpointed is returned).
     ex = fps.select(
         "doc_id", F.explode("fingerprints").alias("f")
     ).localCheckpoint(eager=True)

@@ -411,7 +411,10 @@ def event_transitions(
     w = Window.partitionBy(qcol(user_col)).orderBy(
         qcol(ts_col).asc(),
         qcol(tiebreak_col).asc(),
-        qcol(type_col).cast("string").asc(),
+        # nulls LAST: Spark asc() defaults to NULLS FIRST but DuckDB
+        # ORDER BY defaults to NULLS LAST — the oracle must agree on
+        # the one case the key exists for (duplicate (ts, tiebreak)).
+        qcol(type_col).cast("string").asc_nulls_last(),
     )
     pairs = (
         df.withColumn("__prev__", F.lag(qcol(type_col)).over(w))
@@ -464,7 +467,10 @@ def session_paths(
     ).orderBy(
         qcol(ts_col).asc(),
         qcol(tiebreak_col).asc(),
-        qcol(type_col).cast("string").asc(),
+        # asc_nulls_last matches DuckDB's ORDER BY default (NULLS
+        # LAST); with NULLS FIRST the two engines would keep different
+        # events at the max_steps cut when a NULL type ties.
+        qcol(type_col).cast("string").asc_nulls_last(),
     )
     per_session = (
         s.withColumn("__step__", F.row_number().over(w_step))

@@ -47,10 +47,10 @@ def green(entry: dict) -> bool:
     )
 
 
-def main() -> None:
-    from polars_mas_spark import queries as q
-    import polars_mas_spark.queries_ext  # noqa: F401  (registers)
-
+def latest_green() -> tuple[dict[str, int], int]:
+    """(latest green round per query, current round) from the
+    CORRECTNESS history — shared with tools/plan_rotation.py so the
+    age report and the rotation planner can't disagree on blob shape."""
     rounds = load_rounds()
     latest: dict[str, int] = {}
     for rnum, blob in rounds.items():
@@ -58,8 +58,14 @@ def main() -> None:
         for name, entry in items.items():
             if isinstance(entry, dict) and green(entry):
                 latest[name] = max(latest.get(name, 0), rnum)
+    return latest, max(rounds) if rounds else 0
 
-    cur = max(rounds) if rounds else 0
+
+def main() -> None:
+    from polars_mas_spark import queries as q
+    import polars_mas_spark.queries_ext  # noqa: F401  (registers)
+
+    latest, cur = latest_green()
     never, by_age = [], {}
     for name in q.QUERIES:
         r = latest.get(name)

@@ -1,7 +1,8 @@
 """Synthesize a 10x scale step BEYOND the driver's largest testdata
 (sf0.1) for the scaling probe: build /tmp/sfx0.1 (1 replica) and
-/tmp/sfx1 (10 replicas) of the five tables the shuffle-heaviest probe
-queries read (documents, embeddings, customer, orders, lineitem).
+/tmp/sfx1 (10 replicas) of the six tables the shuffle-heaviest probe
+queries read (documents, embeddings, customer, orders, lineitem,
+events).
 
 Replication is workload-faithful, not naive duplication:
 

@@ -13,8 +13,9 @@ of the 50 by age, and prints a paste-ready ``_PRIORITY`` block.
 Usage:
     python tools/plan_rotation.py            # print the proposed block
     python tools/plan_rotation.py --check    # exit 1 if the CURRENT
-        window omits any never-checked query while closing none of the
-        oldest-age tail (i.e. the rotation was forgotten this round)
+        window omits ANY never-checked query — strict on purpose:
+        never-checked debt always outranks aging evidence, so a window
+        that leaves one out is treated as a forgotten rotation
 
 Membership is what matters, not order within the window; the block is
 grouped by reason (pinned / never / age) for the human diff.
@@ -29,7 +30,7 @@ import textwrap
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_GRAFT_SKIP_SESSION", "1")
 
-from evidence_age import green, load_rounds  # noqa: E402
+from evidence_age import latest_green  # noqa: E402
 
 WINDOW = 50
 
@@ -49,15 +50,9 @@ PINNED = [
 
 def evidence(registry: list[str]) -> tuple[list[str], dict[str, int], int]:
     """(never-checked names, latest-green-round per name, current round)."""
-    rounds = load_rounds()
-    latest: dict[str, int] = {}
-    for rnum, blob in rounds.items():
-        items = blob.get("queries", blob) if isinstance(blob, dict) else {}
-        for name, entry in items.items():
-            if isinstance(entry, dict) and green(entry):
-                latest[name] = max(latest.get(name, 0), rnum)
+    latest, cur = latest_green()
     never = [n for n in registry if n not in latest]
-    return never, latest, max(rounds) if rounds else 0
+    return never, latest, cur
 
 
 def propose(registry: list[str]) -> tuple[list[str], list[str], list[str]]:

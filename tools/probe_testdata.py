@@ -87,26 +87,51 @@ def check_unique(d: str, bad: list[str]) -> None:
     import duckdb
 
     con = duckdb.connect()
-    for table, keysets in {**UNIQUE_KEYS, **WARN_KEYS}.items():
-        path = f"{d}/{table}.parquet"
-        for keys in keysets:
-            cols = ", ".join(keys)
-            try:
-                n = con.execute(
-                    f"SELECT count(*) FROM (SELECT {cols} FROM "
-                    f"read_parquet('{path}') GROUP BY {cols} "
-                    "HAVING count(*) > 1)"
-                ).fetchone()[0]
-            except Exception as e:
-                bad.append(f"{d}/{table} uniqueness probe failed: {e}")
-                continue
-            if n == 0:
-                continue
-            msg = f"{d}/{table} ({cols}): {n} duplicated key groups"
-            if keys in UNIQUE_KEYS.get(table, []):
-                bad.append(msg + " — window-oracle orderings assume unique")
-            else:
-                print(f"WARN {msg} — asof-join tie resolution now engine-dependent")
+    # Iterate the hard and warn sets SEPARATELY — a dict merge would
+    # shadow a table's hard keysets when it also appears in WARN_KEYS.
+    for keymap, hard in ((UNIQUE_KEYS, True), (WARN_KEYS, False)):
+        for table, keysets in keymap.items():
+            path = f"{d}/{table}.parquet"
+            for keys in keysets:
+                cols = ", ".join(keys)
+                try:
+                    n = con.execute(
+                        f"SELECT count(*) FROM (SELECT {cols} FROM "
+                        f"read_parquet('{path}') GROUP BY {cols} "
+                        "HAVING count(*) > 1)"
+                    ).fetchone()[0]
+                except Exception as e:
+                    bad.append(f"{d}/{table} uniqueness probe failed: {e}")
+                    continue
+                if n == 0:
+                    continue
+                msg = f"{d}/{table} ({cols}): {n} duplicated key groups"
+                if hard:
+                    bad.append(msg + " — window-oracle orderings assume unique")
+                else:
+                    # Over-approximate on purpose: the registered asof
+                    # right side is only the purchase subset, so a
+                    # click/purchase collision here may still be benign.
+                    print(
+                        f"WARN {msg} — asof-join tie resolution may be "
+                        "engine-dependent (check the purchase subset)"
+                    )
+    # The totalizing event_type ordering keys (event_transitions /
+    # session_paths) assume non-NULL types: Spark asc_nulls_last
+    # matches DuckDB's default NULLS LAST, but path-string building
+    # still diverges on NULLs, so surface them early.
+    try:
+        n_null = con.execute(
+            f"SELECT count(*) FROM read_parquet('{d}/events.parquet') "
+            "WHERE event_type IS NULL"
+        ).fetchone()[0]
+        if n_null:
+            print(
+                f"WARN {d}/events: {n_null} NULL event_type rows — "
+                "session-path strings become engine-dependent"
+            )
+    except Exception as e:
+        bad.append(f"{d}/events NULL probe failed: {e}")
 
 
 def main() -> None:
