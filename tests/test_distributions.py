@@ -75,3 +75,46 @@ def test_norm_ppf_vec_matches_scalar():
     edge = norm_ppf_vec(np.array([0.0, 1.0, np.nan, -0.1, 1.1]))
     assert edge[0] == -math.inf and edge[1] == math.inf
     assert all(math.isnan(v) for v in edge[2:])
+
+
+def test_sql_probit_replay_matches_numpy():
+    """The rint_full oracle's generated-SQL probit (queries.py) must
+    track norm_ppf_vec exactly enough that round(6) can never diverge:
+    same Acklam/Cody coefficients (imported, not copied), same Horner
+    order, Halley-contracted. Probes cover every branch boundary of
+    both the Acklam start and the Cody erfc, plus 1e-12 tails."""
+    import duckdb
+    import numpy as np
+
+    from polars_mas_spark.functions.distributions import norm_ppf_vec
+    from polars_mas_spark.queries import _erfc_pos_sql, _probit_x0_sql
+
+    rng = np.random.default_rng(42)
+    ps = np.unique(np.concatenate([
+        rng.uniform(1e-12, 1.0 - 1e-12, 4000),
+        np.array([1e-12, 1e-9, 0.02424999, 0.02425, 0.024251, 0.5,
+                  0.97574999, 1 - 0.02425, 0.9757500001, 1 - 1e-9,
+                  1 - 1e-12]),
+        rng.uniform(0, 0.001, 500),
+        1.0 - rng.uniform(0, 0.001, 500),
+    ]))
+    x0 = _probit_x0_sql("p")
+    erfc = _erfc_pos_sql("a")
+    sql = f"""
+    WITH ack AS (SELECT p, {x0} AS x0 FROM t),
+    az AS (SELECT p, x0, (-x0) / sqrt(2.0) AS z,
+                  abs((-x0) / sqrt(2.0)) AS a FROM ack),
+    ec AS (SELECT p, x0, CASE WHEN z < 0 THEN 2.0 - ({erfc})
+                              ELSE ({erfc}) END AS e FROM az),
+    u AS (SELECT p, x0, (0.5 * e - p) * sqrt(2.0 * pi())
+                        * exp(0.5 * x0 * x0) AS uu FROM ec)
+    SELECT p, x0 - uu / (1.0 + 0.5 * x0 * uu) AS x FROM u
+    """
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (p DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in ps])
+    got = dict(con.execute(sql).fetchall())
+    sql_vals = np.array([got[float(v)] for v in ps])
+    want = norm_ppf_vec(ps)
+    assert np.abs(sql_vals - want).max() < 1e-12
+    assert (np.round(sql_vals, 6) == np.round(want, 6)).all()
