@@ -616,8 +616,8 @@ def q_log_transform(spark, sf_dir):
 )
 def q_rint_blom(spark, sf_dir):
     """--rint rank step (cli.py:93-98): the Blom rank fraction, which is
-    SQL-expressible (the probit on top is checked in q_rint_full's
-    rows-only entry and unit tests). Runs through the distributed
+    SQL-expressible (the probit on top is value-bound in q_rint_full's
+    generated-SQL replay oracle and unit tests). Runs through the distributed
     two-phase rank (functions.transforms.blom_fractions) — no
     single-partition global sort."""
     from polars_mas_spark.functions.transforms import blom_fractions
