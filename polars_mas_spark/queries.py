@@ -549,22 +549,40 @@ def q_bh_fdr(spark, sf_dir):
 @query(
     "standard_scale",
     """SELECT l_orderkey, l_linenumber,
-              round((l_extendedprice - (SELECT avg(l_extendedprice) FROM lineitem))
-                    / (SELECT stddev_samp(l_extendedprice) FROM lineitem), 6) AS price_scaled
+              round((l_extendedprice
+                     - round((SELECT avg(l_extendedprice) FROM lineitem), 6))
+                    / round((SELECT stddev_samp(l_extendedprice) FROM lineitem), 6),
+                    6) + 0.0 AS price_scaled
        FROM lineitem""",
 )
 def q_standard_scale(spark, sf_dir):
-    """Covariate standardization (reference roadmap README.md:161)."""
+    """Covariate standardization (reference roadmap README.md:161).
+
+    Two cross-engine hash hazards, both caught by the sf0.1 gate in r6
+    (sf0.01 happened to hash clean on each):
+
+    - The mean/std are pinned to 6 decimals on BOTH engines before the
+      per-row scale, so a last-ulp disagreement between Spark's partial
+      aggregation and DuckDB's (potentially multi-threaded) summation
+      can never push a scaled value across a round(..., 6) boundary.
+    - ``+ 0.0`` on both sides normalizes IEEE signed zero: a price just
+      below the mean rounds to -0.0 in DuckDB (sign-preserving
+      std::round) but +0.0 in Spark (BigDecimal HALF_UP drops the
+      sign), and the driver's hasher reprs them differently. Adding
+      positive zero maps -0.0 -> +0.0 and is exact for every other
+      value."""
     li = _t(spark, sf_dir, "lineitem")
     stats = li.agg(
-        F.avg("l_extendedprice").alias("m"), F.stddev_samp("l_extendedprice").alias("s")
+        F.round(F.avg("l_extendedprice"), 6).alias("m"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("s"),
     ).first()
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round((F.col("l_extendedprice") - stats["m"]) / stats["s"], 6).alias(
-            "price_scaled"
-        ),
+        (
+            F.round((F.col("l_extendedprice") - stats["m"]) / stats["s"], 6)
+            + F.lit(0.0)
+        ).alias("price_scaled"),
     )
 
 
