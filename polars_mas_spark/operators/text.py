@@ -641,7 +641,10 @@ def model_quality_score(
     return staged.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.round(logit, 6).alias("logit"),
+        # + 0.0 normalizes IEEE signed zero: the mean-of-weights logit is
+        # dense near 0, and a tiny negative rounds to -0.0 in DuckDB but
+        # +0.0 in Spark (gate hasher reprs them differently).
+        (F.round(logit, 6) + F.lit(0.0)).alias("logit"),
         F.round(score, 6).alias("model_score"),
         (score >= threshold).alias("kept"),
     )

@@ -437,7 +437,7 @@ def q_drop_constant_diag(spark, sf_dir):
 
 
 _CORR_PAIR = """SELECT '{a}' AS col_a, '{b}' AS col_b,
-       round(corr({a}, {b}), 6) AS corr FROM lineitem"""
+       round(corr({a}, {b}), 6) + 0.0 AS corr FROM lineitem"""
 
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
@@ -459,8 +459,10 @@ def q_covariate_corr(spark, sf_dir):
     the oracle is DuckDB's closed-form corr() over the same pairs."""
     li = _t(spark, sf_dir, "lineitem").select(*_CORR_COLS)
     out = covariate_correlations(li, _CORR_COLS)
+    # + 0.0: near-independent pairs have corr ~ 0; a tiny negative
+    # rounds to -0.0 in DuckDB vs +0.0 in Spark (signed-zero trap).
     return out.select(
-        "col_a", "col_b", F.round("corr", 6).alias("corr")
+        "col_a", "col_b", (F.round("corr", 6) + F.lit(0.0)).alias("corr")
     )
 
 
@@ -763,7 +765,7 @@ def _rint_full_oracle() -> str:
                         AS uu
              FROM ec)
     SELECT p_partkey,
-           round(x0 - uu / (1.0 + 0.5 * x0 * uu), 6) AS price_rint
+           round(x0 - uu / (1.0 + 0.5 * x0 * uu), 6) + 0.0 AS price_rint
     FROM u"""
 
 
@@ -777,7 +779,12 @@ def q_rint_full(spark, sf_dir):
     registry's last rows-only check to a full value hash."""
     p = _t(spark, sf_dir, "part")
     out = rint(p.select("p_partkey", "p_retailprice"), "p_retailprice", "price_rint")
-    return out.select("p_partkey", F.round(F.col("price_rint"), 6).alias("price_rint"))
+    # + 0.0: the probit spans zero (median ranks map to ~0); normalize
+    # IEEE signed zero across engines (see q_standard_scale).
+    return out.select(
+        "p_partkey",
+        (F.round(F.col("price_rint"), 6) + F.lit(0.0)).alias("price_rint"),
+    )
 
 
 @query(

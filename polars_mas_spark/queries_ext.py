@@ -186,7 +186,18 @@ def q_minhash_dedup(spark, sf_dir):
 def _cc_labels_ctes(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
     """Recursive-closure CTE chain ending in lab(doc_id, label) — the
     per-document component-min label minhash_component_labels computes
-    distributively (singletons label themselves)."""
+    distributively (singletons label themselves).
+
+    The closure runs over STAR edges (every bucket member <-> the
+    bucket's min member), not clique edges: an LSH bucket is a clique
+    for connectivity, and a star has identical components with k
+    instead of k*(k-1)/2 edges. This matters because the generated
+    corpus has a degenerate bucket (~2,300 near-empty docs at sf0.1
+    share one band signature in every band): all-pairs reachability
+    over that near-clique is O(k^3) joins (~10^10 rows — the r6 sf0.1
+    cross-SF gate wedged for an hour on it), while the star closure is
+    ~k^2 reach rows with small per-iteration joins and finishes in
+    seconds. Same fixpoint, same labels."""
     sig_cols = _minhash_sig_cols(num_hashes)
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
@@ -197,12 +208,14 @@ def _cc_labels_ctes(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
     return f"""RECURSIVE {_TOKS}, {_MINHASH_HALVES},
         sigs AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
         bands AS ({band_selects}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
-            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                        AND a.doc_id < b.doc_id),
-        edges AS (SELECT da AS src, db AS dst FROM cand
-                  UNION SELECT db, da FROM cand),
+        hubs AS (SELECT band, bucket, min(doc_id) AS hub FROM bands
+                 GROUP BY band, bucket),
+        star AS (
+            SELECT DISTINCT b.doc_id AS src, u.hub AS dst
+            FROM bands b JOIN hubs u USING (band, bucket)
+            WHERE b.doc_id <> u.hub),
+        edges AS (SELECT src, dst FROM star
+                  UNION SELECT dst, src FROM star),
         reach(root, node) AS (
             SELECT src, dst FROM edges
             UNION
@@ -607,7 +620,7 @@ def _model_quality_oracle_sql(n_buckets=256, seed=11, salt="qmodel"):
                     CASE WHEN n > 0 THEN 0.0::DOUBLE + total / n
                          ELSE 0.0::DOUBLE END AS logit
              FROM g)
-    SELECT doc_id, n::BIGINT AS n_tokens, round(logit, 6) AS logit,
+    SELECT doc_id, n::BIGINT AS n_tokens, round(logit, 6) + 0.0 AS logit,
            round(1.0 / (1.0 + exp(-logit)), 6) AS model_score,
            (1.0 / (1.0 + exp(-logit))) >= 0.5 AS kept
     FROM s"""
@@ -3399,7 +3412,7 @@ def q_winsorize_acctbal(spark, sf_dir):
                          quantile_cont(s_acctbal, 0.75) AS q3
                   FROM supplier)
        SELECT s_suppkey,
-              round((s_acctbal - md) / (q3 - q1), 6) AS acctbal_rs
+              round((s_acctbal - md) / (q3 - q1), 6) + 0.0 AS acctbal_rs
        FROM supplier, q""",
 )
 def q_robust_scale_acctbal(spark, sf_dir):
@@ -3410,8 +3423,10 @@ def q_robust_scale_acctbal(spark, sf_dir):
 
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     out = robust_scale(s, ["s_acctbal"])
+    # + 0.0: values just below the median round to -0.0 in DuckDB vs
+    # +0.0 in Spark (signed-zero trap, see q_standard_scale).
     return out.select(
-        "s_suppkey", F.round("s_acctbal", 6).alias("acctbal_rs")
+        "s_suppkey", (F.round("s_acctbal", 6) + F.lit(0.0)).alias("acctbal_rs")
     )
 
 
