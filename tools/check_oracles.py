@@ -73,6 +73,30 @@ def _canon(v):
     return v
 
 
+# A DuckDB oracle that wedges must FAIL loudly, not stall the sweep:
+# r6's sf0.1 cross-SF run sat for an hour inside the clique-closure
+# recursive CTE (O(k^3) on a degenerate 2,300-doc LSH bucket) before
+# anyone knew which query was the culprit. The watchdog interrupts the
+# connection after this many seconds and reports a normal FAIL row.
+ORACLE_TIMEOUT_S = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "600"))
+
+
+def _fetch_arrow_watchdogged(con, sql):
+    import threading
+
+    done = threading.Event()
+
+    def kill():
+        if not done.wait(ORACLE_TIMEOUT_S):
+            con.interrupt()
+
+    threading.Thread(target=kill, daemon=True).start()
+    try:
+        return con.execute(sql).fetch_arrow_table()
+    finally:
+        done.set()
+
+
 def _check_one(spark, con, name, fn, oracles):
     """Run one query + oracle compare; returns (line, failed)."""
     t0 = time.time()
@@ -93,7 +117,7 @@ def _check_one(spark, con, name, fn, oracles):
         # fetches through Arrow where HUGEINT is decimal128. Same for
         # list columns: Arrow keeps them as Python lists, which the
         # driver's pandas-based hasher cannot hash at all.
-        tbl = con.execute(oracles[name]).fetch_arrow_table()
+        tbl = _fetch_arrow_watchdogged(con, oracles[name])
         ocols = tbl.column_names
         orows = list(zip(*(c.to_pylist() for c in tbl.columns)))
         if not tbl.columns:
