@@ -36,32 +36,45 @@ def fit_vocabulary(
     col: str,
     buckets: int = DEFAULT_ID_BUCKETS,
     salt: str = "",
-    collect_rows_max: int = 1_000_000,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Fit the dictionary: one DataFrame (value string, id long) with
     ids dense in [0, n_distinct). NULL values are excluded — NULL is
     "absent", not a category; encode_column maps it to the default id.
 
     Two jobs: distinct + per-bucket counts (collect <= ``buckets``
-    rows), then the bucket-partitioned rank job that emits the table.
+    rows), then the bucket-partitioned rank job that writes the table.
 
-    The returned table is materialized while the distinct frame is
-    still cached, and the cache is always released before returning
-    (r5 advice: cache lifetime bounded by this function). When the
-    vocabulary fits ``collect_rows_max`` it is collected and rebuilt as
-    a literal frame — fully fault-tolerant, no executor-local state
-    (``localCheckpoint`` is deliberately avoided: its blocks are
-    unrecoverable under the cluster profile's dynamic allocation /
-    decommissioning). A larger vocabulary keeps full lineage instead;
-    its first downstream action re-pays one distinct pass — the safe
-    trade at scale, since a multi-GB collect to the driver is worse.
-    The lineage branch bakes the bucket offsets computed here into the
-    plan, so it requires a DETERMINISTIC source (the standard Spark
-    lineage-recompute contract): a vocabulary fit over sample()/limit
-    output must be materialized by the caller (write it, or lower
-    ``collect_rows_max``) or the recomputed distinct set could disagree
-    with the frozen offsets and produce non-dense ids silently.
+    The fitted table is MATERIALIZED to a scratch parquet directory by
+    Spark's distributed writer and the return value is a plain read of
+    that directory (r6 advice + verdict #6; replaces the earlier
+    <=1 M-row driver collect / lineage-kept split). Properties this
+    buys, at any vocabulary size:
+
+    - constant driver memory — no vocabulary ever rides through py4j
+      or the driver plan as literals;
+    - recoverable under executor loss / decommissioning — the file is
+      re-readable by any task (``localCheckpoint``'s unrecoverable
+      executor-local blocks remain deliberately avoided);
+    - a FROZEN id assignment: recomputation re-reads the written file,
+      so the bucket offsets computed here can never disagree with a
+      re-evaluated source. A fit over non-deterministic input
+      (sample()/limit) is therefore safe — the old lineage branch's
+      silent non-dense-id hazard is structurally gone.
+
+    ``scratch_dir`` defaults to the driver's tempdir, which Spark
+    resolves against the DEFAULT filesystem — correct in local mode
+    and on a cluster whose default FS is shared (HDFS/S3A); pass an
+    explicit shared path to pick the location. Local-mode scratch is
+    removed at interpreter exit; cluster scratch is left for the
+    platform's scratch TTL (a vocab table is tiny).
     """
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
     vals = (
         df.select(qcol(col).cast("string").alias("value"))
         .where(F.col("value").isNotNull())
@@ -89,13 +102,13 @@ def fit_vocabulary(
             "value",
             (offset + F.row_number().over(w) - 1).cast("long").alias("id"),
         )
-        if running <= collect_rows_max:
-            # Driver-bounded by the count just computed; tuple-built
-            # with an explicit schema (CLAUDE.md: never via pandas).
-            rows = [(r["value"], r["id"]) for r in out.collect()]
-            spark = df.sparkSession
-            return spark.createDataFrame(rows, schema="value string, id bigint")
-        return out
+        base = (scratch_dir or tempfile.gettempdir()).rstrip("/")
+        path = f"{base}/pms_vocab_{uuid.uuid4().hex}"
+        out.write.parquet(path)
+        master = spark.sparkContext.master or ""
+        if scratch_dir is None and master.startswith("local"):
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+        return spark.read.parquet(path)
     finally:
         vals.unpersist()
 

@@ -482,6 +482,16 @@ def session_paths(
                     F.struct(
                         qcol(ts_col).alias("t"),
                         qcol(tiebreak_col).alias("k"),
+                        # Spark struct comparison puts a NULL field
+                        # FIRST, DuckDB's array_agg(... ORDER BY ...)
+                        # defaults NULLS LAST — so the in-array order
+                        # would diverge from the max_steps cut order
+                        # above on a NULL type tied at (ts, tiebreak).
+                        # A null flag before the value gives exact
+                        # NULLS LAST with no sentinel-collision risk.
+                        F.when(qcol(type_col).isNull(), F.lit(1))
+                        .otherwise(F.lit(0))
+                        .alias("en"),
                         qcol(type_col).cast("string").alias("e"),
                     )
                 )

@@ -1562,7 +1562,16 @@ def q_tpch_q8ish(spark, sf_dir):
 
 import os as _os  # noqa: E402
 
-_PARTSUPP_SF001 = "/root/testdata/sf0.01/partsupp.parquet"
+# The oracle SQL must embed an absolute parquet path (the driver's DuckDB
+# session pre-registers views only for the ten known tables). Resolve it
+# from the same env var the gate (tools/check_oracles.py:32) and bench use,
+# so the cross-SF gate compares Spark and DuckDB at the SAME scale factor
+# instead of pinning the oracle to sf0.01 (ADVICE r6, medium). The round
+# driver sets no env var and keeps the sf0.01 default it has always run.
+_PARTSUPP_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+)
+_PARTSUPP_SF001 = f"{_PARTSUPP_SF_DIR}/partsupp.parquet"
 _HAS_PARTSUPP = _os.path.exists(_PARTSUPP_SF001)
 
 

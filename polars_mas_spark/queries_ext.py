@@ -2463,7 +2463,9 @@ def q_mas_firth_fanout_golden(spark, sf_dir):
     )
     return ok.select(
         "predictor", "dependent",
-        F.round("beta_closed", 6).alias("beta"),
+        # + 0.0 normalizes IEEE signed zero to match the oracle's
+        # round(...) + 0.0 (repo signed-zero rule; ADVICE r6).
+        (F.round("beta_closed", 6) + F.lit(0.0)).alias("beta"),
         F.col("cases_closed").alias("cases"),
         F.col("controls_closed").alias("controls"),
         F.col("n_closed").alias("total_n"),

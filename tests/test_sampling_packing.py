@@ -411,20 +411,27 @@ def test_vocabulary_encoding_dense_stable_oov(spark):
     assert enc2["b"] == rows["b"] and enc2["zzz"] == -1
 
 
-def test_vocabulary_large_path_matches_collected(spark):
-    """collect_rows_max=0 forces the lineage-kept branch (the
-    above-threshold cluster path, which avoids both the driver collect
-    and localCheckpoint's unrecoverable executor-local blocks); it must
-    produce the same table as the collected literal-frame branch, and
-    stay correct when evaluated after the internal cache is released."""
+def test_vocabulary_materialized_and_frozen(spark):
+    """The fit is file-backed (r6 advice: no driver-literal vocab, no
+    lineage contract): ids are identical across re-reads AND stay
+    frozen even when the SOURCE is non-deterministic — re-collecting
+    the returned frame must not re-derive from the input."""
     from polars_mas_spark.operators.encoding import fit_vocabulary
 
     df = spark.createDataFrame(
         [(f"k{i % 7}",) for i in range(30)], "v string"
     )
-    small = {r.value: r.id for r in fit_vocabulary(df, "v").collect()}
-    big = fit_vocabulary(df, "v", collect_rows_max=0)
-    # evaluated only now — after the finally-unpersist — so this also
-    # proves the plan recomputes correctly from full lineage
-    assert {r.value: r.id for r in big.collect()} == small
-    assert len(small) == 7
+    vocab = fit_vocabulary(df, "v")
+    first = {r.value: r.id for r in vocab.collect()}
+    assert len(first) == 7
+    assert sorted(first.values()) == list(range(7))
+    # evaluated again after the internal cache is released — a
+    # file-backed frame must reproduce exactly
+    assert {r.value: r.id for r in vocab.collect()} == first
+    # non-deterministic source: a fit over sample() is frozen at write
+    # time; two collects of the SAME returned frame agree regardless
+    nd = df.sample(0.9, seed=None)
+    v2 = fit_vocabulary(nd, "v")
+    got = {r.value: r.id for r in v2.collect()}
+    assert {r.value: r.id for r in v2.collect()} == got
+    assert sorted(got.values()) == list(range(len(got)))
