@@ -414,3 +414,108 @@ def extract_audio_features(
     return df.select(
         qcol(id_col).alias(id_col), qcol(content_col).alias(content_col)
     ).mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup: average-hash (aHash) + Hamming pairing.
+# ---------------------------------------------------------------------------
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "netpbm",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash over binary image payloads: decode,
+    block-mean downsample to ``grid x grid``, threshold each cell
+    against the mean of the cell means, pack the bits to a hex
+    fingerprint (``grid*grid/4`` chars, same nibble layout as
+    :func:`~polars_mas_spark.operators.dedup.simhash` so the Hamming
+    pairing machinery is shared). The DCT-free member of the
+    pHash family — robust to re-encoding and small pixel noise, cheap
+    enough for a 100 TB scan (one numpy pass per image, map-only, zero
+    shuffle).
+
+    P6 (RGB) rasters are reduced to an r+g+b integer sum per pixel
+    before the block means — a pure-integer luma proxy that preserves
+    the threshold ordering (scaling all pixels scales the threshold
+    identically) and keeps the arithmetic exactly replayable.
+
+    Returns (id_col, ahash string) with a NULL hash for payloads that
+    fail to decode or are smaller than the grid — callers filter NULLs
+    before pairing; corrupt media must never kill the scan."""
+    if grid * grid % 4:
+        raise ValueError("grid*grid must be a multiple of 4 bits")
+    real = _resolve_decoder(decoder, IMAGE_DECODERS, "image")
+    nhex = grid * grid // 4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for p in pdf[content_col]:
+                d = real(bytes(p or b""))
+                if not d:
+                    out.append(None)
+                    continue
+                w, h, px = d
+                if w < grid or h < grid:
+                    out.append(None)
+                    continue
+                if px.size == w * h * 3:
+                    img = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+                else:
+                    img = px.reshape(h, w).astype(np.int64)
+                rb = (np.arange(grid + 1) * h) // grid
+                cb = (np.arange(grid + 1) * w) // grid
+                means = np.empty((grid, grid))
+                for r in range(grid):
+                    for c in range(grid):
+                        means[r, c] = img[
+                            rb[r] : rb[r + 1], cb[c] : cb[c + 1]
+                        ].mean()
+                thr = means.mean()
+                bits = (means.ravel() > thr).astype(np.uint64)
+                val = int((bits << np.arange(grid * grid, dtype=np.uint64)).sum())
+                out.append(format(val, f"0{nhex}x"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "ahash": pd.array(out, dtype="string"),
+                }
+            )
+
+    return (
+        df.select(qcol(id_col).alias(id_col), qcol(content_col).alias(content_col))
+        .mapInPandas(batches, schema="doc_id long, ahash string")
+    )
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "netpbm",
+    max_distance: int = 3,
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs: aHash fingerprints paired
+    by Hamming distance via the SAME lossless ``max_distance + 1``
+    disjoint-bit-segment blocking as text SimHash (pigeonhole full
+    recall, no all-pairs join — dedup.simhash_hamming_pairs). Closes
+    the image modality of the dedup family (text is covered by exact /
+    normalized / MinHash-LSH / SimHash / Jaccard). Undecodable payloads
+    are dropped before pairing. Returns (doc_a, doc_b, hamming)."""
+    from polars_mas_spark.operators.dedup import simhash_hamming_pairs
+
+    hashes = (
+        image_ahash(df, id_col, content_col, decoder, grid)
+        .where(F.col("ahash").isNotNull())
+        .select("doc_id", F.col("ahash").alias("simhash"))
+    )
+    return simhash_hamming_pairs(
+        hashes, max_distance=max_distance, bits=grid * grid
+    )

@@ -209,6 +209,47 @@ def test_real_decoders_through_spark(spark):
     assert iout.loc[1, "width"] == 0 and iout.loc[1, "mean_byte"] == 0.0
 
 
+def test_image_ahash_neardup_planted(spark):
+    """Perceptual near-dup on REAL 2-D images: an exact RGB re-encode
+    pairs at hamming 0, a one-block perturbation at hamming 1, an
+    inverted image and a corrupt payload never pair."""
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        image_ahash, image_neardup_pairs, netpbm_encode,
+    )
+
+    base = np.zeros((32, 32), np.uint8)
+    base[:, 16:] = 255  # left half dark, right half bright
+    pert = base.copy()
+    pert[0:4, 0:4] = 255  # flips exactly aHash bit 0
+    inv = 255 - base
+    rgb = np.repeat(base[:, :, None], 3, axis=2)  # same image, P6
+    rows = [
+        (1, netpbm_encode(32, 32, base.tobytes())),
+        (2, netpbm_encode(32, 32, pert.tobytes())),
+        (3, netpbm_encode(32, 32, inv.tobytes())),
+        (4, netpbm_encode(32, 32, rgb.tobytes(), rgb=True)),
+        (5, b"\xff\xd8corrupt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    hashes = {
+        r.doc_id: r.ahash
+        for r in image_ahash(df, "doc_id", "content").collect()
+    }
+    assert hashes[5] is None  # corrupt -> NULL, never an error
+    assert hashes[1] == hashes[4]  # RGB luma proxy preserves the bits
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_neardup_pairs(
+            df, "doc_id", "content", max_distance=3
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert pairs[(1, 2)] == 1 and pairs[(2, 4)] == 1
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
 def test_simhash_segment_blocking_full_recall(spark):
     """The (max_distance+1)-segment blocking must recover EXACTLY the
     unblocked hamming<=d pair set (pigeonhole losslessness), at the
