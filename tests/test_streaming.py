@@ -133,6 +133,11 @@ def test_running_user_stats_stateful(spark, events_dir):
     assert abs(got["total"] - batch["total"]).max() < 1e-9
     assert abs(got["mean"] - batch["mean"]).max() < 1e-9
     assert abs(got["max_value"] - batch["max_value"]).max() < 1e-9
+    # The emission contract the gate query relies on (its oracle
+    # compares only n_events/total/max: rounding the mean quotient is
+    # engine-unstable on true decimal halfway points): mean is EXACTLY
+    # total/n in fp, so binding (n_events, total) binds mean.
+    assert (got["mean"] == got["total"] / got["n_events"]).all()
 
 
 def test_running_user_stats_multi_batch_state(spark, events_dir):
