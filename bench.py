@@ -52,6 +52,9 @@ HEADLINE = [
     "cdc_apply_orders",
     "bm25_topk_docs",
     "resample_interpolate_events",
+    # r7 family: perceptual image near-dup (decode + aHash + segment
+    #-blocked Hamming pairing over 520 synthesized netpbm payloads).
+    "image_neardup_pairs",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

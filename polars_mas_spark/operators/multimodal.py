@@ -469,14 +469,22 @@ def image_ahash(
                     img = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
                 else:
                     img = px.reshape(h, w).astype(np.int64)
-                rb = (np.arange(grid + 1) * h) // grid
-                cb = (np.arange(grid + 1) * w) // grid
-                means = np.empty((grid, grid))
-                for r in range(grid):
-                    for c in range(grid):
-                        means[r, c] = img[
-                            rb[r] : rb[r + 1], cb[c] : cb[c + 1]
-                        ].mean()
+                if h % grid == 0 and w % grid == 0:
+                    # Uniform blocks: one vectorized reshape-mean
+                    # (identical arithmetic to the general path — equal
+                    # block sizes, same exact dyadic sums).
+                    means = img.reshape(
+                        grid, h // grid, grid, w // grid
+                    ).mean(axis=(1, 3))
+                else:
+                    rb = (np.arange(grid + 1) * h) // grid
+                    cb = (np.arange(grid + 1) * w) // grid
+                    means = np.empty((grid, grid))
+                    for r in range(grid):
+                        for c in range(grid):
+                            means[r, c] = img[
+                                rb[r] : rb[r + 1], cb[c] : cb[c + 1]
+                            ].mean()
                 thr = means.mean()
                 bits = (means.ravel() > thr).astype(np.uint64)
                 val = int((bits << np.arange(grid * grid, dtype=np.uint64)).sum())
@@ -516,6 +524,15 @@ def image_neardup_pairs(
         .where(F.col("ahash").isNotNull())
         .select("doc_id", F.col("ahash").alias("simhash"))
     )
+    # Materialize the hash table ONCE before the segment self-join:
+    # both join sides otherwise re-run the whole Python decode+hash
+    # chain (ReuseExchange does not fire across the join branches —
+    # measured 2x the mapInPandas stages at sf0.1). One row per image,
+    # so the checkpoint is tiny. Same caveat as winnow_pairs
+    # (text.py:412): localCheckpoint blocks are executor-local, but the
+    # exposure window is this operator's own job — executor loss fails
+    # the query loudly and a retry rebuilds from source.
+    hashes = hashes.localCheckpoint(eager=True)
     return simhash_hamming_pairs(
         hashes, max_distance=max_distance, bits=grid * grid
     )

@@ -2297,7 +2297,15 @@ def q_image_neardup_pairs(spark, sf_dir):
                 content.append(mm.netpbm_encode(16, 16, raster))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
 
-    payloads = docs.mapInPandas(gen, schema="doc_id long, content binary")
+    # The documents scan is 1-2 input splits at gate/bench SFs, which
+    # would serialize the per-image decode+hash; spread the payload gen
+    # across the session's parallelism (a shuffle of raw text is trivial
+    # next to serial Python decode — and at 100 TB the scan already has
+    # thousands of splits, making this a no-op-sized rebalance).
+    par = spark.sparkContext.defaultParallelism
+    payloads = docs.repartition(par).mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
     out = mm.image_neardup_pairs(
         payloads, "doc_id", "content", decoder="netpbm", max_distance=3
     )
