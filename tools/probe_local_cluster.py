@@ -50,7 +50,16 @@ ORACLE_QUERIES = [
     "mas_firth_columnar_golden",
     "vocab_encode_sources",
     "image_neardup_pairs",
+    # applyInPandasWithState: the state store + timeout machinery now
+    # partitions user state across executor JVMs.
+    "stateful_user_stats",
 ]
+
+# Rows-only under the gate too (iterative MLE, no SQL closed form) but
+# the headline columnar PheWAS shape deserves a cross-process run:
+# mapInArrow table generation, checkpoint, per-task pruned reads and
+# the Firth kernel all hop executors. Expected exactly n_phecodes rows.
+ROWS_QUERIES = {"mas_phewas_firth_180": 180}
 
 
 def probe_streaming(spark) -> tuple[str, bool]:
@@ -142,6 +151,20 @@ def main():
         print(line)
         if failed:
             failures.append(name)
+
+    for name, want_rows in ROWS_QUERIES.items():
+        t0 = time.time()
+        try:
+            n = qs[name](spark, SF_DIR).count()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if n != want_rows:
+            print(f"FAIL  {name}: {n} rows != expected {want_rows}")
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {n} rows ({time.time()-t0:.1f}s) [rows-only]")
 
     line, failed = probe_streaming(spark)
     print(line)
