@@ -445,7 +445,16 @@ def image_ahash(
 
     Returns (id_col, ahash string) with a NULL hash for payloads that
     fail to decode or are smaller than the grid — callers filter NULLs
-    before pairing; corrupt media must never kill the scan."""
+    before pairing; corrupt media must never kill the scan.
+
+    Known aHash property (shared with every mean-threshold perceptual
+    hash): a CONSTANT image has every block mean equal to the
+    threshold, so all bits are 0 and all constant images collide at
+    the all-zero hash regardless of their level — blank frames pair
+    with each other at hamming 0. That is usually the desired near-dup
+    answer for blank media; corpora with many distinct-but-blank
+    images should pre-filter them (e.g. on the raster variance from
+    extract_image_features) if C(n,2) blank pairs are unwanted."""
     if grid * grid % 4:
         raise ValueError("grid*grid must be a multiple of 4 bits")
     real = _resolve_decoder(decoder, IMAGE_DECODERS, "image")

@@ -249,6 +249,16 @@ def test_image_ahash_neardup_planted(spark):
     assert pairs[(1, 2)] == 1 and pairs[(2, 4)] == 1
     assert not any(3 in p or 5 in p for p in pairs)
 
+    # Documented aHash property: constant images hash all-zero and
+    # collide at hamming 0 whatever their level (blank-frame pairing).
+    blank = [
+        (10, netpbm_encode(32, 32, bytes([0]) * 1024)),
+        (11, netpbm_encode(32, 32, bytes([200]) * 1024)),
+    ]
+    bdf = spark.createDataFrame(blank, "doc_id long, content binary")
+    bh = {r.doc_id: r.ahash for r in image_ahash(bdf, "doc_id", "content").collect()}
+    assert bh[10] == bh[11] == "0" * 16
+
 
 def test_simhash_segment_blocking_full_recall(spark):
     """The (max_distance+1)-segment blocking must recover EXACTLY the
