@@ -45,6 +45,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r3/r4-era block (curation, roundtrips, ANN), with the pinned
 # kernel goldens + lifecycle composites retained at the end. Parked
 # past the cap: everything whose latest evidence is r5/r6.
+# R8 QUEUE: run tools/plan_rotation.py fresh (it derives from the
+# CORRECTNESS history); the r3-era block (chunk_dedup..winnow_pairs
+# above) plus whatever r7 leaves as oldest. Registry-growth candidate
+# if the verdict asks for one: a mas_logistic_fanout_golden (planted
+# 2x2 dependents fit with model="logistic"; the unpenalized MLE log-OR
+# on an all-cells-positive 2x2 table is exactly ln(ad/bc), so the
+# PACKED LOGISTIC path — today rows-only — would get the same
+# closed-form hash binding the Firth packed/columnar paths now have).
 _PRIORITY = [
     # --- never driver-checked (2) ---
     "image_neardup_pairs", "mas_firth_columnar_golden",
