@@ -97,8 +97,15 @@ def _fetch_arrow_watchdogged(con, sql):
         done.set()
 
 
-def _check_one(spark, con, name, fn, oracles):
-    """Run one query + oracle compare; returns (line, failed)."""
+def _check_one(spark, con, name, fn, oracles, hashes=None):
+    """Run one query + oracle compare; returns (line, failed).
+
+    ``hashes`` (dict) collects name -> [spark_hash, oracle_hash] for
+    run-to-run stability diffing (--hash-out): two gate runs whose OK
+    lines match can still hide a NON-TOTAL window ordering that both
+    engines happen to re-roll identically per run — diffing the per-
+    engine hashes across independent processes catches it (the r6
+    flap class) before the driver does."""
     t0 = time.time()
     try:
         sdf = fn(spark, SF_DIR)
@@ -145,6 +152,8 @@ def _check_one(spark, con, name, fn, oracles):
         status.append(f"schema {sorted(scols)}!={sorted(ocols)}")
     if not status:
         sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+        if hashes is not None:
+            hashes[name] = [sh, oh]
         if sh != oh:
             status.append(f"hash {sh}!={oh}")
     if status:
@@ -165,6 +174,11 @@ def main():
     arrow = "--arrow" in args
     if arrow:
         args.remove("--arrow")
+    hash_out = None
+    if "--hash-out" in args:
+        i = args.index("--hash-out")
+        hash_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
 
     spark = get_spark()
     if not arrow:
@@ -182,10 +196,11 @@ def main():
     only = set(args)
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
     failures = []
+    hashes: dict[str, list[str]] = {}
 
     if jobs <= 1:
         for name, fn in todo:
-            line, failed = _check_one(spark, con, name, fn, oracles)
+            line, failed = _check_one(spark, con, name, fn, oracles, hashes)
             print(line)
             if failed:
                 failures.append(name)
@@ -200,13 +215,20 @@ def main():
             # duckdb connections are not thread-safe; one per worker.
             if not hasattr(local, "con"):
                 local.con = con.cursor()
-            return name, _check_one(spark, local.con, name, fn, oracles)
+            return name, _check_one(spark, local.con, name, fn, oracles, hashes)
 
         with ThreadPoolExecutor(max_workers=jobs) as ex:
             for name, (line, failed) in ex.map(run, todo):
                 print(line)
                 if failed:
                     failures.append(name)
+
+    if hash_out:
+        import json
+
+        with open(hash_out, "w") as f:
+            json.dump(hashes, f, indent=0, sort_keys=True)
+        print(f"hashes written: {hash_out} ({len(hashes)} queries)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
