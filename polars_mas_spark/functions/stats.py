@@ -598,10 +598,15 @@ def firth_fit(X: np.ndarray, y: np.ndarray, ci_method: str = "profile") -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _poisson_loglik(y: np.ndarray, eta: np.ndarray) -> float:
+def _poisson_loglik(
+    y: np.ndarray, eta: np.ndarray, ws: _Workspace | None = None
+) -> float:
     """Log-likelihood up to the y!-constant (constant drops out of every
     comparison the solver makes)."""
-    return float(y @ eta - np.exp(eta).sum())
+    if ws is None:
+        return float(y @ eta - np.exp(eta).sum())
+    np.exp(eta, out=ws.t)
+    return float(y @ eta - ws.t.sum())
 
 
 def poisson_fit(
@@ -635,13 +640,29 @@ def poisson_fit(
     )
     beta = np.zeros(k)
     beta[-1] = math.log(float(y.mean()) + 1e-12) - float(off.mean())
-    ll = _poisson_loglik(y, Xc @ beta + off)
+    # Per-fit buffer reuse — same page-fault rationale and bit-identity
+    # contract as the Firth/logistic solvers (see _Workspace).
+    ws = _Workspace(Xc, y)
+
+    def eta_into(b: np.ndarray) -> np.ndarray:
+        np.dot(Xc, b, out=ws.eta)
+        np.add(ws.eta, off, out=ws.eta)
+        return ws.eta
+
+    def mu_hess(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # mu = exp(clip(Xc @ b + off, -700, 700)); hess = (Xc*mu).T @ Xc
+        np.clip(eta_into(b), -700, 700, out=ws.u)
+        mu = ws.h
+        np.exp(ws.u, out=mu)
+        np.multiply(Xc, mu[:, None], out=ws.nk)
+        return mu, ws.nk.T @ Xc
+
+    ll = _poisson_loglik(y, eta_into(beta), ws)
     converged = False
     for _ in range(50):
-        eta = Xc @ beta + off
-        mu = np.exp(np.clip(eta, -700, 700))
-        grad = Xc.T @ (y - mu)
-        hess = (Xc * mu[:, None]).T @ Xc
+        mu, hess = mu_hess(beta)
+        np.subtract(y, mu, out=ws.u)
+        grad = Xc.T @ ws.u
         try:
             step = np.linalg.solve(hess, grad)
         except np.linalg.LinAlgError:
@@ -650,7 +671,7 @@ def poisson_fit(
         scale, improved = 1.0, False
         for _h in range(30):
             cand = beta + scale * step
-            ll_cand = _poisson_loglik(y, Xc @ cand + off)
+            ll_cand = _poisson_loglik(y, eta_into(cand), ws)
             if ll_cand >= ll - 1e-12:
                 improved = True
                 break
@@ -661,8 +682,7 @@ def poisson_fit(
         if np.max(np.abs(scale * step)) < 1e-9:
             converged = True
             break
-    mu = np.exp(np.clip(Xc @ beta + off, -700, 700))
-    hess = (Xc * mu[:, None]).T @ Xc
+    _, hess = mu_hess(beta)
     try:
         cov = np.linalg.inv(hess)
     except np.linalg.LinAlgError:
