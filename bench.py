@@ -125,6 +125,13 @@ def main() -> None:
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     for p in range(passes + 1):
         timed = p > 0
+        # Drop every persisted Dataset between passes: Spark's
+        # CacheManager substitutes cached plans by CANONICALIZED-PLAN
+        # equality, so a repeat of an identical query whose pipeline
+        # persists an intermediate (run_pipeline's results table, the
+        # CC edge frames, ...) would silently time a cache read instead
+        # of the computation — min-of-N must measure real passes.
+        spark.catalog.clearCache()
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:

@@ -57,6 +57,12 @@ DEFAULT_QUERIES = [
 def _time_query(spark, fn, sf_dir, passes):
     best = float("inf")
     for _ in range(passes):
+        # Same rationale as bench.py: CacheManager matches persisted
+        # plans by canonicalized equality, so without this a second
+        # identical pass of a persisting query (e.g. the MAS fan-out's
+        # results table) times a cache read, not the computation —
+        # observed as a bogus 4.7 s for an 8-fit 6M-row Firth fan-out.
+        spark.catalog.clearCache()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
