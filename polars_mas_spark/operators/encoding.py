@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 from polars_mas_spark.colutils import qcol
 from polars_mas_spark.operators.sampling import hash_bucket
 
+# Local-mode vocab scratch dirs swept by ONE atexit handler (see
+# fit_vocabulary); module-level so repeated fits don't grow atexit.
+_SCRATCH_DIRS: list[str] = []
+
 DEFAULT_ID_BUCKETS = 64
 
 
@@ -107,7 +111,20 @@ def fit_vocabulary(
         out.write.parquet(path)
         master = spark.sparkContext.master or ""
         if scratch_dir is None and master.startswith("local"):
-            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            # ONE atexit sweep for the whole process (a handler per
+            # call would grow the atexit list unboundedly in sessions
+            # that fit many vocabularies). The dirs themselves must
+            # live until exit — the returned DataFrame reads from them
+            # lazily; callers done with a vocab early may rmtree its
+            # backing dir (inputFiles() names it) themselves.
+            if not _SCRATCH_DIRS:
+                atexit.register(
+                    lambda: [
+                        shutil.rmtree(p, ignore_errors=True)
+                        for p in _SCRATCH_DIRS
+                    ]
+                )
+            _SCRATCH_DIRS.append(path)
         return spark.read.parquet(path)
     finally:
         vals.unpersist()

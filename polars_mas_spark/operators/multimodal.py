@@ -443,8 +443,10 @@ def image_ahash(
     the threshold ordering (scaling all pixels scales the threshold
     identically) and keeps the arithmetic exactly replayable.
 
-    Returns (id_col, ahash string) with a NULL hash for payloads that
-    fail to decode or are smaller than the grid — callers filter NULLs
+    Returns columns (doc_id, ahash) — the id column is re-labeled
+    ``doc_id`` in the output regardless of ``id_col``, matching this
+    module's extract_* convention — with a NULL hash for payloads that
+    fail to decode or are smaller than the grid; callers filter NULLs
     before pairing; corrupt media must never kill the scan.
 
     Known aHash property (shared with every mean-threshold perceptual
@@ -496,7 +498,19 @@ def image_ahash(
                             ].mean()
                 thr = means.mean()
                 bits = (means.ravel() > thr).astype(np.uint64)
-                val = int((bits << np.arange(grid * grid, dtype=np.uint64)).sum())
+                # Pack little-endian-bit-order in <=32-bit words: a
+                # single uint64 shift vector silently zeroes shifts
+                # >= 64 (numpy wraparound), truncating every grid > 8
+                # to its low 64 bits. Word-chunked packing produces the
+                # identical value for grid <= 8 and correct hashes for
+                # any grid.
+                val = 0
+                for w0 in range(0, bits.size, 32):
+                    chunk = bits[w0 : w0 + 32]
+                    word = int(
+                        (chunk << np.arange(chunk.size, dtype=np.uint64)).sum()
+                    )
+                    val |= word << w0
                 out.append(format(val, f"0{nhex}x"))
             yield pd.DataFrame(
                 {

@@ -259,6 +259,22 @@ def test_image_ahash_neardup_planted(spark):
     bh = {r.doc_id: r.ahash for r in image_ahash(bdf, "doc_id", "content").collect()}
     assert bh[10] == bh[11] == "0" * 16
 
+    # grid > 8 regression: a uint64 shift vector wraps at 64 bits and
+    # silently zeroed every higher bit (numpy wraparound), so a 10x10
+    # grid hashed only its first 64 cells. The word-chunked packing
+    # must place bit 99 (bright bottom-right at grid=10) in the high
+    # nibbles, and the bright-half image must set high bits too.
+    hi = {
+        r.doc_id: r.ahash
+        for r in image_ahash(df, "doc_id", "content", grid=10).collect()
+    }
+    assert len(hi[1]) == 25  # 100 bits -> 25 hex chars
+    assert int(hi[1], 16) >> 64 != 0  # bits past 63 survive packing
+    # bit i corresponds to nibble layout value 2^i: the right-bright
+    # base image sets exactly the cells in columns 5..9 of every row.
+    expect = sum(1 << (r * 10 + c) for r in range(10) for c in range(5, 10))
+    assert int(hi[1], 16) == expect
+
 
 def test_simhash_segment_blocking_full_recall(spark):
     """The (max_distance+1)-segment blocking must recover EXACTLY the

@@ -177,6 +177,8 @@ def main():
     hash_out = None
     if "--hash-out" in args:
         i = args.index("--hash-out")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            sys.exit("usage: --hash-out <path> (missing output path)")
         hash_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
 

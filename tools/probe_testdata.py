@@ -132,6 +132,26 @@ def check_unique(d: str, bad: list[str]) -> None:
             )
     except Exception as e:
         bad.append(f"{d}/events NULL probe failed: {e}")
+    # The media-feature oracles (_MEDIA_BYTES_CTE / _AHASH_ORACLE in
+    # queries_ext.py) equate DuckDB character codepoints + char-length
+    # with the engine's UTF-8 bytes + byte-length — true ONLY for
+    # pure-ASCII text. A regenerated documents table with one
+    # non-ASCII character would turn five media queries
+    # deterministically red; fail loudly here instead.
+    try:
+        n_na = con.execute(
+            f"SELECT count(*) FROM read_parquet('{d}/documents.parquet') "
+            "WHERE regexp_matches(text, '[^\\x00-\\x7F]')"
+        ).fetchone()[0]
+        if n_na:
+            bad.append(
+                f"{d}/documents: {n_na} rows contain non-ASCII text — "
+                "media oracles (image/audio features, image near-dup) "
+                "assume codepoint == UTF-8 byte; re-derive or sanitize "
+                "before trusting the gate"
+            )
+    except Exception as e:
+        bad.append(f"{d}/documents ASCII probe failed: {e}")
 
 
 def main() -> None:
