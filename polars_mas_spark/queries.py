@@ -1549,39 +1549,67 @@ def q_tpch_q8ish(spark, sf_dir):
 
 
 # ===========================================================================
-# TPC-H shapes, conditional third wave (q2/q11/q20-ish). These need the
-# partsupp table, which the driver's generator has never emitted
-# (VERDICT r5 "What's missing" #2). They register ONLY when
-# /root/testdata/sf0.01/partsupp.parquet exists (the driver's fixed
-# layout; tools/probe_testdata.py prints presence every round), assuming
-# the standard TPC-H columns ps_partkey/ps_suppkey/ps_availqty/
-# ps_supplycost. The driver pre-registers views only for the ten known
-# tables, so the oracles read the parquet by absolute path — valid
-# DuckDB, and only registered when the file is actually there.
+# TPC-H shapes, third wave (q2/q11/q20-ish). These need the partsupp
+# table, which the driver's generator has never emitted (VERDICT r5
+# "What's missing" #2; still absent in r8 per tools/probe_testdata.py).
+# Rather than stay dormant, partsupp is DERIVED deterministically from
+# lineitem — distinct (l_partkey, l_suppkey) with hash-keyed
+# availqty/supplycost — with the SAME pure-int64 arithmetic in the Spark
+# builder (_partsupp) and the oracle CTE (_PS_DERIVED_CTE), so both
+# engines see byte-identical data at every SF with no file, no absolute
+# path in the oracle, and no import-time env-var resolution (ADVICE r7
+# #2: the old file-gated design froze SPARK_GRAFT_SF_DIR at import).
+# Supply costs are carried as integer CENTS (ps_supplycost_cents) so
+# aggregates can stay in exact int64 and never depend on double
+# summation order; ps_supplycost = cents/100.0 is the same double on
+# both engines because it is derived from the same integer.
 # ===========================================================================
 
-import os as _os  # noqa: E402
-
-# The oracle SQL must embed an absolute parquet path (the driver's DuckDB
-# session pre-registers views only for the ten known tables). Resolve it
-# from the same env var the gate (tools/check_oracles.py:32) and bench use,
-# so the cross-SF gate compares Spark and DuckDB at the SAME scale factor
-# instead of pinning the oracle to sf0.01 (ADVICE r6, medium). The round
-# driver sets no env var and keeps the sf0.01 default it has always run.
-_PARTSUPP_SF_DIR = _os.environ.get(
-    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
-)
-_PARTSUPP_SF001 = f"{_PARTSUPP_SF_DIR}/partsupp.parquet"
-_HAS_PARTSUPP = _os.path.exists(_PARTSUPP_SF001)
+# Shared derivation, quoted verbatim into every oracle. Hash constants
+# are Knuth's 2654435761 and 40503; all operands stay far below 2^63
+# even at sf100 (partkey ~2e7 x 2.65e9 ~ 5.3e16).
+_PS_DERIVED_CTE = """ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ((l_partkey * 2654435761 + l_suppkey * 40503) % 2147483647)
+           % 9999 + 1 AS ps_availqty,
+         (l_partkey * 40503 + l_suppkey * 2654435761) % 99900 + 100
+           AS ps_supplycost_cents,
+         ((l_partkey * 40503 + l_suppkey * 2654435761) % 99900 + 100)
+           / 100.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))"""
 
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/partsupp.parquet")
+    """Derived partsupp view — the Spark twin of _PS_DERIVED_CTE.
 
+    One keyed shuffle (the DISTINCT) and two hash projections; at 100 TB
+    this is a map-side-combined distinct over the already-partitioned
+    lineitem scan reading exactly two columns.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    h1 = (
+        F.col("l_partkey") * F.lit(2654435761)
+        + F.col("l_suppkey") * F.lit(40503)
+    ) % F.lit(2147483647)
+    cents = (
+        F.col("l_partkey") * F.lit(40503)
+        + F.col("l_suppkey") * F.lit(2654435761)
+    ) % F.lit(99900) + F.lit(100)
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        (h1 % 9999 + 1).cast("long").alias("ps_availqty"),
+        cents.cast("long").alias("ps_supplycost_cents"),
+        (cents / F.lit(100.0)).alias("ps_supplycost"),
+    )
 
 
 _TPCH_Q2ISH_ORACLE = (
-    f"""WITH ps AS (SELECT * FROM read_parquet('{_PARTSUPP_SF001}')),
+    f"""WITH {_PS_DERIVED_CTE},
        costs AS (
            SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost
            FROM ps
@@ -1648,32 +1676,37 @@ def q_tpch_q2ish(spark, sf_dir):
     )
 
 _TPCH_Q11ISH_ORACLE = (
-    f"""WITH ps AS (SELECT * FROM read_parquet('{_PARTSUPP_SF001}')),
+    f"""WITH {_PS_DERIVED_CTE},
        val AS (
            SELECT ps.ps_partkey,
-                  round(sum(ps.ps_supplycost * ps.ps_availqty), 2) AS value
+                  sum(ps.ps_supplycost_cents * ps.ps_availqty)::BIGINT
+                    AS value_cents
            FROM ps
            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
            JOIN nation n ON n.n_nationkey = s.s_nationkey
            WHERE n.n_name = 'NATION_3'
            GROUP BY ps.ps_partkey)
-    SELECT ps_partkey, value
+    SELECT ps_partkey, value_cents / 100.0 AS value
     FROM val
-    WHERE value > (SELECT round(sum(value), 2) * 0.001 FROM val)"""
+    WHERE value_cents * (SELECT count(*) FROM val)
+          > 2 * (SELECT sum(value_cents)::BIGINT FROM val)"""
 )
 def q_tpch_q11ish(spark, sf_dir):
     """Q11 shape (group-share HAVING): per-part inventory value for
     one nation, kept when above a fraction of the nation total. The
     scalar total is computed once and pushed back as a literal (a
     driver-bounded single-row collect) — no single-partition window,
-    no cross join. Both per-part value and the grand total are rounded
-    to 2 decimals before comparing (mathematically exact here:
-    2-decimal costs x integer quantities, accumulated double error
-    << 0.005), so the threshold comparison's operands are the SAME
-    doubles on both engines and a part can never straddle the cut by
-    an ulp of summation-order noise."""
+    no cross join. The aggregate runs entirely in integer CENTS
+    (value_cents = sum of cents x qty, exact int64 at any SF and any
+    summation order), and the threshold — keep parts above 2x the
+    MEAN per-part share, the scale-invariant analog of TPC-H's
+    fraction/SF so the result is non-vacuous at every SF — is the
+    integer identity value_cents * n_parts > 2 * total_cents, so no
+    engine can straddle the cut by an ulp of double-summation-order
+    noise. The double `value` is only a final projection of the same
+    integer on both sides."""
     ps = _partsupp(spark, sf_dir).select(
-        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost"
+        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost_cents"
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = (
@@ -1686,18 +1719,23 @@ def q_tpch_q11ish(spark, sf_dir):
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("ps_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("ps_supplycost") * F.col("ps_availqty")), 2
-            ).alias("value")
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
         )
     )
-    total = val.agg(F.round(F.sum("value"), 2)).first()[0] or 0.0
-    return val.filter(F.col("value") > total * 0.001).select(
-        "ps_partkey", "value"
+    tot_row = val.agg(
+        F.sum("value_cents").alias("t"), F.count(F.lit(1)).alias("n")
+    ).first()
+    total, n_parts = tot_row[0] or 0, tot_row[1] or 0
+    return val.filter(
+        F.col("value_cents") * F.lit(n_parts) > F.lit(2 * total)
+    ).select(
+        "ps_partkey", (F.col("value_cents") / F.lit(100.0)).alias("value")
     )
 
 _TPCH_Q20ISH_ORACLE = (
-    f"""WITH ps AS (SELECT * FROM read_parquet('{_PARTSUPP_SF001}')),
+    f"""WITH {_PS_DERIVED_CTE},
        shipped AS (
            SELECT l_partkey, l_suppkey,
                   sum(l_quantity) AS qty
@@ -1720,7 +1758,11 @@ def q_tpch_q20ish(spark, sf_dir):
     """Q20 shape (availability semi-join): suppliers whose stock
     exceeds half of what they shipped in 1995 — lineitem aggregated
     once on (part, supp), equi-joined with partsupp on the same
-    key, then a left-semi join into supplier."""
+    key, then a left-semi join into supplier. The availqty > 0.5*qty
+    cut is exact on both engines: l_quantity is integral in the
+    generated data (probe-checked), so sum(l_quantity) is an exact
+    integer-valued double at any summation order and 0.5*qty is an
+    exact dyadic rational."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
@@ -1752,7 +1794,6 @@ def q_tpch_q20ish(spark, sf_dir):
     )
 
 
-if _HAS_PARTSUPP:
-    query("tpch_q2ish", _TPCH_Q2ISH_ORACLE)(q_tpch_q2ish)
-    query("tpch_q11ish", _TPCH_Q11ISH_ORACLE)(q_tpch_q11ish)
-    query("tpch_q20ish", _TPCH_Q20ISH_ORACLE)(q_tpch_q20ish)
+query("tpch_q2ish", _TPCH_Q2ISH_ORACLE)(q_tpch_q2ish)
+query("tpch_q11ish", _TPCH_Q11ISH_ORACLE)(q_tpch_q11ish)
+query("tpch_q20ish", _TPCH_Q20ISH_ORACLE)(q_tpch_q20ish)

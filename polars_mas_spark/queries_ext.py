@@ -2274,7 +2274,12 @@ def q_image_neardup_pairs(spark, sf_dir):
     segment blocking on image hashes. Corrupt payloads (empty text ->
     truncated raster) degrade to NULL hashes and are dropped, never
     errors."""
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # coalesce mirrors the oracle's base CTE: a NULL-text doc must yield
+    # 'Z' (not NULL) in the perturbed branch so both engines agree
+    # (ADVICE r7 #1 — latent until the driver regenerates NULL-text rows).
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
     exact = base.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )

@@ -1,15 +1,14 @@
-"""The conditional TPC-H third wave (q2/q11/q20-ish) — these register
-with the driver only when the generator ever emits partsupp
-(queries._HAS_PARTSUPP), but the query functions themselves must work
-TODAY so the round the table appears they go green without edits.
+"""The TPC-H third wave (q2/q11/q20-ish) over the DERIVED partsupp view.
 
-The test synthesizes a standard-schema partsupp next to symlinked
-sf0.001 tables and cross-checks every result against DuckDB running the
-same shape on the same files (the registered oracle with the pinned
-sf0.01 path swapped for the synthetic dir).
+The driver's generator has never emitted partsupp.parquet, so
+queries._partsupp derives it deterministically from lineitem (distinct
+(l_partkey, l_suppkey) + hash-keyed availqty/supplycost in integer
+cents) with identical int64 arithmetic in the Spark builder and the
+oracle CTE (queries._PS_DERIVED_CTE). These tests cross-check every
+result against DuckDB running the registered oracle on the same
+sf0.001 files, plus dedicated equivalence and exactness probes for the
+derivation itself.
 """
-
-import os
 
 import duckdb
 import pytest
@@ -17,96 +16,93 @@ import pytest
 from polars_mas_spark import queries as q
 
 SF_DIR_SMALL = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem".split()
 
 
-@pytest.fixture(scope="module")
-def ps_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("sf_ps")
-    for t in (
-        "region nation customer supplier part orders lineitem".split()
-    ):
-        os.symlink(f"{SF_DIR_SMALL}/{t}.parquet", d / f"{t}.parquet")
+def _oracle(sql: str, sf_dir: str = SF_DIR_SMALL):
     con = duckdb.connect()
-    # Deterministic synthetic partsupp: 4 suppliers per part, standard
-    # TPC-H columns, values keyed off (partkey, suppkey) so both
-    # engines see identical data.
-    con.execute(
-        f"""COPY (
-          SELECT p.p_partkey AS ps_partkey,
-                 1 + (p.p_partkey * 7 + s.i) % 100 AS ps_suppkey,
-                 ((p.p_partkey * 13 + s.i * 17) % 9999)::INTEGER
-                   AS ps_availqty,
-                 round(1.0 + ((p.p_partkey * 31 + s.i * 11) % 1000)
-                       / 10.0, 2) AS ps_supplycost
-          FROM read_parquet('{SF_DIR_SMALL}/part.parquet') p,
-               (SELECT unnest([0, 1, 2, 3]) AS i) s
-        ) TO '{d}/partsupp.parquet' (FORMAT PARQUET)"""
-    )
-    con.close()
-    return str(d)
-
-
-def _oracle(sql: str, ps_dir: str):
-    con = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem".split():
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{ps_dir}/{t}.parquet')"
+            f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    sql = sql.replace(q._PARTSUPP_SF001, f"{ps_dir}/partsupp.parquet")
     out = con.execute(sql).fetchall()
     con.close()
     return out
 
 
-def _compare(spark_df, sql, ps_dir):
+def _compare(spark_df, sql):
     got = sorted(tuple(r) for r in spark_df.collect())
-    want = sorted(tuple(r) for r in _oracle(sql, ps_dir))
+    want = sorted(tuple(r) for r in _oracle(sql))
     assert len(got) > 0, "vacuous: query returned no rows"
     assert got == want
 
 
-def test_q2ish_min_cost_supplier(spark, ps_dir):
-    _compare(q.q_tpch_q2ish(spark, ps_dir), q._TPCH_Q2ISH_ORACLE, ps_dir)
+def test_partsupp_derivation_matches_oracle_cte(spark):
+    """The Spark _partsupp builder and the SQL CTE must produce
+    byte-identical rows — this is the invariant every q2/q11/q20
+    oracle rests on."""
+    got = sorted(
+        tuple(r) for r in q._partsupp(spark, SF_DIR_SMALL).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _oracle(f"WITH {q._PS_DERIVED_CTE} SELECT * FROM ps")
+    )
+    assert len(got) > 1000
+    assert got == want
 
 
-def test_q11ish_group_share_having(spark, ps_dir):
-    _compare(q.q_tpch_q11ish(spark, ps_dir), q._TPCH_Q11ISH_ORACLE, ps_dir)
+def test_partsupp_cents_identity(spark):
+    """ps_supplycost must be exactly ps_supplycost_cents/100.0 (same
+    double both engines derive), and availqty in [1, 9999]."""
+    rows = q._partsupp(spark, SF_DIR_SMALL).collect()
+    for r in rows:
+        assert r.ps_supplycost == r.ps_supplycost_cents / 100.0
+        assert 1 <= r.ps_availqty <= 9999
+        assert 100 <= r.ps_supplycost_cents < 100000
 
 
-def test_q20ish_availability_semijoin(spark, ps_dir):
-    _compare(q.q_tpch_q20ish(spark, ps_dir), q._TPCH_Q20ISH_ORACLE, ps_dir)
+def test_q2ish_min_cost_supplier(spark):
+    _compare(q.q_tpch_q2ish(spark, SF_DIR_SMALL), q._TPCH_Q2ISH_ORACLE)
 
 
-def test_registration_is_conditional():
-    """Dormant while the driver's testdata lacks partsupp; the probe
-    (tools/probe_testdata.py) reports presence every round."""
-    present = os.path.exists(q._PARTSUPP_SF001)
-    assert ("tpch_q2ish" in q.QUERIES) == present
-    assert ("tpch_q11ish" in q.QUERIES) == present
-    assert ("tpch_q20ish" in q.QUERIES) == present
+def test_q11ish_group_share_having(spark):
+    _compare(q.q_tpch_q11ish(spark, SF_DIR_SMALL), q._TPCH_Q11ISH_ORACLE)
 
 
-def test_conditional_wave_plans(spark, ps_dir):
-    """Scale-shape assertions for the dormant wave (they can't appear in
-    tools/audit_plans.py until partsupp ships): every dimension join
-    broadcasts, nothing cartesian, and q2's min-cost decorrelation is a
-    partsupp-keyed window, not a self-join."""
+def test_q20ish_availability_semijoin(spark):
+    _compare(q.q_tpch_q20ish(spark, SF_DIR_SMALL), q._TPCH_Q20ISH_ORACLE)
+
+
+def test_registration_is_unconditional():
+    """r8: the wave derives partsupp from lineitem, so it registers at
+    every SF with no file dependency (was dormant behind a file-exists
+    gate through r7)."""
+    assert "tpch_q2ish" in q.QUERIES
+    assert "tpch_q11ish" in q.QUERIES
+    assert "tpch_q20ish" in q.QUERIES
+
+
+def test_third_wave_plans(spark):
+    """Scale-shape assertions: every dimension join broadcasts, nothing
+    cartesian, and q2's min-cost decorrelation is a partsupp-keyed
+    window, not a self-join."""
     from polars_mas_spark.plans import formatted_plan, op_count
 
-    p2 = formatted_plan(q.q_tpch_q2ish(spark, ps_dir))
+    p2 = formatted_plan(q.q_tpch_q2ish(spark, SF_DIR_SMALL))
     assert op_count(p2, "CartesianProduct") == 0
     assert op_count(p2, "BroadcastNestedLoopJoin") == 0
     # supplier, nation, region, part all broadcast; partsupp never does
     assert op_count(p2, "BroadcastHashJoin") >= 4
     assert "Window" in p2  # decorrelated min-cost, one keyed window
 
-    p11 = formatted_plan(q.q_tpch_q11ish(spark, ps_dir))
+    p11 = formatted_plan(q.q_tpch_q11ish(spark, SF_DIR_SMALL))
     assert op_count(p11, "CartesianProduct") == 0
     assert op_count(p11, "BroadcastHashJoin") >= 2
     # the scalar total is a driver literal, not a single-partition window
     assert "Window" not in p11
 
-    p20 = formatted_plan(q.q_tpch_q20ish(spark, ps_dir))
+    p20 = formatted_plan(q.q_tpch_q20ish(spark, SF_DIR_SMALL))
     assert op_count(p20, "CartesianProduct") == 0
     assert "LeftSemi" in p20

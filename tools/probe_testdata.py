@@ -152,6 +152,23 @@ def check_unique(d: str, bad: list[str]) -> None:
             )
     except Exception as e:
         bad.append(f"{d}/documents ASCII probe failed: {e}")
+    # NULL text is handled (every media/dedup query coalesces to '' on
+    # BOTH engines as of r8 — ADVICE r7 #1), but the generator has never
+    # emitted any; surface a first appearance so the coalesce paths get
+    # a deliberate re-check rather than silent first exercise.
+    try:
+        n_nt = con.execute(
+            f"SELECT count(*) FROM read_parquet('{d}/documents.parquet') "
+            "WHERE text IS NULL"
+        ).fetchone()[0]
+        if n_nt:
+            print(
+                f"WARN {d}/documents: {n_nt} NULL-text rows (first time; "
+                "media/dedup oracles coalesce to '' — spot-check "
+                "image_neardup_pairs/media_metadata before trusting)"
+            )
+    except Exception as e:
+        bad.append(f"{d}/documents NULL-text probe failed: {e}")
 
 
 def main() -> None:
@@ -173,42 +190,24 @@ def main() -> None:
                     bad.append(
                         f"{d}/{t}.{col}: {cols[col]} not in expected {sorted(ok)}"
                     )
-    # Optional-table probe (VERDICT r5 next-steps #3): TPC-H q2/q11/q20
-    # shapes need partsupp, which the driver's generator has never
-    # emitted. Registration keys SOLELY off the pinned driver-gate path
-    # (queries._PARTSUPP_SF001 = sf0.01) — presence at any other sf dir
-    # does not enable them, and once enabled, running them against an
-    # sf dir that lacks the table would fail on read. Report both cases
-    # explicitly so a partial rollout by the generator is visible.
-    sys.path.insert(0, "/root/repo")
-    from polars_mas_spark.queries import _HAS_PARTSUPP, _PARTSUPP_SF001
-
-    reg_dir = _PARTSUPP_SF001.rsplit("/", 1)[0]
+    # partsupp probe: since r8 the q2/q11/q20 shapes DERIVE partsupp
+    # from lineitem (queries._PS_DERIVED_CTE) and register at every SF
+    # — a physical partsupp.parquet is ignored by the registered
+    # queries. If the generator ever ships one, flag it loudly so the
+    # wave can be switched to read the real table (and its oracle to
+    # the real file) deliberately rather than silently diverging.
     for d in dirs:
         try:
             schema = pq.read_schema(f"{d}/partsupp.parquet")
             cols = {f.name: str(f.type) for f in schema}
-            gate = (
-                "tpch_q2ish/q11ish/q20ish auto-enable"
-                if d.rstrip("/") == reg_dir
-                else "registration keys off "
-                + reg_dir
-                + (" (enabled)" if _HAS_PARTSUPP else " (still dormant!)")
-            )
             print(
-                f"{d}/partsupp: PRESENT ("
+                f"WARN {d}/partsupp: PRESENT ("
                 + ", ".join(f"{k}:{v}" for k, v in cols.items())
-                + ") — "
-                + gate
+                + ") — tpch_q2ish/q11ish/q20ish still use the DERIVED "
+                "view; switch them to the real table deliberately"
             )
         except Exception:
-            if _HAS_PARTSUPP:
-                bad.append(
-                    f"{d}/partsupp: MISSING while {reg_dir} has it — "
-                    "registered tpch_q2ish/q11ish/q20ish would fail on "
-                    "this sf_dir"
-                )
-            print(f"{d}/partsupp: absent (tpch_q2ish/q11ish/q20ish dormant)")
+            print(f"{d}/partsupp: absent (derived view in use — expected)")
 
     for d in dirs:
         check_unique(d, bad)
