@@ -110,7 +110,7 @@ def main() -> None:
         _phewas_wide_parquet(spark, SF_DIR, n_covariates=20)
 
     qs = {**entry_mod.queries(), **BENCH_ONLY}
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     # One UNTIMED warm-up pass, then min of N timed passes (default 2).
@@ -142,14 +142,24 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 if not timed:
                     continue
-                t = round(time.time() - t0, 3)
-                prev = timings.get(name)
-                timings[name] = t if prev is None or prev <= 0 else min(prev, t)
+                samples.setdefault(name, []).append(round(time.time() - t0, 3))
             except Exception as e:  # a failed query is reported, not fatal
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 if timed:
-                    timings.setdefault(name, -1.0)
+                    samples.setdefault(name, [])
 
+    # min is the load-insensitive headline; spread = (max-min)/min over
+    # the timed passes exposes same-process run-to-run noise so a driver
+    # delta on a sub-second query can be read against it instead of
+    # being mistaken for a regression (VERDICT r7 "What's wrong" #4).
+    timings = {
+        n: (min(ts) if ts else -1.0) for n, ts in samples.items()
+    }
+    spread = {
+        n: round((max(ts) - min(ts)) / min(ts), 3)
+        for n, ts in samples.items()
+        if ts and min(ts) > 0
+    }
     total = round(sum(v for v in timings.values() if v > 0), 3)
     line = json.dumps(
         {
@@ -157,6 +167,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "spread": spread,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "passes": passes,
         }

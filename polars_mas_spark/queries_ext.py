@@ -2228,7 +2228,11 @@ d AS (
   UNION ALL
   SELECT doc_id + 1000000, t FROM base WHERE doc_id % 50 = 0
   UNION ALL
-  SELECT doc_id + 2000000, 'Z' || substr(t, 2) FROM base WHERE doc_id % 50 = 1),
+  SELECT doc_id + 2000000, 'Z' || substr(t, 2) FROM base WHERE doc_id % 50 = 1
+  UNION ALL
+  SELECT doc_id * 100 + i + 3000000, t
+  FROM base, (SELECT unnest(range(1, 13)) AS i) reps
+  WHERE doc_id % 977 = 3),
 f AS (SELECT doc_id, length(t) AS n,
         list_transform(regexp_split_to_array(t, ''), x -> ascii(x)) AS bytes
       FROM d),
@@ -2248,11 +2252,19 @@ bits AS (SELECT doc_id, list_transform(range(0,64),
 hl AS (SELECT doc_id,
         list_sum(list_transform(range(0,32), i -> bv[i+1]::BIGINT << i))::BIGINT AS lo,
         list_sum(list_transform(range(32,64), i -> bv[i+1]::BIGINT << (i-32)))::BIGINT AS hi
-       FROM bits)
+       FROM bits),
+grp AS (SELECT lo, hi, min(doc_id) AS rep, count(*) AS sz
+        FROM hl GROUP BY lo, hi),
+tg AS (SELECT h.doc_id, h.lo, h.hi, g.rep, g.sz
+       FROM hl h JOIN grp g ON g.lo = h.lo AND g.hi = h.hi),
+nodes AS (SELECT doc_id, lo, hi FROM tg WHERE sz <= 8 OR doc_id = rep)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
-FROM hl a JOIN hl b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
+FROM nodes a JOIN nodes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+UNION ALL
+SELECT rep AS doc_a, doc_id AS doc_b, 0::BIGINT AS hamming
+FROM tg WHERE sz > 8 AND doc_id != rep"""
 
 
 @query("image_neardup_pairs", _AHASH_ORACLE)
@@ -2273,7 +2285,14 @@ def q_image_neardup_pairs(spark, sf_dir):
     UNBLOCKED pair set — matching it proves full recall of the
     segment blocking on image hashes. Corrupt payloads (empty text ->
     truncated raster) degrade to NULL hashes and are dropped, never
-    errors."""
+    errors.
+
+    r8 adds the hot-cluster guard (VERDICT r7 "What's wrong" #3): every
+    doc_id % 977 == 3 is replicated 12x (a planted 13+-member
+    identical-hash mega-cluster), and hot_cluster_cap=8 summarizes any
+    cluster past the cap as k-1 representative links instead of
+    O(k^2) pairs. The oracle replays the grouping, cap, and
+    representative rule (min doc_id) bit-for-bit over (lo, hi)."""
     # coalesce mirrors the oracle's base CTE: a NULL-text doc must yield
     # 'Z' (not NULL) in the perturbed branch so both engines agree
     # (ADVICE r7 #1 — latent until the driver regenerates NULL-text rows).
@@ -2289,7 +2308,21 @@ def q_image_neardup_pairs(spark, sf_dir):
             F.lit("Z"), F.expr("substring(text, 2, length(text))")
         ).alias("text"),
     )
-    docs = base.union(exact).union(pert)
+    mega = (
+        base.filter(F.col("doc_id") % 977 == 3)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.lit(12))).alias("__i__"),
+        )
+        .select(
+            (F.col("doc_id") * 100 + F.col("__i__") + 3000000).alias(
+                "doc_id"
+            ),
+            "text",
+        )
+    )
+    docs = base.union(exact).union(pert).union(mega)
 
     def gen(it):
         import pandas as pd
@@ -2312,7 +2345,12 @@ def q_image_neardup_pairs(spark, sf_dir):
         gen, schema="doc_id long, content binary"
     )
     out = mm.image_neardup_pairs(
-        payloads, "doc_id", "content", decoder="netpbm", max_distance=3
+        payloads,
+        "doc_id",
+        "content",
+        decoder="netpbm",
+        max_distance=3,
+        hot_cluster_cap=8,
     )
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")

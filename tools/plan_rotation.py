@@ -33,6 +33,9 @@ os.environ.setdefault("SPARK_GRAFT_SKIP_SESSION", "1")
 from evidence_age import latest_green  # noqa: E402
 
 WINDOW = 50
+# Oldest tolerable driver evidence, in rounds. --check fails when an
+# out-of-window query's evidence would age past this after the round.
+MAX_AGE = 3
 
 # Always in-window: the value-bound numerics goldens (any solver or
 # correction regression flips them red immediately) and the two
@@ -116,7 +119,27 @@ def main() -> None:
                 f"current window: {missed}"
             )
             sys.exit(1)
-        print(f"rotation ok: all {len(never)} never-checked queries in-window")
+        # Max-age bound (VERDICT r7 next-steps #6): a query whose
+        # evidence is already MAX_AGE rounds old and NOT in the current
+        # window would exceed the bound after this round — fail so the
+        # r4-era tail class can't regrow silently.
+        _, latest, cur = evidence(registry)
+        overage = sorted(
+            n
+            for n in registry
+            if n in latest and cur - latest[n] >= MAX_AGE and n not in window
+        )
+        if overage:
+            print(
+                f"ROTATION STALE: evidence would exceed age {MAX_AGE} "
+                f"after this round for {len(overage)} out-of-window "
+                f"queries: {overage}"
+            )
+            sys.exit(1)
+        print(
+            f"rotation ok: all {len(never)} never-checked queries "
+            f"in-window; no out-of-window query at age >= {MAX_AGE}"
+        )
         return
 
     print(emit(pinned, never, aged))
