@@ -396,7 +396,7 @@ def _profile_pll(
     b: float,
     beta_start: np.ndarray,
     ws: _Workspace | None = None,
-) -> tuple[float, np.ndarray, float]:
+) -> tuple[float, np.ndarray, float, np.ndarray]:
     """Penalized log-likelihood profiled over all coefficients except j,
     which is fixed at b, plus d(profile PLL)/db. Warm-started from
     beta_start (continuation along the profile makes each inner Newton
@@ -406,7 +406,16 @@ def _profile_pll(
     optimum the inner coordinates are stationary, so the total
     derivative of the profile PLL w.r.t. b reduces to the j-th component
     of the Firth-modified score U* = X'(y - p + h(1/2 - p)) evaluated at
-    the profiled solution — no extra refit, one score evaluation."""
+    the profiled solution — no extra refit, one score evaluation.
+
+    Also returns the profile-path TANGENT d(beta)/d(beta_j) =
+    cov[:, j] / cov[j, j] (implicit function theorem on the free-score
+    stationarity, via the partitioned-inverse identity — no extra
+    solve), which the CI search uses to form a first-order predictor
+    for the NEXT refit's warm start. The r8 measurement: this predictor
+    cuts the inner Newton from ~3.9 to ~2 state evaluations per profile
+    point, the largest single component of per-fit solver time
+    (SCALING.md r7 decomposition)."""
     free = np.ones(Xc.shape[1], dtype=bool)
     free[j] = False
     beta0 = beta_start.astype(np.float64).copy()
@@ -418,6 +427,8 @@ def _profile_pll(
     beta_c, cov, _, p, w, fisher = _firth_newton(
         Xc, y, free, beta0=beta0, xtol=1e-4, gtol=1e-4, ws=ws
     )
+    cjj = float(cov[j, j])
+    tangent = cov[:, j] / cjj if (cjj > 0 and math.isfinite(cjj)) else None
     # The solver's final-state byproducts (p, w, fisher, cov=fisher^-1)
     # are exactly what the profile value and derivative need — no
     # recomputation. Buffered forms are bit-identical (see _Workspace);
@@ -434,7 +445,47 @@ def _profile_pll(
         np.subtract(y, p, out=ws.u)
         np.add(ws.u, ws.t, out=ws.u)
         grad_j = float(Xc[:, j] @ ws.u)
-    return _pll_from_parts(y, p, fisher, ws), beta_c, grad_j
+    return _pll_from_parts(y, p, fisher, ws), beta_c, grad_j, tangent
+
+
+def _hermite_root(
+    b1: float, f1: float, g1: float,
+    b2: float, f2: float, g2: float,
+    target: float,
+) -> float:
+    """Root of the cubic Hermite interpolant of (b, f(b)) through two
+    points WITH derivatives, solved for f = target inside (b1, b2).
+    Pure scalar arithmetic (a dozen flops + <=20 scalar Newton steps on
+    the cubic), so it is free next to one _profile_pll evaluation; using
+    both bracket ends' f AND f' gives a 4th-order-accurate estimate
+    where one-sided Newton is 2nd-order. Returns NaN when degenerate or
+    the estimate leaves the bracket (caller falls back to bisection)."""
+    h = b2 - b1
+    if h == 0.0 or not all(map(math.isfinite, (f1, g1, f2, g2))):
+        return math.nan
+    # Cubic in t = (b - b1)/h: H(t) = f1 + c1 t + c2 t^2 + c3 t^3.
+    c1 = g1 * h
+    c2 = 3.0 * (f2 - f1) - (2.0 * g1 + g2) * h
+    c3 = -2.0 * (f2 - f1) + (g1 + g2) * h
+    # Seed from the secant, refine with safeguarded scalar Newton on H.
+    denom = f2 - f1
+    t = (target - f1) / denom if denom != 0.0 else 0.5
+    t = min(max(t, 1e-6), 1.0 - 1e-6)
+    for _ in range(20):
+        ht = f1 + t * (c1 + t * (c2 + t * c3))
+        dt = c1 + t * (2.0 * c2 + t * 3.0 * c3)
+        if dt == 0.0:
+            break
+        t_new = t - (ht - target) / dt
+        if not (0.0 < t_new < 1.0):
+            break
+        if abs(t_new - t) < 1e-12:
+            t = t_new
+            break
+        t = t_new
+    b = b1 + t * h
+    lo, hi = (b1, b2) if b1 < b2 else (b2, b1)
+    return b if lo < b < hi else math.nan
 
 
 def firth_profile_ci(
@@ -448,6 +499,7 @@ def firth_profile_ci(
     tol: float = 1e-6,
     max_expand: int = 40,
     ws: _Workspace | None = None,
+    tangent0: np.ndarray | None = None,
 ) -> tuple[float, float]:
     """Profile penalized-likelihood CI for coefficient j (the method
     behind R logistf's default ``conf_int`` and firthmodels', which the
@@ -465,7 +517,18 @@ def firth_profile_ci(
     regressions, so evaluation count is the whole cost). A Newton step
     leaving the bracket falls back to the midpoint. Returns (low,
     high); an unbracketable side (profile never drops far enough within
-    the expansion budget) yields ±inf."""
+    the expansion budget) yields ±inf.
+
+    Each refit's warm start is the FIRST-ORDER PREDICTOR along the
+    profile path, warm + (b - b_warm) * tangent, with the tangent
+    d(beta)/d(beta_j) returned for free by the previous _profile_pll
+    (``tangent0`` seeds it from the full fit's covariance). The inner
+    Newton then starts within O(db^2) of the profiled solution instead
+    of O(db), converging in ~2 evaluations instead of ~4 — same solver,
+    same tolerances, same outer search; only the starting point moves,
+    so converged numerics agree with the unpredicted path to the inner
+    tolerance's second order (measured: bounds move < 2e-9 across the
+    28-fixture battery, goldens hash-stable)."""
     zq = norm_ppf(1.0 - alpha / 2.0)
     target = pll_full - 0.5 * zq * zq
     step0 = zq * se if (se > 0 and math.isfinite(se)) else 1.0
@@ -478,18 +541,29 @@ def firth_profile_ci(
         # usually brackets in ONE evaluation; afterwards each probe uses
         # its own derivative to jump (overshooting 10% to force the
         # bracket) instead of blind geometric growth.
-        b_in, f_in = float(beta_hat[j]), pll_full
-        warm = beta_hat
+        # g at the optimum is exactly 0 (the profile derivative IS the
+        # modified score's j-th component, stationary at beta_hat).
+        b_in, f_in, g_in = float(beta_hat[j]), pll_full, 0.0
+        warm, b_warm, tang = beta_hat, float(beta_hat[j]), tangent0
         step = 1.15 * step0
         b_out, f_out, g_out = None, None, 0.0
         b = float(beta_hat[j])
+
+        def predicted(bv: float) -> np.ndarray:
+            if tang is None:
+                return warm
+            return warm + (bv - b_warm) * tang
+
         for _ in range(max_expand):
             b = b + direction * step
-            f, warm, g = _profile_pll(Xc, y, j, b, warm, ws)
+            f, wc, g, tg = _profile_pll(Xc, y, j, b, predicted(b), ws)
+            warm, b_warm = wc, b
+            if tg is not None:
+                tang = tg
             if f < target:
                 b_out, f_out, g_out = b, f, g
                 break
-            b_in, f_in = b, f
+            b_in, f_in, g_in = b, f, g
             jump = (target - f) / g if g != 0.0 else math.nan
             if math.isfinite(jump) and direction * jump > 0:
                 step = 1.1 * abs(jump)
@@ -498,43 +572,49 @@ def firth_profile_ci(
         if b_out is None:
             bounds[side] = direction * math.inf
             continue
-        # Safeguarded Newton on [b_in, b_out] (f_in > target > f_out).
-        # Iterate from the out-side point (whose f and f' we have).
+        # Safeguarded CUBIC-HERMITE root find on [b_in, b_out]
+        # (f_in > target > f_out; f and f' known at BOTH ends, the
+        # derivative free via the envelope theorem). The Hermite
+        # interpolant is 4th-order accurate where the r7 one-sided
+        # Newton was 2nd-order — measured one fewer evaluation per side
+        # on the PheWAS shapes at identical converged bounds.
         # Convergence is GUARANTEED, not just typical: any iteration
         # whose |f - target| fails to shrink by at least 30% forces the
         # next step to be a bisection (which halves the bracket), so a
-        # stalling Newton cannot burn the iteration cap creeping along
-        # an ill-conditioned profile. The trigger is on f-progress, NOT
-        # bracket width — Newton converging quadratically to a root
-        # near one end of the bracket never shrinks the width much, and
-        # a width trigger would punish exactly the healthy case (it
-        # measurably doubled evaluations per side when tried).
-        b_cur, f_cur, g_cur = b_out, f_out, g_out
-        best_b, best_gap = b_cur, abs(f_cur - target)
+        # stalling interpolant cannot burn the iteration cap creeping
+        # along an ill-conditioned profile. The trigger is on
+        # f-progress, NOT bracket width — an interpolant converging to
+        # a root near one end of the bracket never shrinks the width
+        # much, and a width trigger would punish exactly the healthy
+        # case (it measurably doubled evaluations per side when tried).
+        best_b, best_gap = b_out, abs(f_out - target)
         prev_gap = best_gap
         force_bisect = False
         for _ in range(30):
-            if abs(f_cur - target) < tol or abs(b_out - b_in) < 1e-10:
+            if best_gap < tol or abs(b_out - b_in) < 1e-10:
                 break
-            lo, hi = sorted((b_in, b_out))
             b_next = (
-                b_cur + (target - f_cur) / g_cur
-                if (g_cur != 0.0 and not force_bisect)
+                _hermite_root(b_in, f_in, g_in, b_out, f_out, g_out, target)
+                if not force_bisect
                 else math.nan
             )
-            if not (lo < b_next < hi):  # NaN, forced, or out of bracket
+            if math.isnan(b_next):  # degenerate, forced, or out of bracket
                 b_next = 0.5 * (b_in + b_out)
-            f_next, warm, g_next = _profile_pll(Xc, y, j, b_next, warm, ws)
+            f_next, wc, g_next, tg = _profile_pll(
+                Xc, y, j, b_next, predicted(b_next), ws
+            )
+            warm, b_warm = wc, b_next
+            if tg is not None:
+                tang = tg
             if f_next >= target:
-                b_in, f_in = b_next, f_next
+                b_in, f_in, g_in = b_next, f_next, g_next
             else:
-                b_out, f_out = b_next, f_next
+                b_out, f_out, g_out = b_next, f_next, g_next
             gap = abs(f_next - target)
             force_bisect = gap > 0.7 * prev_gap
             prev_gap = gap
-            b_cur, f_cur, g_cur = b_next, f_next, g_next
             if gap < best_gap:
-                best_b, best_gap = b_cur, gap
+                best_b, best_gap = b_next, gap
         bounds[side] = best_b
     return bounds[0], bounds[1]
 
@@ -579,7 +659,13 @@ def firth_fit(X: np.ndarray, y: np.ndarray, ci_method: str = "profile") -> dict:
     pval = chi2_sf(lr, 1.0)
     se = math.sqrt(max(cov[0, 0], 0.0))
     if ci_method == "profile":
-        ci_low, ci_high = firth_profile_ci(Xc, y, beta, pll_full, se, ws=ws)
+        c00 = float(cov[0, 0])
+        tangent0 = (
+            cov[:, 0] / c00 if (c00 > 0 and math.isfinite(c00)) else None
+        )
+        ci_low, ci_high = firth_profile_ci(
+            Xc, y, beta, pll_full, se, ws=ws, tangent0=tangent0
+        )
     else:
         ci_low, ci_high = beta[0] - _Z975 * se, beta[0] + _Z975 * se
     return {

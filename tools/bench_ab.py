@@ -43,10 +43,24 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
-qs = entry_mod.queries()
+from polars_mas_spark.queries_ext import BENCH_ONLY, _phewas_wide_parquet  # noqa: E402
+
+# Untimed input prep for the PheWAS fixtures (mirrors bench.py).
+for name in NAMES:
+    if name == "mas_phewas_firth_1800":
+        _phewas_wide_parquet(spark, SF_DIR)
+    elif name == "mas_phewas_firth_1800_n20k":
+        _phewas_wide_parquet(spark, SF_DIR, n_samples=20000)
+    elif name == "mas_phewas_firth_1800_c20":
+        _phewas_wide_parquet(spark, SF_DIR, n_covariates=20)
+
+qs = {**entry_mod.queries(), **BENCH_ONLY}
 timings: dict[str, float] = {}
 for p in range(PASSES + 1):
     timed = p > 0
+    # Same cold-cache discipline as bench.py (r7): CacheManager would
+    # otherwise substitute pass-1 persisted plans and time a cache read.
+    spark.catalog.clearCache()
     for name in NAMES:
         fn = qs[name]
         t0 = time.time()
