@@ -164,7 +164,49 @@ def wav_encode_pcm8(samples: bytes, rate: int = 8000) -> bytes:
     )
 
 
-IMAGE_DECODERS: dict[str, Callable] = {"netpbm": decode_netpbm}
+def decode_pillow(buf: bytes):
+    """JPEG/PNG/WebP/... decoder via Pillow — the OPTIONAL adapter for
+    real-codec corpora (VERDICT r7 next-steps #5; a 100 TB multimodal
+    corpus is JPEG-heavy while the built-in pure-Python decoders cover
+    netpbm/WAV only). Pillow is a public optional dependency: the
+    import is deferred to first call, so environments without it (this
+    container included) lose nothing but ``decoder="pillow"``, and the
+    error names the missing package instead of failing obscurely inside
+    an executor batch.
+
+    Same contract as decode_netpbm: ``(w, h, px)`` with ``px`` a flat
+    uint8 array of size w*h (grayscale) or w*h*3 (RGB — image_ahash's
+    r+g+b luma proxy and extract_image_features handle both), or None
+    for undecodable payloads (corrupt media must never kill the scan).
+    """
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - exercised via message test
+        raise ImportError(
+            "decoder='pillow' needs the optional Pillow package "
+            "(pip install Pillow); built-in decoders: netpbm, wav"
+        ) from e
+    import io
+
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(bytes(buf or b""))) as im:
+            if im.mode != "L":
+                im = im.convert("RGB")
+            arr = np.asarray(im, dtype=np.uint8)
+    except Exception:
+        return None
+    if arr.ndim not in (2, 3) or arr.size == 0:
+        return None
+    h, w = arr.shape[:2]
+    return w, h, arr.reshape(-1)
+
+
+IMAGE_DECODERS: dict[str, Callable] = {
+    "netpbm": decode_netpbm,
+    "pillow": decode_pillow,
+}
 AUDIO_DECODERS: dict[str, Callable] = {"wav": decode_wav}
 
 
