@@ -2617,6 +2617,115 @@ def q_mas_firth_fanout_golden(spark, sf_dir):
     )
 
 
+_LOGISTIC_GOLDEN_SQL = """WITH t AS (
+  SELECT CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS x,
+         CASE WHEN (l_quantity > 25) <> (l_orderkey % 20 = 0)
+              THEN 1 ELSE 0 END AS y1,
+         CASE WHEN (l_quantity > 25) <> (l_orderkey % 10 = 0)
+              THEN 1 ELSE 0 END AS y2,
+         CASE WHEN (l_quantity <= 25) <> (l_suppkey % 15 = 0)
+              THEN 1 ELSE 0 END AS y3
+  FROM lineitem),
+u AS (
+  SELECT 'y1' AS dep, y1 AS y, x FROM t
+  UNION ALL SELECT 'y2', y2, x FROM t
+  UNION ALL SELECT 'y3', y3, x FROM t),
+c AS (
+  SELECT dep,
+         sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS cc,
+         sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM u GROUP BY dep)
+SELECT 'xbin' AS predictor, dep AS dependent,
+       round(ln(a * d / (b * cc * 1.0)), 6) + 0.0 AS beta,
+       round(sqrt(1.0/a + 1.0/b + 1.0/cc + 1.0/d), 6) AS se,
+       (a + b) AS cases, (cc + d) AS controls,
+       (a + b + cc + d) AS total_n,
+       TRUE AS converged, TRUE AS bonferroni_significant
+FROM c"""
+
+
+@query("mas_logistic_fanout_golden", _LOGISTIC_GOLDEN_SQL)
+def q_mas_logistic_fanout_golden(spark, sf_dir):
+    """DRIVER-HASH-BINDING golden for the PACKED LOGISTIC path (the
+    r7 window comment's queued candidate): mas_logistic_mtcars_golden
+    binds the unpenalized Newton solver on one literal dataset, but the
+    packed fan-out with model='logistic' (kernel dispatch, Wald
+    accounting, corrections) was only rows-bound via
+    mas_logistic_fanout. Same planted construction as
+    mas_firth_fanout_golden — three 2x2 dependents y = xbin XOR
+    key-derived noise — but for the UNPENALIZED logistic MLE the
+    closed form is exact with no Haldane correction: beta =
+    ln(ad/(b*c)) and se = sqrt(1/a + 1/b + 1/c + 1/d), both reproduced
+    by the Newton kernel to machine precision on all-cells-positive
+    tables (unit-verified 1e-15). Self-filtering (sex2 pattern): a row
+    survives ONLY if the distributed fit matches BOTH closed forms
+    within 1e-5 AND the margins AND the Bonferroni flag; returned
+    values are the closed-form ones, never on a rounding boundary.
+    Reference: model dispatch main.py:61-103, logistic contract
+    models.py:56-69."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity") > 25
+    wide = li.select(
+        x.cast("double").alias("xbin"),
+        (x != (F.col("l_orderkey") % 20 == 0)).cast("double").alias("y1"),
+        (x != (F.col("l_orderkey") % 10 == 0)).cast("double").alias("y2"),
+        ((~x) != (F.col("l_suppkey") % 15 == 0)).cast("double").alias("y3"),
+    )
+    cfg = MASConfig(
+        predictors="xbin", dependents=["y1", "y2", "y3"],
+        model="logistic", min_case_count=10,
+    )
+    res = run_pipeline(spark, cfg, df=wide, strategy="packed")
+
+    long = wide.select(
+        "xbin",
+        F.expr("stack(3, 'y1', y1, 'y2', y2, 'y3', y3) AS (dep, y)"),
+    )
+    cell = lambda xv, yv: F.sum(  # noqa: E731
+        F.when((F.col("xbin") == xv) & (F.col("y") == yv), 1).otherwise(0)
+    )
+    cont = long.groupBy("dep").agg(
+        cell(1.0, 1.0).alias("a"), cell(0.0, 1.0).alias("b"),
+        cell(1.0, 0.0).alias("cc"), cell(0.0, 0.0).alias("d"),
+    )
+    closed = cont.select(
+        F.col("dep").alias("dependent"),
+        F.log(
+            (F.col("a") * F.col("d"))
+            / (F.col("b") * F.col("cc") * F.lit(1.0))
+        ).alias("beta_closed"),
+        F.sqrt(
+            1.0 / F.col("a") + 1.0 / F.col("b")
+            + 1.0 / F.col("cc") + 1.0 / F.col("d")
+        ).alias("se_closed"),
+        (F.col("a") + F.col("b")).alias("cases_closed"),
+        (F.col("cc") + F.col("d")).alias("controls_closed"),
+        (F.col("a") + F.col("b") + F.col("cc") + F.col("d")).alias("n_closed"),
+    )
+    ok = res.join(F.broadcast(closed), "dependent").filter(
+        F.col("converged")
+        & (F.abs(F.col("beta") - F.col("beta_closed")) < 1e-5)
+        & (F.abs(F.col("se") - F.col("se_closed")) < 1e-5)
+        & (F.col("cases") == F.col("cases_closed"))
+        & (F.col("controls") == F.col("controls_closed"))
+        & (F.col("total_n") == F.col("n_closed"))
+        & F.col("bonferroni_significant")
+    )
+    return ok.select(
+        "predictor", "dependent",
+        # + 0.0 normalizes IEEE signed zero to match the oracle's
+        # round(...) + 0.0 (repo signed-zero rule; ADVICE r6).
+        (F.round("beta_closed", 6) + F.lit(0.0)).alias("beta"),
+        F.round("se_closed", 6).alias("se"),
+        F.col("cases_closed").alias("cases"),
+        F.col("controls_closed").alias("controls"),
+        F.col("n_closed").alias("total_n"),
+        "converged", "bonferroni_significant",
+    )
+
+
 # (dep, noise key column, modulus, negate-x) for the columnar golden's
 # planted 2x2 dependents: y = xbin XOR (key % m == 0), odds ratio
 # ((m-1))^2-ish per cell so Bonferroni significance at 8 tests is
