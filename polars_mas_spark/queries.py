@@ -1724,6 +1724,10 @@ def q_tpch_q11ish(spark, sf_dir):
             ).alias("value_cents")
         )
     )
+    # Materialize the per-part aggregate ONCE (one row per part, tiny):
+    # it feeds both the scalar-total job and the returned filter, and
+    # without truncation the join+agg over partsupp would run twice.
+    val = val.localCheckpoint(eager=True)
     tot_row = val.agg(
         F.sum("value_cents").alias("t"), F.count(F.lit(1)).alias("n")
     ).first()
