@@ -1691,6 +1691,32 @@ _TPCH_Q11ISH_ORACLE = (
     WHERE value_cents * (SELECT count(*) FROM val)
           > 2 * (SELECT sum(value_cents)::BIGINT FROM val)"""
 )
+def _q11_value_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11's per-part integer-cents aggregate, pre-checkpoint — split
+    out so plan tests can assert the join/agg shape (the registered
+    query localCheckpoints this, which hides the joins behind a Scan
+    ExistingRDD in the returned plan)."""
+    ps = _partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost_cents"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    return (
+        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("value_cents")
+        )
+    )
+
+
 def q_tpch_q11ish(spark, sf_dir):
     """Q11 shape (group-share HAVING): per-part inventory value for
     one nation, kept when above a fraction of the nation total. The
@@ -1705,25 +1731,7 @@ def q_tpch_q11ish(spark, sf_dir):
     engine can straddle the cut by an ulp of double-summation-order
     noise. The double `value` is only a final projection of the same
     integer on both sides."""
-    ps = _partsupp(spark, sf_dir).select(
-        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_supplycost_cents"
-    )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = (
-        _t(spark, sf_dir, "nation")
-        .filter(F.col("n_name") == "NATION_3")
-        .select("n_nationkey")
-    )
-    val = (
-        ps.join(F.broadcast(s), ps["ps_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .groupBy("ps_partkey")
-        .agg(
-            F.sum(
-                F.col("ps_supplycost_cents") * F.col("ps_availqty")
-            ).alias("value_cents")
-        )
-    )
+    val = _q11_value_cents(spark, sf_dir)
     # Materialize the per-part aggregate ONCE (one row per part, tiny):
     # it feeds both the scalar-total job and the returned filter, and
     # without truncation the join+agg over partsupp would run twice.

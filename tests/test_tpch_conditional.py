@@ -97,9 +97,15 @@ def test_third_wave_plans(spark):
     assert op_count(p2, "BroadcastHashJoin") >= 4
     assert "Window" in p2  # decorrelated min-cost, one keyed window
 
+    # q11 localCheckpoints its aggregate (computed once, consumed by
+    # the scalar-total job and the returned filter), so assert the
+    # join/agg shape on the pre-checkpoint builder and the absence of
+    # window/cartesian on the returned plan.
+    pv = formatted_plan(q._q11_value_cents(spark, SF_DIR_SMALL))
+    assert op_count(pv, "CartesianProduct") == 0
+    assert op_count(pv, "BroadcastHashJoin") >= 2
     p11 = formatted_plan(q.q_tpch_q11ish(spark, SF_DIR_SMALL))
     assert op_count(p11, "CartesianProduct") == 0
-    assert op_count(p11, "BroadcastHashJoin") >= 2
     # the scalar total is a driver literal, not a single-partition window
     assert "Window" not in p11
 
