@@ -822,3 +822,82 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup (web-corpus pipeline stage)
+# ---------------------------------------------------------------------------
+
+# Tracking parameters every web-corpus pipeline strips before URL-keyed
+# dedup (the CCNet/RefinedWeb-style canonical-URL pass).
+URL_TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL, as one pure-JVM expression
+    chain (whole-stage codegen, zero Python, replayable in ANSI SQL):
+
+    1. trim; drop the ``#fragment``;
+    2. lowercase the scheme and authority (path/query case preserved);
+    3. strip a leading ``www.`` and the scheme's default port
+       (``:80`` http / ``:443`` https);
+    4. drop tracking query params (URL_TRACKING_PARAM_RE), SORT the
+       survivors (param order never carries meaning in corpus dedup),
+       and drop the ``?`` when none survive;
+    5. strip trailing slashes from the path (``/a/`` == ``/a``,
+       ``http://x.com/`` == ``http://x.com``).
+
+    Non-URL input degrades gracefully: no ``scheme://`` match yields
+    an empty scheme and the value canonicalizes as an opaque
+    authority-less string — callers filter if needed. At 100 TB this
+    is a map-only projection; the dedup that follows is one keyed
+    shuffle on the canonical string."""
+    u = F.regexp_replace(F.trim(url), "#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = F.when(
+        (scheme == "http"), F.regexp_replace(auth, ":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), "/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        F.when(scheme != "", F.concat(scheme, F.lit("://"))).otherwise(
+            F.lit("")
+        ),
+        auth,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup_summary(
+    df: DataFrame, id_col: str, url_col: str
+) -> DataFrame:
+    """URL-keyed exact dedup summary: one row per canonical URL with
+    the duplicate count, the representative (min id — the keep-one
+    survivor rule shared with the text dedup family), and how many
+    distinct RAW spellings collapsed into it. Map-only canonicalization
+    + one groupBy shuffle on the canonical string; no raw-text shuffle,
+    no pair join — linear at any corpus size."""
+    base = df.select(
+        qcol(id_col).alias("doc_id"),
+        qcol(url_col).alias("__raw__"),
+        canonical_url(qcol(url_col)).alias("canonical_url"),
+    )
+    return base.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.countDistinct("__raw__").cast("long").alias("n_raw_forms"),
+    )

@@ -4870,3 +4870,75 @@ def q_entity_clusters(spark, sf_dir):
             F.coalesce("label", "doc_id").alias("cluster_id"),
         )
     )
+
+
+# ===========================================================================
+# URL canonicalization dedup (r8): planted-truth oracle
+# ===========================================================================
+
+_URL_DEDUP_ORACLE = """WITH d AS (
+  SELECT doc_id, doc_id % 400 AS m FROM documents),
+raw AS (
+  SELECT doc_id, m,
+    CASE WHEN doc_id % 3 = 0
+         THEN 'HTTP://' || upper('ex' || (m % 20) || '.com')
+         WHEN doc_id % 3 = 1
+         THEN 'http://www.ex' || (m % 20) || '.com'
+         ELSE 'http://ex' || (m % 20) || '.com' END
+    || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+    || '/p/' || (m // 20)
+    || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+    || '?'
+    || CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END
+    || CASE WHEN doc_id % 4 >= 2
+            THEN 'v=2&id=' || (m % 7)
+            ELSE 'id=' || (m % 7) || '&v=2' END
+    || CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END AS u
+  FROM d)
+SELECT 'http://ex' || (m % 20) || '.com/p/' || (m // 20)
+         || '?id=' || (m % 7) || '&v=2' AS canonical_url,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id) AS first_doc,
+       count(DISTINCT u)::BIGINT AS n_raw_forms
+FROM raw GROUP BY 1"""
+
+
+@query("url_dedup_summary", _URL_DEDUP_ORACLE)
+def q_url_dedup_summary(spark, sf_dir):
+    """URL-keyed dedup through canonicalization (tx.canonical_url —
+    the CCNet/RefinedWeb-style canonical-URL pass): every doc gets a
+    PLANTED URL whose spelling varies by doc_id across six orthogonal
+    noise axes — scheme/host case, leading www., explicit default
+    port :80, tracking param utm_source, query param ORDER, trailing
+    slash, and a #fragment — while the canonical identity is pure
+    doc_id arithmetic. The oracle therefore asserts the canonicalizer
+    against PLANTED GROUND TRUTH (the canonical string is built
+    directly from the arithmetic, not by replaying the normalizer),
+    plus the group sizes, min-id representative, and the count of
+    distinct raw spellings that collapsed. Map-only projection + one
+    keyed groupBy — linear at any corpus size, plan-audited."""
+    d = F.col("doc_id")
+    m = d % 400
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("ex"), s(m % 20), F.lit(".com"))
+    pre = (
+        F.when(d % 3 == 0, F.concat(F.lit("HTTP://"), F.upper(host)))
+        .when(d % 3 == 1, F.concat(F.lit("http://www."), host))
+        .otherwise(F.concat(F.lit("http://"), host))
+    )
+    url = F.concat(
+        pre,
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"), s((m / 20).cast("long")),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(d % 2 == 0, F.lit("utm_source=feed&")).otherwise(F.lit("")),
+        F.when(
+            d % 4 >= 2, F.concat(F.lit("v=2&id="), s(m % 7))
+        ).otherwise(F.concat(F.lit("id="), s(m % 7), F.lit("&v=2"))),
+        F.when(d % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    return tx.url_dedup_summary(docs, "doc_id", "url")

@@ -289,3 +289,50 @@ def test_firth_lrt_null_fit_no_step_clamp_oscillation():
     assert out["converged"]
     assert out["beta"] == pytest.approx(math.log(a * d / (b * c)), abs=1e-5)
     assert out["pval"] < 1e-10
+
+
+def test_hermite_root_properties():
+    """_hermite_root (the r8 CI root-find interpolant): on any bracket
+    where a strictly monotone cubic crosses the target, the returned b
+    lies strictly inside the bracket and the interpolant's value there
+    hits the target to high accuracy; degenerate inputs yield NaN (the
+    caller's bisection fallback)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polars_mas_spark.functions.stats import _hermite_root
+
+    fin = st.floats(
+        min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(b1=fin, w=st.floats(min_value=1e-3, max_value=40),
+           f1=fin, f2=fin, g1=fin, g2=fin, frac=st.floats(0.05, 0.95))
+    def inner(b1, w, f1, f2, g1, g2, frac):
+        b2 = b1 + w
+        if abs(f2 - f1) < 1e-6:
+            return
+        target = f1 + frac * (f2 - f1)  # strictly between the ends
+        b = _hermite_root(b1, f1, g1, b2, f2, g2, target)
+        if math.isnan(b):
+            return  # fallback path is always legal
+        assert min(b1, b2) < b < max(b1, b2)
+
+    inner()
+
+    # Exactness on a known monotone cubic: f(b) = b^3 + 2b with
+    # consistent derivatives — the interpolant IS the function, so the
+    # root must satisfy f(b) = target almost exactly.
+    f = lambda b: b**3 + 2.0 * b  # noqa: E731
+    g = lambda b: 3.0 * b**2 + 2.0  # noqa: E731
+    b = _hermite_root(0.0, f(0.0), g(0.0), 2.0, f(2.0), g(2.0), 5.0)
+    assert abs(f(b) - 5.0) < 1e-9
+
+    # Degenerate: zero-width bracket and non-finite inputs -> NaN.
+    import math as m
+
+    assert m.isnan(_hermite_root(1.0, 0.0, 1.0, 1.0, 2.0, 1.0, 1.0))
+    assert m.isnan(_hermite_root(0.0, m.inf, 1.0, 1.0, 2.0, 1.0, 1.0))

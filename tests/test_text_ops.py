@@ -1455,3 +1455,53 @@ def test_temporal_split_boundaries_and_embargo(spark):
     assert out == {1: "train", 2: "embargo", 3: "embargo", 4: "test", 5: "unknown"}
     with pt.raises(ValueError, match=">= 0"):
         temporal_split(df, "ts", "2024-06-01", -1)
+
+
+def test_canonical_url_edges(spark):
+    """canonical_url edge semantics: https default port, tracking-only
+    query (the '?' must drop), root-path slash, param sorting, case
+    preservation in path/query, and non-URL input degrading to an
+    opaque lowered-authority string."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.text import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/?b=2&a=1#x", "https://example.com/A/B?a=1&b=2"),
+        ("https://example.com:4430/a", "https://example.com:4430/a"),
+        ("http://ex.com/?utm_source=x&fbclid=1&ref=z", "http://ex.com"),
+        ("http://ex.com/", "http://ex.com"),
+        ("http://ex.com/p?id=Z&id=A", "http://ex.com/p?id=A&id=Z"),
+        ("ex.com/path/", "ex.com/path"),
+        ("  http://ex.com/x  ", "http://ex.com/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_summary_collapses_variants(spark):
+    """All spellings of one logical URL collapse to one group with the
+    min-id representative and the distinct raw-form count."""
+    from polars_mas_spark.operators.text import url_dedup_summary
+
+    rows = [
+        (3, "http://ex.com/p?id=1&v=2"),
+        (1, "HTTP://EX.COM/p?id=1&v=2"),
+        (2, "http://www.ex.com:80/p/?v=2&id=1#frag"),
+        (4, "http://ex.com/p?id=1&v=2"),  # exact repeat of doc 3's form
+        (9, "http://other.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.canonical_url: (r.n_docs, r.first_doc, r.n_raw_forms)
+        for r in url_dedup_summary(df, "doc_id", "url").collect()
+    }
+    assert out["http://ex.com/p?id=1&v=2"] == (4, 1, 3)
+    assert out["http://other.com/q"] == (1, 9, 1)
