@@ -53,6 +53,13 @@ ORACLE_QUERIES = [
     # applyInPandasWithState: the state store + timeout machinery now
     # partitions user state across executor JVMs.
     "stateful_user_stats",
+    # r8 additions: the r8 Firth CI path (tangent predictor + Hermite
+    # root find) inside cross-process kernels, the packed logistic
+    # golden, the derived-partsupp wave (scalar-total collect + derived
+    # view across executors), and the canonical-URL groupBy.
+    "mas_logistic_fanout_golden",
+    "tpch_q11ish",
+    "url_dedup_summary",
 ]
 
 # Rows-only under the gate too (iterative MLE, no SQL closed form) but
