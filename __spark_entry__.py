@@ -49,12 +49,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS history); plan_rotation --check now also enforces the
 # max-age-3 bound, so the proposal is the compliance baseline.
 _PRIORITY = [
-    # --- never driver-checked (5) ---
+    # --- never driver-checked (6) ---
     "tpch_q2ish", "tpch_q11ish", "tpch_q20ish",
     "mas_logistic_fanout_golden", "url_dedup_summary",
+    "audio_neardup_pairs",
     # --- changed semantics this round (1) ---
     "image_neardup_pairs",
-    # --- oldest driver evidence (37) ---
+    # --- oldest driver evidence (36) ---
     "ann_pq_topk", "audio_features_fake", "cohort_retention",
     "event_pivot", "funnel_steps", "fuzzy_pairs", "image_features_fake",
     "leakage_safe_split", "mas_firth_fanout", "mas_linear_fanout",
@@ -67,7 +68,6 @@ _PRIORITY = [
     "asof_join_forward_tolerance", "audio_features_wav", "bh_fdr",
     "budget_select_docs", "cap_tokens_per_source", "cdc_apply_orders",
     "covariate_corr", "distinct_profile_orders", "dq_checks_orders",
-    "embedding_neardup",
     # --- pinned goldens + composites (7) ---
     "mas_firth_sex2_golden", "mas_logistic_mtcars_golden",
     "mas_poisson_rate_golden", "mas_firth_2x2_haldane",

@@ -615,9 +615,28 @@ def image_neardup_pairs(
     # exposure window is this operator's own job — executor loss fails
     # the query loudly and a retry rebuilds from source.
     hashes = hashes.localCheckpoint(eager=True)
+    return _capped_hamming_pairs(
+        hashes, max_distance, grid * grid, hot_cluster_cap
+    )
+
+
+def _capped_hamming_pairs(
+    hashes: DataFrame,
+    max_distance: int,
+    bits: int,
+    hot_cluster_cap: int | None,
+) -> DataFrame:
+    """Shared pairing tail for the perceptual near-dup operators
+    (image aHash, audio energy fingerprint): segment-blocked Hamming
+    pairs, optionally with the hot-cluster representative cap. Expects
+    ``hashes`` = (doc_id, simhash) already materialized (the callers
+    localCheckpoint so the self-join branches don't re-run Python
+    decode)."""
+    from polars_mas_spark.operators.dedup import simhash_hamming_pairs
+
     if hot_cluster_cap is None:
         return simhash_hamming_pairs(
-            hashes, max_distance=max_distance, bits=grid * grid
+            hashes, max_distance=max_distance, bits=bits
         )
     # groupBy (map-side partial agg, skew-safe) + join back, NOT a
     # partitionBy(simhash) window — a mega-cluster key would otherwise
@@ -641,6 +660,105 @@ def image_neardup_pairs(
         .localCheckpoint(eager=True)
     )
     pairs = simhash_hamming_pairs(
-        nodes, max_distance=max_distance, bits=grid * grid
+        nodes, max_distance=max_distance, bits=bits
     )
     return pairs.unionByName(intra)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "wav",
+    frames: int = 64,
+) -> DataFrame:
+    """Energy-contour audio fingerprint — the audio twin of
+    :func:`image_ahash` (same mean-threshold family as the classic
+    Haitsma-Kalker/Chromaprint energy-band hashes, restricted to the
+    time axis so every step is exactly replayable): decode, split the
+    mono samples into ``frames`` equal slices, take each slice's MEAN
+    ABSOLUTE amplitude, threshold against the mean of slice energies,
+    pack to a ``frames``-bit hex fingerprint. Robust to gain-preserving
+    re-encodes and short local noise; one numpy pass per clip,
+    map-only, zero shuffle at 100 TB scan scale.
+
+    Returns (doc_id, fingerprint) with NULL for undecodable payloads or
+    clips shorter than ``frames`` samples (corrupt media never kills
+    the scan). Constant clips hash all-zero and collide — same
+    documented property (and same remedy) as image_ahash's blank
+    frames."""
+    if frames % 4:
+        raise ValueError("frames must be a multiple of 4 bits")
+    real = _resolve_decoder(decoder, AUDIO_DECODERS, "audio")
+    nhex = frames // 4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for p in pdf[content_col]:
+                d = real(bytes(p or b""))
+                if not d:
+                    out.append(None)
+                    continue
+                _rate, s = d
+                n = s.size
+                if n < frames:
+                    out.append(None)
+                    continue
+                a = np.abs(s)
+                if n % frames == 0:
+                    e = a.reshape(frames, n // frames).mean(axis=1)
+                else:
+                    rb = (np.arange(frames + 1) * n) // frames
+                    e = np.empty(frames)
+                    for i in range(frames):
+                        e[i] = a[rb[i] : rb[i + 1]].mean()
+                thr = e.mean()
+                bits = (e > thr).astype(np.uint64)
+                val = 0
+                for w0 in range(0, bits.size, 32):
+                    chunk = bits[w0 : w0 + 32]
+                    word = int(
+                        (chunk << np.arange(chunk.size, dtype=np.uint64)).sum()
+                    )
+                    val |= word << w0
+                out.append(format(val, f"0{nhex}x"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "fingerprint": pd.array(out, dtype="string"),
+                }
+            )
+
+    return (
+        df.select(qcol(id_col).alias(id_col), qcol(content_col).alias(content_col))
+        .mapInPandas(batches, schema="doc_id long, fingerprint string")
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "wav",
+    max_distance: int = 3,
+    frames: int = 64,
+    hot_cluster_cap: int | None = None,
+) -> DataFrame:
+    """Perceptual audio near-duplicate pairs: energy-contour
+    fingerprints paired by Hamming distance via the lossless
+    ``max_distance + 1`` disjoint-bit-segment blocking (pigeonhole
+    full recall — dedup.simhash_hamming_pairs), with the same optional
+    hot-cluster representative cap as :func:`image_neardup_pairs`.
+    Closes the AUDIO modality of the dedup family (text: exact /
+    normalized / MinHash-LSH / SimHash / Jaccard; image: aHash).
+    Returns (doc_a, doc_b, hamming)."""
+    hashes = (
+        audio_fingerprint(df, id_col, content_col, decoder, frames)
+        .where(F.col("fingerprint").isNotNull())
+        .select("doc_id", F.col("fingerprint").alias("simhash"))
+        .localCheckpoint(eager=True)
+    )
+    return _capped_hamming_pairs(hashes, max_distance, frames, hot_cluster_cap)

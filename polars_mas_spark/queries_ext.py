@@ -4942,3 +4942,93 @@ def q_url_dedup_summary(spark, sf_dir):
         "doc_id", url.alias("url")
     )
     return tx.url_dedup_summary(docs, "doc_id", "url")
+
+
+# ===========================================================================
+# Audio near-dup (r8): energy-contour fingerprint, bit-exact oracle
+# ===========================================================================
+
+_AUDIO_FP_ORACLE = """WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+d AS (
+  SELECT doc_id, t FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, t FROM base WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'Z' || substr(t, 2) FROM base WHERE doc_id % 50 = 1),
+f AS (SELECT doc_id, length(t) AS n,
+        list_transform(regexp_split_to_array(t, ''), x -> ascii(x)) AS bytes
+      FROM d),
+px AS (SELECT doc_id,
+         list_transform(range(0,256), i -> abs(bytes[(i % n) + 1] - 128)) AS p
+       FROM f WHERE n > 0),
+em AS (SELECT doc_id, list_transform(range(0,64), k -> (
+         p[k*4+1] + p[k*4+2] + p[k*4+3] + p[k*4+4]) / 4.0) AS e
+       FROM px),
+th AS (SELECT doc_id, e, list_sum(e) / 64.0 AS thr FROM em),
+bits AS (SELECT doc_id, list_transform(range(0,64),
+           i -> CASE WHEN e[i+1] > thr THEN 1 ELSE 0 END) AS bv
+         FROM th),
+hl AS (SELECT doc_id,
+        list_sum(list_transform(range(0,32), i -> bv[i+1]::BIGINT << i))::BIGINT AS lo,
+        list_sum(list_transform(range(32,64), i -> bv[i+1]::BIGINT << (i-32)))::BIGINT AS hi
+       FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
+FROM hl a JOIN hl b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
+
+
+@query("audio_neardup_pairs", _AUDIO_FP_ORACLE)
+def q_audio_neardup_pairs(spark, sf_dir):
+    """Perceptual AUDIO near-dup pairs — closes the audio modality of
+    the dedup family (text: exact/MinHash/SimHash/Jaccard; image:
+    aHash r7): each document's text bytes are cycled into a REAL
+    256-sample mono 8-bit PCM WAV, decoded by the real RIFF decoder,
+    energy-contour fingerprinted (multimodal.audio_fingerprint: 64
+    frames x 4 samples, mean |amplitude| per frame, mean-of-means
+    threshold), and paired via the same lossless pigeonhole
+    bit-segment blocking as SimHash/aHash. Planted evidence on both
+    engines: every doc_id % 50 == 0 gets an EXACT clip copy (hamming
+    0, must pair) and every % 50 == 1 a one-character perturbation.
+    The oracle replays byte->sample->|b-128|->frame-mean->threshold->
+    popcount over the UNBLOCKED pair set; every quantity is an exact
+    dyadic rational (integer sums over 4- and 64-sized power-of-two
+    frames), so bits agree bit-for-bit across engines. Undecodable or
+    empty payloads degrade to NULL fingerprints and are dropped."""
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    exact = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pert = base.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("Z"), F.expr("substring(text, 2, length(text))")
+        ).alias("text"),
+    )
+    docs = base.union(exact).union(pert)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            content = []
+            for t in pdf["text"]:
+                b = (t or "").encode("utf-8")
+                raster = (b * (256 // len(b) + 1))[:256] if b else b""
+                content.append(mm.wav_encode_pcm8(raster, rate=8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    # Same rebalance rationale as image_neardup_pairs: spread the
+    # serial per-clip Python decode across the session's parallelism.
+    par = spark.sparkContext.defaultParallelism
+    payloads = docs.repartition(par).mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+    out = mm.audio_neardup_pairs(
+        payloads, "doc_id", "content", decoder="wav", max_distance=3
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )

@@ -1505,3 +1505,60 @@ def test_url_dedup_summary_collapses_variants(spark):
     }
     assert out["http://ex.com/p?id=1&v=2"] == (4, 1, 3)
     assert out["http://other.com/q"] == (1, 9, 1)
+
+
+def test_audio_fingerprint_neardup_planted(spark):
+    """Audio near-dup on REAL WAV clips: an exact re-encode pairs at
+    hamming 0, a one-frame energy perturbation at small distance, an
+    inverted-envelope clip and a corrupt payload never pair; constant
+    clips hash all-zero (documented property); the hot-cluster cap
+    routes a planted identical-clip cluster through its representative."""
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        audio_fingerprint, audio_neardup_pairs, wav_encode_pcm8,
+    )
+
+    # 256 samples, 64 frames of 4: loud first half, quiet second half.
+    base = bytearray(128 for _ in range(256))
+    for i in range(128):
+        base[i] = 255 if i % 2 == 0 else 0  # high |amplitude| frames
+    pert = bytearray(base)
+    for i in range(4):
+        pert[128 + i] = 255 if i % 2 == 0 else 0  # one frame flips loud
+    inv = bytearray(base[128:] + base[:128])  # envelope swapped
+    rows = [
+        (1, wav_encode_pcm8(bytes(base))),
+        (2, wav_encode_pcm8(bytes(pert))),
+        (3, wav_encode_pcm8(bytes(inv))),
+        (4, wav_encode_pcm8(bytes(base))),  # exact copy of 1
+        (5, b"RIFFcorrupt"),
+        (6, wav_encode_pcm8(bytes([128]) * 256)),  # constant/silent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    fps = {
+        r.doc_id: r.fingerprint
+        for r in audio_fingerprint(df, "doc_id", "content").collect()
+    }
+    assert fps[5] is None
+    assert fps[1] == fps[4]
+    assert fps[6] == "0" * 16  # constant clip -> all-zero hash
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_neardup_pairs(
+            df, "doc_id", "content", max_distance=3
+        ).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert pairs[(1, 2)] == 1 and pairs[(2, 4)] == 1
+    assert not any(3 in p or 5 in p or 6 in p for p in pairs)
+
+    # Hot-cluster cap through the shared helper: 11 identical clips
+    # emit 10 representative links, not C(11,2)=55 pairs.
+    many = [(i, wav_encode_pcm8(bytes(base))) for i in range(100, 111)]
+    mdf = spark.createDataFrame(many, "doc_id long, content binary")
+    capped = audio_neardup_pairs(
+        mdf, "doc_id", "content", hot_cluster_cap=8
+    ).collect()
+    assert len(capped) == 10
+    assert all(r.doc_a == 100 and r.hamming == 0 for r in capped)
