@@ -55,6 +55,11 @@ HEADLINE = [
     # r7 family: perceptual image near-dup (decode + aHash + segment
     #-blocked Hamming pairing over 520 synthesized netpbm payloads).
     "image_neardup_pairs",
+    # r8 families: audio near-dup (real WAV decode + energy-contour
+    # fingerprint), canonical-URL dedup, derived-partsupp TPC-H q2.
+    "audio_neardup_pairs",
+    "url_dedup_summary",
+    "tpch_q2ish",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",
