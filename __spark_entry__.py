@@ -36,26 +36,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness pass checks the FIRST 50 registered queries
 # (observed rounds 1-7: exactly 50 rows per round, priority order).
 # ROUND-8 WINDOW (tools/plan_rotation.py output; VERDICT r7
-# next-steps #1): the three NEW tpch shapes first (q2/q11/q20 over the
-# derived partsupp view, never driver-checked), then
-# image_neardup_pairs (r7 evidence, but its SEMANTICS changed this
-# round — hot-cluster cap + planted mega-cluster — so the old row no
-# longer binds the current query), then the r4-era evidence tail
-# (plan_rotation's age ordering: the 25 queries whose newest driver
-# row was r4, then the oldest r5 block), with the pinned kernel
-# goldens + lifecycle composites retained at the end. Parked past the
-# cap: everything whose latest evidence is r6/r7.
+# next-steps #1): the seven NEVER-CHECKED queries first (the tpch
+# q2/q11/q20 wave over the derived partsupp view, the packed-logistic
+# golden, canonical-URL dedup, and the new audio/video near-dup
+# modalities), then image_neardup_pairs (r7 evidence, but its
+# SEMANTICS changed this round — hot-cluster cap + planted
+# mega-cluster — so the old row no longer binds the current query),
+# then the r4-era evidence tail (plan_rotation's age ordering), with
+# the pinned kernel goldens + lifecycle composites retained at the
+# end. Parked past the cap: everything whose latest evidence is r6/r7.
 # R9 QUEUE: run tools/plan_rotation.py fresh (it derives from the
 # CORRECTNESS history); plan_rotation --check now also enforces the
 # max-age-3 bound, so the proposal is the compliance baseline.
 _PRIORITY = [
-    # --- never driver-checked (6) ---
+    # --- never driver-checked (7) ---
     "tpch_q2ish", "tpch_q11ish", "tpch_q20ish",
     "mas_logistic_fanout_golden", "url_dedup_summary",
-    "audio_neardup_pairs",
+    "audio_neardup_pairs", "video_neardup_pairs",
     # --- changed semantics this round (1) ---
     "image_neardup_pairs",
-    # --- oldest driver evidence (36) ---
+    # --- oldest driver evidence (35) ---
     "ann_pq_topk", "audio_features_fake", "cohort_retention",
     "event_pivot", "funnel_steps", "fuzzy_pairs", "image_features_fake",
     "leakage_safe_split", "mas_firth_fanout", "mas_linear_fanout",
@@ -67,7 +67,7 @@ _PRIORITY = [
     "winnow_fingerprints", "ann_bruteforce_topk", "asof_join",
     "asof_join_forward_tolerance", "audio_features_wav", "bh_fdr",
     "budget_select_docs", "cap_tokens_per_source", "cdc_apply_orders",
-    "covariate_corr", "distinct_profile_orders", "dq_checks_orders",
+    "covariate_corr", "distinct_profile_orders",
     # --- pinned goldens + composites (7) ---
     "mas_firth_sex2_golden", "mas_logistic_mtcars_golden",
     "mas_poisson_rate_golden", "mas_firth_2x2_haldane",

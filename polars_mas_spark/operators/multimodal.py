@@ -64,12 +64,21 @@ def decode_netpbm(buf: bytes):
     the raw raster bytes (w*h for P5, w*h*3 for P6) — or None for
     malformed/truncated input. Header comments (``#`` to end of line)
     and arbitrary whitespace are handled per the netpbm spec."""
+    d = _netpbm_frame_at(buf, 0)
+    return None if d is None else d[:3]
+
+
+def _netpbm_frame_at(buf: bytes, start: int):
+    """One netpbm frame parsed at ``start``: (w, h, px, next_offset) or
+    None. The offset return is what lets decode_netpbm_stream walk a
+    CONCATENATED-frames container; parsing is decode_netpbm's,
+    byte-for-byte (that function is now a thin wrapper)."""
     import numpy as np
 
-    magic = buf[:2]
+    magic = buf[start : start + 2]
     if magic not in (b"P5", b"P6"):
         return None
-    i, toks = 2, []
+    i, toks = start + 2, []
     while len(toks) < 3 and i < len(buf):
         c = buf[i : i + 1]
         if c in (b" ", b"\t", b"\r", b"\n"):
@@ -103,7 +112,28 @@ def decode_netpbm(buf: bytes):
     if len(buf) - i < need:
         return None
     px = np.frombuffer(buf, np.uint8, count=need, offset=i)
-    return w, h, px
+    return w, h, px, i + need
+
+
+def decode_netpbm_stream(buf: bytes):
+    """Concatenated-netpbm VIDEO container: back-to-back self-describing
+    P5/P6 frames (the codec-free stand-in for a real container — a
+    production deployment plugs an ffmpeg-backed callable into
+    VIDEO_DECODERS with the same contract). Returns the list of
+    ``(w, h, px)`` frames parsed front-to-back; parsing stops at the
+    first malformed/truncated frame (a damaged tail yields the valid
+    prefix, an undecodable payload yields [] — corrupt media never
+    kills the scan)."""
+    frames = []
+    i, n = 0, len(bytes(buf or b""))
+    buf = bytes(buf or b"")
+    while i < n:
+        d = _netpbm_frame_at(buf, i)
+        if d is None:
+            break
+        w, h, px, i = d
+        frames.append((w, h, px))
+    return frames
 
 
 def netpbm_encode(width: int, height: int, pixels: bytes, rgb: bool = False) -> bytes:
@@ -208,6 +238,8 @@ IMAGE_DECODERS: dict[str, Callable] = {
     "pillow": decode_pillow,
 }
 AUDIO_DECODERS: dict[str, Callable] = {"wav": decode_wav}
+# Video decoders return a LIST of (w, h, px) frames per payload.
+VIDEO_DECODERS: dict[str, Callable] = {"netpbm_stream": decode_netpbm_stream}
 
 
 def _resolve_decoder(decoder, registry: dict[str, Callable], kind: str):
@@ -463,6 +495,51 @@ def extract_audio_features(
 # ---------------------------------------------------------------------------
 
 
+def _ahash_hex(w: int, h: int, px, grid: int, nhex: int) -> str | None:
+    """One frame's average-hash (shared by image_ahash and
+    video_frame_hashes — extracted verbatim from the r7 image loop so
+    the image oracles stay bit-identical): RGB luma-proxy reduce,
+    grid x grid block means, mean-of-means threshold, word-chunked
+    little-endian bit packing. None for frames smaller than the grid."""
+    import numpy as np
+
+    if w < grid or h < grid:
+        return None
+    if px.size == w * h * 3:
+        img = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+    else:
+        img = px.reshape(h, w).astype(np.int64)
+    if h % grid == 0 and w % grid == 0:
+        # Uniform blocks: one vectorized reshape-mean (identical
+        # arithmetic to the general path — equal block sizes, same
+        # exact dyadic sums).
+        means = img.reshape(grid, h // grid, grid, w // grid).mean(
+            axis=(1, 3)
+        )
+    else:
+        rb = (np.arange(grid + 1) * h) // grid
+        cb = (np.arange(grid + 1) * w) // grid
+        means = np.empty((grid, grid))
+        for r in range(grid):
+            for c in range(grid):
+                means[r, c] = img[
+                    rb[r] : rb[r + 1], cb[c] : cb[c + 1]
+                ].mean()
+    thr = means.mean()
+    bits = (means.ravel() > thr).astype(np.uint64)
+    # Pack little-endian-bit-order in <=32-bit words: a single uint64
+    # shift vector silently zeroes shifts >= 64 (numpy wraparound),
+    # truncating every grid > 8 to its low 64 bits. Word-chunked
+    # packing produces the identical value for grid <= 8 and correct
+    # hashes for any grid.
+    val = 0
+    for w0 in range(0, bits.size, 32):
+        chunk = bits[w0 : w0 + 32]
+        word = int((chunk << np.arange(chunk.size, dtype=np.uint64)).sum())
+        val |= word << w0
+    return format(val, f"0{nhex}x")
+
+
 def image_ahash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -505,8 +582,6 @@ def image_ahash(
     nhex = grid * grid // 4
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in it:
             out = []
             for p in pdf[content_col]:
@@ -515,45 +590,7 @@ def image_ahash(
                     out.append(None)
                     continue
                 w, h, px = d
-                if w < grid or h < grid:
-                    out.append(None)
-                    continue
-                if px.size == w * h * 3:
-                    img = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
-                else:
-                    img = px.reshape(h, w).astype(np.int64)
-                if h % grid == 0 and w % grid == 0:
-                    # Uniform blocks: one vectorized reshape-mean
-                    # (identical arithmetic to the general path — equal
-                    # block sizes, same exact dyadic sums).
-                    means = img.reshape(
-                        grid, h // grid, grid, w // grid
-                    ).mean(axis=(1, 3))
-                else:
-                    rb = (np.arange(grid + 1) * h) // grid
-                    cb = (np.arange(grid + 1) * w) // grid
-                    means = np.empty((grid, grid))
-                    for r in range(grid):
-                        for c in range(grid):
-                            means[r, c] = img[
-                                rb[r] : rb[r + 1], cb[c] : cb[c + 1]
-                            ].mean()
-                thr = means.mean()
-                bits = (means.ravel() > thr).astype(np.uint64)
-                # Pack little-endian-bit-order in <=32-bit words: a
-                # single uint64 shift vector silently zeroes shifts
-                # >= 64 (numpy wraparound), truncating every grid > 8
-                # to its low 64 bits. Word-chunked packing produces the
-                # identical value for grid <= 8 and correct hashes for
-                # any grid.
-                val = 0
-                for w0 in range(0, bits.size, 32):
-                    chunk = bits[w0 : w0 + 32]
-                    word = int(
-                        (chunk << np.arange(chunk.size, dtype=np.uint64)).sum()
-                    )
-                    val |= word << w0
-                out.append(format(val, f"0{nhex}x"))
+                out.append(_ahash_hex(w, h, px, grid, nhex))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").to_numpy(),
@@ -762,3 +799,112 @@ def audio_neardup_pairs(
         .localCheckpoint(eager=True)
     )
     return _capped_hamming_pairs(hashes, max_distance, frames, hot_cluster_cap)
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: per-frame aHash inverted index (copy-detection shape)
+# ---------------------------------------------------------------------------
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "netpbm_stream",
+    grid: int = 8,
+    every_k: int = 1,
+) -> DataFrame:
+    """Per-frame perceptual hashes for video payloads: decode the
+    container to frames, sample every ``every_k``-th frame (the
+    shuffle-free sibling of frame_sample_plan), aHash each sampled
+    frame with EXACTLY image_ahash's math (_ahash_hex). Returns
+    (doc_id, frame_index, ahash); frames smaller than the grid or past
+    a corrupt tail simply don't emit — corrupt media never kills the
+    scan. Map-only, zero shuffle."""
+    if grid * grid % 4:
+        raise ValueError("grid*grid must be a multiple of 4 bits")
+    real = _resolve_decoder(decoder, VIDEO_DECODERS, "video")
+    nhex = grid * grid // 4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fis, hs = [], [], []
+            for did, p in zip(pdf[id_col], pdf[content_col]):
+                for fi, (w, h, px) in enumerate(real(bytes(p or b""))):
+                    if fi % every_k:
+                        continue
+                    hx = _ahash_hex(w, h, px, grid, nhex)
+                    if hx is None:
+                        continue
+                    ids.append(int(did))
+                    fis.append(fi)
+                    hs.append(hx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_index": pd.array(fis, dtype="int64"),
+                    "ahash": pd.array(hs, dtype="string"),
+                }
+            )
+
+    return (
+        df.select(qcol(id_col).alias(id_col), qcol(content_col).alias(content_col))
+        .mapInPandas(
+            batches, schema="doc_id long, frame_index long, ahash string"
+        )
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "netpbm_stream",
+    grid: int = 8,
+    every_k: int = 1,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs by SHARED FRAME FINGERPRINTS — the
+    standard video copy-detection shape (per-frame perceptual hash ->
+    inverted index -> pair votes), completing the dedup family's
+    fourth modality (text / image / audio / video). Two videos pair
+    when they share >= ``min_shared`` distinct sampled-frame aHashes,
+    so clipped/reordered/extended copies still match (frame ORDER
+    carries no weight, exactly like winnow_pairs' positionless
+    fingerprints for text).
+
+    Scale shape: explode to (doc, hash), DISTINCT, optional ``max_df``
+    stop-hash filter (the hot-frame guard — black/blank frames appear
+    in every corpus and would otherwise go quadratic, the same failure
+    class as winnow_pairs' stop-grams and image_neardup's hot
+    clusters), then one equi-self-join on the hash and a pair count.
+    No cross join; candidates are bounded by max_df^2 per hash.
+    Returns (doc_a, doc_b, shared_frames)."""
+    fh = (
+        video_frame_hashes(df, id_col, content_col, decoder, grid, every_k)
+        .select("doc_id", "ahash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if max_df is not None:
+        keep = (
+            fh.groupBy("ahash")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") <= max_df)
+            .select("ahash")
+        )
+        fh = fh.join(keep, on="ahash", how="left_semi")
+    a, b = fh.alias("a"), fh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ahash") == F.col("b.ahash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )

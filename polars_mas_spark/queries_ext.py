@@ -5032,3 +5032,123 @@ def q_audio_neardup_pairs(spark, sf_dir):
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+# ===========================================================================
+# Video near-dup (r8): shared-frame-fingerprint copy detection
+# ===========================================================================
+
+_VIDEO_NEARDUP_ORACLE = """WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 0),
+vid AS (
+  SELECT doc_id, t, 0 AS var FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, t, 0 FROM base WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, t, 1 FROM base WHERE doc_id % 50 = 2),
+f AS (SELECT doc_id, var, length(t) AS n,
+        list_transform(regexp_split_to_array(t, ''), x -> ascii(x)) AS bytes
+      FROM vid),
+fr AS (SELECT doc_id, var, n, bytes, unnest(range(0, 3)) AS fi
+       FROM f WHERE n > 0),
+px AS (SELECT doc_id, fi,
+         list_transform(range(0,256), j ->
+           bytes[((j + 7*fi + CASE WHEN var = 1 AND fi = 2
+                               THEN 13 ELSE 0 END) % n) + 1]) AS p
+       FROM fr),
+bm AS (SELECT doc_id, fi, list_transform(range(0,64), b -> (
+         p[((b // 8) * 2    ) * 16 + (b % 8) * 2 + 1] +
+         p[((b // 8) * 2    ) * 16 + (b % 8) * 2 + 2] +
+         p[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 1] +
+         p[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 2]) / 4.0) AS m
+       FROM px),
+th AS (SELECT doc_id, fi, m, list_sum(m) / 64.0 AS thr FROM bm),
+bits AS (SELECT doc_id, fi, list_transform(range(0,64),
+           i -> CASE WHEN m[i+1] > thr THEN 1 ELSE 0 END) AS bv
+         FROM th),
+hl AS (SELECT doc_id, fi,
+        list_sum(list_transform(range(0,32), i -> bv[i+1]::BIGINT << i))::BIGINT AS lo,
+        list_sum(list_transform(range(32,64), i -> bv[i+1]::BIGINT << (i-32)))::BIGINT AS hi
+       FROM bits),
+fh AS (SELECT DISTINCT doc_id, lo, hi FROM hl),
+keep AS (SELECT fh.* FROM fh
+         JOIN (SELECT lo, hi FROM fh GROUP BY lo, hi
+               HAVING count(*) <= 20) k USING (lo, hi))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_frames
+FROM keep a JOIN keep b
+  ON a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2"""
+
+
+@query("video_neardup_pairs", _VIDEO_NEARDUP_ORACLE)
+def q_video_neardup_pairs(spark, sf_dir):
+    """Video near-dup by SHARED FRAME FINGERPRINTS — the fourth and
+    last dedup modality (text/image/audio covered through r8). Every
+    even-doc_id document becomes a REAL 3-frame concatenated-netpbm
+    video (frame f's 16x16 raster is the text bytes cycled at phase
+    7f, so a video's frames genuinely differ), decoded frame-by-frame
+    by the real container walker (multimodal.decode_netpbm_stream) and
+    aHashed with the image math. Planted evidence: doc_id % 50 == 0
+    gets an EXACT copy (shares all 3 frame hashes) and % 50 == 2 a
+    CLIPPED variant whose frames 0-1 match but whose frame 2 is
+    re-phased (+13) — it must pair through min_shared=2 while the
+    changed frame contributes nothing, proving frame-subset matching
+    (the property that catches clipped/extended copies). max_df=20 is
+    the hot-frame stop-hash guard (blank frames would otherwise pair
+    quadratically), replayed by the oracle's HAVING count(*) <= 20.
+    The oracle recomputes every frame hash from the text bytes with
+    the same dyadic-exact chain as the image oracle and counts shared
+    distinct (lo, hi) per pair over the unblocked index."""
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.lit(0).alias("var"),
+        )
+    )
+    exact = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "var"
+    )
+    partial = base.filter(F.col("doc_id") % 50 == 2).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "text",
+        F.lit(1).alias("var"),
+    )
+    docs = base.union(exact).union(partial)
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            content = []
+            for t, var in zip(pdf["text"], pdf["var"]):
+                b = (t or "").encode("utf-8")
+                if not b:
+                    content.append(b"")
+                    continue
+                arr = np.frombuffer(b, np.uint8)
+                n = arr.size
+                frames = []
+                for fi in range(3):
+                    off = 7 * fi + (13 if (var == 1 and fi == 2) else 0)
+                    raster = arr[(np.arange(256) + off) % n].tobytes()
+                    frames.append(mm.netpbm_encode(16, 16, raster))
+                content.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": content})
+
+    par = spark.sparkContext.defaultParallelism
+    payloads = docs.repartition(par).mapInPandas(
+        gen, schema="doc_id long, content binary"
+    )
+    return mm.video_neardup_pairs(
+        payloads,
+        "doc_id",
+        "content",
+        decoder="netpbm_stream",
+        min_shared=2,
+        max_df=20,
+    )

@@ -1562,3 +1562,61 @@ def test_audio_fingerprint_neardup_planted(spark):
     ).collect()
     assert len(capped) == 10
     assert all(r.doc_a == 100 and r.hamming == 0 for r in capped)
+
+
+def test_video_neardup_planted_clips(spark):
+    """Video near-dup on real concatenated-netpbm containers: an exact
+    re-encode shares all frames, a clipped copy (2 of 3 frames) pairs
+    through min_shared=2, a one-frame overlap does NOT, corrupt tails
+    degrade to the valid frame prefix, and the max_df stop-hash guard
+    removes blank frames shared corpus-wide."""
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        netpbm_encode, video_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    f = [
+        netpbm_encode(16, 16, rng.integers(0, 256, 256, dtype=np.uint8).tobytes())
+        for _ in range(5)
+    ]
+    blank = netpbm_encode(16, 16, bytes([7]) * 256)  # constant frame
+    rows = [
+        (1, f[0] + f[1] + f[2]),
+        (2, f[0] + f[1] + f[2]),          # exact copy of 1
+        (3, f[1] + f[2] + f[3]),          # clipped: shares 2 frames with 1
+        (4, f[3] + f[4]),                 # shares 1 frame with 3 only
+        (5, f[4] + b"P5 corrupt tail"),   # valid prefix, corrupt tail
+        (6, b"not a video"),
+        (7, blank + f[0] + blank),        # blank frames + one real
+        (8, blank + blank + blank),       # all blank
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_frames
+        for r in video_neardup_pairs(
+            df, "doc_id", "content", min_shared=2
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 3
+    assert pairs[(1, 3)] == 2 and pairs[(2, 3)] == 2
+    assert (3, 4) not in pairs  # one shared frame < min_shared
+    assert not any(5 in p or 6 in p for p in pairs)
+    # 7 and 8 share only the blank hash (one distinct) -> no pair at
+    # min_shared=2; with min_shared=1 they WOULD pair, and max_df=1
+    # (stop-hash) must remove that blank-frame vote again.
+    loose = {
+        (r.doc_a, r.doc_b)
+        for r in video_neardup_pairs(
+            df, "doc_id", "content", min_shared=1
+        ).collect()
+    }
+    assert (7, 8) in loose
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in video_neardup_pairs(
+            df, "doc_id", "content", min_shared=1, max_df=1
+        ).collect()
+    }
+    assert (7, 8) not in guarded
