@@ -60,6 +60,11 @@ ORACLE_QUERIES = [
     "mas_logistic_fanout_golden",
     "tpch_q11ish",
     "url_dedup_summary",
+    # The r8 audio/video modalities: same mapInPandas decode shape as
+    # image, but the container walk + inverted-index pairing deserve a
+    # cross-JVM run of their own.
+    "audio_neardup_pairs",
+    "video_neardup_pairs",
 ]
 
 # Rows-only under the gate too (iterative MLE, no SQL closed form) but
