@@ -527,11 +527,19 @@ def _ahash_hex(w: int, h: int, px, grid: int, nhex: int) -> str | None:
                 ].mean()
     thr = means.mean()
     bits = (means.ravel() > thr).astype(np.uint64)
-    # Pack little-endian-bit-order in <=32-bit words: a single uint64
-    # shift vector silently zeroes shifts >= 64 (numpy wraparound),
-    # truncating every grid > 8 to its low 64 bits. Word-chunked
-    # packing produces the identical value for grid <= 8 and correct
-    # hashes for any grid.
+    return _pack_bits_hex(bits, nhex)
+
+
+def _pack_bits_hex(bits, nhex: int) -> str:
+    """Little-endian-bit-order packing in <=32-bit words, shared by
+    every fingerprint (image aHash, audio energy contour): a single
+    uint64 shift vector silently zeroes shifts >= 64 (numpy
+    wraparound), truncating every width > 64 to its low bits — the r7
+    grid>8 bug, fixed ONCE here so no fingerprint can re-grow it.
+    Word-chunked packing produces the identical value for widths <= 64
+    and correct hashes for any width."""
+    import numpy as np
+
     val = 0
     for w0 in range(0, bits.size, 32):
         chunk = bits[w0 : w0 + 32]
@@ -754,14 +762,7 @@ def audio_fingerprint(
                         e[i] = a[rb[i] : rb[i + 1]].mean()
                 thr = e.mean()
                 bits = (e > thr).astype(np.uint64)
-                val = 0
-                for w0 in range(0, bits.size, 32):
-                    chunk = bits[w0 : w0 + 32]
-                    word = int(
-                        (chunk << np.arange(chunk.size, dtype=np.uint64)).sum()
-                    )
-                    val |= word << w0
-                out.append(format(val, f"0{nhex}x"))
+                out.append(_pack_bits_hex(bits, nhex))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").to_numpy(),
@@ -823,6 +824,10 @@ def video_frame_hashes(
     scan. Map-only, zero shuffle."""
     if grid * grid % 4:
         raise ValueError("grid*grid must be a multiple of 4 bits")
+    if every_k < 1:
+        # Validate loudly HERE, not as a ZeroDivisionError inside an
+        # executor batch (fi % every_k) with an opaque worker traceback.
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     real = _resolve_decoder(decoder, VIDEO_DECODERS, "video")
     nhex = grid * grid // 4
 

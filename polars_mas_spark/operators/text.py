@@ -829,8 +829,10 @@ def bm25_topk(
 # ---------------------------------------------------------------------------
 
 # Tracking parameters every web-corpus pipeline strips before URL-keyed
-# dedup (the CCNet/RefinedWeb-style canonical-URL pass).
-URL_TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref)="
+# dedup (the CCNet/RefinedWeb-style canonical-URL pass). `(=|$)` also
+# matches VALUELESS occurrences (?gclid, bare ?utm_source) so they
+# collapse with the param-free spelling.
+URL_TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
 
 
 def canonical_url(url: Column) -> Column:

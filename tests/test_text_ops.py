@@ -1470,6 +1470,8 @@ def test_canonical_url_edges(spark):
         ("HTTPS://WWW.Example.COM:443/A/B/?b=2&a=1#x", "https://example.com/A/B?a=1&b=2"),
         ("https://example.com:4430/a", "https://example.com:4430/a"),
         ("http://ex.com/?utm_source=x&fbclid=1&ref=z", "http://ex.com"),
+        ("http://ex.com/p?gclid&utm_source", "http://ex.com/p"),  # valueless
+        ("http://ex.com/p?refresh=1", "http://ex.com/p?refresh=1"),
         ("http://ex.com/", "http://ex.com"),
         ("http://ex.com/p?id=Z&id=A", "http://ex.com/p?id=A&id=Z"),
         ("ex.com/path/", "ex.com/path"),
