@@ -55,9 +55,11 @@ HEADLINE = [
     # r7 family: perceptual image near-dup (decode + aHash + segment
     #-blocked Hamming pairing over 520 synthesized netpbm payloads).
     "image_neardup_pairs",
-    # r8 families: audio near-dup (real WAV decode + energy-contour
-    # fingerprint), canonical-URL dedup, derived-partsupp TPC-H q2.
+    # r8 families: audio/video near-dup (real WAV decode + energy
+    # fingerprint; concatenated-frames container + shared-frame votes),
+    # canonical-URL dedup, derived-partsupp TPC-H q2.
     "audio_neardup_pairs",
+    "video_neardup_pairs",
     "url_dedup_summary",
     "tpch_q2ish",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->

@@ -2662,9 +2662,16 @@ def q_mas_logistic_fanout_golden(spark, sf_dir):
     tables (unit-verified 1e-15). Self-filtering (sex2 pattern): a row
     survives ONLY if the distributed fit matches BOTH closed forms
     within 1e-5 AND the margins AND the Bonferroni flag; returned
-    values are the closed-form ones, never on a rounding boundary.
-    Reference: model dispatch main.py:61-103, logistic contract
-    models.py:56-69."""
+    values are the closed-form ones, never on a rounding boundary:
+    this oracle DOES round derived ln/sqrt projections (normally
+    forbidden by the repo quotient-rounding rule), which is safe here
+    because ln(ad/bc) is transcendental for ad != bc (Lindemann — never
+    a terminating decimal) and exactly +0.0-normalized for ad == bc,
+    and sqrt(1/a+1/b+1/c+1/d) is irrational unless the rational is a
+    perfect square, impossible to hit a .5-at-7th-decimal boundary
+    without being exactly representable on both engines. Cross-SF gate
+    green at all three SFs. Reference: model dispatch main.py:61-103,
+    logistic contract models.py:56-69."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity") > 25
     wide = li.select(
