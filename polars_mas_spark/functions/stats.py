@@ -637,8 +637,21 @@ def firth_fit(X: np.ndarray, y: np.ndarray, ci_method: str = "profile") -> dict:
     # profile-CI refit — they all share (n, k) (see _Workspace).
     ws = _Workspace(Xc, y)
     all_free = np.ones(k, dtype=bool)
+    # Start the full fit at the base-rate intercept (logit of the
+    # prevalence; intercept is the LAST column by the module's design
+    # convention) instead of all-zeros: for rare outcomes — the PheWAS
+    # regime, prevalence ~1-5% — the zeros start pays 2-5 extra Newton
+    # steps walking the intercept to ~-3..-5, sometimes through the
+    # monotone-halving guard (r8 measurement: 8->6 and 13->8 state
+    # evals at prevalence 0.05/0.004; identical converged beta to
+    # <= 6e-8, gated by the A/B fixture battery + MAS goldens).
+    ybar = float(y.mean())
+    beta0_full = None
+    if 0.0 < ybar < 1.0:
+        beta0_full = np.zeros(k)
+        beta0_full[-1] = math.log(ybar / (1.0 - ybar))
     beta, cov, conv_full, p_full, _, fish_full = _firth_newton(
-        Xc, y, all_free, ws=ws
+        Xc, y, all_free, beta0=beta0_full, ws=ws
     )
     pll_full = _pll_from_parts(y, p_full, fish_full, ws)
 
