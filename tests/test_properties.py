@@ -372,3 +372,51 @@ def test_firth_solver_always_terminates_converged(data, n, flip, shift):
     assert out["converged"], (seed, n, flip, shift, out)
     assert np.isfinite(out["beta"]) and np.isfinite(out["se"]), out
     assert 0.0 <= out["pval"] <= 1.0, out
+
+
+# Random URL-shaped strings: scheme/case/www/port/params/slash/fragment
+# noise axes drawn independently, plus raw garbage (no scheme at all).
+_urls = st.lists(
+    st.builds(
+        lambda sch, www, host, port, segs, params, slash, frag: (
+            sch + ("www." if www else "") + host + port + "/"
+            + "/".join(segs) + ("/" if slash and segs else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#frag" if frag else "")
+        ),
+        st.sampled_from(["http://", "HTTP://", "https://", "HTTPS://", ""]),
+        st.booleans(),
+        st.sampled_from(["Ex.COM", "ex.com", "a-b.org"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(st.sampled_from(["P", "q", "r2"]), max_size=3),
+        st.lists(
+            st.sampled_from(
+                ["a=1", "B=2", "utm_source=x", "gclid", "ref=z", "id=Q"]
+            ),
+            max_size=4,
+        ),
+        st.booleans(),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(urls=_urls)
+@SETTINGS
+def test_canonical_url_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): the canonical form must
+    be a FIXED POINT, else dedup keyed on it depends on how many times
+    a pipeline stage normalized upstream."""
+    from polars_mas_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(
+        list(enumerate(urls)), "i long, u string"
+    )
+    rows = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+        canonical_url(canonical_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, (r.c1, r.c2)
