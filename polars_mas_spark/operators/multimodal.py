@@ -835,7 +835,10 @@ def video_frame_hashes(
         for pdf in it:
             ids, fis, hs = [], [], []
             for did, p in zip(pdf[id_col], pdf[content_col]):
-                for fi, (w, h, px) in enumerate(real(bytes(p or b""))):
+                # `or ()`: a decoder following the image/audio convention
+                # of returning None for undecodable payloads degrades to
+                # zero frames instead of a TypeError in the executor.
+                for fi, (w, h, px) in enumerate(real(bytes(p or b"")) or ()):
                     if fi % every_k:
                         continue
                     hx = _ahash_hex(w, h, px, grid, nhex)
@@ -868,7 +871,7 @@ def video_neardup_pairs(
     grid: int = 8,
     every_k: int = 1,
     min_shared: int = 2,
-    max_df: int | None = None,
+    max_df: int | None = 64,
 ) -> DataFrame:
     """Video near-duplicate pairs by SHARED FRAME FINGERPRINTS — the
     standard video copy-detection shape (per-frame perceptual hash ->
@@ -879,13 +882,15 @@ def video_neardup_pairs(
     carries no weight, exactly like winnow_pairs' positionless
     fingerprints for text).
 
-    Scale shape: explode to (doc, hash), DISTINCT, optional ``max_df``
-    stop-hash filter (the hot-frame guard — black/blank frames appear
-    in every corpus and would otherwise go quadratic, the same failure
-    class as winnow_pairs' stop-grams and image_neardup's hot
-    clusters), then one equi-self-join on the hash and a pair count.
-    No cross join; candidates are bounded by max_df^2 per hash.
-    Returns (doc_a, doc_b, shared_frames)."""
+    Scale shape: explode to (doc, hash), DISTINCT, ``max_df`` stop-hash
+    filter (the hot-frame guard — black/blank frames appear in every
+    corpus and would otherwise go quadratic, the same failure class as
+    winnow_pairs' stop-grams and image_neardup's hot clusters), then
+    one equi-self-join on the hash and a pair count. No cross join;
+    candidates are bounded by max_df^2 per hash. ``max_df`` defaults ON
+    (64) so a blank-frame-heavy corpus can't go O(df^2) by default
+    (ADVICE r8); pass ``max_df=None`` explicitly to disable the guard,
+    accepting the quadratic risk. Returns (doc_a, doc_b, shared_frames)."""
     fh = (
         video_frame_hashes(df, id_col, content_col, decoder, grid, every_k)
         .select("doc_id", "ahash")

@@ -61,7 +61,10 @@ def run_pipeline(
     # otherwise ship ONE selectExpr call with backticked names instead
     # of per-column Column objects.
     included = list(config.included_columns)
-    if set(df.columns) != set(included):
+    # The length check keeps the skip safe for inputs carrying DUPLICATE
+    # column names (set-equality alone would skip the projection that
+    # normalizes them, deferring to an ambiguous-reference error later).
+    if len(df.columns) != len(included) or set(df.columns) != set(included):
         df = df.selectExpr(*[qname(c) for c in included])
 
     num_pairs = len(config.predictor_columns) * len(config.dependent_columns)

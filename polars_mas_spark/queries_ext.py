@@ -2533,8 +2533,7 @@ c AS (
          sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d
   FROM u GROUP BY dep)
 SELECT 'xbin' AS predictor, dep AS dependent,
-       round(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (cc + 0.5))), 6) + 0.0
-         AS beta,
+       a AS cell_a, b AS cell_b, cc AS cell_c, d AS cell_d,
        (a + b) AS cases, (cc + d) AS controls,
        (a + b + cc + d) AS total_n,
        TRUE AS converged, TRUE AS bonferroni_significant
@@ -2558,10 +2557,13 @@ def q_mas_firth_fanout_golden(spark, sf_dir):
     closed form within 1e-5 AND the pipeline's cases/controls/total_n
     equal the contingency margins AND the corrected significance flag
     is set — any drift in the packed path drops rows and fails the
-    rowcount/hash compare. Returned values are the closed-form ones, so
-    the compare never sits on a float-rounding boundary. Reference:
-    fan-out orchestration main.py:61-103, Firth contract
-    models.py:9-53."""
+    rowcount/hash compare. Returned values are the EXACT INTEGER
+    contingency cells and margins (ADVICE r8: a rounded cross-engine
+    ln() projection is 1-ulp fragile — Java Math.log and DuckDB libm
+    may legitimately disagree at the 6th decimal on a future dataset;
+    beta stays a within-engine self-filter predicate only, so the
+    compare never touches a float). Reference: fan-out orchestration
+    main.py:61-103, Firth contract models.py:9-53."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity") > 25
     wide = li.select(
@@ -2589,6 +2591,7 @@ def q_mas_firth_fanout_golden(spark, sf_dir):
     )
     closed = cont.select(
         F.col("dep").alias("dependent"),
+        F.col("a"), F.col("b"), F.col("cc"), F.col("d"),
         F.log(
             ((F.col("a") + 0.5) * (F.col("d") + 0.5))
             / ((F.col("b") + 0.5) * (F.col("cc") + 0.5))
@@ -2607,9 +2610,10 @@ def q_mas_firth_fanout_golden(spark, sf_dir):
     )
     return ok.select(
         "predictor", "dependent",
-        # + 0.0 normalizes IEEE signed zero to match the oracle's
-        # round(...) + 0.0 (repo signed-zero rule; ADVICE r6).
-        (F.round("beta_closed", 6) + F.lit(0.0)).alias("beta"),
+        # Exact integer cells, never a cross-engine float (ADVICE r8):
+        # beta binds via the |fit - closed| < 1e-5 self-filter above.
+        F.col("a").alias("cell_a"), F.col("b").alias("cell_b"),
+        F.col("cc").alias("cell_c"), F.col("d").alias("cell_d"),
         F.col("cases_closed").alias("cases"),
         F.col("controls_closed").alias("controls"),
         F.col("n_closed").alias("total_n"),
@@ -2638,8 +2642,7 @@ c AS (
          sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d
   FROM u GROUP BY dep)
 SELECT 'xbin' AS predictor, dep AS dependent,
-       round(ln(a * d / (b * cc * 1.0)), 6) + 0.0 AS beta,
-       round(sqrt(1.0/a + 1.0/b + 1.0/cc + 1.0/d), 6) AS se,
+       a AS cell_a, b AS cell_b, cc AS cell_c, d AS cell_d,
        (a + b) AS cases, (cc + d) AS controls,
        (a + b + cc + d) AS total_n,
        TRUE AS converged, TRUE AS bonferroni_significant
@@ -2662,16 +2665,15 @@ def q_mas_logistic_fanout_golden(spark, sf_dir):
     tables (unit-verified 1e-15). Self-filtering (sex2 pattern): a row
     survives ONLY if the distributed fit matches BOTH closed forms
     within 1e-5 AND the margins AND the Bonferroni flag; returned
-    values are the closed-form ones, never on a rounding boundary:
-    this oracle DOES round derived ln/sqrt projections (normally
-    forbidden by the repo quotient-rounding rule), which is safe here
-    because ln(ad/bc) is transcendental for ad != bc (Lindemann — never
-    a terminating decimal) and exactly +0.0-normalized for ad == bc,
-    and sqrt(1/a+1/b+1/c+1/d) is irrational unless the rational is a
-    perfect square, impossible to hit a .5-at-7th-decimal boundary
-    without being exactly representable on both engines. Cross-SF gate
-    green at all three SFs. Reference: model dispatch main.py:61-103,
-    logistic contract models.py:56-69."""
+    values are the EXACT INTEGER contingency cells and margins (ADVICE
+    r8: the earlier round(ln(ad/bc),6)/round(sqrt(...),6) projections
+    compared 1-ulp-accurate Java Math.log/sqrt against DuckDB libm
+    cross-engine — Lindemann rules out landing ON a .5e-6 boundary but
+    not within 1 ulp of one, so a future regenerated dataset could flip
+    the 6th decimal deterministically; beta/se now bind via the
+    within-engine self-filter only). Cross-SF gate green at all three
+    SFs. Reference: model dispatch main.py:61-103, logistic contract
+    models.py:56-69."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity") > 25
     wide = li.select(
@@ -2699,6 +2701,7 @@ def q_mas_logistic_fanout_golden(spark, sf_dir):
     )
     closed = cont.select(
         F.col("dep").alias("dependent"),
+        F.col("a"), F.col("b"), F.col("cc"), F.col("d"),
         F.log(
             (F.col("a") * F.col("d"))
             / (F.col("b") * F.col("cc") * F.lit(1.0))
@@ -2722,10 +2725,10 @@ def q_mas_logistic_fanout_golden(spark, sf_dir):
     )
     return ok.select(
         "predictor", "dependent",
-        # + 0.0 normalizes IEEE signed zero to match the oracle's
-        # round(...) + 0.0 (repo signed-zero rule; ADVICE r6).
-        (F.round("beta_closed", 6) + F.lit(0.0)).alias("beta"),
-        F.round("se_closed", 6).alias("se"),
+        # Exact integer cells, never a cross-engine float (ADVICE r8):
+        # beta/se bind via the 1e-5 self-filter predicates above.
+        F.col("a").alias("cell_a"), F.col("b").alias("cell_b"),
+        F.col("cc").alias("cell_c"), F.col("d").alias("cell_d"),
         F.col("cases_closed").alias("cases"),
         F.col("controls_closed").alias("controls"),
         F.col("n_closed").alias("total_n"),
@@ -2776,8 +2779,7 @@ c AS (
          sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d
   FROM u GROUP BY dep)
 SELECT 'xbin' AS predictor, dep AS dependent,
-       round(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (cc + 0.5))), 6) + 0.0
-         AS beta,
+       a AS cell_a, b AS cell_b, cc AS cell_c, d AS cell_d,
        (a + b) AS cases, (cc + d) AS controls,
        (a + b + cc + d) AS total_n,
        TRUE AS converged, TRUE AS bonferroni_significant
@@ -2803,9 +2805,10 @@ def q_mas_firth_columnar_golden(spark, sf_dir):
     the closed form within 1e-5 AND cases/controls/total_n equal the
     contingency margins AND the 8-test Bonferroni flag is set, so any
     drift anywhere in the columnar path drops rows and fails the
-    rowcount/hash compare. Returned values are the closed-form ones —
-    never on a float-rounding boundary. Reference: worker mmap fan-out
-    analysis.py:54-59, Firth contract models.py:9-53."""
+    rowcount/hash compare. Returned values are the exact integer
+    contingency cells (ADVICE r8 — no cross-engine ln() in the
+    projection; beta binds via the self-filter). Reference: worker
+    mmap fan-out analysis.py:54-59, Firth contract models.py:9-53."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity") > 25
     dep_cols = []
@@ -2836,6 +2839,7 @@ def q_mas_firth_columnar_golden(spark, sf_dir):
     )
     closed = cont.select(
         F.col("dep").alias("dependent"),
+        F.col("a"), F.col("b"), F.col("cc"), F.col("d"),
         F.log(
             ((F.col("a") + 0.5) * (F.col("d") + 0.5))
             / ((F.col("b") + 0.5) * (F.col("cc") + 0.5))
@@ -2854,7 +2858,8 @@ def q_mas_firth_columnar_golden(spark, sf_dir):
     )
     return ok.select(
         "predictor", "dependent",
-        (F.round("beta_closed", 6) + F.lit(0.0)).alias("beta"),
+        F.col("a").alias("cell_a"), F.col("b").alias("cell_b"),
+        F.col("cc").alias("cell_c"), F.col("d").alias("cell_d"),
         F.col("cases_closed").alias("cases"),
         F.col("controls_closed").alias("controls"),
         F.col("n_closed").alias("total_n"),

@@ -24,6 +24,10 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+if PASSES < 1:
+    # Fail at startup, not with a TypeError on round(None) AFTER the
+    # full untimed fixture generation has already run (ADVICE r8).
+    raise SystemExit(f"SPARK_GRAFT_BENCH_PASSES must be >= 1, got {PASSES}")
 
 for _k in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
            "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
