@@ -2867,6 +2867,121 @@ def q_mas_firth_columnar_golden(spark, sf_dir):
     )
 
 
+# 180 planted 2x2 dependents for the WIDE-fan-out golden: dep_i uses
+# key o_orderkey (i < 90) or o_custkey (i >= 90) and modulus
+# (i % 90) + 3, so y = xbin XOR (key % m == 0). Two key columns x 90
+# moduli = 180 DISTINCT noise patterns with the minority cell still
+# >= ~4 rows at sf0.001 (m <= 92).
+_PHEWAS_GOLDEN_WIDTH = 180
+
+
+def _phewas_golden_sql() -> str:
+    return f"""WITH t AS (
+  SELECT CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS x,
+         o_orderkey AS k1, o_custkey AS k2
+  FROM orders),
+deps AS (SELECT i::BIGINT AS i FROM range({_PHEWAS_GOLDEN_WIDTH}) r(i)),
+u AS (
+  SELECT printf('dep_%03d', i) AS dep, x,
+         CASE WHEN (x = 1) <>
+                   ((CASE WHEN i < 90 THEN k1 ELSE k2 END) % (i % 90 + 3) = 0)
+              THEN 1 ELSE 0 END AS y
+  FROM t CROSS JOIN deps),
+c AS (
+  SELECT dep,
+         sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS b,
+         sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS cc,
+         sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM u GROUP BY dep)
+SELECT 'xbin' AS predictor, dep AS dependent,
+       a AS cell_a, b AS cell_b, cc AS cell_c, d AS cell_d,
+       (a + b) AS cases, (cc + d) AS controls,
+       (a + b + cc + d) AS total_n,
+       TRUE AS converged, TRUE AS bonferroni_significant
+FROM c"""
+
+
+@query("mas_phewas_firth_180_golden", _phewas_golden_sql())
+def q_mas_phewas_firth_180_golden(spark, sf_dir):
+    """DRIVER-HASH-BINDING golden for the WIDE (PheWAS-width) fan-out
+    (VERDICT r8 next-steps #2): mas_firth_columnar_golden binds the
+    columnar chain at 8 dependents, but the 180-wide shape the driver
+    rows-checks via mas_phewas_firth_180 had no value-bound twin. Here
+    ONE columnar run_pipeline call fans out to 180 planted 2x2
+    dependents (y = xbin XOR key-derived noise over two key columns x
+    90 moduli), the exact width of the rows-only query, so the whole
+    wide chain executes end to end at width: checkpoint_wide's
+    mapInArrow parquet writers -> PrepRecipe stats -> 180 per-task
+    column-pruned reads -> Firth kernel -> 180-test Bonferroni. Each
+    fit's Firth estimate equals the Haldane-Anscombe +1/2 log odds
+    ratio exactly (2x2 identity, unit-tested at 1e-6 incl. zero
+    cells); self-filtering (sex2 pattern): a row survives ONLY if the
+    distributed fit matches the closed form within 1e-5 AND the
+    margins AND the corrected flag, so ANY drift at width drops rows
+    and fails the 180-row count/hash compare. Projection is exact
+    integer contingency cells only — no cross-engine float (ADVICE
+    r8). Reference: benchmark workload benchmarks/README.md:16, Firth
+    contract models.py:9-53."""
+    orders = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice") > 250000
+    dep_cols = []
+    dep_names = []
+    for i in range(_PHEWAS_GOLDEN_WIDTH):
+        key = F.col("o_orderkey") if i < 90 else F.col("o_custkey")
+        m = i % 90 + 3
+        name = f"dep_{i:03d}"
+        dep_names.append(name)
+        dep_cols.append((x != (key % m == 0)).cast("double").alias(name))
+    wide = orders.select(x.cast("double").alias("xbin"), *dep_cols)
+    cfg = MASConfig(
+        predictors="xbin", dependents=dep_names,
+        model="firth", min_case_count=10,
+    )
+    res = run_pipeline(spark, cfg, df=wide, strategy="columnar")
+
+    stack_expr = "stack({n}, {args}) AS (dep, y)".format(
+        n=len(dep_names),
+        args=", ".join(f"'{d}', {d}" for d in dep_names),
+    )
+    long = wide.select("xbin", F.expr(stack_expr))
+    cell = lambda xv, yv: F.sum(  # noqa: E731
+        F.when((F.col("xbin") == xv) & (F.col("y") == yv), 1).otherwise(0)
+    )
+    cont = long.groupBy("dep").agg(
+        cell(1.0, 1.0).alias("a"), cell(0.0, 1.0).alias("b"),
+        cell(1.0, 0.0).alias("cc"), cell(0.0, 0.0).alias("d"),
+    )
+    closed = cont.select(
+        F.col("dep").alias("dependent"),
+        F.col("a"), F.col("b"), F.col("cc"), F.col("d"),
+        F.log(
+            ((F.col("a") + 0.5) * (F.col("d") + 0.5))
+            / ((F.col("b") + 0.5) * (F.col("cc") + 0.5))
+        ).alias("beta_closed"),
+        (F.col("a") + F.col("b")).alias("cases_closed"),
+        (F.col("cc") + F.col("d")).alias("controls_closed"),
+        (F.col("a") + F.col("b") + F.col("cc") + F.col("d")).alias("n_closed"),
+    )
+    ok = res.join(F.broadcast(closed), "dependent").filter(
+        F.col("converged")
+        & (F.abs(F.col("beta") - F.col("beta_closed")) < 1e-5)
+        & (F.col("cases") == F.col("cases_closed"))
+        & (F.col("controls") == F.col("controls_closed"))
+        & (F.col("total_n") == F.col("n_closed"))
+        & F.col("bonferroni_significant")
+    )
+    return ok.select(
+        "predictor", "dependent",
+        F.col("a").alias("cell_a"), F.col("b").alias("cell_b"),
+        F.col("cc").alias("cell_c"), F.col("d").alias("cell_d"),
+        F.col("cases_closed").alias("cases"),
+        F.col("controls_closed").alias("controls"),
+        F.col("n_closed").alias("total_n"),
+        "converged", "bonferroni_significant",
+    )
+
+
 @query(
     "mas_firth_2x2_haldane",
     """WITH t AS (
