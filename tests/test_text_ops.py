@@ -1622,3 +1622,34 @@ def test_video_neardup_planted_clips(spark):
         ).collect()
     }
     assert (7, 8) not in guarded
+
+
+def test_video_neardup_default_hot_frame_guard(spark):
+    """The DEFAULT max_df (64) blocks the blank-frame quadratic blowup
+    (ADVICE r8): 70 videos all opening with the same constant frame
+    emit ZERO pairs by default (the shared hash's df=70 exceeds the
+    guard), while max_df=None opts back into all C(70,2) pairs."""
+    import numpy as np
+
+    from polars_mas_spark.operators.multimodal import (
+        netpbm_encode, video_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    blank = netpbm_encode(16, 16, bytes([0]) * 256)
+    rows = [
+        (
+            i,
+            blank
+            + netpbm_encode(
+                16, 16, rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+            ),
+        )
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    assert video_neardup_pairs(df, min_shared=1).count() == 0
+    assert (
+        video_neardup_pairs(df, min_shared=1, max_df=None).count()
+        == 70 * 69 // 2
+    )
