@@ -189,6 +189,90 @@ def chunk_dedup(
     )
 
 
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, k: int = 10
+) -> DataFrame:
+    """Remove ANY repeated span >= ``k`` words corpus-wide, keeping the
+    first occurrence — the Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better" ExactSubstr granularity, which
+    :func:`chunk_dedup` only approximates (its fixed chunk grid misses
+    repeats that cross chunk boundaries or sit at a different alignment
+    in each document). Here every STRIDE-1 k-word window is fingerprinted
+    (md5 of the joined words, so the shuffle carries 32-hex-char keys,
+    never the window text), the global first occurrence of each
+    fingerprint is chosen by total order ``(doc_id, position)``, and
+    every token covered by a non-first window is deleted. A repeated
+    span of length L >= k therefore has ALL of its later-occurrence
+    windows marked and ALL L tokens removed, regardless of alignment;
+    the first occurrence survives untouched. Returns ``(doc_id,
+    text_dedup)`` for all input documents (whitespace-normalized, empty
+    string if everything was a later repeat).
+
+    Scale shape: one exploded row per TOKEN (k times more than
+    chunk_dedup — the price of alignment-free recall; Lee et al. pay
+    the same linear factor via suffix arrays), one hash shuffle on the
+    window fingerprint for first-occurrence ranking, one ~token-count
+    distinct + anti-join on (doc, position), one reassembly shuffle on
+    doc id. Everything is linear in corpus tokens; no pairwise
+    comparisons. At 100 TB the fingerprint shuffle dominates — md5 can
+    be swapped for xxhash64 when the corpus is small enough that
+    64-bit collisions are acceptable (< ~10^9 windows), and the window
+    rank needs no text either way. Reference granularity: Lee et al.
+    2022 §3 (any substring >= 50 BPE tokens); the reference repo has
+    no span dedup — beyond-reference operator."""
+    staged = stage_columns(
+        df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
+        __words__=F.filter(
+            F.split(F.col("__t__"), r"\s+"), lambda t: t != ""
+        ),
+    )
+    words = F.col("__words__")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.md5(
+                F.array_join(F.slice(words, i + 1, k), " ").cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gpos = staged.select("doc_id", F.posexplode(grams).alias("p", "g"))
+    # (doc_id, p) is unique per window, so the order below is total and
+    # the first-occurrence choice deterministic on both engines.
+    w = Window.partitionBy("g").orderBy("doc_id", "p")
+    removed = (
+        gpos.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = staged.select(
+        "doc_id", F.posexplode(F.col("__words__")).alias("pos", "tok")
+    )
+    reassembled = (
+        toks.join(removed, on=["doc_id", "pos"], how="left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_dedup")
+        )
+    )
+    ids = df.select(qcol(id_col).alias("doc_id"))
+    return ids.join(reassembled, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("text_dedup", F.lit("")).alias("text_dedup")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tokenization shared by MinHash / SimHash / Jaccard
 # ---------------------------------------------------------------------------

@@ -3728,6 +3728,80 @@ def q_chunk_dedup(spark, sf_dir):
     return dd.chunk_dedup(docs, "doc_id", "text", k=10)
 
 
+# 12-word planted span for span_dedup's oracle: prepended to doc_id%101==0
+# documents and APPENDED to doc_id%101==1 ones, so every later occurrence
+# sits at a different word alignment than the first — exactly the repeat
+# class chunk_dedup's fixed grid cannot see and span_dedup must remove.
+_SPAN_PLANT = " ".join(f"zq{i}" for i in range(12))
+
+_SPAN_DEDUP_SQL = rf"""WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 101 = 0 THEN '{_SPAN_PLANT} ' || text
+                WHEN doc_id % 101 = 1 THEN text || ' {_SPAN_PLANT}'
+                ELSE text END AS text
+    FROM documents),
+wd AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+    FROM base),
+gr AS (
+    SELECT doc_id,
+           unnest(generate_series(0, len(words) - 10)) AS p,
+           unnest(list_transform(generate_series(0, len(words) - 10),
+                  i -> md5(array_to_string(list_slice(words, i + 1, i + 10),
+                                           ' ')))) AS g
+    FROM wd WHERE len(words) >= 10),
+ranked AS (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+    FROM gr),
+rem AS (
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(generate_series(p, p + 9)) AS pos
+        FROM ranked WHERE rn > 1)),
+tok AS (
+    SELECT doc_id,
+           unnest(words) AS tok,
+           unnest(generate_series(0, len(words) - 1)) AS pos
+    FROM wd WHERE len(words) > 0),
+surv AS (
+    SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS txt
+    FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+    WHERE r.doc_id IS NULL
+    GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(s.txt, '') AS text_dedup
+FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id"""
+
+
+@query("span_dedup", _SPAN_DEDUP_SQL)
+def q_span_dedup(spark, sf_dir):
+    """Alignment-free repeated-SPAN removal at Lee et al. 2022
+    ExactSubstr granularity (VERDICT r8 next-steps #4): any repeated
+    span >= 10 words is deleted from every occurrence but the global
+    first, regardless of where the repeat sits in each document
+    (operators/dedup.span_dedup — stride-1 fingerprinted windows, one
+    rank shuffle + one anti-join, linear in corpus tokens). The query
+    plants a 12-word span PREPENDED to some documents and APPENDED to
+    others so the repeats are mutually misaligned — the exact class
+    chunk_dedup's fixed chunk grid misses — and the oracle replays the
+    full window/rank/coverage computation in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 101 == 0,
+            F.concat(F.lit(_SPAN_PLANT + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 101 == 1,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_PLANT)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dd.span_dedup(planted, "doc_id", "text", k=10)
+
+
 @query(
     "incremental_dedup",
     f"""WITH b AS (

@@ -182,6 +182,20 @@ def test_curation_signals_are_map_only(spark, qs):
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
 
 
+def test_span_dedup_no_pairs_no_python(spark, qs):
+    """span_dedup must stay linear: no join of the window table against
+    itself (pair blow-up), no row-Python, no cartesian — the window
+    fingerprint rank + position anti-join + reassembly are all keyed
+    shuffles. The fingerprint shuffle must carry md5 keys, not window
+    text (the gram column is a Project-computed md5)."""
+    plan = plan_of(qs["span_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin LeftAnti" in plan or "ShuffledHashJoin LeftAnti" in plan \
+        or _op_count(plan, "BroadcastHashJoin") >= 1
+    assert "md5" in plan  # fingerprints, never raw window text, shuffle
+
+
 def test_contamination_broadcasts_benchmark(spark, qs):
     """The benchmark shingle set must broadcast; the corpus side must
     not appear under any shuffle Exchange before the join."""

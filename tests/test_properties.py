@@ -129,6 +129,31 @@ def test_chunk_dedup_idempotent_and_total(spark, txts):
     assert rows1 == rows2
 
 
+@given(txts=texts)
+@SETTINGS
+def test_span_dedup_total_and_monotone(spark, txts):
+    """span_dedup keeps every doc_id, never grows a document, and a
+    second pass only ever shrinks further (junction windows formed by a
+    removal may legitimately create NEW corpus duplicates — Lee et al.
+    2022 has the same non-idempotence — but monotone non-growth and
+    totality must hold unconditionally)."""
+    from polars_mas_spark.operators.dedup import span_dedup
+
+    df = _docs(spark, txts)
+    once = span_dedup(df, "doc_id", "text", k=3)
+    rows1 = {r["doc_id"]: r["text_dedup"] for r in once.collect()}
+    assert set(rows1) == set(range(len(txts)))
+    for i, t in enumerate(txts):
+        assert len(rows1[i].split()) <= len(t.split())
+    twice = span_dedup(
+        once.withColumnRenamed("text_dedup", "text"), "doc_id", "text", k=3
+    )
+    rows2 = {r["doc_id"]: r["text_dedup"] for r in twice.collect()}
+    assert set(rows2) == set(rows1)
+    for i in rows1:
+        assert len(rows2[i].split()) <= len(rows1[i].split())
+
+
 @given(
     weights=st.dictionaries(
         st.sampled_from(["0", "1", "2", "3"]),

@@ -588,6 +588,68 @@ def test_chunk_dedup_keeps_all_docs_and_is_idempotent(spark):
     assert first == second
 
 
+def test_span_dedup_cross_alignment_recall(spark):
+    """span_dedup removes a repeated span REGARDLESS of word alignment
+    — the Lee et al. 2022 granularity chunk_dedup's fixed grid misses.
+    The same 10-word span sits at offset 0 in doc 1, offset 3 in doc 2,
+    and offset 7 in doc 3: chunk_dedup (k=10) sees three DIFFERENT
+    chunk sets and removes nothing; span_dedup keeps only doc 1's copy."""
+    from polars_mas_spark.operators.dedup import chunk_dedup, span_dedup
+
+    span = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    rows = [
+        (1, span + " tail1 tail2 tail3"),
+        (2, "p0 p1 p2 " + span + " u1 u2"),
+        (3, "q0 q1 q2 q3 q4 q5 q6 " + span),
+        (4, "clean words only nothing repeated here at all today fine ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    chunked = {
+        r["doc_id"]: r["text_dedup"]
+        for r in chunk_dedup(df, "doc_id", "text", k=10).collect()
+    }
+    # The misaligned copies hide from the fixed chunk grid entirely.
+    for i, t in rows:
+        assert chunked[i] == t
+
+    spanned = {
+        r["doc_id"]: r["text_dedup"]
+        for r in span_dedup(df, "doc_id", "text", k=10).collect()
+    }
+    assert spanned[1] == span + " tail1 tail2 tail3"  # first occurrence kept
+    assert spanned[2] == "p0 p1 p2 u1 u2"             # span excised mid-doc
+    assert spanned[3] == "q0 q1 q2 q3 q4 q5 q6"       # span excised at tail
+    assert spanned[4] == rows[3][1]                   # clean doc untouched
+
+
+def test_span_dedup_overlong_span_and_short_docs(spark):
+    """A repeated span LONGER than k is removed in full (every stride-1
+    window marks its cover); docs shorter than k words emit no windows
+    and pass through whitespace-normalized; empty/None-like docs come
+    back as ''."""
+    from polars_mas_spark.operators.dedup import span_dedup
+
+    long_span = " ".join(f"w{i}" for i in range(15))  # 15 words, k=10
+    rows = [
+        (1, "intro " + long_span),
+        (2, long_span + " outro"),
+        (3, "tiny doc under k words"),
+        (4, "  spaced   out   tiny  "),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text_dedup"]
+        for r in span_dedup(df, "doc_id", "text", k=10).collect()
+    }
+    assert out[1] == "intro " + long_span  # global first occurrence
+    assert out[2] == "outro"               # all 15 span words removed
+    assert out[3] == "tiny doc under k words"
+    assert out[4] == "spaced out tiny"     # normalized, untouched
+    assert out[5] == ""
+
+
 def test_incremental_dedup_drops_seen_digests(spark):
     from polars_mas_spark.operators.dedup import incremental_exact_dedup
 
