@@ -437,6 +437,66 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """NEAR-dup dedup of a NEW ingestion batch against an already-
+    accepted corpus — the production rolling-crawl shape (the near-dup
+    twin of :func:`incremental_exact_dedup`). A new document is dropped
+    if (a) it is a within-batch greedy loser (shares a band bucket with
+    a smaller-id batch document, exactly :func:`minhash_dedup`'s rule)
+    or (b) ANY of its band buckets already exists in the seen corpus's
+    bucket set — one LSH collision with accepted content means a
+    near-duplicate at the banding's similarity threshold.
+
+    Scale shape: the seen side is reduced to DISTINCT ``(band,
+    bucket)`` 16-byte keys before the semi-join — the accepted corpus's
+    TEXT never shuffles (tokenize/hash/min-aggregate are all map-side
+    partials; the signature groupBy moves numeric halves keyed by doc,
+    and banding is a map over the signature array). At 100 TB the
+    natural layout is a persisted band-key side table maintained
+    across ingestions (append each accepted batch's keys); this
+    operator is the query against it. Everything is keyed hash
+    shuffles — no pair lists, no O(k^2) buckets on the cross-batch
+    side. Beyond-reference operator (the reference has no incremental
+    mode); granularity per Lee et al. 2022 NearDup / MinHashLSH."""
+    _check_banding(num_hashes, bands, rows_per_band)
+    seen_keys = (
+        _banded(
+            minhash_signatures(seen_df, id_col, text_col, num_hashes),
+            bands,
+            rows_per_band,
+        )
+        .select("band", "bucket")
+        .distinct()
+    )
+    new_banded = _banded(
+        minhash_signatures(new_df, id_col, text_col, num_hashes),
+        bands,
+        rows_per_band,
+    )
+    within_losers = (
+        _bucket_mins(new_banded)
+        .filter(F.col("doc_id") > F.col("bucket_min"))
+        .select("doc_id")
+    )
+    cross_losers = new_banded.join(
+        seen_keys, on=["band", "bucket"], how="left_semi"
+    ).select("doc_id")
+    losers = (
+        within_losers.union(cross_losers)
+        .distinct()
+        .withColumnRenamed("doc_id", id_col)
+    )
+    return new_df.join(losers, on=id_col, how="left_anti")
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -183,6 +183,97 @@ def q_minhash_dedup(spark, sf_dir):
     ).select("doc_id")
 
 
+def _inc_minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    """Full SQL replay of incremental_minhash_dedup over a deterministic
+    seen/new split of documents with planted cross-batch dups (exact
+    copies at +1000000, one-token-appended near-copies at +2000000)."""
+    sig_cols = _minhash_sig_cols(num_hashes)
+
+    def band_selects(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket "
+            "FROM {src}".format(
+                b=b,
+                cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+                src=src,
+            )
+            for b in range(bands)
+        )
+
+    def sig_chain(tag: str, src: str) -> str:
+        return f"""tk{tag} AS (
+            SELECT DISTINCT doc_id, t.token
+            FROM {src}, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(token)
+            WHERE t.token <> ''),
+        h{tag} AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) AS h1,
+                   CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS h2
+            FROM tk{tag}),
+        sig{tag} AS (SELECT doc_id, {sig_cols} FROM h{tag} GROUP BY doc_id),
+        band{tag} AS ({band_selects(f'sig{tag}')})"""
+
+    return f"""WITH seen AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        newb AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text || ' zz7new' FROM documents
+            WHERE doc_id % 50 = 10),
+        {sig_chain('s', 'seen')},
+        skeys AS (SELECT DISTINCT band, bucket FROM bands),
+        {sig_chain('n', 'newb')},
+        withinl AS (
+            SELECT DISTINCT b.doc_id
+            FROM bandn b JOIN (SELECT band, bucket, min(doc_id) AS m
+                               FROM bandn GROUP BY band, bucket) mm
+              ON b.band = mm.band AND b.bucket = mm.bucket AND b.doc_id > mm.m),
+        crossl AS (
+            SELECT DISTINCT n.doc_id
+            FROM bandn n JOIN skeys s
+              ON n.band = s.band AND n.bucket = s.bucket)
+        SELECT doc_id FROM newb
+        WHERE doc_id NOT IN (SELECT doc_id FROM withinl
+                             UNION SELECT doc_id FROM crossl)"""
+
+
+@query("incremental_minhash_dedup", _inc_minhash_oracle())
+def q_incremental_minhash_dedup(spark, sf_dir):
+    """Incremental NEAR-dup dedup — the production rolling-crawl shape
+    (VERDICT r8 next-steps #5): a new ingestion batch is deduped
+    against the accepted corpus via a MinHash band-key semi-join (the
+    seen side reduced to distinct (band, bucket) keys — its text never
+    shuffles), plus the within-batch greedy bucket-min rule. The query
+    splits documents into seen (even ids) / new (odd ids) and PLANTS
+    cross-batch duplicates in the new batch: exact copies of seen docs
+    (+1000000, guaranteed band collisions -> dropped) and one-token-
+    appended near-copies (+2000000, dropped iff some band survives the
+    perturbation — the oracle replays the same signatures so both
+    engines agree bit-for-bit either way)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    newb = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionAll(
+            docs.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 50 == 10).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz7new")).alias("text"),
+            )
+        )
+    )
+    return dd.incremental_minhash_dedup(
+        newb, seen, "doc_id", "text",
+        num_hashes=16, bands=4, rows_per_band=4,
+    ).select("doc_id")
+
+
 def _cc_labels_ctes(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
     """Recursive-closure CTE chain ending in lab(doc_id, label) — the
     per-document component-min label minhash_component_labels computes

@@ -196,6 +196,24 @@ def test_span_dedup_no_pairs_no_python(spark, qs):
     assert "md5" in plan  # fingerprints, never raw window text, shuffle
 
 
+def test_incremental_minhash_seen_text_never_shuffles(spark, qs):
+    """The accepted-corpus side of incremental_minhash_dedup must
+    collapse to distinct (band, bucket) keys before any join: no
+    Exchange in the plan may carry the text column (tokenize/hash are
+    map-side; the signature groupBy shuffles numeric partials keyed by
+    doc), and there must be no pair join (cartesian) or row-Python."""
+    import re
+
+    plan = plan_of(qs["incremental_minhash_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # Every Exchange node's Input/Output attribute list must be free of
+    # the raw text column (formatted plans list attributes per node).
+    for block in re.split(r"\n\n", plan):
+        if block.lstrip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert not re.search(r"\btext#", block), f"text shuffles:\n{block}"
+
+
 def test_contamination_broadcasts_benchmark(spark, qs):
     """The benchmark shingle set must broadcast; the corpus side must
     not appear under any shuffle Exchange before the join."""

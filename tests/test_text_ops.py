@@ -650,6 +650,44 @@ def test_span_dedup_overlong_span_and_short_docs(spark):
     assert out[5] == ""
 
 
+def test_incremental_minhash_dedup_cross_batch(spark):
+    """Cross-batch near-dup semantics: an exact copy of an accepted doc
+    is dropped (all bands collide), a fresh doc with disjoint vocabulary
+    survives, within-batch duplicate pairs keep their min-id member,
+    and a doc near-identical to an accepted one (same token SET) drops
+    even though its digest differs — the case incremental_exact_dedup
+    cannot catch."""
+    from polars_mas_spark.operators.dedup import incremental_minhash_dedup
+
+    seen = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # exact copy of seen 1
+            (11, "theta eta zeta epsilon delta gamma beta alpha alpha"),  # same token set as seen 1
+            (12, "totally fresh unrelated vocabulary words here now"),
+            (13, "totally fresh unrelated vocabulary words here now"),  # within-batch dup of 12
+            (14, "kappa lambda mu nu xi omicron pi rho sigma"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id
+        for r in incremental_minhash_dedup(
+            new, seen, "doc_id", "text", num_hashes=16, bands=4, rows_per_band=4
+        ).collect()
+    }
+    assert 10 not in out           # exact cross-batch copy dropped
+    assert 11 not in out           # token-set twin dropped (near-dup, not exact)
+    assert 12 in out and 13 not in out  # within-batch: min id kept
+    assert 14 in out               # genuinely new content survives
+
+
 def test_incremental_dedup_drops_seen_digests(spark):
     from polars_mas_spark.operators.dedup import incremental_exact_dedup
 
