@@ -163,3 +163,88 @@ def encode_column(
         )
         .drop("__voc_value__", "__voc_id__")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization (merge-rank encoder over a literal merge table)
+# ---------------------------------------------------------------------------
+
+# Unit separator: wraps every non-space character as \x1f c \x1f, so one
+# merge rule (a, b) is the LITERAL string replacement
+# "\x1f a \x1f\x1f b \x1f" -> "\x1f a||b \x1f". Literal replace is
+# left-to-right and non-overlapping in both Spark and DuckDB, which IS
+# the greedy single-pass application of one BPE merge; whitespace stays
+# unwrapped between words, so no merge can cross a word boundary.
+BPE_SEP = "\x1f"
+
+# Literal mini-vocab tuned to the synthetic corpus ('the', 'scan',
+# 'batch', 'join', 'row' collapse to one token through multi-step
+# chains; 'order' exercises competing (e,r)-before-(o,r) ranks).
+# Rank order is the LIST order — earlier merges win, and a later
+# merge's parts may only exist because an earlier one created them
+# ((sc,an) needs (s,c) and (a,n); (bat,ch) needs (b,at) and (c,h)).
+DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("a", "n"),
+    ("s", "c"), ("sc", "an"), ("r", "o"), ("ro", "w"), ("a", "t"),
+    ("c", "h"), ("b", "at"), ("bat", "ch"), ("j", "o"), ("jo", "i"),
+    ("joi", "n"),
+]
+
+
+def _bpe_wrapped(text) -> "F.Column":
+    """lower -> strip any pre-existing separators -> wrap every
+    non-space character. Pure scalar expressions, map-only."""
+    clean = F.replace(F.lower(text), F.lit(BPE_SEP), F.lit(""))
+    return F.regexp_replace(clean, r"(\S)", f"{BPE_SEP}$1{BPE_SEP}")
+
+
+def bpe_apply_merges(text, merges: list[tuple[str, str]]) -> "F.Column":
+    """The wrapped-and-merged string: merges applied IN RANK ORDER, each
+    as one greedy left-to-right non-overlapping literal replacement —
+    the classic Sennrich-2016 encode loop, unrolled into the plan as a
+    chain of JVM ``StringReplace`` expressions (no Python, no UDF; the
+    merge table is a compile-time literal, the 100 TB analog of
+    broadcasting a real tokenizer's merge ranks). Beyond-reference
+    operator: the reference counts no tokens at all."""
+    s = _bpe_wrapped(text)
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+            F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+        )
+    return s
+
+
+def bpe_token_count_expr(text, merges: list[tuple[str, str]]) -> "F.Column":
+    """BPE token count as a Column: every token is wrapped by exactly
+    two separators, so count = separator-count / 2."""
+    s = bpe_apply_merges(text, merges)
+    seps = F.length(s) - F.length(F.replace(s, F.lit(BPE_SEP), F.lit("")))
+    return (seps / 2).cast("long")
+
+
+def bpe_tokens_expr(text, merges: list[tuple[str, str]]) -> "F.Column":
+    """The token array itself (for vocab joins / inspection):
+    non-overlapping extraction of every wrapped token."""
+    s = bpe_apply_merges(text, merges)
+    return F.regexp_extract_all(
+        s, F.lit(f"{BPE_SEP}([^{BPE_SEP}]+){BPE_SEP}"), F.lit(1)
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]] | None = None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append a BPE token-count column (0 for NULL text). Map-only; the
+    natural ``tokens_col`` feed for [[cap_tokens_per_source]] /
+    [[select_until_budget]] when budgets are in model tokens rather
+    than whitespace words."""
+    merges = DEFAULT_BPE_MERGES if merges is None else merges
+    return df.withColumn(
+        out_col,
+        F.coalesce(bpe_token_count_expr(qcol(text_col), merges), F.lit(0)),
+    )

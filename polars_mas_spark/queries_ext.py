@@ -4433,6 +4433,82 @@ def q_cap_tokens_per_source(spark, sf_dir):
     return out.select("doc_id", "source", "n_tokens")
 
 
+def _bpe_chain_sql(src: str = "lower(text)") -> str:
+    """DuckDB replay of encoding.bpe_apply_merges: identical wrap +
+    rank-ordered literal replaces (chr(31) = BPE_SEP)."""
+    from polars_mas_spark.operators.encoding import DEFAULT_BPE_MERGES
+
+    s = (
+        f"regexp_replace(replace({src}, chr(31), ''), "
+        r"'(\S)', chr(31) || '\1' || chr(31), 'g')"
+    )
+    for a, b in DEFAULT_BPE_MERGES:
+        pat = f"chr(31) || '{a}' || chr(31) || chr(31) || '{b}' || chr(31)"
+        rep = f"chr(31) || '{a}{b}' || chr(31)"
+        s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+_BPE_NTOK_SQL = f"""bpe AS (
+    SELECT doc_id,
+           COALESCE((length(m) - length(replace(m, chr(31), ''))) // 2, 0)
+             AS bpe_tokens
+    FROM (SELECT doc_id, {_bpe_chain_sql()} AS m FROM documents))"""
+
+
+@query(
+    "bpe_token_count",
+    f"WITH {_BPE_NTOK_SQL} SELECT doc_id, bpe_tokens FROM bpe",
+)
+def q_bpe_token_count(spark, sf_dir):
+    """Merge-rank BPE token counting (operators/encoding, VERDICT r8
+    next-steps #6): every non-space character is wrapped in unit
+    separators and the literal merge table is applied in rank order as
+    a chain of JVM string replaces — one greedy left-to-right pass per
+    merge, the Sennrich-2016 encode loop with no Python anywhere. The
+    oracle replays the identical wrap + replace chain in DuckDB, so
+    the merge semantics (rank priority, non-overlap, word-boundary
+    isolation) are value-bound bit-for-bit."""
+    from polars_mas_spark.operators import encoding as enc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return enc.bpe_token_counts(docs, "text").select("doc_id", "bpe_tokens")
+
+
+@query(
+    "cap_bpe_tokens_per_source",
+    f"""WITH {_BPE_NTOK_SQL},
+        j AS (
+            SELECT d.doc_id, d.source, n.bpe_tokens
+            FROM documents d JOIN bpe n ON d.doc_id = n.doc_id),
+        r AS (
+            SELECT doc_id, source, bpe_tokens,
+                   COALESCE(SUM(bpe_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prior
+            FROM j)
+        SELECT doc_id, source, bpe_tokens FROM r WHERE prior < 2000""",
+)
+def q_cap_bpe_tokens_per_source(spark, sf_dir):
+    """The per-domain token-budget ceiling RE-BOUND on real-tokenizer
+    counts (VERDICT r8 next-steps #6): cap_tokens_per_source admits in
+    stable doc_id order until 2,000 BPE tokens per source — LLM data
+    budgets are set in model tokens, not whitespace words, and the
+    tokens_col threading means every budget/mixture operator can take
+    the BPE column unchanged."""
+    from polars_mas_spark.operators import encoding as enc
+
+    docs = enc.bpe_token_counts(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "text",
+    ).drop("text")
+    out = smp.cap_tokens_per_source(
+        docs, "source", "bpe_tokens", budget=2000, order_col="doc_id"
+    )
+    return out.select("doc_id", "source", "bpe_tokens")
+
+
 @query(
     "resample_interpolate_events",
     """WITH src AS (

@@ -435,3 +435,52 @@ def test_vocabulary_materialized_and_frozen(spark):
     got = {r.value: r.id for r in v2.collect()}
     assert {r.value: r.id for r in v2.collect()} == got
     assert sorted(got.values()) == list(range(len(got)))
+
+
+def test_bpe_merge_rank_order_and_chains(spark):
+    """BPE encode semantics: merges apply in RANK order (an earlier
+    merge consumes characters a later one would have used), multi-step
+    chains collapse whole words, merges never cross word boundaries,
+    greedy passes are left-to-right non-overlapping, and NULL text
+    counts 0."""
+    from polars_mas_spark.operators.encoding import (
+        DEFAULT_BPE_MERGES, bpe_token_counts, bpe_tokens_expr,
+    )
+    from pyspark.sql import functions as F
+
+    # Rank order: on 'abc', rank [(a,b),(b,c)] must yield [ab, c] —
+    # the later (b,c) merge finds its 'b' already consumed. Reversing
+    # the ranks yields [a, bc]: the order IS the semantics.
+    df1 = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    toks = lambda merges: df1.select(  # noqa: E731
+        bpe_tokens_expr(F.col("text"), merges).alias("t")
+    ).head()[0]
+    assert toks([("a", "b"), ("b", "c")]) == ["ab", "c"]
+    assert toks([("b", "c"), ("a", "b")]) == ["a", "bc"]
+    # Greedy left-to-right non-overlap: 'aaa' under (a,a) -> [aa, a].
+    df2 = spark.createDataFrame([(1, "aaa aaaa")], ["doc_id", "text"])
+    got = df2.select(
+        bpe_tokens_expr(F.col("text"), [("a", "a"), ("aa", "aa")]).alias("t")
+    ).head()[0]
+    assert got == ["aa", "a", "aaaa"]  # second word: (a,a)x2 then (aa,aa)
+
+    # Word-boundary isolation + chains on the default vocab: 'the'
+    # and 'batch' collapse to one token each; 't h' (two words) stays
+    # two tokens; 'order' -> [or, d, er] because (e,r) outranks (o,r).
+    rows = [
+        (1, "the batch"),
+        (2, "t h"),
+        (3, "order"),
+        (4, None),
+        (5, "THE Batch"),  # case-folded before encoding
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.bpe_tokens for r in bpe_token_counts(df, "text").collect()}
+    assert out[1] == 2 and out[5] == 2
+    assert out[2] == 2
+    assert out[3] == 3
+    assert out[4] == 0
+    arr = df.filter("doc_id = 3").select(
+        bpe_tokens_expr(F.col("text"), DEFAULT_BPE_MERGES).alias("t")
+    ).head()[0]
+    assert arr == ["or", "d", "er"]
