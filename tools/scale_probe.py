@@ -51,6 +51,10 @@ DEFAULT_QUERIES = [
     "vocab_encode_sources", "snapshot_diff_customers", "cdc_apply_orders",
     "dq_checks_orders", "drift_psi_acctbal", "table_digest_customer",
     "quantile_profile_orders", "covariate_corr", "mas_poisson_rate_golden",
+    # r9 operators: alignment-free span dedup, incremental near-dup,
+    # BPE counting + the budget cap re-bound on it
+    "span_dedup", "incremental_minhash_dedup", "bpe_token_count",
+    "cap_bpe_tokens_per_source",
 ]
 
 
