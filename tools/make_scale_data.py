@@ -63,7 +63,13 @@ def _replica(spark, table: str, r: int):
         return df.select(
             (F.col("vec_id") + off).alias("vec_id"),
             shifted.alias("embedding"),
-            "label",
+            # Labels shift per replica too: 10x data must mean 10x label
+            # BLOCKS of constant size (real corpus growth), not 10x
+            # bigger blocks — otherwise every label-blocked quadratic
+            # (embedding_neardup) measures a 100x pair blow-up that no
+            # real corpus produces (r9: the un-shifted version wedged
+            # the sf1 gate on 20M in-block pairs).
+            (F.col("label") + F.lit(r * 1000).cast("int")).alias("label"),
         )
     if table == "customer":
         return df.select(
