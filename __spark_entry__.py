@@ -42,15 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # — mas_firth_fanout_golden too, but it is pinned anyway; the old
 # driver rows no longer bind the current queries), then ALL 37 age-3
 # queries (r05 evidence — plan_rotation --check's max-age bound makes
-# these mandatory), then the pinned set MINUS mas_poisson_rate_golden:
-# 37+5+2 mandatory rows leave only 6 pinned slots, and the Poisson
-# golden is the safest one-round sit-out (kernel untouched since its
-# r8 green; returns in r10). Parked: everything with r06-r08 evidence.
+# these mandatory), then the pinned set MINUS mas_poisson_rate_golden
+# and mas_logistic_mtcars_golden: 37+6+2 mandatory rows leave 5 pinned
+# slots; the Poisson and mtcars goldens are the safest one-round
+# sit-outs (kernels untouched since their r8 greens, and the logistic
+# solver stays value-bound through the in-window
+# mas_logistic_fanout_golden; both return in r10). Parked: everything
+# with r06-r08 evidence.
 _PRIORITY = [
-    # --- never driver-checked (5) ---
+    # --- never driver-checked (6) ---
     "mas_phewas_firth_180_golden", "span_dedup",
     "incremental_minhash_dedup", "bpe_token_count",
-    "cap_bpe_tokens_per_source",
+    "cap_bpe_tokens_per_source", "bpe_learn_golden",
     # --- changed semantics this round (2) ---
     "mas_logistic_fanout_golden", "mas_firth_columnar_golden",
     # --- oldest driver evidence (37, all age 3) ---
@@ -66,10 +69,9 @@ _PRIORITY = [
     "stream_dedup", "table_profile", "text_quality", "token_count",
     "topk_per_group", "train_eval_split", "users_except",
     "windowed_event_counts", "winsorize_acctbal",
-    # --- pinned goldens + composites (6 of 7 this round) ---
-    "mas_firth_sex2_golden", "mas_logistic_mtcars_golden",
-    "mas_firth_2x2_haldane", "mas_firth_fanout_golden",
-    "mas_pipeline_e2e", "curation_pipeline",
+    # --- pinned goldens + composites (5 of 7 this round) ---
+    "mas_firth_sex2_golden", "mas_firth_2x2_haldane",
+    "mas_firth_fanout_golden", "mas_pipeline_e2e", "curation_pipeline",
 ]
 
 

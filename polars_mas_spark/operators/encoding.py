@@ -248,3 +248,72 @@ def bpe_token_counts(
         out_col,
         F.coalesce(bpe_token_count_expr(qcol(text_col), merges), F.lit(0)),
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 8,
+) -> list[tuple[str, str]]:
+    """LEARN a BPE merge table from the corpus — the Sennrich-2016
+    training loop, distributed the way production tokenizer trainers
+    shape it: ONE corpus-wide shuffle builds the (distinct word,
+    frequency) table, and every subsequent iteration runs on that
+    vocab-bounded table only (a few thousand rows even for a 100 TB
+    corpus — vocabulary grows ~log of corpus size), so the N-iteration
+    driver loop costs N small aggregations, never N corpus passes.
+    Each iteration re-applies the merges learned so far with
+    :func:`bpe_apply_merges` (JVM replace chain), counts adjacent token
+    pairs weighted by word frequency, and takes the top pair with the
+    deterministic tie-break (count DESC, pair ASC) — the same rule on
+    every engine and every run. Stops early when no pair repeats.
+
+    Returns the rank-ordered merge list, directly consumable by
+    [[bpe_apply_merges]] / [[bpe_token_counts]]. Beyond-reference
+    operator (reference has no tokenizer surface at all)."""
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(qcol(text_col)), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # The vocab table is re-scanned num_merges times: keep it hot.
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        toks = bpe_tokens_expr(F.col("w"), merges)
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.struct(
+                            F.element_at(toks, i + 1).alias("a"),
+                            F.element_at(toks, i + 2).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .filter(F.col("n") >= 2)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append((top[0]["a"], top[0]["b"]))
+    return merges

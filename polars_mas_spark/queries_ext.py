@@ -4475,6 +4475,48 @@ def q_bpe_token_count(spark, sf_dir):
     return enc.bpe_token_counts(docs, "text").select("doc_id", "bpe_tokens")
 
 
+# Hand-derived from the PUBLISHED Sennrich et al. 2016 §3.2 example
+# vocabulary {low:5, lower:2, newest:6, widest:3} (minus the paper's
+# end-of-word symbol, which this encoder does not use): pair counts
+# give (e,s)=9 tie (s,t)=9 -> asc tie-break picks (e,s); then
+# (es,t)=9; then (l,o)=7 tie (o,w)=7 -> (l,o); then (lo,w)=7; then the
+# 6-count tier (n,e)/(e,w)/(w,est) -> (e,w); then (ew,est)=6 beats
+# (n,ew)=6. Any drift in the pair counting, the wrapped-string merge
+# application, or the tie-break flips a literal row.
+_BPE_LEARN_ORACLE = " UNION ALL ".join(
+    f"SELECT {i + 1} AS rank, '{a}' AS left_tok, '{b}' AS right_tok"
+    for i, (a, b) in enumerate(
+        [("e", "s"), ("es", "t"), ("l", "o"),
+         ("lo", "w"), ("e", "w"), ("ew", "est")]
+    )
+)
+
+
+@query("bpe_learn_golden", _BPE_LEARN_ORACLE)
+def q_bpe_learn_golden(spark, sf_dir):
+    """DRIVER-HASH-BINDING golden for the distributed BPE TRAINER
+    (operators/encoding.bpe_learn_merges): the corpus is the published
+    Sennrich et al. 2016 worked example (low x5, lower x2, newest x6,
+    widest x3) and the oracle is the six merges that follow from it by
+    hand under the documented deterministic tie-break — the sex2
+    published-values pattern. The learner runs its real distributed
+    path (corpus-wide word-frequency shuffle, per-iteration JVM
+    re-tokenization + weighted pair aggregation), so a drift anywhere
+    in the loop changes a literal row and fails the hash compare."""
+    from polars_mas_spark.operators import encoding as enc
+
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2
+        + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    corpus = spark.createDataFrame(rows, schema="text string")
+    merges = enc.bpe_learn_merges(corpus, "text", num_merges=6)
+    out = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        out, schema="rank int, left_tok string, right_tok string"
+    )
+
+
 @query(
     "cap_bpe_tokens_per_source",
     f"""WITH {_BPE_NTOK_SQL},

@@ -484,3 +484,72 @@ def test_bpe_merge_rank_order_and_chains(spark):
         bpe_tokens_expr(F.col("text"), DEFAULT_BPE_MERGES).alias("t")
     ).head()[0]
     assert arr == ["or", "d", "er"]
+
+
+def _py_bpe_learn(word_freqs, num_merges):
+    """Independent reference learner (plain Python, no shared code
+    with the engine): greedy max-count pair, tie-break (count desc,
+    pair asc), merges applied left-to-right non-overlapping."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for toks, f in vocab.items():
+            for p in zip(toks, toks[1:]):
+                counts[p] = counts.get(p, 0) + f
+        counts = {p: n for p, n in counts.items() if n >= 2}
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        new_vocab = {}
+        for toks, f in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and (toks[i], toks[i + 1]) == best:
+                    out.append(toks[i] + toks[i + 1])
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_matches_independent_reference(spark):
+    """The distributed trainer must agree with an independent plain-
+    Python BPE learner on corpora exercising ties, within-word repeats,
+    and early stopping (no pair with count >= 2 left); and the learned
+    merges must compress token counts when fed back into the encoder."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.encoding import (
+        bpe_learn_merges, bpe_token_counts,
+    )
+
+    corpora = [
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3},  # Sennrich
+        {"aaa": 3, "aab": 2, "bba": 4},                    # overlap greed
+        {"ab": 1, "cd": 1},                                # early stop
+        {"banana": 2, "bandana": 1, "ananas": 3},
+    ]
+    for wf in corpora:
+        rows = [(w,) for w, f in wf.items() for _ in range(f)]
+        df = spark.createDataFrame(rows, schema="text string")
+        got = bpe_learn_merges(df, "text", num_merges=8)
+        want = _py_bpe_learn(wf, 8)
+        assert got == want, (wf, got, want)
+
+    wf = corpora[0]
+    df = spark.createDataFrame(
+        [(w,) for w, f in wf.items() for _ in range(f)], schema="text string"
+    )
+    merges = bpe_learn_merges(df, "text", num_merges=6)
+    char_total = bpe_token_counts(df, "text", merges=[]).agg(
+        F.sum("bpe_tokens")
+    ).head()[0]
+    bpe_total = bpe_token_counts(df, "text", merges=merges).agg(
+        F.sum("bpe_tokens")
+    ).head()[0]
+    assert bpe_total < char_total  # learned merges actually compress
