@@ -65,6 +65,16 @@ ORACLE_QUERIES = [
     # cross-JVM run of their own.
     "audio_neardup_pairs",
     "video_neardup_pairs",
+    # r9 additions: the 180-wide columnar golden (checkpoint_wide +
+    # 180 pruned per-task reads hop executors at width), stride-1 span
+    # dedup (fingerprint rank + position anti-join cross-JVM),
+    # incremental near-dup (band-key semi-join across executors), and
+    # the BPE trainer (N-iteration driver loop collecting top pairs
+    # from executor-side aggregations).
+    "mas_phewas_firth_180_golden",
+    "span_dedup",
+    "incremental_minhash_dedup",
+    "bpe_learn_golden",
 ]
 
 # Rows-only under the gate too (iterative MLE, no SQL closed form) but
