@@ -220,6 +220,11 @@ def span_dedup(
     rank needs no text either way. Reference granularity: Lee et al.
     2022 §3 (any substring >= 50 BPE tokens); the reference repo has
     no span dedup — beyond-reference operator."""
+    if k < 1:
+        # Validate loudly here: k=0 would make sequence(0, size) emit
+        # one window per position INCLUDING past-the-end, and slice
+        # with length 0 silently yields empty grams that all collide.
+        raise ValueError(f"span_dedup requires k >= 1, got {k}")
     staged = stage_columns(
         df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
         __words__=F.filter(

@@ -198,6 +198,21 @@ def _bpe_wrapped(text) -> "F.Column":
     return F.regexp_replace(clean, r"(\S)", f"{BPE_SEP}$1{BPE_SEP}")
 
 
+def _check_merges(merges: list[tuple[str, str]]) -> None:
+    """A merge side containing the separator, whitespace, or the empty
+    string would corrupt the wrapped-string replace patterns (an empty
+    side makes the pattern match every token boundary); fail loudly at
+    plan-build time, not with silently-wrong token counts."""
+    for a, b in merges:
+        for side in (a, b):
+            if not side or BPE_SEP in side or any(c.isspace() for c in side):
+                raise ValueError(
+                    f"invalid BPE merge {(a, b)!r}: sides must be "
+                    "non-empty, whitespace-free, and not contain the "
+                    "separator byte"
+                )
+
+
 def bpe_apply_merges(text, merges: list[tuple[str, str]]) -> "F.Column":
     """The wrapped-and-merged string: merges applied IN RANK ORDER, each
     as one greedy left-to-right non-overlapping literal replacement —
@@ -206,6 +221,7 @@ def bpe_apply_merges(text, merges: list[tuple[str, str]]) -> "F.Column":
     merge table is a compile-time literal, the 100 TB analog of
     broadcasting a real tokenizer's merge ranks). Beyond-reference
     operator: the reference counts no tokens at all."""
+    _check_merges(merges)
     s = _bpe_wrapped(text)
     for a, b in merges:
         s = F.replace(

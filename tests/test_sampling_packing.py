@@ -553,3 +553,21 @@ def test_bpe_learn_matches_independent_reference(spark):
         F.sum("bpe_tokens")
     ).head()[0]
     assert bpe_total < char_total  # learned merges actually compress
+
+
+def test_bpe_and_span_dedup_input_validation(spark):
+    """Malformed inputs fail loudly at plan-build time, not with
+    silently-wrong results: empty/whitespace/separator merge sides and
+    k < 1 span windows."""
+    import pytest
+
+    from polars_mas_spark.operators.dedup import span_dedup
+    from polars_mas_spark.operators.encoding import bpe_apply_merges
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="k >= 1"):
+        span_dedup(df, "doc_id", "text", k=0)
+    for bad in [("", "x")], [("a", "b c")], [("a", "\x1f")]:
+        with pytest.raises(ValueError, match="invalid BPE merge"):
+            bpe_apply_merges(F.col("text"), bad)
