@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_mas_spark.colutils import qcol
+from polars_mas_spark.colutils import qcol, stage_columns
 from polars_mas_spark.operators.sampling import hash_bucket
 
 # Local-mode vocab scratch dirs swept by ONE atexit handler (see
@@ -303,8 +303,17 @@ def bpe_learn_merges(
     )
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
-        toks = bpe_tokens_expr(F.col("w"), merges)
-        pairs = words.select(
+        # Stage the tokenization behind a Generate boundary: the whole
+        # wrap + replace-chain + extract expression referenced inside
+        # the transform lambda below would otherwise re-evaluate PER
+        # ARRAY ELEMENT (HOF lambdas run interpreted, outside codegen
+        # CSE — colutils.stage_columns has the measurements), turning
+        # each iteration O(word_len^2 * merges) on long words.
+        staged = stage_columns(
+            words, __toks__=bpe_tokens_expr(F.col("w"), merges)
+        )
+        toks = F.col("__toks__")
+        pairs = staged.select(
             "freq",
             F.explode(
                 F.when(

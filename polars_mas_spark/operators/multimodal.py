@@ -835,10 +835,13 @@ def video_frame_hashes(
         for pdf in it:
             ids, fis, hs = [], [], []
             for did, p in zip(pdf[id_col], pdf[content_col]):
-                # `or ()`: a decoder following the image/audio convention
-                # of returning None for undecodable payloads degrades to
-                # zero frames instead of a TypeError in the executor.
-                for fi, (w, h, px) in enumerate(real(bytes(p or b"")) or ()):
+                # Explicit None check (not `or ()`): a decoder following
+                # the image/audio convention of returning None degrades
+                # to zero frames, while one returning a NumPy array (the
+                # plug-in-ffmpeg case) is never truthiness-tested, which
+                # would raise its own ambiguity ValueError.
+                frames = real(bytes(p or b""))
+                for fi, (w, h, px) in enumerate(() if frames is None else frames):
                     if fi % every_k:
                         continue
                     hx = _ahash_hex(w, h, px, grid, nhex)

@@ -62,8 +62,12 @@ def run_pipeline(
     # of per-column Column objects.
     included = list(config.included_columns)
     # The length check keeps the skip safe for inputs carrying DUPLICATE
-    # column names (set-equality alone would skip the projection that
-    # normalizes them, deferring to an ambiguous-reference error later).
+    # column names: set-equality alone would skip the select and defer
+    # the failure to an opaque ambiguous-reference error deep in the
+    # strategy code; forcing the projection here makes the duplicate
+    # fail immediately at pipeline entry with a clear locus (selectExpr
+    # on a duplicated name throws AMBIGUOUS_REFERENCE — duplicates are
+    # rejected, not repaired).
     if len(df.columns) != len(included) or set(df.columns) != set(included):
         df = df.selectExpr(*[qname(c) for c in included])
 

@@ -155,14 +155,25 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
-def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
-    sig_cols = _minhash_sig_cols(num_hashes)
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
-            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
+def _band_selects_sql(src: str, bands: int = 4, rows: int = 4) -> str:
+    """The ONE SQL builder for dedup._banded's band/bucket scheme —
+    every minhash oracle must derive its banding from here so a scheme
+    change (e.g. the xxhash64 swap dedup.py contemplates) cannot
+    silently diverge between oracles (review r9)."""
+    return " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket "
+        "FROM {src}".format(
+            b=b,
+            cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
+            src=src,
         )
         for b in range(bands)
     )
+
+
+def _minhash_dedup_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    sig_cols = _minhash_sig_cols(num_hashes)
+    band_selects = _band_selects_sql("sigs", bands, rows)
     return f"""WITH {_TOKS}, {_MINHASH_HALVES},
         sigs AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
         bands AS ({band_selects}),
@@ -189,17 +200,6 @@ def _inc_minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> 
     copies at +1000000, one-token-appended near-copies at +2000000)."""
     sig_cols = _minhash_sig_cols(num_hashes)
 
-    def band_selects(src: str) -> str:
-        return " UNION ALL ".join(
-            "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket "
-            "FROM {src}".format(
-                b=b,
-                cols=", ".join(f"h{b * rows + r}" for r in range(rows)),
-                src=src,
-            )
-            for b in range(bands)
-        )
-
     def sig_chain(tag: str, src: str) -> str:
         return f"""tk{tag} AS (
             SELECT DISTINCT doc_id, t.token
@@ -211,7 +211,7 @@ def _inc_minhash_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> 
                    CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS h2
             FROM tk{tag}),
         sig{tag} AS (SELECT doc_id, {sig_cols} FROM h{tag} GROUP BY doc_id),
-        band{tag} AS ({band_selects(f'sig{tag}')})"""
+        band{tag} AS ({_band_selects_sql(f'sig{tag}', bands, rows)})"""
 
     return f"""WITH seen AS (
             SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
@@ -290,12 +290,7 @@ def _cc_labels_ctes(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
     ~k^2 reach rows with small per-iteration joins and finishes in
     seconds. Same fixpoint, same labels."""
     sig_cols = _minhash_sig_cols(num_hashes)
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sigs".format(
-            b=b, cols=", ".join(f"h{b * rows + r}" for r in range(rows))
-        )
-        for b in range(bands)
-    )
+    band_selects = _band_selects_sql("sigs", bands, rows)
     return f"""RECURSIVE {_TOKS}, {_MINHASH_HALVES},
         sigs AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
         bands AS ({band_selects}),

@@ -209,9 +209,15 @@ def test_incremental_minhash_seen_text_never_shuffles(spark, qs):
     assert "BatchEvalPython" not in plan
     # Every Exchange node's Input/Output attribute list must be free of
     # the raw text column (formatted plans list attributes per node).
+    inspected = 0
     for block in re.split(r"\n\n", plan):
         if block.lstrip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            inspected += 1
             assert not re.search(r"\btext#", block), f"text shuffles:\n{block}"
+    # Guard against vacuous green: the signature groupBys guarantee
+    # Exchanges exist, so zero inspected blocks means the block
+    # heuristic broke, not that the plan is shuffle-free.
+    assert inspected >= 1, plan
 
 
 def test_contamination_broadcasts_benchmark(spark, qs):
