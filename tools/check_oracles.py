@@ -195,7 +195,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    # Vacuous-green guard: a mistyped query name (or a stray --flag
+    # falling through to the name list) must be an ERROR, not a 0-query
+    # run that prints "0 failures" and reads as a passing gate.
     only = set(args)
+    bad = sorted(n for n in only if n.startswith("--") or n not in qs)
+    if bad:
+        sys.exit(f"unknown query names/flags: {bad} (registry has {len(qs)})")
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
     failures = []
     hashes: dict[str, list[str]] = {}
