@@ -577,3 +577,153 @@ def temporal_split(
         .otherwise("embargo")
     )
     return df.withColumn(out_col, verdict)
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    k: int,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+    gumbel_salt: str = "dsir-g",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.,
+    NeurIPS 2023): pick the ``k`` raw documents whose hashed-n-gram
+    profile looks most like a target domain, by importance weight
+    under two bag-of-n-grams bucket distributions.
+
+    1. Featurize every document into word unigrams + bigrams, hashed
+       into ``n_buckets`` portable md5 buckets (sampling.hash_bucket —
+       the engine-portable primitive every sampler here shares).
+    2. Fit two bucket distributions in ONE tiny aggregate over the
+       exploded (doc, bucket) pairs: the target slice (rows where
+       ``target`` is true — e.g. a trusted in-domain subset) and the
+       raw corpus. Both get add-``alpha`` smoothing.
+    3. Per-document importance weight: ``logw = sum over n-gram
+       occurrences of ln(p_target[b] / p_raw[b])``. Each bucket's
+       log-ratio is quantized to 6 decimals BEFORE the per-doc sum, so
+       the document sum is a sum of identical doubles on both engines
+       and its final round never sits on a .5e-6 boundary (sums of
+       1e-6 multiples stay on the 1e-6 grid — the quotient-rounding
+       trap cannot fire).
+    4. Gumbel top-k resampling: ``select_key = logw + gumbel`` where
+       the Gumbel noise is a pure hash of the id
+       (``-ln(-ln(u))``, u = (md5_u32(id)+1)/2^32+1) — reproducible
+       across reruns, recomputes, and engines, unlike ``rand()``.
+       The top ``k`` keys (ties broken by id) are flagged selected.
+
+    Returns one row per input document: ``doc_id, n_ngrams, logw,
+    gumbel, select_key, selected``.
+
+    Scale shape: two passes over the corpus n-grams (fit + score), both
+    plain two-phase hash aggregates; the bucket table is ``n_buckets``
+    rows broadcast back; the totals enter as a broadcast 1-row
+    crossJoin, NOT an eager count (text.tf_idf precedent); the top-k is
+    a TakeOrderedAndProject (never a single-task global window) whose k
+    ids broadcast-join the flag back. No Python in the plan, no
+    collect() on data-sized results."""
+    from polars_mas_spark.colutils import stage_columns
+
+    if k <= 0:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+
+    text = F.lower(F.coalesce(qcol(text_col).cast("string"), F.lit("")))
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    base = stage_columns(
+        df.select(
+            qcol(id_col).alias("doc_id"),
+            F.coalesce(target, F.lit(False)).alias("__t__"),
+            qcol(text_col),
+        ),
+        __toks__=toks,
+    )
+    tk = F.col("__toks__")
+    n = F.size(tk)
+    empty = F.array().cast("array<string>")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat(
+                F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(empty)
+    grams = F.concat(tk, bigrams)
+    staged = stage_columns(base, __grams__=grams)
+    ex = staged.select(
+        "doc_id",
+        "__t__",
+        F.explode(
+            F.transform(
+                F.col("__grams__"), lambda g: hash_bucket(g, n_buckets, salt)
+            )
+        ).alias("bk"),
+    )
+
+    stats = ex.groupBy("bk").agg(
+        F.sum(F.when(F.col("__t__"), 1).otherwise(0)).cast("bigint").alias("c_t"),
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+    )
+    tot = stats.agg(
+        F.sum("c_t").cast("bigint").alias("n_t"),
+        F.sum("c_r").cast("bigint").alias("n_r"),
+    )
+    am = float(alpha) * n_buckets
+    a = float(alpha)
+    lr_df = stats.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        (
+            F.round(
+                F.log(F.col("c_t") + F.lit(a))
+                - F.log(F.col("n_t") + F.lit(am))
+                - F.log(F.col("c_r") + F.lit(a))
+                + F.log(F.col("n_r") + F.lit(am)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("lr"),
+    )
+    scored = (
+        ex.join(F.broadcast(lr_df), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum("lr").alias("__raw__"),
+        )
+    )
+
+    u = (md5_u32(F.col("doc_id"), gumbel_salt) + F.lit(1)).cast("double") / F.lit(
+        4294967297.0
+    )
+    gumbel = F.round(-F.log(-F.log(u)), 6) + F.lit(0.0)
+    out = (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0).cast("bigint")).alias(
+                "n_ngrams"
+            ),
+            (F.round(F.coalesce(F.col("__raw__"), F.lit(0.0)), 6) + F.lit(0.0)).alias(
+                "logw"
+            ),
+            gumbel.alias("gumbel"),
+        )
+        .withColumn("select_key", F.col("logw") + F.col("gumbel"))
+    )
+    topk = (
+        out.orderBy(F.col("select_key").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return out.join(F.broadcast(topk), "doc_id", "left").withColumn(
+        "selected", F.coalesce(F.col("selected"), F.lit(False))
+    )

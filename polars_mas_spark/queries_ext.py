@@ -3630,6 +3630,64 @@ def q_top_fraction_per_source(spark, sf_dir):
 
 
 @query(
+    "dsir_select",
+    rf"""WITH d AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, is_t,
+             toks || [toks[i] || ' ' || toks[i + 1]
+                      for i in range(1, greatest(len(toks) - 1, 0) + 1)]
+               AS grams
+      FROM d),
+    e AS (SELECT doc_id, is_t,
+                 {_bucket_sql('u.gram', 256, 'dsir')} AS bk
+          FROM g, UNNEST(grams) AS u(gram)),
+    stats AS (SELECT bk,
+                     sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t,
+                     count(*)::BIGINT AS c_r
+              FROM e GROUP BY 1),
+    tot AS (SELECT sum(c_t)::BIGINT AS n_t, sum(c_r)::BIGINT AS n_r
+            FROM stats),
+    lr AS (SELECT bk,
+                  round(ln(c_t + 0.5) - ln(n_t + 128.0)
+                        - ln(c_r + 0.5) + ln(n_r + 128.0), 6) + 0.0 AS lr
+           FROM stats, tot),
+    sc AS (SELECT e.doc_id, count(*)::BIGINT AS n_ngrams, sum(lr.lr) AS raw
+           FROM e JOIN lr USING (bk) GROUP BY 1),
+    alld AS (SELECT d.doc_id,
+                    coalesce(sc.n_ngrams, 0)::BIGINT AS n_ngrams,
+                    round(coalesce(sc.raw, 0.0), 6) + 0.0 AS logw,
+                    round(-ln(-ln((({_bucket_sql('d.doc_id', 4294967296,
+                                                 'dsir-g')} + 1)
+                                   / 4294967297.0))), 6) + 0.0 AS gumbel
+             FROM d LEFT JOIN sc USING (doc_id)),
+    r AS (SELECT *, logw + gumbel AS select_key,
+                 row_number() OVER (ORDER BY logw + gumbel DESC, doc_id ASC)
+                   AS rk
+          FROM alld)
+    SELECT doc_id, n_ngrams, logw, gumbel, select_key, rk <= 100 AS selected
+    FROM r""",
+)
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram bucket distributions fitted on the en slice (target)
+    vs the whole corpus (raw) in one aggregate pass, 6-decimal-quantized
+    per-bucket log-ratios, per-doc importance weights, and Gumbel top-k
+    selection keyed on a pure id hash (operators/sampling.py
+    dsir_select). The oracle replays the bucketing, both distributions,
+    the quantized log-ratio sum, the Gumbel key, and the exact top-100
+    cut (ties by doc_id)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return smp.dsir_select(
+        docs, "doc_id", "text", F.col("lang") == "en", k=100
+    ).select("doc_id", "n_ngrams", "logw", "gumbel", "select_key", "selected")
+
+
+@query(
     "pack_docs",
     f"""WITH {_NTOK_SQL},
     sharded AS (

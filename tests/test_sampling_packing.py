@@ -571,3 +571,54 @@ def test_bpe_and_span_dedup_input_validation(spark):
     for bad in [("", "x")], [("a", "b c")], [("a", "\x1f")]:
         with pytest.raises(ValueError, match="invalid BPE merge"):
             bpe_apply_merges(F.col("text"), bad)
+
+
+def test_dsir_select_domain_affinity_and_topk(spark):
+    """In-domain vocabulary gets higher importance weights than
+    off-domain; exactly k rows are selected; n_ngrams counts
+    unigrams + bigrams; reruns are bit-identical."""
+    rows = []
+    # target slice (is_t=True): distinctive "genomics" vocabulary
+    for i in range(10):
+        rows.append((i, "gene allele variant exon intron gene allele", True))
+    # raw candidates: 5 in-domain lookalikes, 5 off-domain
+    for i in range(10, 15):
+        rows.append((i, "gene variant exon allele", False))
+    for i in range(15, 20):
+        rows.append((i, "truck gravel asphalt diesel", False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = smp.dsir_select(df, "doc_id", "text", F.col("is_t"), k=12).cache()
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 20
+    # n_ngrams = n_tokens + (n_tokens - 1)
+    assert got[10].n_ngrams == 4 + 3
+    assert got[0].n_ngrams == 7 + 6
+    in_dom = min(got[i].logw for i in range(10, 15))
+    off_dom = max(got[i].logw for i in range(15, 20))
+    assert in_dom > off_dom
+    assert sum(1 for r in got.values() if r.selected) == 12
+    # deterministic: a fresh plan reproduces every value bit-for-bit
+    again = {r.doc_id: r for r in smp.dsir_select(
+        df, "doc_id", "text", F.col("is_t"), k=12).collect()}
+    for i, r in got.items():
+        assert (r.logw, r.gumbel, r.select_key, r.selected) == (
+            again[i].logw, again[i].gumbel, again[i].select_key,
+            again[i].selected)
+    out.unpersist()
+
+
+def test_dsir_select_validation_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", True), (2, None, False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        smp.dsir_select(df, "doc_id", "text", F.col("is_t"), k=0)
+    with pytest.raises(ValueError, match="alpha"):
+        smp.dsir_select(df, "doc_id", "text", F.col("is_t"), k=1, alpha=0.0)
+    # NULL text degrades to zero n-grams / logw 0.0, never a crash;
+    # with k >= n every row is selected.
+    got = {r.doc_id: r for r in smp.dsir_select(
+        df, "doc_id", "text", F.col("is_t"), k=5).collect()}
+    assert got[2].n_ngrams == 0 and got[2].logw == 0.0
+    assert all(r.selected for r in got.values())
