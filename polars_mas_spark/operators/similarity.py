@@ -914,3 +914,114 @@ def ivf_pq_topk(
     )
     scored = scored.select("query_id", "neighbor_id", dist.alias("approx_dist"))
     return _topk_per_query(scored, k, score_col="approx_dist", ascending=True)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs approximate k-NN GRAPH over one vector corpus: every
+    vector gets its ``k`` nearest neighbors (cosine) among the vectors
+    whose home IVF bucket is one of its ``n_probe`` closest buckets —
+    the graph-construction primitive under SemDeDup-style clustering,
+    diversity filtering, and label propagation.
+
+    This is NOT ivf_topk(df, df): there the query side is broadcast
+    (small-query contract), which cannot scale when the query set IS
+    the corpus. Here both sides carry the bucket id — the corpus its
+    argmax home bucket (map-side, broadcast centroid matrix), the
+    probe side its n_probe exploded buckets — and candidates form via
+    ONE hash shuffle join on the bucket, so the pair work is
+    bucket-local and the shuffle is n_rows x (1 + n_probe) vector
+    payloads, never a cross join. Per-node ranking is the salted
+    two-phase exact top-k (_topk_per_query). Skew note for 100 TB: a
+    hot cluster's pair cost is quadratic in its bucket size — grow
+    ``n_centroids`` with the corpus (buckets ~ n/n_centroids) exactly
+    as an IVF index would.
+
+    Returns (query_id, neighbor_id, cos, rank), rank 1..k by
+    (cos desc, neighbor_id asc)."""
+    spark = df.sparkSession
+    centroids = kmeans_centroids(
+        df, k=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    bc = _centroid_matrix_bc(spark, centroids)
+    c = df.select(
+        qcol(id_col).alias("neighbor_id"),
+        qcol(vec_col).alias("__cvec__"),
+        _assign_udf(bc)(qcol(vec_col)).alias("__bucket__"),
+    )
+    q = df.select(
+        qcol(id_col).alias("query_id"),
+        qcol(vec_col).alias("__qvec__"),
+        F.explode(_probe_udf(bc, n_probe)(qcol(vec_col))).alias("__bucket__"),
+    )
+    scored = (
+        c.join(q, on="__bucket__")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec__"), F.col("__cvec__")).alias("cos"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
+def knn_label_vote(
+    df: DataFrame,
+    label_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN label propagation over the [[knn_graph]]: each vector's
+    predicted label is the majority label of its k approximate nearest
+    neighbors (ties -> smallest label), the weak-supervision
+    auto-labeling / label-noise-audit step of an embedding curation
+    pipeline (a row where ``agrees`` is false is a candidate
+    mislabeled example).
+
+    Scale shape: the graph edges join the (id, label) projection —
+    never the vectors — then one keyed aggregate per (vector, label)
+    and one argmax window per vector; everything downstream of the
+    graph is linear in edges (n_rows x k)."""
+    edges = knn_graph(
+        df, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        refine_iters=refine_iters, id_col=id_col, vec_col=vec_col,
+    )
+    labels = df.select(
+        qcol(id_col).alias("neighbor_id"), qcol(label_col).alias("__nl__")
+    )
+    votes = (
+        edges.join(labels, "neighbor_id")
+        .groupBy("query_id", "__nl__")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__nl__").asc()
+    )
+    best = (
+        votes.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .select(
+            "query_id",
+            F.col("__nl__").alias("pred_label"),
+            "votes",
+        )
+    )
+    own = df.select(
+        qcol(id_col).alias("query_id"), qcol(label_col).alias("own_label")
+    )
+    return best.join(own, "query_id").withColumn(
+        "agrees", F.col("pred_label") == F.col("own_label")
+    )

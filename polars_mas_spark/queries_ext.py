@@ -1286,6 +1286,87 @@ def q_ann_ivfpq(spark, sf_dir):
     )
 
 
+# Shared CTE chain for the full-corpus kNN graph: same deterministic
+# k-means replay as ann_ivf (k=16), but the query set is the WHOLE
+# corpus — candidates are (probe bucket of q) ∩ (home bucket of n),
+# each pair at most once because every neighbor has exactly one home.
+_KNN_GRAPH_CTES = f"""{_kmeans_ctes(16)},
+    probes AS (
+      SELECT b.vec_id AS query_id, cent.c,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY list_cosine_similarity(b.v, cent.sv) DESC,
+                                         cent.c ASC) AS prk
+      FROM base b CROSS JOIN cent),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM (SELECT query_id, c FROM probes WHERE prk <= 4) p
+             JOIN assigned1 a ON a.cluster = p.c
+             WHERE a.vec_id <> p.query_id),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+                      list_cosine_similarity(q.v, a.v) AS cos
+               FROM cand
+               JOIN base q ON q.vec_id = cand.query_id
+               JOIN assigned1 a ON a.vec_id = cand.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id ASC)
+                        AS rk
+               FROM scored)"""
+
+
+@query(
+    "knn_graph",
+    f"""WITH {_KNN_GRAPH_CTES}
+    SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+           rk::INTEGER AS rank
+    FROM ranked WHERE rk <= 5""",
+)
+def q_knn_graph(spark, sf_dir):
+    """All-pairs approximate k-NN graph (similarity.knn_graph): IVF
+    home buckets vs n_probe probe buckets joined by ONE hash shuffle on
+    the bucket id — never a broadcast of the corpus-sized query side
+    (ivf_topk's small-query contract) and never a cross join. Oracle
+    replays centroids, probes, the bucket-local candidate set, and the
+    exact (cos desc, id) top-5 per node."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = sim.knn_graph(emb, k=5, n_centroids=16, n_probe=4, refine_iters=1)
+    return out.select(
+        "query_id", "neighbor_id",
+        (F.round("cos", 4) + F.lit(0.0)).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
+    "knn_label_vote",
+    f"""WITH {_KNN_GRAPH_CTES},
+    votes AS (SELECT r.query_id, emb.label AS nl, count(*)::BIGINT AS votes
+              FROM ranked r JOIN embeddings emb ON emb.vec_id = r.neighbor_id
+              WHERE r.rk <= 5 GROUP BY 1, 2),
+    best AS (SELECT query_id, nl, votes,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, nl ASC) AS brk
+             FROM votes)
+    SELECT b.query_id, b.nl AS pred_label, b.votes,
+           e.label AS own_label, b.nl = e.label AS agrees
+    FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+    WHERE b.brk = 1""",
+)
+def q_knn_label_vote(spark, sf_dir):
+    """k-NN label propagation (similarity.knn_label_vote): majority
+    label of each vector's 5 approximate neighbors, ties to the
+    smallest label — the weak-supervision auto-label / mislabel-audit
+    step. Everything past the graph joins only (id, label) projections
+    — linear in edges."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return sim.knn_label_vote(
+        emb, "label", k=5, n_centroids=16, n_probe=4, refine_iters=1
+    ).select("query_id", "pred_label", "votes", "own_label", "agrees")
+
+
 @query("ann_pq_topk", _pq_oracle_sql())
 def q_ann_pq(spark, sf_dir):
     """Product-quantization ADC top-5 (Jegou et al. 2011): the corpus

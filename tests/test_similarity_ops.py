@@ -416,3 +416,49 @@ def test_embedding_profile_dirty_corpus(spark):
     # one category (non-finite), not vanish via NULL predicate logic.
     assert r.n_nonfinite == 3 and r.n_zero == 1
     assert r.norm_min == 0.0 and r.norm_max == 5.0 and r.dim == 2
+
+
+def test_knn_graph_recall_and_degree(emb, spark):
+    """Every node gets <= k edges ranked 1..k; approximate neighbors
+    reach minimum recall against the exact per-node brute force."""
+    got = sim.knn_graph(emb, k=5, n_centroids=8, n_probe=4).toPandas()
+    assert (got.groupby("query_id")["rank"].max() <= 5).all()
+    assert (got.groupby("query_id")["rank"].apply(
+        lambda s: sorted(s) == list(range(1, len(s) + 1)))).all()
+    assert not (got["query_id"] == got["neighbor_id"]).any()
+    exact = _topk_sets(
+        sim.brute_force_topk(emb, emb, k=5)
+    )
+    approx = {
+        q: set(g["neighbor_id"]) for q, g in got.groupby("query_id")
+    }
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.5, f"knn_graph recall@5 too low: {hits/total:.2f}"
+
+
+def test_knn_label_vote_planted_clusters(spark):
+    """Two tight planted clusters with one mislabeled point: label
+    propagation predicts every point's cluster label and flags exactly
+    the mislabeled one."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(12):
+        v = (np.array([10.0, 0.0, 0.0, 0.0]) + rng.normal(0, 0.05, 4)).tolist()
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(12, 24):
+        v = (np.array([0.0, 10.0, 0.0, 0.0]) + rng.normal(0, 0.05, 4)).tolist()
+        rows.append((i, [float(x) for x in v], 1))
+    # one point geometrically in cluster 0 but labeled 1
+    rows.append((99, [10.0, 0.01, 0.0, 0.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = sim.knn_label_vote(df, "label", k=5, n_centroids=2, n_probe=2)
+    got = {r.query_id: r for r in out.collect()}
+    assert len(got) == 25
+    disagree = {i for i, r in got.items() if not r.agrees}
+    assert disagree == {99}
+    assert got[99].pred_label == 0 and got[99].own_label == 1
