@@ -50,11 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # mas_logistic_fanout_golden; both return in r10). Parked: everything
 # with r06-r08 evidence.
 _PRIORITY = [
-    # --- never driver-checked (9) ---
+    # --- never driver-checked (10) ---
     "mas_phewas_firth_180_golden", "span_dedup",
     "incremental_minhash_dedup", "bpe_token_count",
     "cap_bpe_tokens_per_source", "bpe_learn_golden", "dsir_select",
-    "knn_graph", "knn_label_vote",
+    "knn_graph", "knn_label_vote", "html_extract_docs",
     # --- changed semantics this round (2) ---
     "mas_logistic_fanout_golden", "mas_firth_columnar_golden",
     # --- oldest driver evidence (37, all age 3) ---
@@ -70,12 +70,11 @@ _PRIORITY = [
     "stream_dedup", "table_profile", "text_quality", "token_count",
     "topk_per_group", "train_eval_split", "users_except",
     "windowed_event_counts", "winsorize_acctbal",
-    # --- pinned goldens + composites (2 of 7 this round: the window is
-    # full of never-checked + age-3 rows; 2x2_haldane/sex2_golden/
-    # curation_pipeline rotate out at age 1-2 — Firth machinery stays
-    # bound in-window via mas_phewas_firth_180_golden +
-    # mas_firth_fanout_golden) ---
-    "mas_firth_fanout_golden", "mas_pipeline_e2e",
+    # --- pinned goldens + composites (1 of 7 this round: the window is
+    # full of never-checked + age-3 rows; the other goldens rotate out
+    # at age 1-2 — Firth machinery stays bound in-window via
+    # mas_phewas_firth_180_golden + mas_firth_columnar_golden) ---
+    "mas_pipeline_e2e",
 ]
 
 

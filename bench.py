@@ -62,6 +62,11 @@ HEADLINE = [
     "video_neardup_pairs",
     "url_dedup_summary",
     "tpch_q2ish",
+    # r9 families: DSIR importance resampling (two n-gram aggregate
+    # passes + Gumbel top-k) and the full-corpus k-NN graph (IVF bucket
+    # shuffle join, salted exact per-node top-k).
+    "dsir_select",
+    "knn_graph",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

@@ -903,3 +903,57 @@ def url_dedup_summary(
         F.min("doc_id").alias("first_doc"),
         F.countDistinct("__raw__").cast("long").alias("n_raw_forms"),
     )
+
+
+# Minimal named/numeric entity set decoded by extract_html_text —
+# ordered, with &amp; LAST so "&amp;lt;" decodes to the literal "&lt;"
+# (single-pass decode, never a double-decode). Extend here, not inline.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str,
+    text_out: str = "extracted_text",
+    title_out: str = "title",
+) -> DataFrame:
+    """Boilerplate-stripping HTML -> text extraction (the
+    trafilatura/resiliparse step at the head of a crawl curation
+    pipeline, before lang-id / quality / dedup ever run): drop
+    script/style blocks and comments, strip all remaining tags, decode
+    the common entities (HTML_ENTITIES, &amp; last), collapse
+    whitespace; the <title> is extracted separately and entity-decoded
+    the same way.
+
+    Entirely JVM map-only regexp/replace chain — zero shuffle, no
+    Python, pushdown-transparent. The patterns are deliberately
+    RE2-compatible (non-greedy repetition, inline (?is) flags, NO
+    backreferences or lookaround) so the DuckDB oracle replays them
+    byte-for-byte; NULL html degrades to empty text, never a crash.
+
+    This is the STRUCTURAL extractor (tag/entity semantics), not a
+    readability model — main-content detection (text-density scoring a
+    la boilerpipe) composes on top of the per-tag split, and
+    quality_filter downstream removes nav/footer residue by signal."""
+    raw = F.coalesce(qcol(html_col).cast("string"), F.lit(""))
+    # Title first (it lives in <head>), then the whole head block goes —
+    # base/meta/link/title text is chrome, not content.
+    body = F.regexp_replace(raw, r"(?is)<head[^>]*>.*?</head>", " ")
+    body = F.regexp_replace(body, r"(?is)<script[^>]*>.*?</script>", " ")
+    body = F.regexp_replace(body, r"(?is)<style[^>]*>.*?</style>", " ")
+    body = F.regexp_replace(body, r"(?s)<!--.*?-->", " ")
+    body = F.regexp_replace(body, r"<[^>]+>", " ")
+    title = F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, ch in HTML_ENTITIES:
+        body = F.replace(body, F.lit(ent), F.lit(ch))
+        title = F.replace(title, F.lit(ent), F.lit(ch))
+    body = F.trim(F.regexp_replace(body, r"\s+", " "))
+    title = F.trim(F.regexp_replace(title, r"\s+", " "))
+    return df.withColumn(title_out, title).withColumn(text_out, body)

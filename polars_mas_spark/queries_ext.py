@@ -752,6 +752,87 @@ def q_trigram_perplexity(spark, sf_dir):
     )
 
 
+@query(
+    "html_extract_docs",
+    r"""WITH h AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' &amp; ' || coalesce(source, '?')
+             || '</title><style>p{margin:0; font:"</x>"}</style>'
+             || '<script>if(a<b && c>d){s="</p>"}</script></head><body>'
+             || '<nav><a href="/">home</a> | '
+             || '<a href="/a?x=1&amp;y=2">about</a></nav>'
+             || '<!-- gen: ' || coalesce(lang, 'und')
+             || ' <p>hidden</p> --><h1>' || coalesce(lang, 'und')
+             || '</h1><p>' || coalesce(text, '') || ' &lt;eof&gt;</p>'
+             || '<div class="footer">&copy; 2024 &quot;Corp&quot;'
+             || ' &#39;ltd&#39;</div></body></html>' AS html
+      FROM documents),
+    x AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(
+                 regexp_replace(html,
+                   '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                   '<[^>]+>', ' ', 'g'),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS extracted_text,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS title
+      FROM h)
+    SELECT doc_id, title, extracted_text,
+           length(extracted_text)::BIGINT AS n_chars
+    FROM x""",
+)
+def q_html_extract_docs(spark, sf_dir):
+    """HTML -> text extraction (text.extract_html_text): documents are
+    deterministically wrapped in a crawl-page skeleton (title with
+    entities, style/script blocks containing fake closing tags, nav
+    boilerplate, a comment hiding markup, entity-laden footer) on BOTH
+    engines, then the map-only RE2-compatible strip/decode chain runs;
+    the oracle replays wrapper and chain byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; "),
+        F.coalesce(F.col("source"), F.lit("?")),
+        F.lit('</title><style>p{margin:0; font:"</x>"}</style>'),
+        F.lit('<script>if(a<b && c>d){s="</p>"}</script></head><body>'),
+        F.lit('<nav><a href="/">home</a> | '),
+        F.lit('<a href="/a?x=1&amp;y=2">about</a></nav>'),
+        F.lit("<!-- gen: "),
+        F.coalesce(F.col("lang"), F.lit("und")),
+        F.lit(" <p>hidden</p> --><h1>"),
+        F.coalesce(F.col("lang"), F.lit("und")),
+        F.lit("</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" &lt;eof&gt;</p>"),
+        F.lit('<div class="footer">&copy; 2024 &quot;Corp&quot;'),
+        F.lit(" &#39;ltd&#39;</div></body></html>"),
+    )
+    wrapped = docs.select("doc_id", html.alias("html"))
+    out = tx.extract_html_text(wrapped, "html")
+    return out.select(
+        "doc_id", "title", "extracted_text",
+        F.length("extracted_text").cast("long").alias("n_chars"),
+    )
+
+
 @query("model_quality_score", _model_quality_oracle_sql())
 def q_model_quality_score(spark, sf_dir):
     """Hashing-trick linear quality classifier (fastText-style

@@ -1753,3 +1753,25 @@ def test_video_neardup_default_hot_frame_guard(spark):
         video_neardup_pairs(df, min_shared=1, max_df=None).count()
         == 70 * 69 // 2
     )
+
+
+def test_extract_html_text_edges(spark):
+    from polars_mas_spark.operators import text as tx
+
+    rows = [
+        (1, '<HTML><HEAD><TITLE>Up&amp;Case</TITLE></HEAD>'
+            '<BODY><P>a  b</P></BODY></HTML>'),          # uppercase tags
+        (2, '<p>no title &copy; stays</p>'),             # unknown entity
+        (3, None),                                       # NULL html
+        (4, '<script>x="</p>"</script>kept'
+            '<style>a{content:"</b>"}</style>'),         # fake closers
+        (5, '<!-- <p>gone</p> -->&amp;lt; single-pass'), # no double decode
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in tx.extract_html_text(df, "html").collect()}
+    # head block (incl. the title text) is chrome — body text only
+    assert got[1].title == "Up&Case" and got[1].extracted_text == "a b"
+    assert got[2].title == "" and got[2].extracted_text == "no title &copy; stays"
+    assert got[3].title == "" and got[3].extracted_text == ""
+    assert got[4].extracted_text == "kept"
+    assert got[5].extracted_text == "&lt; single-pass"

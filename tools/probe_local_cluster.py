@@ -75,6 +75,12 @@ ORACLE_QUERIES = [
     "span_dedup",
     "incremental_minhash_dedup",
     "bpe_learn_golden",
+    # r9 late additions: DSIR (n-gram bucket stats shuffle + broadcast
+    # log-ratio join + TakeOrderedAndProject top-k across JVMs) and the
+    # kNN graph (Arrow centroid UDFs + bucket shuffle join + salted
+    # two-phase top-k all hop executors).
+    "dsir_select",
+    "knn_graph",
 ]
 
 # Rows-only under the gate too (iterative MLE, no SQL closed form) but

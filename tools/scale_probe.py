@@ -55,6 +55,11 @@ DEFAULT_QUERIES = [
     # BPE counting + the budget cap re-bound on it
     "span_dedup", "incremental_minhash_dedup", "bpe_token_count",
     "cap_bpe_tokens_per_source",
+    # r9 late wave: DSIR importance resampling and the full-corpus kNN
+    # graph (the bucket-join pair count grows ~quadratically in bucket
+    # occupancy at FIXED n_centroids — at real scale n_centroids grows
+    # with the corpus; the probe documents the fixed-k=16 behaviour)
+    "dsir_select", "knn_graph",
 ]
 
 
