@@ -50,11 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # mas_logistic_fanout_golden; both return in r10). Parked: everything
 # with r06-r08 evidence.
 _PRIORITY = [
-    # --- never driver-checked (10) ---
+    # --- never driver-checked (11) ---
     "mas_phewas_firth_180_golden", "span_dedup",
     "incremental_minhash_dedup", "bpe_token_count",
     "cap_bpe_tokens_per_source", "bpe_learn_golden", "dsir_select",
     "knn_graph", "knn_label_vote", "html_extract_docs",
+    "span_decontaminate",
     # --- changed semantics this round (2) ---
     "mas_logistic_fanout_golden", "mas_firth_columnar_golden",
     # --- oldest driver evidence (37, all age 3) ---
@@ -70,11 +71,11 @@ _PRIORITY = [
     "stream_dedup", "table_profile", "text_quality", "token_count",
     "topk_per_group", "train_eval_split", "users_except",
     "windowed_event_counts", "winsorize_acctbal",
-    # --- pinned goldens + composites (1 of 7 this round: the window is
-    # full of never-checked + age-3 rows; the other goldens rotate out
-    # at age 1-2 — Firth machinery stays bound in-window via
-    # mas_phewas_firth_180_golden + mas_firth_columnar_golden) ---
-    "mas_pipeline_e2e",
+    # --- no pinned slots left this round: 11 never-checked + 2
+    # changed-semantics + 37 age-3 rows fill the window exactly; the
+    # r8-green goldens/composites rotate out at age 1-2 (back in r10) —
+    # Firth machinery stays bound in-window via
+    # mas_phewas_firth_180_golden + mas_firth_columnar_golden ---
 ]
 
 

@@ -220,28 +220,7 @@ def span_dedup(
     rank needs no text either way. Reference granularity: Lee et al.
     2022 §3 (any substring >= 50 BPE tokens); the reference repo has
     no span dedup — beyond-reference operator."""
-    if k < 1:
-        # Validate loudly here: k=0 would make sequence(0, size) emit
-        # one window per position INCLUDING past-the-end, and slice
-        # with length 0 silently yields empty grams that all collide.
-        raise ValueError(f"span_dedup requires k >= 1, got {k}")
-    staged = stage_columns(
-        df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
-        __words__=F.filter(
-            F.split(F.col("__t__"), r"\s+"), lambda t: t != ""
-        ),
-    )
-    words = F.col("__words__")
-    grams = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.md5(
-                F.array_join(F.slice(words, i + 1, k), " ").cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    gpos = staged.select("doc_id", F.posexplode(grams).alias("p", "g"))
+    staged, gpos = _span_window_fingerprints(df, id_col, text_col, k, "span_dedup")
     # (doc_id, p) is unique per window, so the order below is total and
     # the first-occurrence choice deterministic on both engines.
     w = Window.partitionBy("g").orderBy("doc_id", "p")
@@ -275,6 +254,116 @@ def span_dedup(
     ids = df.select(qcol(id_col).alias("doc_id"))
     return ids.join(reassembled, on="doc_id", how="left").select(
         "doc_id", F.coalesce("text_dedup", F.lit("")).alias("text_dedup")
+    )
+
+
+def _span_window_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int, caller: str
+):
+    """Shared stride-1 k-word window fingerprint front end of
+    [[span_dedup]] / [[span_decontaminate]]: returns (staged docs with
+    ``__words__``, (doc_id, p, g) rows) where ``g`` is the md5 of the
+    space-joined window — the shuffle carries 32-hex keys, never text."""
+    if k < 1:
+        # Validate loudly here: k=0 would make sequence(0, size) emit
+        # one window per position INCLUDING past-the-end, and slice
+        # with length 0 silently yields empty grams that all collide.
+        raise ValueError(f"{caller} requires k >= 1, got {k}")
+    staged = stage_columns(
+        df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
+        __words__=F.filter(
+            F.split(F.col("__t__"), r"\s+"), lambda t: t != ""
+        ),
+    )
+    words = F.col("__words__")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.md5(
+                F.array_join(F.slice(words, i + 1, k), " ").cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gpos = staged.select("doc_id", F.posexplode(grams).alias("p", "g"))
+    return staged, gpos
+
+
+def span_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Substring-granularity benchmark DECONTAMINATION (the
+    GPT-3/Lee-et-al. exact-substring test-set scrub, which
+    [[ngram_contamination]] only reports on at doc level): every
+    stride-1 ``k``-word window of the corpus that appears ANYWHERE in
+    the benchmark set is surgically deleted — all k covered tokens of
+    every matching window — and the document survives with the
+    contaminated spans cut out, regardless of alignment.
+
+    Returns one row per corpus document: ``doc_id, clean_text,
+    n_tokens, n_removed, contaminated`` (whitespace-normalized;
+    ``clean_text = ''`` when everything was benchmark material).
+
+    Scale shape: the benchmark side collapses to a broadcast DISTINCT
+    fingerprint set (benchmarks are small by definition — the
+    ngram_contamination precedent), so the corpus n-gram stream never
+    shuffles for the match: one broadcast semi join marks windows, one
+    ~token-count distinct on (doc, position), one anti-join + one
+    reassembly shuffle on doc id. Linear in corpus tokens, no pairwise
+    work; same md5-fingerprint trick as [[span_dedup]] — window text
+    never leaves the map side."""
+    staged, gpos = _span_window_fingerprints(
+        corpus, id_col, text_col, k, "span_decontaminate"
+    )
+    _, bench_gpos = _span_window_fingerprints(
+        benchmark, id_col, text_col, k, "span_decontaminate"
+    )
+    bench_g = bench_gpos.select("g").distinct()
+    removed = (
+        gpos.join(F.broadcast(bench_g), on="g", how="semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = staged.select(
+        "doc_id", F.posexplode(F.col("__words__")).alias("pos", "tok")
+    )
+    reassembled = (
+        toks.join(removed, on=["doc_id", "pos"], how="left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("__kept__"),
+        )
+    )
+    base = staged.select(
+        "doc_id", F.size(F.col("__words__")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(reassembled, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__kept__"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .withColumn("contaminated", F.col("n_removed") > 0)
     )
 
 

@@ -4079,6 +4079,85 @@ SELECT d.doc_id, coalesce(s.txt, '') AS text_dedup
 FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id"""
 
 
+_DECON_PLANT = " ".join(f"qx{i}" for i in range(12))
+
+_SPAN_DECON_SQL = rf"""WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 50 = 0 THEN text || ' {_DECON_PLANT}'
+                WHEN doc_id % 101 = 3 THEN '{_DECON_PLANT} ' || text
+                ELSE text END AS text
+    FROM documents),
+wd AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+    FROM base WHERE doc_id % 50 <> 0),
+bwd AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+    FROM base WHERE doc_id % 50 = 0),
+bg AS (
+    SELECT DISTINCT unnest(list_transform(generate_series(0, len(words) - 10),
+                    i -> md5(array_to_string(list_slice(words, i + 1, i + 10),
+                                             ' ')))) AS g
+    FROM bwd WHERE len(words) >= 10),
+gr AS (
+    SELECT doc_id,
+           unnest(generate_series(0, len(words) - 10)) AS p,
+           unnest(list_transform(generate_series(0, len(words) - 10),
+                  i -> md5(array_to_string(list_slice(words, i + 1, i + 10),
+                                           ' ')))) AS g
+    FROM wd WHERE len(words) >= 10),
+rem AS (
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT gr.doc_id, unnest(generate_series(gr.p, gr.p + 9)) AS pos
+        FROM gr JOIN bg USING (g))),
+tok AS (
+    SELECT doc_id,
+           unnest(words) AS tok,
+           unnest(generate_series(0, len(words) - 1)) AS pos
+    FROM wd WHERE len(words) > 0),
+surv AS (
+    SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS txt,
+           count(*)::BIGINT AS kept
+    FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+    WHERE r.doc_id IS NULL
+    GROUP BY t.doc_id)
+SELECT w.doc_id, coalesce(s.txt, '') AS clean_text,
+       len(w.words)::BIGINT AS n_tokens,
+       (len(w.words) - coalesce(s.kept, 0))::BIGINT AS n_removed,
+       (len(w.words) - coalesce(s.kept, 0)) > 0 AS contaminated
+FROM wd w LEFT JOIN surv s ON w.doc_id = s.doc_id"""
+
+
+@query("span_decontaminate", _SPAN_DECON_SQL)
+def q_span_decontaminate(spark, sf_dir):
+    """Substring-granularity benchmark decontamination
+    (dedup.span_decontaminate): every 50th document plays the held-out
+    benchmark; a 12-word span is APPENDED to the benchmark docs and
+    PREPENDED to some corpus docs so the contamination is mutually
+    misaligned (the class a fixed n-gram grid can miss at span edges);
+    the corpus keeps everything except benchmark-matching >= 10-word
+    spans, surgically cut. Oracle replays the broadcast fingerprint
+    set, window match, coverage, and reassembly in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" " + _DECON_PLANT)),
+        )
+        .when(
+            F.col("doc_id") % 101 == 3,
+            F.concat(F.lit(_DECON_PLANT + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = planted.filter(F.col("doc_id") % 50 == 0)
+    corp = planted.filter(F.col("doc_id") % 50 != 0)
+    return dd.span_decontaminate(corp, bench, "doc_id", "text", k=10)
+
+
 @query("span_dedup", _SPAN_DEDUP_SQL)
 def q_span_dedup(spark, sf_dir):
     """Alignment-free repeated-SPAN removal at Lee et al. 2022

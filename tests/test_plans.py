@@ -390,3 +390,14 @@ def test_tpch_wave2_dims_broadcast(spark, qs):
     # single-partition window over the supplier aggregate.
     plan15 = plan_of(qs["tpch_q15ish"](spark, SF_DIR))
     assert "Window" not in plan15
+
+
+def test_span_decontaminate_bench_broadcast_no_pairs(spark, qs):
+    """The benchmark fingerprint set must reach the corpus windows as a
+    BROADCAST (semi) join — the corpus n-gram stream never shuffles for
+    the match — and the fingerprint keys are md5, never window text."""
+    plan = plan_of(qs["span_decontaminate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "md5" in plan

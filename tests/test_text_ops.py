@@ -1775,3 +1775,43 @@ def test_extract_html_text_edges(spark):
     assert got[3].title == "" and got[3].extracted_text == ""
     assert got[4].extracted_text == "kept"
     assert got[5].extracted_text == "&lt; single-pass"
+
+
+def test_span_decontaminate_surgical_and_total(spark):
+    from polars_mas_spark.operators.dedup import span_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "s0 s1 s2 s3 s4 s5 s6 s7")],   # one 8-word benchmark doc
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # benchmark span embedded mid-document (misaligned)
+            (1, "a b s0 s1 s2 s3 s4 s5 s6 s7 c d"),
+            # only a 2-word brush with the benchmark: below k -> kept
+            (2, "s0 s1 x y z w"),
+            # clean document
+            (3, "p q r s t u"),
+            # the benchmark text verbatim -> fully removed
+            (4, "s0 s1 s2 s3 s4 s5 s6 s7"),
+            # short doc (< k words): never contaminated by construction
+            (5, "s0"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in span_decontaminate(corpus, bench, "doc_id", "text", k=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].clean_text == "a b c d"
+    assert out[1].n_removed == 8 and out[1].contaminated
+    assert out[2].clean_text == "s0 s1 x y z w" and not out[2].contaminated
+    assert out[3].clean_text == "p q r s t u" and out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 8
+    assert out[5].clean_text == "s0" and not out[5].contaminated
+    # bookkeeping identity holds on every row
+    for r in out.values():
+        assert r.n_tokens - r.n_removed == len(
+            r.clean_text.split()
+        ), r
