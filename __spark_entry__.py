@@ -50,14 +50,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # mas_logistic_fanout_golden; both return in r10). Parked: everything
 # with r06-r08 evidence.
 _PRIORITY = [
-    # --- never driver-checked (11) ---
+    # --- never driver-checked (12) ---
     "mas_phewas_firth_180_golden", "span_dedup",
     "incremental_minhash_dedup", "bpe_token_count",
     "cap_bpe_tokens_per_source", "bpe_learn_golden", "dsir_select",
     "knn_graph", "knn_label_vote", "html_extract_docs",
-    "span_decontaminate",
-    # --- changed semantics this round (2) ---
-    "mas_logistic_fanout_golden", "mas_firth_columnar_golden",
+    "span_decontaminate", "dedup_cascade",
+    # --- changed semantics this round (1 of 3 fits: the 12 never-checked
+    # + 37 age-3 rows take 49 slots; mas_firth_columnar_golden and
+    # mas_firth_fanout_golden wait for r10 — the Firth integer-cell
+    # oracle style IS driver-bound this round via the in-window
+    # mas_phewas_firth_180_golden (same columnar machinery at width
+    # 180), and both waiting goldens are local-gate green at 3 SFs ---
+    "mas_logistic_fanout_golden",
     # --- oldest driver evidence (37, all age 3) ---
     "dq_checks_orders", "embedding_neardup", "enrich_events",
     "event_rollup", "exact_dedup", "fingerprint", "hard_negatives",
@@ -71,11 +76,9 @@ _PRIORITY = [
     "stream_dedup", "table_profile", "text_quality", "token_count",
     "topk_per_group", "train_eval_split", "users_except",
     "windowed_event_counts", "winsorize_acctbal",
-    # --- no pinned slots left this round: 11 never-checked + 2
+    # --- no pinned slots left this round: 12 never-checked + 1
     # changed-semantics + 37 age-3 rows fill the window exactly; the
-    # r8-green goldens/composites rotate out at age 1-2 (back in r10) —
-    # Firth machinery stays bound in-window via
-    # mas_phewas_firth_180_golden + mas_firth_columnar_golden ---
+    # r8-green goldens/composites rotate out at age 1-2 (back in r10).
 ]
 
 

@@ -5607,6 +5607,98 @@ SELECT 'http://ex' || (m % 20) || '.com/p/' || (m // 20)
 FROM raw GROUP BY 1"""
 
 
+def _planted_url_col():
+    """The r8 planted-URL expression (six orthogonal noise axes over a
+    pure doc_id-arithmetic canonical identity) — shared by
+    url_dedup_summary and dedup_cascade so the two queries can never
+    drift apart on what the canonicalizer must collapse."""
+    d = F.col("doc_id")
+    m = d % 400
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("ex"), s(m % 20), F.lit(".com"))
+    pre = (
+        F.when(d % 3 == 0, F.concat(F.lit("HTTP://"), F.upper(host)))
+        .when(d % 3 == 1, F.concat(F.lit("http://www."), host))
+        .otherwise(F.concat(F.lit("http://"), host))
+    )
+    return F.concat(
+        pre,
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"), s((m / 20).cast("long")),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(d % 2 == 0, F.lit("utm_source=feed&")).otherwise(F.lit("")),
+        F.when(
+            d % 4 >= 2, F.concat(F.lit("v=2&id="), s(m % 7))
+        ).otherwise(F.concat(F.lit("id="), s(m % 7), F.lit("&v=2"))),
+        F.when(d % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def _dedup_cascade_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    """Full replay of the three-stage cascade: planted-arithmetic
+    canonical URL (url_dedup_summary precedent) -> md5 exact digest ->
+    the shared minhash banding builders, each stage scoped to the
+    previous stage's min-id survivors."""
+    sig_cols = _minhash_sig_cols(num_hashes)
+    band_sel = _band_selects_sql("sigc", bands, rows)
+    return rf"""WITH d AS (SELECT doc_id, text, doc_id % 400 AS m FROM documents),
+    canon AS (SELECT doc_id, text,
+                     'http://ex' || (m % 20) || '.com/p/' || (m // 20)
+                     || '?id=' || (m % 7) || '&v=2' AS k
+              FROM d),
+    ukeep AS (SELECT k, min(doc_id) AS keep FROM canon GROUP BY 1),
+    url_removed AS (SELECT c.doc_id FROM canon c JOIN ukeep u ON c.k = u.k
+                    WHERE c.doc_id > u.keep),
+    s1 AS (SELECT c.doc_id, c.text FROM canon c
+           JOIN ukeep u ON c.k = u.k AND c.doc_id = u.keep),
+    ekeyed AS (SELECT doc_id, text, md5(text) AS k FROM s1
+               WHERE text IS NOT NULL),
+    ekeep AS (SELECT k, min(doc_id) AS keep FROM ekeyed GROUP BY 1),
+    exact_removed AS (SELECT e.doc_id FROM ekeyed e
+                      JOIN ekeep x ON e.k = x.k WHERE e.doc_id > x.keep),
+    s2 AS (SELECT e.doc_id, e.text FROM ekeyed e
+           JOIN ekeep x ON e.k = x.k AND e.doc_id = x.keep
+           UNION ALL SELECT doc_id, text FROM s1 WHERE text IS NULL),
+    tkc AS (SELECT DISTINCT doc_id, t.token
+            FROM s2, UNNEST(regexp_split_to_array(lower(text), '\s+'))
+              AS t(token)
+            WHERE t.token <> ''),
+    hc AS (SELECT doc_id,
+                  CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) AS h1,
+                  CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS h2
+           FROM tkc),
+    sigc AS (SELECT doc_id, {sig_cols} FROM hc GROUP BY doc_id),
+    bandc AS ({band_sel}),
+    near_removed AS (
+        SELECT DISTINCT b.doc_id
+        FROM bandc b JOIN (SELECT band, bucket, min(doc_id) AS mn
+                           FROM bandc GROUP BY 1, 2) mm
+          ON b.band = mm.band AND b.bucket = mm.bucket AND b.doc_id > mm.mn)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM url_removed) THEN 'url'
+                WHEN d.doc_id IN (SELECT doc_id FROM exact_removed)
+                  THEN 'exact'
+                WHEN d.doc_id IN (SELECT doc_id FROM near_removed) THEN 'near'
+                ELSE 'kept' END AS stage
+    FROM d"""
+
+
+@query("dedup_cascade", _dedup_cascade_oracle())
+def q_dedup_cascade(spark, sf_dir):
+    """The production three-stage dedup cascade as one operator
+    (dedup.dedup_cascade): canonical-URL -> exact digest -> MinHash+LSH
+    near-dup, each stage over the previous stage's min-id survivors,
+    one audit-trail verdict row per document naming the first stage
+    that removed it. URLs are the r8 planted six-axis noise set
+    (shared expression with url_dedup_summary); the oracle replays all
+    three stages, survivor scoping included."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", _planted_url_col().alias("url")
+    )
+    return dd.dedup_cascade(docs, "doc_id", "text", url_col="url")
+
+
 @query("url_dedup_summary", _URL_DEDUP_ORACLE)
 def q_url_dedup_summary(spark, sf_dir):
     """URL-keyed dedup through canonicalization (tx.canonical_url —
@@ -5621,29 +5713,8 @@ def q_url_dedup_summary(spark, sf_dir):
     plus the group sizes, min-id representative, and the count of
     distinct raw spellings that collapsed. Map-only projection + one
     keyed groupBy — linear at any corpus size, plan-audited."""
-    d = F.col("doc_id")
-    m = d % 400
-    s = lambda c: c.cast("string")  # noqa: E731
-    host = F.concat(F.lit("ex"), s(m % 20), F.lit(".com"))
-    pre = (
-        F.when(d % 3 == 0, F.concat(F.lit("HTTP://"), F.upper(host)))
-        .when(d % 3 == 1, F.concat(F.lit("http://www."), host))
-        .otherwise(F.concat(F.lit("http://"), host))
-    )
-    url = F.concat(
-        pre,
-        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
-        F.lit("/p/"), s((m / 20).cast("long")),
-        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.lit("?"),
-        F.when(d % 2 == 0, F.lit("utm_source=feed&")).otherwise(F.lit("")),
-        F.when(
-            d % 4 >= 2, F.concat(F.lit("v=2&id="), s(m % 7))
-        ).otherwise(F.concat(F.lit("id="), s(m % 7), F.lit("&v=2"))),
-        F.when(d % 11 == 0, F.lit("#sec")).otherwise(F.lit("")),
-    )
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", url.alias("url")
+        "doc_id", _planted_url_col().alias("url")
     )
     return tx.url_dedup_summary(docs, "doc_id", "url")
 

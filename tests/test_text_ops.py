@@ -1815,3 +1815,37 @@ def test_span_decontaminate_surgical_and_total(spark):
         assert r.n_tokens - r.n_removed == len(
             r.clean_text.split()
         ), r
+
+
+def test_dedup_cascade_stage_attribution(spark):
+    """Each duplicate is attributed to the FIRST stage that catches it;
+    survivors are min-id; NULL url/text pass their stages untouched."""
+    from polars_mas_spark.operators.dedup import dedup_cascade
+
+    rows = [
+        # url dups: same canonical URL, different text -> later id = 'url'
+        (1, "alpha beta gamma delta", "http://a.com/p?x=1"),
+        (2, "completely different words here", "HTTP://A.com:80/p?x=1"),
+        # exact dups (distinct urls): identical text -> later id = 'exact'
+        (3, "same same same same", "http://b.com/1"),
+        (4, "same same same same", "http://b.com/2"),
+        # near dups: one token differs in a 30-word doc -> 'near'
+        (5, " ".join(f"w{i}" for i in range(30)), "http://c.com/1"),
+        (6, " ".join(f"w{i}" for i in range(29)) + " zz", "http://c.com/2"),
+        # clean doc
+        (7, "totally unrelated content q r s t u v", "http://d.com/1"),
+        # NULL url and NULL text pass through to 'kept'
+        (8, "another unique doc body x y z", None),
+        (9, None, "http://e.com/1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    # 8 bands x 2 rows: a J~0.94 pair collides in some band with
+    # probability 1 - (1 - J^2)^8 ~ 1 - 1e-9 — and the hashes are
+    # deterministic, so this specific outcome is frozen, not flaky.
+    got = {r.doc_id: r.stage for r in
+           dedup_cascade(df, "doc_id", "text", url_col="url",
+                         num_hashes=16, bands=8, rows_per_band=2).collect()}
+    assert got == {
+        1: "kept", 2: "url", 3: "kept", 4: "exact",
+        5: "kept", 6: "near", 7: "kept", 8: "kept", 9: "kept",
+    }
