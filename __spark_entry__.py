@@ -50,19 +50,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # mas_logistic_fanout_golden; both return in r10). Parked: everything
 # with r06-r08 evidence.
 _PRIORITY = [
-    # --- never driver-checked (12) ---
+    # --- never driver-checked (13; these 13 + the 37 age-3 rows fill
+    # the window exactly) ---
     "mas_phewas_firth_180_golden", "span_dedup",
     "incremental_minhash_dedup", "bpe_token_count",
     "cap_bpe_tokens_per_source", "bpe_learn_golden", "dsir_select",
     "knn_graph", "knn_label_vote", "html_extract_docs",
-    "span_decontaminate", "dedup_cascade",
-    # --- changed semantics this round (1 of 3 fits: the 12 never-checked
-    # + 37 age-3 rows take 49 slots; mas_firth_columnar_golden and
-    # mas_firth_fanout_golden wait for r10 — the Firth integer-cell
-    # oracle style IS driver-bound this round via the in-window
-    # mas_phewas_firth_180_golden (same columnar machinery at width
-    # 180), and both waiting goldens are local-gate green at 3 SFs ---
-    "mas_logistic_fanout_golden",
+    "span_decontaminate", "dedup_cascade", "curriculum_stages",
+    # --- r9 changed-semantics goldens (mas_firth_fanout_golden,
+    # mas_logistic_fanout_golden, mas_firth_columnar_golden) don't fit
+    # and wait for r10: each change was an ORACLE-projection hardening
+    # only (integer contingency cells, ADVICE r8), the operators are
+    # r8-driver-green, the new oracles local-gate green at 3 SFs, and
+    # the integer-cell style IS driver-bound this round via the
+    # in-window mas_phewas_firth_180_golden ---
     # --- oldest driver evidence (37, all age 3) ---
     "dq_checks_orders", "embedding_neardup", "enrich_events",
     "event_rollup", "exact_dedup", "fingerprint", "hard_negatives",

@@ -63,6 +63,26 @@ def blom_fractions(
     valid values of ``col`` (null for invalid rows), with the distributed
     two-phase rank described in the module docstring. Row order of the
     output is not preserved (valid and invalid slices are unioned)."""
+    ranked, invalid, n = _avg_tie_ranks(df, col, num_blocks)
+    if n == 0:
+        return df.withColumn(frac_col, F.lit(None).cast("double"))
+    blom = (F.col(_AR) - F.lit(0.375)) / F.lit(float(n) + 0.25)
+    out_valid = ranked.withColumn(frac_col, blom).drop(_AR)
+    out_invalid = invalid.withColumn(frac_col, F.lit(None).cast("double"))
+    return out_valid.unionByName(out_invalid)
+
+
+_AR = "__pms_avg_tie_rank__"
+
+
+def _avg_tie_ranks(df: DataFrame, col: str, num_blocks: int | None):
+    """Distributed average-tie-rank over the valid values of ``col``
+    (module-docstring two-phase pattern), shared by [[blom_fractions]]
+    and [[curriculum_stages]]. Returns ``(ranked, invalid, n)`` where
+    ``ranked`` carries the ``_AR`` double column (mean of the tied
+    rows' consecutive global 1-based ranks) over the valid rows,
+    ``invalid`` is the null/NaN slice untouched, and ``n`` is the
+    valid-row count (0 short-circuits: ranked is None)."""
     spark = df.sparkSession
     if num_blocks is None:
         num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -81,7 +101,7 @@ def blom_fractions(
               blocked.groupBy(_RB).agg(F.count(F.lit(1)).alias("cnt")).collect()}
     n = sum(counts.values())
     if n == 0:
-        return df.withColumn(frac_col, F.lit(None).cast("double"))
+        return None, df.filter(~valid), 0
     offsets = [0] * n_blocks
     running = 0
     for b in range(n_blocks):
@@ -99,12 +119,39 @@ def blom_fractions(
     min_rank = F.rank().over(w) + offset
     max_rank = F.count(F.lit(1)).over(w_range) + offset
     avg_rank = (min_rank.cast("double") + max_rank.cast("double")) / F.lit(2.0)
-    blom = (avg_rank - F.lit(0.375)) / F.lit(float(n) + 0.25)
+    ranked = blocked.withColumn(_AR, avg_rank).drop(_RB)
+    return ranked, df.filter(~valid), n
 
-    out_valid = blocked.withColumn(frac_col, blom).drop(_RB)
-    out_invalid = df.filter(~valid).withColumn(
-        frac_col, F.lit(None).cast("double")
-    )
+
+def curriculum_stages(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    out_col: str = "stage",
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Quantile-rank CURRICULUM bucketing: stage ``s`` in
+    ``[0, n_stages)`` by global rank of ``score_col`` ascending —
+    "easiest quartile first" ordering for curriculum training
+    schedules, with ties sharing a stage via the average tie rank
+    (an ntile() would split ties arbitrarily AND funnel the corpus
+    through one task; this is the same two-phase distributed rank as
+    RINT). ``stage = floor(n_stages * (avg_tie_rank - 0.5) / n)`` —
+    the -0.5 centers each untied rank in its 1/n slot so the first
+    rank lands in stage 0 and the last in n_stages - 1. NULL/NaN
+    scores get a NULL stage. The arithmetic is written identically in
+    the SQL oracle (mul before div), so the IEEE result — and hence
+    the floor — is bit-identical cross-engine."""
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    ranked, invalid, n = _avg_tie_ranks(df, score_col, num_blocks)
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    stage = F.floor(
+        F.lit(float(n_stages)) * (F.col(_AR) - F.lit(0.5)) / F.lit(float(n))
+    ).cast("int")
+    out_valid = ranked.withColumn(out_col, stage).drop(_AR)
+    out_invalid = invalid.withColumn(out_col, F.lit(None).cast("int"))
     return out_valid.unionByName(out_invalid)
 
 

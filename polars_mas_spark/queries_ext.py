@@ -3748,6 +3748,37 @@ def q_budget_select_docs(spark, sf_dir):
 
 
 @query(
+    "curriculum_stages",
+    f"""WITH {_NTOK_SQL},
+    r AS (SELECT doc_id, n_tokens,
+                 rank() OVER (ORDER BY n_tokens) AS rmin,
+                 count(*) OVER (ORDER BY n_tokens
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS rmax,
+                 count(*) OVER () AS n
+          FROM ntok)
+    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           floor(4.0 * ((rmin + rmax) / 2.0 - 0.5) / n)::INTEGER AS stage
+    FROM r""",
+)
+def q_curriculum_stages(spark, sf_dir):
+    """Curriculum bucketing (transforms.curriculum_stages): documents
+    quantile-ranked into 4 stages by whitespace token count — the
+    shortest-first curriculum schedule — ties sharing a stage via the
+    average tie rank. Spark side is the RINT two-phase distributed
+    rank (no single-task global window); the oracle is the naive
+    one-window SQL it must equal exactly, identical mul-before-div
+    arithmetic so the floor is bit-stable cross-engine."""
+    from polars_mas_spark.functions.transforms import curriculum_stages
+
+    docs = _docs_ntok(spark, sf_dir)
+    out = curriculum_stages(docs, "n_tokens", n_stages=4)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "stage"
+    )
+
+
+@query(
     "top_fraction_per_source",
     f"""WITH {_NTOK_SQL},
        s AS (SELECT d.doc_id, d.source, n.n_tokens,

@@ -622,3 +622,31 @@ def test_dsir_select_validation_and_degenerate(spark):
         df, "doc_id", "text", F.col("is_t"), k=5).collect()}
     assert got[2].n_ngrams == 0 and got[2].logw == 0.0
     assert all(r.selected for r in got.values())
+
+
+def test_curriculum_stages_quartiles_ties_nulls(spark):
+    from polars_mas_spark.functions.transforms import curriculum_stages
+
+    rows = [(i, float(i)) for i in range(8)] + [
+        (100, None), (101, float("nan")),
+        # a 4-way tie right at a stage boundary: all four share a stage
+        (200, 3.5), (201, 3.5), (202, 3.5), (203, 3.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double")
+    got = {r.id: r.stage for r in
+           curriculum_stages(df, "score", n_stages=4).collect()}
+    assert got[100] is None and got[101] is None
+    # the 12 valid scores split into quartiles; tied rows share a stage
+    tie_stages = {got[i] for i in (200, 201, 202, 203)}
+    assert len(tie_stages) == 1
+    valid = [v for k, v in got.items() if v is not None]
+    assert set(valid) <= {0, 1, 2, 3}
+    assert got[0] == 0 and got[7] == 3
+    # monotone: higher score never gets a lower stage
+    order = [got[i] for i in range(8)]
+    assert order == sorted(order)
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "score", n_stages=0)
+    # n==0 short-circuit: all-null scores -> all-null stages
+    empty = spark.createDataFrame([(1, None)], "id long, score double")
+    assert curriculum_stages(empty, "score").collect()[0].stage is None
