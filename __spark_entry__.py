@@ -77,9 +77,9 @@ _PRIORITY = [
     "stream_dedup", "table_profile", "text_quality", "token_count",
     "topk_per_group", "train_eval_split", "users_except",
     "windowed_event_counts", "winsorize_acctbal",
-    # --- no pinned slots left this round: 12 never-checked + 1
-    # changed-semantics + 37 age-3 rows fill the window exactly; the
-    # r8-green goldens/composites rotate out at age 1-2 (back in r10).
+    # --- no pinned slots left this round: the 13 never-checked + 37
+    # age-3 rows above fill the window exactly; the r8-green
+    # goldens/composites rotate out at age 1-2 (back in r10).
 ]
 
 

@@ -63,10 +63,14 @@ HEADLINE = [
     "url_dedup_summary",
     "tpch_q2ish",
     # r9 families: DSIR importance resampling (two n-gram aggregate
-    # passes + Gumbel top-k) and the full-corpus k-NN graph (IVF bucket
-    # shuffle join, salted exact per-node top-k).
+    # passes + Gumbel top-k), the full-corpus k-NN graph (IVF bucket
+    # shuffle join, salted exact per-node top-k), the 3-stage dedup
+    # cascade (checkpointed stage boundaries), and span-granularity
+    # benchmark decontamination (broadcast fingerprint scrub).
     "dsir_select",
     "knn_graph",
+    "dedup_cascade",
+    "span_decontaminate",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

@@ -1118,7 +1118,20 @@ def dedup_cascade(
     once per branch (measured 64 s -> ~4 s at sf0.01). At 100 TB the
     same boundaries become durable checkpoints/tables — exactly how
     production cascades are operated."""
-    base_cols = [qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")]
+    # Fail loudly on NULL ids (select_until_budget precedent): min-id
+    # survivor selection ignores NULLs and both `> keep` and `== keep`
+    # filters evaluate to NULL, so a NULL-id row would silently vanish
+    # from the audit trail instead of getting a verdict.
+    checked_id = F.when(
+        qcol(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"dedup_cascade: NULL {id_col} — every document needs a "
+                "stable id for min-id survivor selection"
+            )
+        ),
+    ).otherwise(qcol(id_col))
+    base_cols = [checked_id.alias("doc_id"), qcol(text_col).alias("__t__")]
     if url_col is not None:
         base_cols.append(qcol(url_col).alias("__u__"))
     base = df.select(*base_cols)

@@ -719,6 +719,13 @@ def dsir_select(
         )
         .withColumn("select_key", F.col("logw") + F.col("gumbel"))
     )
+    # Break lineage before the two downstream consumers: the top-k
+    # subplan AND the final flag join each reference `out`, and without
+    # the checkpoint Catalyst re-derives the whole n-gram explode +
+    # scoring aggregate once per branch — doubling the most expensive
+    # stage (dedup_cascade precedent). The frame is corpus-sized but
+    # narrow (id + four doubles).
+    out = out.localCheckpoint(eager=True)
     topk = (
         out.orderBy(F.col("select_key").desc(), F.col("doc_id").asc())
         .limit(int(k))

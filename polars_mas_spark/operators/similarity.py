@@ -991,6 +991,11 @@ def knn_label_vote(
     pipeline (a row where ``agrees`` is false is a candidate
     mislabeled example).
 
+    TOTAL over the input: a vector with zero graph edges (e.g. an
+    outlier alone in its home bucket whose probed buckets are empty)
+    still gets a row — NULL ``pred_label``, ``votes`` 0, NULL
+    ``agrees`` — instead of silently vanishing from the audit.
+
     Scale shape: the graph edges join the (id, label) projection —
     never the vectors — then one keyed aggregate per (vector, label)
     and one argmax window per vector; everything downstream of the
@@ -1022,6 +1027,9 @@ def knn_label_vote(
     own = df.select(
         qcol(id_col).alias("query_id"), qcol(label_col).alias("own_label")
     )
-    return best.join(own, "query_id").withColumn(
-        "agrees", F.col("pred_label") == F.col("own_label")
+    return (
+        own.join(best, "query_id", "left")
+        .withColumn("votes", F.coalesce(F.col("votes"), F.lit(0)))
+        .withColumn("agrees", F.col("pred_label") == F.col("own_label"))
+        .select("query_id", "pred_label", "votes", "own_label", "agrees")
     )

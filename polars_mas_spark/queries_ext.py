@@ -1429,10 +1429,12 @@ def q_knn_graph(spark, sf_dir):
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY votes DESC, nl ASC) AS brk
              FROM votes)
-    SELECT b.query_id, b.nl AS pred_label, b.votes,
+    SELECT e.vec_id AS query_id, b.nl AS pred_label,
+           coalesce(b.votes, 0)::BIGINT AS votes,
            e.label AS own_label, b.nl = e.label AS agrees
-    FROM best b JOIN embeddings e ON e.vec_id = b.query_id
-    WHERE b.brk = 1""",
+    FROM embeddings e
+    LEFT JOIN (SELECT * FROM best WHERE brk = 1) b
+      ON b.query_id = e.vec_id""",
 )
 def q_knn_label_vote(spark, sf_dir):
     """k-NN label propagation (similarity.knn_label_vote): majority
@@ -3756,10 +3758,11 @@ def q_budget_select_docs(spark, sf_dir):
                                 RANGE BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS rmax,
                  count(*) OVER () AS n
-          FROM ntok)
-    SELECT doc_id, n_tokens::BIGINT AS n_tokens,
-           floor(4.0 * ((rmin + rmax) / 2.0 - 0.5) / n)::INTEGER AS stage
-    FROM r""",
+          FROM ntok WHERE n_tokens IS NOT NULL)
+    SELECT nt.doc_id, nt.n_tokens::BIGINT AS n_tokens,
+           floor(4.0 * ((r.rmin + r.rmax) / 2.0 - 0.5) / r.n)::INTEGER
+             AS stage
+    FROM ntok nt LEFT JOIN r ON nt.doc_id = r.doc_id""",
 )
 def q_curriculum_stages(spark, sf_dir):
     """Curriculum bucketing (transforms.curriculum_stages): documents

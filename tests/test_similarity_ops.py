@@ -462,3 +462,27 @@ def test_knn_label_vote_planted_clusters(spark):
     disagree = {i for i, r in got.items() if not r.agrees}
     assert disagree == {99}
     assert got[99].pred_label == 0 and got[99].own_label == 1
+
+
+def test_knn_label_vote_total_with_isolated_vector(spark):
+    """A vector with zero graph edges still gets a verdict row (NULL
+    pred_label, 0 votes, NULL agrees) — the audit never loses rows."""
+    rows = [
+        (1, [10.0, 0.0], 0),
+        (2, [10.0, 0.1], 0),
+        (3, [9.9, 0.0], 0),
+        # isolated: opposite direction, alone in its cluster
+        (99, [-10.0, -10.0], 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.query_id: r for r in sim.knn_label_vote(
+        df, "label", k=2, n_centroids=2, n_probe=1).collect()}
+    assert set(out) == {1, 2, 3, 99}
+    iso = out[99]
+    if iso.votes == 0:
+        assert iso.pred_label is None and iso.agrees is None
+    else:
+        # if the probe still finds neighbors, the row must be complete
+        assert iso.pred_label is not None

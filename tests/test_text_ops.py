@@ -1849,3 +1849,20 @@ def test_dedup_cascade_stage_attribution(spark):
         1: "kept", 2: "url", 3: "kept", 4: "exact",
         5: "kept", 6: "near", 7: "kept", 8: "kept", 9: "kept",
     }
+
+
+def test_dedup_cascade_null_id_raises(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+    from polars_mas_spark.operators.dedup import dedup_cascade
+
+    df = spark.createDataFrame(
+        [(None, "some text", "http://a.com/1"),
+         (2, "other text", "http://a.com/2")],
+        "doc_id long, text string, url string",
+    )
+    # the eager stage checkpoint inside the operator triggers the job,
+    # so the raise surfaces at construction time already
+    import pytest as _pt
+    with _pt.raises(Exception, match="NULL doc_id"):
+        dedup_cascade(df, "doc_id", "text", url_col="url").collect()

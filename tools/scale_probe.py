@@ -60,6 +60,11 @@ DEFAULT_QUERIES = [
     # occupancy at FIXED n_centroids — at real scale n_centroids grows
     # with the corpus; the probe documents the fixed-k=16 behaviour)
     "dsir_select", "knn_graph",
+    # r9 final wave: HTML extraction (map-only), span decontamination
+    # (broadcast fingerprint scrub), the 3-stage dedup cascade, and
+    # curriculum bucketing (two-phase rank)
+    "html_extract_docs", "span_decontaminate", "dedup_cascade",
+    "curriculum_stages",
 ]
 
 
