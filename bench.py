@@ -124,6 +124,12 @@ def main() -> None:
         _phewas_wide_parquet(spark, SF_DIR, n_samples=20000)
     if "mas_phewas_firth_1800_c20" in HEADLINE:
         _phewas_wide_parquet(spark, SF_DIR, n_covariates=20)
+    # Flush the fixture writeback BEFORE timing starts (the
+    # baseline_sweep lesson, SCALING.md): several hundred MB of dirty
+    # pages from the untimed n20k/c20 fixture generation otherwise
+    # flush during whichever timed queries the kernel picks, inflating
+    # them 1.5-2x with a deceptively tight per-run spread.
+    os.sync()
 
     qs = {**entry_mod.queries(), **BENCH_ONLY}
     samples: dict[str, list[float]] = {}
