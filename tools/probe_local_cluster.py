@@ -81,6 +81,16 @@ ORACLE_QUERIES = [
     # two-phase top-k all hop executors).
     "dsir_select",
     "knn_graph",
+    # r9 final wave: the dedup cascade's eager localCheckpoints must
+    # hold across executor JVMs (checkpoint blocks are executor-local),
+    # span decontamination's broadcast fingerprint semi join, the
+    # curriculum two-phase rank's driver offset lookup, and the label
+    # vote's left-join totality.
+    "dedup_cascade",
+    "span_decontaminate",
+    "curriculum_stages",
+    "knn_label_vote",
+    "html_extract_docs",
 ]
 
 # Rows-only under the gate too (iterative MLE, no SQL closed form) but
