@@ -204,7 +204,12 @@ def span_dedup(
     every token covered by a non-first window is deleted. A repeated
     span of length L >= k therefore has ALL of its later-occurrence
     windows marked and ALL L tokens removed, regardless of alignment;
-    the first occurrence survives untouched. Returns ``(doc_id,
+    the first occurrence survives — except tokens it SHARES with a
+    later overlapping duplicate window (self-overlapping periodic
+    repeats: 'a a a' at k=2 keeps only the leading 'a', because the
+    second 'a a' window covers token 1 of the first; Lee et al.'s
+    suffix-array formulation has the same keep-one-copy edge
+    behaviour on periodic strings). Returns ``(doc_id,
     text_dedup)`` for all input documents (whitespace-normalized, empty
     string if everything was a later repeat).
 
@@ -319,8 +324,15 @@ def span_decontaminate(
     staged, gpos = _span_window_fingerprints(
         corpus, id_col, text_col, k, "span_decontaminate"
     )
+    # Benchmark doc ids are never used (only the fingerprint set is
+    # kept), so the bench frame does NOT need the corpus's id column —
+    # a plain held-out text list works (review r9).
+    bench_shaped = benchmark.select(
+        F.lit(0).cast("long").alias("__bid__"),
+        qcol(text_col).alias("__btxt__"),
+    )
     _, bench_gpos = _span_window_fingerprints(
-        benchmark, id_col, text_col, k, "span_decontaminate"
+        bench_shaped, "__bid__", "__btxt__", k, "span_decontaminate"
     )
     bench_g = bench_gpos.select("g").distinct()
     removed = (
@@ -350,8 +362,15 @@ def span_decontaminate(
             F.count(F.lit(1)).cast("bigint").alias("__kept__"),
         )
     )
+    # coalesce(size, 0): a NULL text has size(NULL) = NULL under Spark
+    # 4 ANSI, which would cascade into NULL n_removed/contaminated — a
+    # row that `filter(~contaminated)` silently drops (review r9). A
+    # text-less document is zero tokens, zero removed, not contaminated.
     base = staged.select(
-        "doc_id", F.size(F.col("__words__")).cast("bigint").alias("n_tokens")
+        "doc_id",
+        F.coalesce(F.size(F.col("__words__")), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     return (
         base.join(reassembled, on="doc_id", how="left")
@@ -1103,10 +1122,12 @@ def dedup_cascade(
     by stage is the standard dedup report. Survivors are min-id per
     group at every stage (deterministic, engine-portable).
 
-    NULL contracts compose unchanged: NULL url never matches
-    (canonical_url of NULL keys each row to itself via the id — here
-    NULL urls simply pass the URL stage, mirroring exact_dedup's NULL
-    text contract), NULL text passes exact and near untouched.
+    NULL contracts compose unchanged: NULL urls AND urls whose
+    canonical form is degenerate (empty string — missing/whitespace/
+    fragment-only urls) pass the URL stage ungrouped (mirroring
+    exact_dedup's NULL text contract; a '' canonical key would
+    otherwise merge unrelated documents into one group), and NULL
+    text passes exact and near untouched.
 
     Scale shape: three keyed shuffles (canonical string, digest, band
     buckets) + id anti-joins between stages — every stage linear, no
@@ -1141,8 +1162,18 @@ def dedup_cascade(
     if url_col is not None:
         from polars_mas_spark.operators.text import canonical_url
 
-        with_url = cur.filter(F.col("__u__").isNotNull())
-        keyed = with_url.withColumn("__k__", canonical_url(F.col("__u__")))
+        # A DEGENERATE canonical key (empty/whitespace/fragment-only
+        # url canonicalizes to '') must never form a dedup group:
+        # crawls that store missing urls as '' would otherwise collapse
+        # every such document into one group and hard-delete all but
+        # the min id (review r9). Degenerate keys bypass the URL stage
+        # exactly like NULL urls.
+        keyed_all = cur.withColumn(
+            "__k__",
+            F.when(F.col("__u__").isNotNull(), canonical_url(F.col("__u__"))),
+        )
+        degenerate = F.col("__k__").isNull() | (F.col("__k__") == "")
+        keyed = keyed_all.filter(~degenerate)
         mins = keyed.groupBy("__k__").agg(F.min("doc_id").alias("__keep__"))
         lab = keyed.join(mins, "__k__")
         pieces.append(
@@ -1153,7 +1184,9 @@ def dedup_cascade(
         cur = (
             lab.filter(F.col("doc_id") == F.col("__keep__"))
             .select("doc_id", "__t__")
-            .unionByName(cur.filter(F.col("__u__").isNull()).select("doc_id", "__t__"))
+            .unionByName(
+                keyed_all.filter(degenerate).select("doc_id", "__t__")
+            )
             .localCheckpoint(eager=True)
         )
 

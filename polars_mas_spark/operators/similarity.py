@@ -972,7 +972,17 @@ def knn_graph(
     )
     scored = (
         c.join(q, on="__bucket__")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # Zero-norm vectors have no cosine direction: their pair score
+        # is 0/0 = NaN, and Spark sorts NaN ABOVE every real double, so
+        # a single all-zeros embedding would become the rank-1
+        # "neighbor" of its whole bucket (review r9). They form no
+        # edges on either side (and knn_label_vote's totality still
+        # reports them, with zero votes).
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("__cn__") > 0)
+            & (F.col("__qn__") > 0)
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -1020,6 +1030,11 @@ def knn_label_vote(
     )
     votes = (
         edges.join(labels, "neighbor_id")
+        # Unlabeled neighbors don't vote: NULL would otherwise form its
+        # own vote group AND win ties (Spark asc = NULLS FIRST), making
+        # a NULL prediction with votes > 0 indistinguishable from the
+        # zero-edge case the NULL contract reserves (review r9).
+        .filter(F.col("__nl__").isNotNull())
         .groupBy("query_id", "__nl__")
         .agg(F.count(F.lit(1)).alias("votes"))
     )

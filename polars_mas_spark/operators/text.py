@@ -945,12 +945,12 @@ def extract_html_text(
     raw = F.coalesce(qcol(html_col).cast("string"), F.lit(""))
     # Title first (it lives in <head>), then the whole head block goes —
     # base/meta/link/title text is chrome, not content.
-    body = F.regexp_replace(raw, r"(?is)<head[^>]*>.*?</head>", " ")
-    body = F.regexp_replace(body, r"(?is)<script[^>]*>.*?</script>", " ")
-    body = F.regexp_replace(body, r"(?is)<style[^>]*>.*?</style>", " ")
+    body = F.regexp_replace(raw, r"(?is)<head(\s[^>]*)?>.*?</head>", " ")
+    body = F.regexp_replace(body, r"(?is)<script(\s[^>]*)?>.*?</script>", " ")
+    body = F.regexp_replace(body, r"(?is)<style(\s[^>]*)?>.*?</style>", " ")
     body = F.regexp_replace(body, r"(?s)<!--.*?-->", " ")
     body = F.regexp_replace(body, r"<[^>]+>", " ")
-    title = F.regexp_extract(raw, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    title = F.regexp_extract(raw, r"(?is)<title(?:\s[^>]*)?>(.*?)</title>", 1)
     for ent, ch in HTML_ENTITIES:
         body = F.replace(body, F.lit(ent), F.lit(ch))
         title = F.replace(title, F.lit(ent), F.lit(ch))

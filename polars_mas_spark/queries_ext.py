@@ -777,9 +777,9 @@ def q_trigram_perplexity(spark, sf_dir):
                  regexp_replace(
                  regexp_replace(
                  regexp_replace(html,
-                   '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
-                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?is)<head(\s[^>]*)?>.*?</head>', ' ', 'g'),
+                   '(?is)<script(\s[^>]*)?>.*?</script>', ' ', 'g'),
+                   '(?is)<style(\s[^>]*)?>.*?</style>', ' ', 'g'),
                    '(?s)<!--.*?-->', ' ', 'g'),
                    '<[^>]+>', ' ', 'g'),
                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
@@ -787,7 +787,7 @@ def q_trigram_perplexity(spark, sf_dir):
                '\s+', ' ', 'g')) AS extracted_text,
              trim(regexp_replace(
                replace(replace(replace(replace(replace(replace(
-                 regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+                 regexp_extract(html, '(?is)<title(?:\s[^>]*)?>(.*?)</title>', 1),
                  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
                  '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
                '\s+', ' ', 'g')) AS title
@@ -1382,11 +1382,15 @@ _KNN_GRAPH_CTES = f"""{_kmeans_ctes(16)},
              FROM (SELECT query_id, c FROM probes WHERE prk <= 4) p
              JOIN assigned1 a ON a.cluster = p.c
              WHERE a.vec_id <> p.query_id),
+    -- zero-norm vectors form no edges on either side (NaN cosine has
+    -- no direction; mirrors the Spark-side norm guard)
     scored AS (SELECT cand.query_id, cand.neighbor_id,
                       list_cosine_similarity(q.v, a.v) AS cos
                FROM cand
                JOIN base q ON q.vec_id = cand.query_id
-               JOIN assigned1 a ON a.vec_id = cand.neighbor_id),
+               JOIN assigned1 a ON a.vec_id = cand.neighbor_id
+               WHERE list_sum(list_transform(q.v, x -> x * x)) > 0
+                 AND list_sum(list_transform(a.v, x -> x * x)) > 0),
     ranked AS (SELECT query_id, neighbor_id, cos,
                       row_number() OVER (PARTITION BY query_id
                                          ORDER BY cos DESC, neighbor_id ASC)
@@ -1424,7 +1428,7 @@ def q_knn_graph(spark, sf_dir):
     f"""WITH {_KNN_GRAPH_CTES},
     votes AS (SELECT r.query_id, emb.label AS nl, count(*)::BIGINT AS votes
               FROM ranked r JOIN embeddings emb ON emb.vec_id = r.neighbor_id
-              WHERE r.rk <= 5 GROUP BY 1, 2),
+              WHERE r.rk <= 5 AND emb.label IS NOT NULL GROUP BY 1, 2),
     best AS (SELECT query_id, nl, votes,
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY votes DESC, nl ASC) AS brk
@@ -4157,9 +4161,9 @@ surv AS (
     WHERE r.doc_id IS NULL
     GROUP BY t.doc_id)
 SELECT w.doc_id, coalesce(s.txt, '') AS clean_text,
-       len(w.words)::BIGINT AS n_tokens,
-       (len(w.words) - coalesce(s.kept, 0))::BIGINT AS n_removed,
-       (len(w.words) - coalesce(s.kept, 0)) > 0 AS contaminated
+       coalesce(len(w.words), 0)::BIGINT AS n_tokens,
+       (coalesce(len(w.words), 0) - coalesce(s.kept, 0))::BIGINT AS n_removed,
+       (coalesce(len(w.words), 0) - coalesce(s.kept, 0)) > 0 AS contaminated
 FROM wd w LEFT JOIN surv s ON w.doc_id = s.doc_id"""
 
 

@@ -470,22 +470,24 @@ def test_bpe_learner_matches_reference_on_any_corpus(spark, txts):
 
 @given(txts=texts)
 @SETTINGS
-def test_span_decontaminate_removes_all_benchmark_windows(spark, txts):
-    """After decontamination, NO k-window of any clean_text appears in
-    the benchmark window set (verified independently in Python), and
-    the token bookkeeping identity holds on every row."""
+def test_span_decontaminate_matches_python_replay(spark, txts):
+    """Exact equality against an independent Python replay: every
+    ORIGINAL corpus window found in the benchmark window set has all k
+    positions removed, survivors reassemble in order. (The stronger
+    "no clean-text window is a benchmark window" claim is FALSE by
+    design: a removal can make previously non-adjacent tokens form a
+    NEW junction window — the same non-idempotence span_dedup
+    documents.) Bookkeeping identity asserted on every row."""
     from polars_mas_spark.operators.dedup import span_decontaminate
 
     k = 3
     n = len(txts)
     corpus = _docs(spark, txts)
-    # benchmark = the same generated texts reversed word-wise, shifted
-    # ids — guarantees overlaps appear at arbitrary alignments
+    # benchmark = the same generated texts reversed word-wise —
+    # guarantees overlaps appear at arbitrary alignments; no id column
+    # on purpose (the operator must not require one on the bench side)
     bench_txts = [" ".join(t.split()[::-1]) for t in txts]
-    bench = spark.createDataFrame(
-        [(1000 + i, t) for i, t in enumerate(bench_txts)],
-        "doc_id long, text string",
-    )
+    bench = spark.createDataFrame([(t,) for t in bench_txts], "text string")
     bench_windows = set()
     for t in bench_txts:
         w = t.split()
@@ -496,11 +498,15 @@ def test_span_decontaminate_removes_all_benchmark_windows(spark, txts):
     assert set(rows) == set(range(n))
     for i in range(n):
         r = rows[i]
-        cw = r.clean_text.split()
-        for j in range(len(cw) - k + 1):
-            assert tuple(cw[j:j + k]) not in bench_windows, (i, cw[j:j + k])
-        assert r.n_tokens - r.n_removed == len(cw)
-        assert r.contaminated == (r.n_removed > 0)
+        w = txts[i].split()
+        removed = set()
+        for j in range(len(w) - k + 1):
+            if tuple(w[j:j + k]) in bench_windows:
+                removed.update(range(j, j + k))
+        expect = " ".join(t for j, t in enumerate(w) if j not in removed)
+        assert r.clean_text == expect, (i, r.clean_text, expect)
+        assert r.n_tokens == len(w) and r.n_removed == len(removed)
+        assert r.contaminated == (len(removed) > 0)
 
 
 @given(txts=texts)

@@ -486,3 +486,27 @@ def test_knn_label_vote_total_with_isolated_vector(spark):
     else:
         # if the probe still finds neighbors, the row must be complete
         assert iso.pred_label is not None
+
+
+def test_knn_graph_zero_vector_forms_no_edges(spark):
+    """A zero-norm embedding must never appear as anyone's neighbor
+    (NaN cosine would otherwise rank it first), and unlabeled
+    neighbors don't vote in knn_label_vote."""
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [1.0, 0.1], None),
+        (4, [0.0, 0.0], 7),                     # zero vector
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    g = sim.knn_graph(df, k=3, n_centroids=1, n_probe=1).collect()
+    assert all(r.neighbor_id != 4 for r in g)
+    assert all(r.query_id != 4 for r in g)
+    lv = {r.query_id: r for r in
+          sim.knn_label_vote(df, "label", k=3, n_centroids=1, n_probe=1)
+          .collect()}
+    assert set(lv) == {1, 2, 3, 4}
+    assert lv[4].votes == 0 and lv[4].pred_label is None
+    # doc 3 (NULL label) votes for no one; docs 1/2 predict from each
+    # other only
+    assert lv[1].pred_label == 0 and lv[2].pred_label == 0

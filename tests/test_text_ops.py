@@ -1866,3 +1866,52 @@ def test_dedup_cascade_null_id_raises(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="NULL doc_id"):
         dedup_cascade(df, "doc_id", "text", url_col="url").collect()
+
+
+def test_dedup_cascade_degenerate_urls_never_group(spark):
+    """Docs whose urls canonicalize to '' (empty/whitespace/fragment)
+    bypass the URL stage instead of collapsing into one group."""
+    from polars_mas_spark.operators.dedup import dedup_cascade
+
+    rows = [
+        (1, "first unique body aa bb cc", ""),
+        (2, "second unique body dd ee ff", "   "),
+        (3, "third unique body gg hh ii", "#frag-only"),
+        (4, "fourth unique body jj kk ll", "http://real.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    got = {r.doc_id: r.stage for r in
+           dedup_cascade(df, "doc_id", "text", url_col="url").collect()}
+    assert got == {1: "kept", 2: "kept", 3: "kept", 4: "kept"}
+
+
+def test_span_decontaminate_null_text_and_idless_benchmark(spark):
+    """NULL corpus text yields (\"\", 0, 0, False) — never NULL
+    bookkeeping a boolean filter would drop; benchmark frames need no
+    id column at all."""
+    from polars_mas_spark.operators.dedup import span_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "b0 b1 b2 b3 tail words")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("b0 b1 b2 b3",)], "text string")
+    got = {r.doc_id: r for r in
+           span_decontaminate(corpus, bench, "doc_id", "text", k=4).collect()}
+    assert (got[1].clean_text, got[1].n_tokens, got[1].n_removed,
+            got[1].contaminated) == ("", 0, 0, False)
+    assert got[2].clean_text == "tail words" and got[2].n_removed == 4
+
+
+def test_extract_html_text_header_tag_not_head(spark):
+    """<header> must not match the head-block pattern: content between
+    a <header> element and a later literal </head> survives."""
+    from polars_mas_spark.operators import text as tx
+
+    s = ("<header>Nav</header><main>REAL CONTENT</main>"
+         "<head profile=\"x\"><title>t2</title></head>")
+    df = spark.createDataFrame([(1, s)], "doc_id long, html string")
+    r = tx.extract_html_text(df, "html").collect()[0]
+    assert "REAL CONTENT" in r.extracted_text
+    assert "Nav" in r.extracted_text  # header CONTENT is body text
+    assert r.title == "t2"
