@@ -175,6 +175,23 @@ def log_transform(df: DataFrame, col: str, out_col: str | None = None) -> DataFr
     return df.withColumn(out_col or col, F.log(qcol(col)))
 
 
+def _rewrite_columns(df: DataFrame, replacements: dict) -> DataFrame:
+    """ONE select replacing the given columns in place (same order,
+    untouched columns pass through). The per-column ``withColumn`` loop
+    it replaces appends one Project node per column — at this engine's
+    ~2,000-column PheWAS widths Catalyst analysis goes quadratic and
+    driver-side planning takes minutes for a map-only transform
+    (review r9); a single projection is semantically identical."""
+    if not replacements:
+        return df
+    return df.select(
+        *[
+            replacements[c].alias(c) if c in replacements else qcol(c)
+            for c in df.columns
+        ]
+    )
+
+
 def standard_scale(df: DataFrame, cols: list[str]) -> DataFrame:
     """(x - mean) / stddev_samp per column, one aggregate job for all."""
     # qcol, not bare names: F.avg("250.2") parses the dot as struct
@@ -184,13 +201,13 @@ def standard_scale(df: DataFrame, cols: list[str]) -> DataFrame:
         *[F.avg(qcol(c)).alias(f"__m_{c}") for c in cols],
         *[F.stddev_samp(qcol(c)).alias(f"__s_{c}") for c in cols],
     ).first()
-    out = df
+    repl = {}
     for c in cols:
         mean, std = stats[f"__m_{c}"], stats[f"__s_{c}"]
         if std is None or std == 0:
             continue
-        out = out.withColumn(c, (qcol(c) - F.lit(mean)) / F.lit(std))
-    return out
+        repl[c] = (qcol(c) - F.lit(mean)) / F.lit(std)
+    return _rewrite_columns(df, repl)
 
 
 def winsorize(
@@ -207,15 +224,13 @@ def winsorize(
         aggs.append(F.percentile(qcol(c), F.lit(lower)).alias(f"__lo_{c}"))
         aggs.append(F.percentile(qcol(c), F.lit(upper)).alias(f"__hi_{c}"))
     stats = df.agg(*aggs).first()
-    out = df
+    repl = {}
     for c in cols:
         lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
         if lo is None or hi is None:
             continue
-        out = out.withColumn(
-            c, F.least(F.greatest(qcol(c), F.lit(lo)), F.lit(hi))
-        )
-    return out
+        repl[c] = F.least(F.greatest(qcol(c), F.lit(lo)), F.lit(hi))
+    return _rewrite_columns(df, repl)
 
 
 def robust_scale(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -228,14 +243,14 @@ def robust_scale(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs.append(F.percentile(qcol(c), F.lit(0.25)).alias(f"__q1_{c}"))
         aggs.append(F.percentile(qcol(c), F.lit(0.75)).alias(f"__q3_{c}"))
     stats = df.agg(*aggs).first()
-    out = df
+    repl = {}
     for c in cols:
         md = stats[f"__md_{c}"]
         q1, q3 = stats[f"__q1_{c}"], stats[f"__q3_{c}"]
         if md is None or q1 is None or q3 is None or q3 == q1:
             continue
-        out = out.withColumn(c, (qcol(c) - F.lit(md)) / F.lit(q3 - q1))
-    return out
+        repl[c] = (qcol(c) - F.lit(md)) / F.lit(q3 - q1)
+    return _rewrite_columns(df, repl)
 
 
 def min_max_scale(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -243,10 +258,10 @@ def min_max_scale(df: DataFrame, cols: list[str]) -> DataFrame:
         *[F.min(qcol(c)).alias(f"__mn_{c}") for c in cols],
         *[F.max(qcol(c)).alias(f"__mx_{c}") for c in cols],
     ).first()
-    out = df
+    repl = {}
     for c in cols:
         lo, hi = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
         if lo is None or hi is None or hi == lo:
             continue
-        out = out.withColumn(c, (qcol(c) - F.lit(lo)) / F.lit(hi - lo))
-    return out
+        repl[c] = (qcol(c) - F.lit(lo)) / F.lit(hi - lo)
+    return _rewrite_columns(df, repl)

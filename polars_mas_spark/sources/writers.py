@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from polars_mas_spark.colutils import qcol
+
 _TEXT_SEPS = {"csv": ",", "tsv": "\t", "txt": "\t"}
 
 
@@ -140,7 +142,9 @@ def write_partitioned(
     """
     out = df
     if sort_within:
-        out = out.sortWithinPartitions(*sort_within)
+        # qcol each name: bare strings route through F.col, which reads
+        # dotted names ('250.1') as struct access (CLAUDE.md).
+        out = out.sortWithinPartitions(*[qcol(c) for c in sort_within])
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
@@ -226,6 +230,16 @@ def zorder_value(
     from polars_mas_spark.colutils import qcol
 
     cols = list(bin_edges)
+    # The interleave must fit a signed BIGINT: with more bits the high
+    # columns shift out entirely and data bits reach the SIGN bit, so
+    # some rows sort FIRST with negative z-values and row-group pruning
+    # silently stops working (review r9). Fail loudly instead.
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder_value: {len(cols)} columns x {bits} bits = "
+            f"{len(cols) * bits} interleaved bits > 63 (signed BIGINT); "
+            "lower `bits` or drop columns"
+        )
     ids = []
     for c in cols:
         edges = [float(e) for e in bin_edges[c]]
@@ -304,7 +318,9 @@ def write_shuffled(
     if num_files:
         out = out.repartitionByRange(num_files, F.col("__shuf__"))
     (
-        out.sortWithinPartitions("__shuf__", key_col)
+        # qcol on the tiebreak: a bare string goes through F.col, which
+        # parses dotted names ('250.1') as struct access (CLAUDE.md).
+        out.sortWithinPartitions(F.col("__shuf__"), qcol(key_col))
         .drop("__shuf__")
         .write.mode(mode)
         .parquet(path)

@@ -82,10 +82,26 @@ def stream_dedup(
     key_cols: list[str],
     ts_col: str = "ts",
     watermark: str = "30 minutes",
+    id_col: str | None = None,
 ) -> DataFrame:
-    """Exactly-once-per-key event dedup within the watermark horizon."""
-    return _with_watermark(stream, ts_col, watermark).dropDuplicates(
-        [*key_cols, ts_col]
+    """Exactly-once-per-key event dedup within the watermark horizon.
+
+    On a BATCH frame (the backfill/oracle form), pass ``id_col`` to get
+    a DETERMINISTIC survivor — the id-minimal row per (key_cols, ts) —
+    instead of dropDuplicates' shuffle-order lottery among payload
+    variants of the same key (the stream_normalized_dedup precedent;
+    without id_col the batch form keeps the legacy arbitrary-survivor
+    behaviour, fine when only key columns are consumed downstream)."""
+    marked = _with_watermark(stream, ts_col, watermark)
+    if marked.isStreaming or id_col is None:
+        return marked.dropDuplicates([*key_cols, ts_col])
+    w = Window.partitionBy(
+        *[qcol(c) for c in key_cols], qcol(ts_col)
+    ).orderBy(qcol(id_col).asc())
+    return (
+        marked.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
     )
 
 
@@ -158,7 +174,13 @@ def enrich_events(
     and no shuffle of the (unbounded) stream side; the same plan shape
     is exactly what a 100 TB batch wants for a small dimension. Works
     identically on batch frames (the backfill/oracle form)."""
-    cols = dim_cols or [c for c in dim.columns if c != dim_key]
+    # Default columns exclude BOTH keys: a dimension that already has a
+    # column named stream_key would otherwise ride along and duplicate
+    # the aliased join key — ambiguous-reference errors downstream
+    # (review r9).
+    cols = dim_cols or [
+        c for c in dim.columns if c != dim_key and c != stream_key
+    ]
     right = dim.select(
         qcol(dim_key).alias(stream_key), *[qcol(c) for c in cols]
     )
@@ -195,20 +217,24 @@ def _attribution_join(
     """Shared body of the inner/outer attribution joins — one place for
     the watermarking and the time-range condition, so a fix to either
     can't silently diverge the two variants."""
+    # qcol everywhere a user-supplied name is resolved (CLAUDE.md
+    # dotted-name rule — this helper was the module's one bare-F.col
+    # outlier, review r9); fixed internal aliases from there on.
     c = clicks.select(
-        F.col(user_col).alias("__c_user__"),
-        F.col(ts_col).alias("click_ts"),
+        qcol(user_col).alias("__c_user__"),
+        qcol(ts_col).alias("click_ts"),
         F.col("event_id").alias("click_id"),
     )
     p = purchases.select(
-        F.col(user_col), F.col(ts_col).alias("purchase_ts"),
+        qcol(user_col).alias("__p_user__"),
+        qcol(ts_col).alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
     )
     if p.isStreaming:
         c = c.withWatermark("click_ts", watermark)
         p = p.withWatermark("purchase_ts", watermark)
     cond = (
-        (p[user_col] == c["__c_user__"])
+        (p["__p_user__"] == c["__c_user__"])
         & (c["click_ts"] <= p["purchase_ts"])
         & (
             c["click_ts"]
@@ -216,7 +242,9 @@ def _attribution_join(
         )
     )
     return p.join(c, cond, how).select(
-        "purchase_id", user_col, "purchase_ts", "click_id", "click_ts"
+        "purchase_id",
+        F.col("__p_user__").alias(user_col),
+        "purchase_ts", "click_id", "click_ts",
     )
 
 
@@ -343,14 +371,12 @@ def stream_table_digest(
     map-side, no ordering or watermark needed; state is ONE tiny row).
     Run with outputMode("complete") (or "update"); the same call on a
     batch frame returns the batch digest, so stream-vs-batch parity is
-    a direct equality check."""
-    from polars_mas_spark.operators.maintenance import _digest_encoding
-    from polars_mas_spark.operators.sampling import md5_u32
+    a direct equality check.
 
-    cols = cols or stream.columns
-    h = md5_u32(_digest_encoding(cols), salt, null_sentinel=False)
-    return stream.select(h.alias("__h__")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.expr("bit_xor(__h__)").alias("xor_digest"),
-        F.sum(F.col("__h__") % 1000003).alias("sum_digest"),
-    )
+    Implementation IS maintenance.table_digest — pure DataFrame API
+    works on a streaming frame as-is, and one body means a digest
+    encoding fix can never diverge the stream/batch parity this
+    docstring advertises (review r9 deduplicated the verbatim copy)."""
+    from polars_mas_spark.operators.maintenance import table_digest
+
+    return table_digest(stream, cols, salt)

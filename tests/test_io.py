@@ -197,3 +197,17 @@ def test_write_shuffled_deterministic_and_resaltable(spark, tmp_path):
     assert a == b
     assert a != c
     assert sorted(a) == list(range(500))
+
+
+def test_zorder_value_rejects_bit_overflow(spark):
+    """5 cols x 16 bits = 80 interleaved bits silently corrupted the
+    sign bit before r9; now it raises."""
+    import pytest as _pt
+
+    from polars_mas_spark.sources.writers import zorder_value
+
+    edges = {f"c{i}": [0.0, 1.0] for i in range(5)}
+    with _pt.raises(ValueError, match="interleaved bits"):
+        zorder_value(edges, bits=16)
+    # 5 cols fit at 12 bits (60 <= 63)
+    zorder_value(edges, bits=12)

@@ -485,3 +485,34 @@ def test_stream_digest_matches_batch(spark, events_dir):
         spark.read.parquet(events_dir), ["event_id", "event_type"]
     ).collect()
     assert tuple(direct[0]) == tuple(batch[0])
+
+
+def test_stream_dedup_batch_survivor_deterministic(spark):
+    """Batch form with id_col keeps the id-minimal payload per
+    (key, ts) — not whichever row the shuffle delivers first."""
+    import datetime
+
+    from polars_mas_spark.streaming.events import stream_dedup
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(9, 1, "click", t, 99.0), (3, 1, "click", t, 1.0),
+            (5, 2, "view", t, 2.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double")
+    out = stream_dedup(df, ["user_id", "event_type"], id_col="event_id")
+    got = {(r.user_id, r.event_type): r.event_id for r in out.collect()}
+    assert got == {(1, "click"): 3, (2, "view"): 5}
+
+
+def test_enrich_events_dim_key_collision(spark):
+    """A dimension that already carries a column named stream_key must
+    not produce a duplicate join column."""
+    from polars_mas_spark.streaming.events import enrich_events
+
+    stream = spark.createDataFrame([(1, 10.0)], "user_id long, value double")
+    dim = spark.createDataFrame(
+        [(1, 999, "gold")], "c_custkey long, user_id long, tier string")
+    out = enrich_events(stream, dim)
+    assert out.columns.count("user_id") == 1
+    assert out.collect()[0].tier == "gold"
