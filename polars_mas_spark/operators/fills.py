@@ -142,16 +142,19 @@ def _ordered_fill(
         ]
     )
 
-    # Per-block last non-null value in scan order (max_by skips null keys).
+    # Per-block last non-null value in scan order (max_by/min_by skip
+    # null keys). min_by for the backward scan rather than max_by(-x):
+    # unary minus rejects TimestampType, which range_block_column
+    # explicitly admits as an order column (review r9).
     # Recomputing `blocked` here is safe BECAUSE block assignment is a
     # deterministic expression — no persist, nothing leaks.
-    order_key = (-qcol(order_col)) if backward else qcol(order_col)
+    pick = F.min_by if backward else F.max_by
     summaries = (
         blocked.groupBy(_BLOCK)
         .agg(
             *[
-                F.max_by(
-                    qcol(c), F.when(qcol(c).isNotNull(), order_key)
+                pick(
+                    qcol(c), F.when(qcol(c).isNotNull(), qcol(order_col))
                 ).alias(c)
                 for c in cols
             ]

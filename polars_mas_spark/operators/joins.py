@@ -31,12 +31,24 @@ def salted_join(
     The fact side's salt is derived by hashing the whole row
     (xxhash64 of all columns), so a key that hashes 500M rows to one
     shuffle partition in a plain join lands in ``salts`` roughly equal
-    partitions instead. The join RESULT is identical to the unsalted
-    join whatever the salt assignment — salting only moves rows between
-    partitions — which is what makes the plain join a valid oracle.
+    partitions instead. For ``inner``/``left`` (fact-preserving) joins
+    the RESULT is identical to the unsalted join whatever the salt
+    assignment — salting only moves rows between partitions — which is
+    what makes the plain join a valid oracle. Dim-preserving hows are
+    REJECTED: under ``right``/``full_outer`` every dim (key, salt)
+    replica with no fact row of that exact salt would survive
+    null-extended, so unmatched dim keys would appear ``salts`` times
+    (review r9) — and a dim-preserving skew join wants the salt on the
+    dim side anyway.
     Cost: the dim side is materialized ``salts`` x (use for big-fact /
     small-ish-dim skew; for dims small enough to broadcast, broadcast
     instead — no salt needed)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only "
+            f"(inner/left/left_semi), got how={how!r}: dim-side replicas "
+            "would survive null-extended under a dim-preserving join"
+        )
     salt = F.pmod(F.xxhash64(*[qcol(c) for c in fact.columns]), F.lit(salts))
     fact_s = fact.withColumn("__salt__", salt)
     dim_s = dim.withColumn(

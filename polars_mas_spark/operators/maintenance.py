@@ -251,8 +251,19 @@ def dq_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
         results += [
             (name, int(row[f"__r_{i}"])) for i, name in enumerate(agg_names)
         ]
-    for name, frame in keyed:
-        results.append((name, int(frame.first()["violations"])))
+    # Union every keyed rule's 1-row frame and collect ONCE: k serial
+    # .first() calls paid k job launches for k scalars (the same
+    # per-job overhead drift_psi documents avoiding; review r9).
+    if keyed:
+        unioned = None
+        for i, (name, frame) in enumerate(keyed):
+            tagged = frame.select(
+                F.lit(i).alias("__i__"), F.col("violations")
+            )
+            unioned = tagged if unioned is None else unioned.unionByName(tagged)
+        by_idx = {int(r["__i__"]): int(r["violations"])
+                  for r in unioned.collect()}
+        results += [(name, by_idx[i]) for i, (name, _) in enumerate(keyed)]
     spark = df.sparkSession
     return spark.createDataFrame(
         [(n, v, v == 0) for n, v in results],

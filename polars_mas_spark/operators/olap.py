@@ -21,12 +21,18 @@ from pyspark.sql import functions as F
 from polars_mas_spark.colutils import qcol
 
 
-def _report(grouped, keys: list[str], value_col: str) -> DataFrame:
+def _report(grouped, value_col: str) -> DataFrame:
+    # avg_value is UNROUNDED on purpose: rounding a derived quotient
+    # belongs at the oracle-comparison site where the caller can judge
+    # whether the data makes round(mean) .5-boundary-safe (CLAUDE.md r7
+    # quotient rule; 2-decimal values x power-of-two cell counts land
+    # the true mean exactly on a rounding boundary). sum+count are the
+    # safe canonical pair.
     return grouped.agg(
         F.grouping_id().alias("gid"),
         F.count("*").alias("n_rows"),
         F.round(F.sum(qcol(value_col)), 6).alias("total_value"),
-        F.round(F.avg(qcol(value_col)), 6).alias("avg_value"),
+        F.avg(qcol(value_col)).alias("avg_value"),
     )
 
 
@@ -36,7 +42,7 @@ def rollup_report(
     """Hierarchical totals: every prefix of ``keys`` plus the grand
     total (N+1 grouping levels, ONE shuffle via Expand)."""
     cols = [qcol(k) if isinstance(k, str) else k for k in keys]
-    return _report(df.rollup(*cols), keys, value_col)
+    return _report(df.rollup(*cols), value_col)
 
 
 def cube_report(
@@ -44,7 +50,7 @@ def cube_report(
 ) -> DataFrame:
     """All 2^N key-subset totals in one Expand + one aggregation."""
     cols = [qcol(k) if isinstance(k, str) else k for k in keys]
-    return _report(df.cube(*cols), keys, value_col)
+    return _report(df.cube(*cols), value_col)
 
 
 def pivot_report(
@@ -63,9 +69,13 @@ def pivot_report(
     explode the column count); unexpected values land in nothing, by
     design. One hash aggregation — pivot compiles to grouped
     conditional aggregates, no join, no second shuffle."""
+    # GroupedData.pivot only takes a bare name string, which parses a
+    # dotted user column ('250.1') as struct access — stage it under a
+    # fixed internal alias first (CLAUDE.md qcol rule, review r9).
     pivoted = (
-        df.groupBy(qcol(key_col).alias(key_col))
-        .pivot(pivot_col, pivot_values)
+        df.withColumn("__pms_pivot__", qcol(pivot_col))
+        .groupBy(qcol(key_col).alias(key_col))
+        .pivot("__pms_pivot__", pivot_values)
         .agg(
             # count(lit(1)), not count("*"): Pivot rejects star usage.
             F.count(F.lit(1)).alias("n"),

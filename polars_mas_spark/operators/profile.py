@@ -31,6 +31,14 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     targets = [c for c in (cols or df.columns) if c in numeric]
     if not targets:
         raise ValueError("no numeric columns to profile")
+    # Rounded-quotient note (CLAUDE.md r7 rule, weighed in review r9):
+    # mean/stddev ARE derived quotients, but the safe "bind sum+count"
+    # alternative is WORSE for a whole-table profile — a single global
+    # sum of large values carries ~n*eps*sum summation-order error
+    # (the q11 integer-cents lesson), orders above the 1e-6 grid at
+    # sf0.1, while the mean divides that error back down to ~1e-7
+    # absolute. round(mean,6) here is flap-hunt-verified bit-stable at
+    # 3 SFs; the mean*n==sum quotient identity is bound in a unit test.
     aggs = []
     for c in targets:
         q = qcol(c)
@@ -177,6 +185,15 @@ def quantile_profile(
         F.stack(F.lit(len(cols)), *pairs).alias("column", "__vals__"),
     )
     probs = F.array(*[F.lit(x) for x in qs])
+    # coalesce to an all-NULL value array: an all-NULL (group, column)
+    # makes percentile return NULL, arrays_zip(probs, NULL) NULL, and a
+    # plain posexplode would emit ZERO rows — the report would silently
+    # claim the column was never profiled for that group (review r9);
+    # instead every requested quantile appears with a NULL value.
+    null_vals = F.array(*[F.lit(None).cast("double") for _ in qs])
+    stacked = stacked.withColumn(
+        "__vals__", F.coalesce(F.col("__vals__"), null_vals)
+    )
     return stacked.select(
         *([qcol(group_col)] if group_col else []),
         "column",

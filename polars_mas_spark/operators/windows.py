@@ -58,11 +58,21 @@ def rolling_agg(
     order_col: str,
     value_col: str,
     window_rows: int = 5,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """Rolling mean/sum over the last `window_rows` rows per partition."""
+    """Rolling mean/sum over the last `window_rows` rows per partition.
+
+    ``order_col`` must be a TOTAL order within each partition — a ROWS
+    frame over tied rows makes the boundary a shuffle-order lottery
+    (the CLAUDE.md gate-flap class). Pass ``tiebreak_col`` (a unique
+    id) when the order column can tie; the registered query's event_id
+    uniqueness is probe-enforced, so its default stays bare."""
+    order = [qcol(order_col)]
+    if tiebreak_col is not None:
+        order.append(qcol(tiebreak_col))
     w = (
         Window.partitionBy(qcol(partition_col))
-        .orderBy(qcol(order_col))
+        .orderBy(*order)
         .rowsBetween(-(window_rows - 1), 0)
     )
     return df.select(
@@ -150,7 +160,11 @@ def asof_join(
             .schema["s"].dataType
         ).alias("__rrow__"),
     )
-    r_tag = right.select(
+    # NULL timestamps never participate in an as-of match (pandas
+    # merge_asof / DuckDB ASOF contract): a NULL-ts right row would
+    # otherwise sort NULLS-FIRST in backward mode and be carried as a
+    # spurious "match" into every early left row (review r9).
+    r_tag = right.filter(qcol(right_ts).isNotNull()).select(
         qcol(on).alias("__key__"),
         qcol(right_ts).alias("__ts__"),
         F.lit(0).alias("__is_left__"),
@@ -174,6 +188,13 @@ def asof_join(
     carried = unioned.withColumn(
         "__match__", F.last("__rrow__", ignorenulls=True).over(w)
     ).filter(F.col("__is_left__") == 1)
+    # A NULL-ts LEFT row has no as-of position: in forward mode it
+    # sorts NULLS-LAST and would otherwise see every right row and
+    # "match" the earliest one (review r9) — null it on both paths.
+    carried = carried.withColumn(
+        "__match__",
+        F.when(F.col("__ts__").isNotNull(), F.col("__match__")),
+    )
     if tolerance_seconds is not None:
         gap = F.abs(
             F.col("__ts__").cast("long")

@@ -2102,8 +2102,12 @@ def q_event_rollup(spark, sf_dir):
     out = rollup_report(
         ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
     )
+    # Quotient rounded HERE, at the oracle-comparison site: events.value
+    # is a continuous double, so round(mean, 6) cannot sit on a decimal
+    # .5 boundary (the CLAUDE.md trap needs fixed-decimal inputs).
     return out.select(
-        "event_type", "day", "gid", "n_rows", "total_value", "avg_value"
+        "event_type", "day", "gid", "n_rows", "total_value",
+        F.round("avg_value", 6).alias("avg_value"),
     )
 
 
@@ -2127,8 +2131,11 @@ def q_event_cube(spark, sf_dir):
         ["event_type", "user_bucket"],
         "value",
     )
+    # Quotient rounded at the oracle site (continuous double — safe;
+    # see event_rollup's comment).
     return out.select(
-        "event_type", "user_bucket", "gid", "n_rows", "total_value", "avg_value"
+        "event_type", "user_bucket", "gid", "n_rows", "total_value",
+        F.round("avg_value", 6).alias("avg_value"),
     )
 
 

@@ -271,3 +271,50 @@ def test_cdc_apply_defaulted_value_cols_skip_changelog_metadata(spark):
     )
     out = cdc_apply(base, ch, ["k"], "ts", "seq", "op").collect()
     assert [(r.k, r.v) for r in out] == [(1, 11.0)]
+
+
+def test_profile_table_quotient_identity(spark):
+    """Defense-in-depth for the rounded mean/stddev (CLAUDE.md quotient
+    rule): mean must equal sum/count to fp tolerance — the identity the
+    oracle binding relies on."""
+    from polars_mas_spark.operators.profile import profile_table
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 0.01 + 3.0).alias("v")
+    )
+    prof = {r.column: r for r in profile_table(df, ["v"]).collect()}
+    agg = df.agg(F.sum("v").alias("s"), F.count("v").alias("n")).first()
+    assert abs(prof["v"].mean - agg.s / agg.n) < 1e-9
+    assert prof["v"].n == agg.n
+
+
+def test_quantile_profile_keeps_all_null_groups(spark):
+    """An all-NULL (group, column) must appear with NULL values for
+    every requested quantile — never vanish from the report."""
+    from polars_mas_spark.operators.profile import quantile_profile
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, None)], "g int, v double"
+    )
+    out = quantile_profile(df, ["v"], quantiles=[0.25, 0.75], group_col="g")
+    rows = [(r.g, r.q, r.value) for r in out.collect()]
+    g2 = [(q, v) for g, q, v in rows if g == 2]
+    assert sorted(q for q, _ in g2) == [0.25, 0.75]
+    assert all(v is None for _, v in g2)
+
+
+def test_dq_checks_keyed_rules_one_collect(spark):
+    """unique + foreign_key rules still report correct counts after the
+    union-and-collect-once refactor."""
+    from polars_mas_spark.operators.maintenance import dq_checks
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (3, 99)], "k int, fk int"
+    )
+    ref = spark.createDataFrame([(10,), (11,), (12,)], "r int")
+    out = {r.rule: r.violations for r in dq_checks(df, [
+        {"type": "unique", "cols": ["k"]},
+        {"type": "foreign_key", "col": "fk", "ref": ref, "ref_col": "r"},
+    ]).collect()}
+    assert out["unique(k)"] == 1          # k=1 appears twice
+    assert out["foreign_key(fk->r)"] == 1  # fk=99 unmatched

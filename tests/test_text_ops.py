@@ -1915,3 +1915,51 @@ def test_extract_html_text_header_tag_not_head(spark):
     assert "REAL CONTENT" in r.extracted_text
     assert "Nav" in r.extracted_text  # header CONTENT is body text
     assert r.title == "t2"
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    """NULL-ts right rows are never carried as matches; NULL-ts left
+    rows match nothing (merge_asof/ASOF JOIN contract) — both
+    directions."""
+    import datetime
+
+    from polars_mas_spark.operators.windows import asof_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 12, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(5)), (1, t(30)), (1, None)], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, -1.0), (1, t(10), 10.0)],
+        "k int, ts timestamp, px double",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            (r.k, r.ts): (r.asof_ts, r.px)
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="ts",
+                direction=direction,
+            ).collect()
+        }
+        # NULL left ts -> no match, in BOTH directions
+        assert got[(1, None)] == (None, None), (direction, got)
+        # the NULL-ts right row (-1.0) is never anyone's match
+        assert all(v[1] != -1.0 for v in got.values()), (direction, got)
+    back = {
+        (r.k, r.ts): r.px
+        for r in asof_join(left, right, on="k", left_ts="ts",
+                           right_ts="ts").collect()
+    }
+    assert back[(1, t(5))] is None       # nothing at/before 12:05
+    assert back[(1, t(30))] == 10.0
+
+
+def test_salted_join_rejects_dim_preserving_hows(spark):
+    from polars_mas_spark.operators.joins import salted_join
+
+    f = spark.createDataFrame([(1, "a")], "k int, x string")
+    d = spark.createDataFrame([(1, "y")], "k int, y string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fact-preserving"):
+        salted_join(f, d, on="k", how="full_outer")
+    assert salted_join(f, d, on="k", how="left").count() == 1
