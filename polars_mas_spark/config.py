@@ -166,12 +166,36 @@ class MASConfig:
         self.categorical_covariate_columns = resolve_columns(
             self.categorical_covariates, column_names
         )
+        # Fail here with a named error, not deep in the engine: an empty
+        # role list survives every downstream step until a packed bucket
+        # count of zero raises an opaque `range() arg 3 must not be
+        # zero` (review r9).
+        if not self.predictor_columns:
+            raise ValueError(
+                "no predictor columns resolved — pass at least one via "
+                "predictors / -p"
+            )
+        if not self.dependent_columns:
+            raise ValueError(
+                "no dependent columns resolved — pass at least one via "
+                "dependents / -d"
+            )
 
         if self.model == "poisson" and not self.quantitative:
             raise ValueError(
                 "Poisson models fit COUNT dependents: set "
                 "quantitative=True (-qt). Binary case/control "
                 "validation does not apply to counts."
+            )
+        if self.rint and self.logt:
+            # Mirrors the reference CLI's mutually exclusive group
+            # (cli.py:93-103) for the programmatic path too.
+            raise ValueError("rint and logt are mutually exclusive")
+        if (self.rint or self.logt) and not self.quantitative:
+            raise ValueError(
+                "rint/logt transform QUANTITATIVE dependent variables — "
+                "set quantitative=True (-qt); transforming binary "
+                "case/control labels is meaningless"
             )
         preds = set(self.predictor_columns)
         deps = set(self.dependent_columns)
@@ -209,7 +233,16 @@ class MASConfig:
         included = preds | deps | covs
         # Preserve the header order of the input (config.py:198-199).
         self.included_columns = [c for c in column_names if c in included]
-        if self.order_col and self.order_col in column_names:
+        if self.order_col:
+            # Same up-front contract as every other column spec: a
+            # misspelled order_col previously skipped the append
+            # silently and died later inside the fill operator with an
+            # unresolved-column error (review r9).
+            if self.order_col not in column_names:
+                raise ValueError(
+                    f"order_col '{self.order_col}' does not exist in the "
+                    "input"
+                )
             if self.order_col not in self.included_columns:
                 self.included_columns.append(self.order_col)
         return self

@@ -749,10 +749,11 @@ def checkpoint_wide(df: DataFrame, checkpoint_dir: str | None = None) -> str:
     columnar end-to-end. Distribution-safe: each task writes only its own
     partition to ``part-<partitionId>.parquet`` (idempotent under task
     retry); on a multi-node cluster the directory must be on POSIX-shared
-    storage (NFS/Lustre/fuse mount). When the target is a URI-scheme
-    filesystem or the master is non-local with no explicit directory,
-    the pyarrow fast path is unsafe and the write falls back to Spark's
-    own distributed parquet writer (slower row-pivot, always correct)."""
+    storage (NFS/Lustre/fuse mount). URI-scheme targets (hdfs://,
+    s3a://) and non-local masters without an explicit shared directory
+    RAISE with the fix named — the columnar consumer reads the
+    checkpoint with driver-local POSIX I/O, so a checkpoint only Spark
+    can read back would fail after paying for the full write."""
     import atexit
     import os
     import shutil
@@ -772,6 +773,18 @@ def checkpoint_wide(df: DataFrame, checkpoint_dir: str | None = None) -> str:
                 "explicit POSIX-shared checkpoint_dir (NFS/Lustre "
                 "mount); or use strategy='packed', which needs no side "
                 "storage."
+            )
+        if "://" in checkpoint_dir:
+            # Refuse BEFORE paying for the full-table write: the
+            # columnar consumer lists and reads the checkpoint with
+            # driver-local POSIX I/O (os.listdir + pyarrow), which
+            # cannot open a URI-scheme path — the expensive write would
+            # complete and then the read would FileNotFoundError
+            # (review r9).
+            raise ValueError(
+                "columnar checkpoint requires a POSIX-visible path, got "
+                f"URI {checkpoint_dir!r} — mount the filesystem and pass "
+                "the mount path, or use strategy='packed'"
             )
         base = checkpoint_dir.rstrip("/")
         path = f"{base}/pms_ckpt_{uuid.uuid4().hex}"
@@ -871,6 +884,14 @@ def run_associations(
     shuffle would amplify the data — and the table is small enough that
     a per-task full-column read is cheap (<= ~100M rows).
     """
+    if strategy not in ("auto", "columnar", "moments", "packed", "unpivot"):
+        # A typo previously fell through to the classic unpivot — the
+        # exact n·P·D·(C+1) shuffle the other strategies exist to avoid
+        # — with no error (review r9).
+        raise ValueError(
+            f"unknown strategy {strategy!r}; valid: "
+            "auto/columnar/moments/packed/unpivot"
+        )
     spark = df.sparkSession
     model = config.model
     covariates = list(config.covariate_columns)

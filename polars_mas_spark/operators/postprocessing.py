@@ -112,7 +112,11 @@ def benjamini_hochberg(
     out = adjusted.withColumn(
         out_col, F.when(valid, F.min("__bh_raw__").over(w_tail))
     ).drop("__bh_rank__", "__bh_raw__")
-    return out
+    # Restore ascending p order: the step-up window sorted DESCENDING,
+    # so without this the bh-corrected results leave in reverse p order
+    # while bonferroni preserves ascending — output row order silently
+    # differed by correction choice (review r9).
+    return out.orderBy(F.col(pval_col).asc_nulls_last())
 
 
 def add_phecode_definitions(

@@ -18,6 +18,7 @@ Deviations from the reference, both documented in SURVEY.md §2.5/§2.6:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -220,11 +221,16 @@ def covariate_correlations(
     out = []
     for i, (a, b) in enumerate(pairs):
         cov, sa, sb = row[f"__cov_{i}"], row[f"__sa_{i}"], row[f"__sb_{i}"]
-        r = (
-            None
-            if cov is None or not sa or not sb
-            else max(-1.0, min(1.0, cov / (sa * sb)))
-        )
+        if cov is None or not sa or not sb:
+            r = None
+        else:
+            r = cov / (sa * sb)
+            # NaN (a NaN value in either column propagates through the
+            # aggregates) must stay None: min(1.0, nan) returns 1.0 in
+            # Python — the clamp would report perfect correlation and
+            # drop_correlated_covariates would silently delete the
+            # covariate (review r9).
+            r = None if math.isnan(r) else max(-1.0, min(1.0, r))
         out.append((a, b, r))
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double"

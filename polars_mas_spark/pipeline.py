@@ -73,6 +73,16 @@ def run_pipeline(
 
     num_pairs = len(config.predictor_columns) * len(config.dependent_columns)
     auto_strategy = strategy is None
+    if strategy is not None and strategy not in (
+        "columnar", "packed", "unpivot", "moments",
+    ):
+        # An unknown string previously slipped through the guards and
+        # was silently coerced to 'packed' at the run_associations call
+        # (review r9) — a typo must not pick a physical plan.
+        raise ValueError(
+            f"unknown strategy {strategy!r}; valid: "
+            "columnar/packed/unpivot/moments (or None for auto)"
+        )
     if strategy is None:
         if (
             config.model == "linear"
@@ -83,6 +93,11 @@ def run_pipeline(
             # run_associations) — and need no row count to decide.
             strategy = "moments"
         else:
+            # Persist BEFORE the strategy-deciding count so the pass
+            # that counts also populates the cache (review r9): the
+            # tall branch re-persists the same handle (a no-op) and the
+            # columnar checkpoint branch unpersists it explicitly.
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
             n_rows = df.count()
             strategy = choose_strategy(num_pairs, n_rows)
     if strategy == "columnar" and config.missing_covariate_values in (
@@ -99,6 +114,20 @@ def run_pipeline(
                 f"({config.missing_covariate_values!r}) covariate fills — "
                 "they need the Spark window path; use packed/unpivot or a "
                 "different missing-value strategy"
+            )
+    if strategy == "columnar" and (config.rint or config.logt):
+        # The dependent-variable transforms run as Spark jobs over the
+        # tall path (rint is a global rank per dependent); the columnar
+        # PrepRecipe has no transform pass, so the flag would be
+        # silently ignored — same auto-falls-back / explicit-errors
+        # policy as the guards around this one.
+        if auto_strategy:
+            strategy = "packed"
+        else:
+            raise ValueError(
+                "strategy='columnar' does not apply rint/logt (no "
+                "transform pass in the PrepRecipe path); use "
+                "packed/unpivot/moments, or drop the flag"
             )
     if strategy == "columnar" and config.drop_correlated_above is not None:
         # The correlated-covariate pruner runs inside preprocess(); the
@@ -163,6 +192,7 @@ def run_pipeline(
         files = reusable_scan_files(df)
         if files is None:
             ckpt = checkpoint_wide(df, config.checkpoint_dir)
+            df.unpersist()  # checkpoint written; drop the pre-count cache
             stats_df = spark.read.parquet(ckpt)
         else:
             ckpt = None
@@ -182,6 +212,24 @@ def run_pipeline(
         # it — packed by default, classic unpivot when explicitly asked.
         raw = df.persist(StorageLevel.MEMORY_AND_DISK)
         pre = preprocess(raw, config)
+        if config.rint or config.logt:
+            # §2.12 dependent-variable transforms, applied AFTER fills
+            # and BEFORE the fan-out (the reference declares these CLI
+            # flags but never wires them — cli.py:93-103; here they are
+            # real). rint = per-dependent two-phase global rank + Blom
+            # probit; logt = map-only natural log (non-positive values
+            # become NULL and the kernels treat them as missing).
+            from polars_mas_spark.functions.transforms import (
+                log_transform,
+                rint as rint_transform,
+            )
+
+            for dep in config.dependent_columns:
+                pre = (
+                    rint_transform(pre, dep)
+                    if config.rint
+                    else log_transform(pre, dep)
+                )
         pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
         pre.count()  # materialize before the fan-out; frees the raw cache
         raw.unpersist()
@@ -198,10 +246,7 @@ def run_pipeline(
             # raises — the user asked for it by name.)
             strategy = "packed"
         results = run_associations(
-            pre, config,
-            strategy=strategy
-            if strategy in ("packed", "unpivot", "moments")
-            else "packed",
+            pre, config, strategy=strategy,
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Persist the (small) results table: the correction counts are an

@@ -979,3 +979,63 @@ def test_poisson_fanout_with_covariate(spark):
         MASConfig(
             predictors="x", dependents=["y"], model="poisson"
         ).resolve(["x", "y"])
+
+
+def test_rint_logt_actually_applied(spark):
+    """--rint/--logt must CHANGE the fit (the reference accepts these
+    flags but never wires them — here they are real): a pipeline run
+    with rint=True equals a run on manually rint-transformed
+    dependents, and differs from the raw-dependent run."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_mas_spark.functions.transforms import rint as rint_fn
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame({
+        "x": rng.normal(0, 1, n),
+        "age": rng.normal(50, 10, n),
+    })
+    # heavy-tailed dependent: rint changes the fit materially
+    pdf["y"] = np.exp(1.0 + 0.5 * pdf["x"] + rng.normal(0, 1, n))
+    df = spark.createDataFrame(pdf)
+
+    def run(cfg_kwargs, frame):
+        cfg = MASConfig(
+            predictors="x", dependents=["y"], covariates=["age"],
+            model="linear", quantitative=True, **cfg_kwargs,
+        )
+        r = run_pipeline(spark, cfg, df=frame).collect()[0]
+        return r.beta
+
+    beta_raw = run({}, df)
+    beta_rint = run({"rint": True}, df)
+    assert abs(beta_rint - beta_raw) > 1e-3  # the flag did something
+    manual = rint_fn(df, "y")
+    beta_manual = run({}, manual)
+    assert abs(beta_rint - beta_manual) < 1e-9  # and the RIGHT thing
+    beta_logt = run({"logt": True}, df)
+    manual_log = df.withColumn("y", F.log("y"))
+    beta_manual_log = run({}, manual_log)
+    assert abs(beta_logt - beta_manual_log) < 1e-9
+
+
+def test_rint_logt_validation(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mutually exclusive"):
+        MASConfig(
+            predictors="x", dependents=["y"], covariates=[],
+            model="linear", quantitative=True, rint=True, logt=True,
+        ).resolve(["x", "y"])
+    with _pt.raises(ValueError, match="QUANTITATIVE"):
+        MASConfig(
+            predictors="x", dependents=["y"], covariates=[],
+            model="firth", rint=True,
+        ).resolve(["x", "y"])
+    with _pt.raises(ValueError, match="no dependent columns"):
+        MASConfig(
+            predictors="x", dependents=[], covariates=[],
+            model="firth",
+        ).resolve(["x", "y"])

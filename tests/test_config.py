@@ -69,6 +69,8 @@ def test_included_columns_preserve_header_order():
 
 
 def test_summary_truncation():
-    cfg = MASConfig(predictors="i:0-", dependents=(), covariates=())
+    # dependents must be non-empty since the r9 up-front validation —
+    # the summary-truncation subject is the 9-wide predictor list.
+    cfg = MASConfig(predictors="i:0-8", dependents="c9", covariates=())
     cfg.resolve(COLS)
-    assert "10 columns: c0, c1, ... c8, c9" in cfg.summary()
+    assert "8 columns: c0, c1, ... c6, c7" in cfg.summary()
