@@ -60,11 +60,18 @@ def fit_vocabulary(
     - recoverable under executor loss / decommissioning — the file is
       re-readable by any task (``localCheckpoint``'s unrecoverable
       executor-local blocks remain deliberately avoided);
-    - a FROZEN id assignment: recomputation re-reads the written file,
-      so the bucket offsets computed here can never disagree with a
-      re-evaluated source. A fit over non-deterministic input
-      (sample()/limit) is therefore safe — the old lineage branch's
-      silent non-dense-id hazard is structurally gone.
+    - a FROZEN id assignment AFTER the write: recomputation re-reads
+      the written file, so downstream consumers can never disagree
+      with a re-evaluated source. Honest residual (review r9): the
+      count-collect -> write window itself is still exposed — an
+      executor lost BETWEEN the offset collect and the write job
+      recomputes partitions from source lineage, and a
+      NON-DETERMINISTIC source (sample()/limit) could then yield a
+      distinct set that differs from the counted one, overlapping
+      bucket offset ranges in the written file. Deterministic inputs
+      (any pure projection/filter — the documented contract of every
+      sampler in this engine) are unaffected; for rand()-derived
+      inputs, materialize the frame first.
 
     ``scratch_dir`` defaults to the driver's tempdir, which Spark
     resolves against the DEFAULT filesystem — correct in local mode
@@ -149,6 +156,14 @@ def encode_column(
     if vocab is None:
         vocab = fit_vocabulary(df, col)
     out = out_col or f"{col}_id"
+    if out_col is None and out in df.columns:
+        # withColumn would silently OVERWRITE pre-existing data under
+        # the default name (review r9) — overwriting is fine when the
+        # caller named the target explicitly, not as a default surprise.
+        raise ValueError(
+            f"encode_column: default out_col {out!r} already exists in "
+            "the frame — pass out_col explicitly to overwrite it"
+        )
     v = vocab.select(
         F.col("value").alias("__voc_value__"), F.col("id").alias("__voc_id__")
     )
@@ -302,6 +317,17 @@ def bpe_learn_merges(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
+    try:
+        _learn_loop(words, merges, num_merges)
+    finally:
+        # Release the checkpointed word-frequency blocks: each call
+        # would otherwise leave them on executors until GC — repeated
+        # learns in one session accumulate storage (review r9).
+        words.unpersist()
+    return merges
+
+
+def _learn_loop(words, merges, num_merges) -> None:
     for _ in range(num_merges):
         # Stage the tokenization behind a Generate boundary: the whole
         # wrap + replace-chain + extract expression referenced inside
@@ -341,4 +367,3 @@ def bpe_learn_merges(
         if not top:
             break
         merges.append((top[0]["a"], top[0]["b"]))
-    return merges

@@ -230,7 +230,11 @@ def q_fill_mean(spark, sf_dir):
         .alias("disc"),
     )
     mean_val = base.agg(F.avg("disc")).first()[0]
-    return base.na.fill({"disc": mean_val}).select(
+    # All-null guard: na.fill(None) raises; an all-null column passes
+    # through unfilled like the oracle's coalesce (review r9).
+    if mean_val is not None:
+        base = base.na.fill({"disc": mean_val})
+    return base.select(
         "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc_filled")
     )
 
@@ -319,7 +323,9 @@ def q_fill_min(spark, sf_dir):
         .alias("disc"),
     )
     min_val = base.agg(F.min("disc")).first()[0]
-    return base.na.fill({"disc": min_val}).select(
+    if min_val is not None:  # all-null guard (see fill_mean)
+        base = base.na.fill({"disc": min_val})
+    return base.select(
         "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc_filled")
     )
 
@@ -364,8 +370,12 @@ def q_one_hot(spark, sf_dir):
     """E1: drop-first one-hot over sorted levels (preprocessing.py:
     82-108; first sorted level is the reference level)."""
     o = _t(spark, sf_dir, "orders")
+    # NULL is not a one-hot level (reference parity) — and a None in
+    # sorted() would raise TypeError on regenerated data (review r9).
     levels = sorted(
-        r[0] for r in o.select("o_orderpriority").distinct().collect()
+        r[0]
+        for r in o.select("o_orderpriority").distinct().collect()
+        if r[0] is not None
     )
     return o.select(
         "o_orderkey",
@@ -490,9 +500,38 @@ def q_annotation_join(spark, sf_dir):
 # §2.7/§2.9/postprocessing — bonferroni, BH, scaling, transforms
 # ===========================================================================
 
-_PVAL_PROXY = """SELECT p_partkey AS test_id, round(avg(l_discount), 6) AS pval
+# Integer-cents proxy (the q11 pattern, hardened in review r9): the
+# old round(avg(l_discount), 6) was the exact CLAUDE.md r7 quotient
+# trap LIVE — l_discount is 2-decimal data and 57 part groups at
+# sf0.01 have their true mean EXACTLY on a 6dp .5 boundary (measured),
+# so one cross-engine 1-ulp sum disagreement flips the round. Summing
+# exact cents (integers, order-independent in doubles up to 2^53) and
+# dividing by 100.0 * n gives BIT-IDENTICAL pval doubles on both
+# engines with no rounding step at all.
+_PVAL_PROXY = """SELECT p_partkey AS test_id,
+                        CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                             AS DOUBLE) / (100.0 * count(*)) AS pval
                  FROM lineitem JOIN part ON l_partkey = p_partkey
                  GROUP BY p_partkey"""
+
+
+def _pval_proxy_tests(spark, sf_dir):
+    """ONE Spark-side mirror of _PVAL_PROXY for both correction
+    queries — a fix to the proxy can no longer be applied to one and
+    missed in the other (review r9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_partkey").alias("test_id"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_discount") * 100, 0).cast("long"))
+                .cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("pval")
+        )
+    )
 
 
 @query(
@@ -507,14 +546,7 @@ def q_bonferroni(spark, sf_dir):
     """X2+P8+P10: bonferroni over a per-test p-value table
     (postprocessing.py:14-20). The 'p-values' are a deterministic proxy
     built from the test tables."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    tests = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .groupBy(F.col("p_partkey").alias("test_id"))
-        .agg(F.round(F.avg("l_discount"), 6).alias("pval"))
-    )
-    return bonferroni(tests)
+    return bonferroni(_pval_proxy_tests(spark, sf_dir))
 
 
 @query(
@@ -535,14 +567,7 @@ def q_bonferroni(spark, sf_dir):
 def q_bh_fdr(spark, sf_dir):
     """Benjamini-Hochberg step-up FDR — the reference's declared-but-
     unimplemented roadmap feature (README.md:159), as windows."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    tests = (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .groupBy(F.col("p_partkey").alias("test_id"))
-        .agg(F.round(F.avg("l_discount"), 6).alias("pval"))
-    )
-    out = benjamini_hochberg(tests)
+    out = benjamini_hochberg(_pval_proxy_tests(spark, sf_dir))
     return out.select(
         "test_id", "pval", F.round(F.col("pval_bh"), 6).alias("pval_bh")
     )
@@ -1382,7 +1407,15 @@ def q_tpch_q12ish(spark, sf_dir):
 def q_tpch_q15ish(spark, sf_dir):
     """Q15 shape (top-revenue supplier): aggregate view + scalar-max
     subquery join-back. The max enters as a broadcast 1-row crossJoin
-    (no single-partition window over the supplier aggregate)."""
+    (no single-partition window over the supplier aggregate).
+
+    The supplier aggregate is MATERIALIZED once (localCheckpoint —
+    supplier-cardinality rows, tiny) before being referenced by both
+    the max branch and the equality filter: two live evaluations of a
+    double sum can differ in the last ulp (shuffle-fetch merge order),
+    and `total_revenue == max(total_revenue)` would then match NOTHING
+    — the CLAUDE.md flap class, invisible at sf0.01 where every group
+    fits one partition (review r9)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
@@ -1391,7 +1424,7 @@ def q_tpch_q15ish(spark, sf_dir):
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
-    )
+    ).localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_revenue").alias("__mx__"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

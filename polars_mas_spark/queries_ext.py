@@ -2086,56 +2086,69 @@ def q_scd2_lookup(spark, sf_dir):
 
 @query(
     "event_rollup",
-    """SELECT event_type, CAST(ts AS DATE) AS day,
+    """WITH ev AS (SELECT event_type, ts,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events)
+       SELECT event_type, CAST(ts AS DATE) AS day,
               GROUPING(event_type, CAST(ts AS DATE)) AS gid,
               count(*) AS n_rows,
-              round(sum(value), 6) AS total_value,
-              round(avg(value), 6) AS avg_value
-       FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""",
+              CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value,
+              (CAST(sum(cents) AS DOUBLE) / count(*)) / 100.0 AS avg_value
+       FROM ev GROUP BY ROLLUP(event_type, CAST(ts AS DATE))""",
 )
 def q_event_rollup(spark, sf_dir):
     """Hierarchical (event_type, day) rollup: one Expand + ONE hash
     aggregation for all three grouping levels (operators/olap.py)."""
     from polars_mas_spark.operators.olap import rollup_report
 
-    ev = _t(spark, sf_dir, "events")
-    out = rollup_report(
-        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
+    # Integer-cents rebinding (review r9): events.value IS 2-decimal
+    # data and one rollup cell's true mean sat exactly on a 6dp .5
+    # boundary (measured) — the CLAUDE.md quotient trap live. Rolling
+    # up exact cents makes every sum order-independent and the /100.0
+    # divisions bit-identical cross-engine; no rounding step at all.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
     )
-    # Quotient rounded HERE, at the oracle-comparison site: events.value
-    # is a continuous double, so round(mean, 6) cannot sit on a decimal
-    # .5 boundary (the CLAUDE.md trap needs fixed-decimal inputs).
+    out = rollup_report(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "cents"
+    )
     return out.select(
-        "event_type", "day", "gid", "n_rows", "total_value",
-        F.round("avg_value", 6).alias("avg_value"),
+        "event_type", "day", "gid", "n_rows",
+        (F.col("total_value").cast("double") / 100.0).alias("total_value"),
+        (F.col("avg_value") / 100.0).alias("avg_value"),
     )
 
 
 @query(
     "event_cube",
-    """SELECT event_type, user_id % 10 AS user_bucket,
+    """WITH ev AS (SELECT event_type, user_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events)
+       SELECT event_type, user_id % 10 AS user_bucket,
               GROUPING(event_type, user_id % 10) AS gid,
               count(*) AS n_rows,
-              round(sum(value), 6) AS total_value,
-              round(avg(value), 6) AS avg_value
-       FROM events GROUP BY CUBE(event_type, user_id % 10)""",
+              CAST(sum(cents) AS DOUBLE) / 100.0 AS total_value,
+              (CAST(sum(cents) AS DOUBLE) / count(*)) / 100.0 AS avg_value
+       FROM ev GROUP BY CUBE(event_type, user_id % 10)""",
 )
 def q_event_cube(spark, sf_dir):
     """Full (event_type x user-bucket) cube — all four grouping sets
     from a single Expand+aggregate."""
     from polars_mas_spark.operators.olap import cube_report
 
-    ev = _t(spark, sf_dir, "events")
+    # Integer-cents rebinding — see event_rollup's comment.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
     out = cube_report(
         ev.withColumn("user_bucket", F.col("user_id") % 10),
         ["event_type", "user_bucket"],
-        "value",
+        "cents",
     )
-    # Quotient rounded at the oracle site (continuous double — safe;
-    # see event_rollup's comment).
     return out.select(
-        "event_type", "user_bucket", "gid", "n_rows", "total_value",
-        F.round("avg_value", 6).alias("avg_value"),
+        "event_type", "user_bucket", "gid", "n_rows",
+        (F.col("total_value").cast("double") / 100.0).alias("total_value"),
+        (F.col("avg_value") / 100.0).alias("avg_value"),
     )
 
 

@@ -72,8 +72,12 @@ def _rewrite_extra_null_tokens(df: DataFrame, tokens: list[str]) -> DataFrame:
     int/double, and a string-only rewrite would silently keep every -9
     as real data (wrong betas, wrong means — reference polars nulls all
     tokens in all columns at parse time). For those columns the token
-    is compared by VALUE: any cell equal to the parsed token is nulled,
-    exactly what the text-level match means for numeric CSV cells."""
+    is compared by VALUE — a documented DEVIATION from the reference's
+    text-level match (review r9): a cell written '-9.0' equals token
+    '-9' by value and is nulled here, while polars' null_values text
+    match would keep it. For sentinel missing-codes the value match is
+    the safer superset; inputs that use '-9.0' as REAL data with '-9'
+    as the sentinel need text-typed columns."""
     string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
     numeric_tokens = []
     for t in tokens:

@@ -169,6 +169,48 @@ def check_unique(d: str, bad: list[str]) -> None:
             )
     except Exception as e:
         bad.append(f"{d}/documents NULL-text probe failed: {e}")
+    # Quotient-rounding tripwire (CLAUDE.md r7 rule, scoped in r9): the
+    # REMAINING round(avg, 6) oracles after the r9 integer-cents
+    # rebindings are tpch_q1's per-(returnflag, linestatus) averages
+    # and profile_table's whole-table means of 2-decimal lineitem
+    # measures. A group mean sits EXACTLY on a 6dp .5 boundary iff
+    # sum(cents) * 20000 / n is an odd integer — detectable exactly in
+    # integer arithmetic; such a group flips the round whenever the two
+    # engines' sum doubles land on opposite sides (1-ulp order noise).
+    # The hardened queries (bonferroni/bh_fdr proxy, event_rollup/cube)
+    # no longer round quotients at all.
+    try:
+        n_mid = con.execute(
+            f"""WITH g AS (
+                  SELECT l_returnflag, l_linestatus, col.c AS which,
+                         sum(col.v) AS S, count(*) AS n
+                  FROM (
+                    SELECT l_returnflag, l_linestatus,
+                           unnest([
+                             struct_pack(c := 'qty',
+                               v := CAST(round(l_quantity * 100) AS BIGINT)),
+                             struct_pack(c := 'price',
+                               v := CAST(round(l_extendedprice * 100) AS BIGINT)),
+                             struct_pack(c := 'disc',
+                               v := CAST(round(l_discount * 100) AS BIGINT))
+                           ]) AS col
+                    FROM read_parquet('{d}/lineitem.parquet')
+                    WHERE l_shipdate <= DATE '1998-09-02')
+                  GROUP BY 1, 2, 3)
+                SELECT count(*) FROM g
+                WHERE (S * 20000) % n = 0 AND ((S * 20000) / n) % 2 = 1"""
+        ).fetchone()[0]
+        if n_mid:
+            bad.append(
+                f"{d}/lineitem: {n_mid} tpch_q1 group average(s) sit "
+                "EXACTLY on a 6dp rounding midpoint — the round(avg,6) "
+                "projections in tpch_q1 / profile_table can flip "
+                "cross-engine on 1-ulp sum noise; rebind those "
+                "averages on integer cents (bonferroni-proxy pattern) "
+                "before trusting the gate"
+            )
+    except Exception as e:
+        bad.append(f"{d} quotient-midpoint probe failed: {e}")
 
 
 def main() -> None:
