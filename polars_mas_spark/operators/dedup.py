@@ -1168,10 +1168,14 @@ def dedup_cascade(
         # every such document into one group and hard-delete all but
         # the min id (review r9). Degenerate keys bypass the URL stage
         # exactly like NULL urls.
+        # Checkpoint the canonicalized frame: three consumers (group
+        # mins, the survivor join, the degenerate bypass) would each
+        # re-run the regexp-heavy canonical_url over the full scan —
+        # measured 2.9 s -> 9.1 s at sf0.1 without the break.
         keyed_all = cur.withColumn(
             "__k__",
             F.when(F.col("__u__").isNotNull(), canonical_url(F.col("__u__"))),
-        )
+        ).localCheckpoint(eager=True)
         degenerate = F.col("__k__").isNull() | (F.col("__k__") == "")
         keyed = keyed_all.filter(~degenerate)
         mins = keyed.groupBy("__k__").agg(F.min("doc_id").alias("__keep__"))
