@@ -2741,10 +2741,17 @@ def q_mas_sex_specific_linear(spark, sf_dir):
     )
 
 
-@query("mas_logistic_fanout")  # iterative MLE → rows-only + golden unit tests
 def q_mas_logistic_fanout(spark, sf_dir):
     """Full MAS pipeline (logistic) on a wide table derived from orders:
-    binary outcomes ~ totalprice with lineitem-derived covariates."""
+    binary outcomes ~ totalprice with lineitem-derived covariates.
+
+    RETIRED from the driver registry in r10 (VERDICT r9 "What's wrong"
+    #1): iterative MLE has no SQL closed form, so this could only ever
+    be a rows-only driver row — a guaranteed `no_oracle` red whenever
+    windowed. The identical code path (packed strategy, logistic
+    kernel, corrections) is value-bound by `mas_logistic_fanout_golden`
+    and unit-bound by tests/test_retired_fanouts.py; bench still times
+    it (BENCH_ONLY)."""
     wide = _mas_wide_table(spark, sf_dir)
     cfg = MASConfig(
         predictors="price_k",
@@ -2763,11 +2770,15 @@ def q_mas_logistic_fanout(spark, sf_dir):
     )
 
 
-@query("mas_firth_fanout")  # penalized iterative MLE → rows-only + golden unit tests
 def q_mas_firth_fanout(spark, sf_dir):
     """Full MAS pipeline with the reference's DEFAULT model: Firth
     penalized logistic with LRT p-values (reference models.py:9-53,
-    logistf-default hyperparameters)."""
+    logistf-default hyperparameters).
+
+    RETIRED from the driver registry in r10 (VERDICT r9 "What's wrong"
+    #1) — same rationale as q_mas_logistic_fanout; value-bound by
+    `mas_firth_fanout_golden`, unit-bound by
+    tests/test_retired_fanouts.py, still timed by bench."""
     wide = _mas_wide_table(spark, sf_dir)
     cfg = MASConfig(
         predictors="price_k",
@@ -3647,11 +3658,16 @@ def _phewas_wide_parquet(spark, sf_dir, n_samples=5000, n_phecodes=1800, n_covar
     return path
 
 
-@query("mas_phewas_firth_180")  # BASELINE workload shape at 1/10 width → rows-only
 def q_mas_phewas_firth_180(spark, sf_dir):
     """The reference benchmark workload (Firth PheWAS) at one-tenth width
-    (180 phecodes) so the correctness driver exercises the wide fan-out;
-    bench.py runs the full 1,800-phecode shape."""
+    (180 phecodes); bench.py runs the full 1,800-phecode shape.
+
+    RETIRED from the driver registry in r10 (VERDICT r9 "What's wrong"
+    #1): rows-only by nature. The identical columnar code path is
+    value-bound driver-side by `mas_phewas_firth_180_golden` (planted
+    closed-form 2x2 cells, r9-green) and this shape stays exercised
+    cross-process by tools/probe_local_cluster.py and
+    tests/test_retired_fanouts.py."""
     return _run_phewas(spark, sf_dir, n_phecodes=180)
 
 
@@ -3993,6 +4009,12 @@ BENCH_ONLY = {
     "mas_phewas_firth_1800": q_mas_phewas_firth_1800,
     "mas_phewas_firth_1800_n20k": q_mas_phewas_firth_1800_n20k,
     "mas_phewas_firth_1800_c20": q_mas_phewas_firth_1800_c20,
+    # r10-retired rows-only fan-outs (no SQL oracle possible; value
+    # coverage lives in their golden twins) — kept here so bench.py and
+    # the scale probes keep timing the real sf-data shapes.
+    "mas_logistic_fanout": q_mas_logistic_fanout,
+    "mas_firth_fanout": q_mas_firth_fanout,
+    "mas_phewas_firth_180": q_mas_phewas_firth_180,
 }
 
 

@@ -106,7 +106,7 @@ from polars_mas_spark import queries_ext as qe
 sf = "/root/testdata/sf0.001"
 n1 = q.QUERIES["scan_project"](spark, sf).count()
 n2 = q.QUERIES["tpch_q3"](spark, sf).count()
-n3 = q.QUERIES["mas_logistic_fanout"](spark, sf).count()
+n3 = qe.q_mas_logistic_fanout(spark, sf).count()
 assert n1 > 0 and n2 > 0 and n3 > 0, (n1, n2, n3)
 print("DEPLOY_CONF_SMOKE_OK", applied, n1, n2, n3)
 spark.stop()

@@ -50,6 +50,36 @@ PINNED = [
     "curation_pipeline",
 ]
 
+# Queries owed a driver re-pin because their OUTPUT SEMANTICS changed
+# (evidence age cannot see semantic drift — ADVICE r9 #2): name ->
+# (shipping round the re-pin is due, reason). --check fails when the
+# due round has arrived, the query is out of the current window, and no
+# CORRECTNESS round >= the due round has gone green for it. Prune an
+# entry once satisfied.
+MUST_PIN: dict[str, tuple[int, str]] = {
+    # r9 integer-cents quotient-trap rebinding changed output values;
+    # r9 window was saturated, re-pin consciously deferred to r10
+    # (CLAUDE.md obligation; VERDICT r9 next-steps #1).
+    "bonferroni": (10, "r9 integer-cents rebinding changed values"),
+    "bh_fdr": (10, "r9 integer-cents rebinding changed values"),
+    "event_cube": (10, "r9 integer-cents rebinding changed values"),
+    "mas_firth_fanout_golden": (10, "r9 integer-cell projection hardening"),
+    "mas_logistic_fanout_golden": (10, "r9 integer-cell projection hardening"),
+    "mas_firth_columnar_golden": (10, "r9 integer-cell projection hardening"),
+    # Promised r10 returns displaced by the six pins above + the r10-new
+    # queries (VERDICT r9 next-steps #3 names them the safest one-round
+    # sit-outs; kernels untouched since their r8 greens).
+    "mas_poisson_rate_golden": (11, "pinned golden, sat out r9 and r10"),
+    "mas_logistic_mtcars_golden": (11, "pinned golden, sat out r9 and r10"),
+}
+
+# Never-driver-checked queries explicitly granted ONE round out of the
+# window: name -> (shipping round the deferral covers, reason). In the
+# following round the name becomes mandatory (enforced below: an
+# expired deferral is treated exactly like a forgotten never-checked
+# query).
+DEFERRED: dict[str, tuple[int, str]] = {}
+
 
 def evidence(registry: list[str]) -> tuple[list[str], dict[str, int], int]:
     """(never-checked names, latest-green-round per name, current round)."""
@@ -58,27 +88,60 @@ def evidence(registry: list[str]) -> tuple[list[str], dict[str, int], int]:
     return never, latest, cur
 
 
+def _due_must_pins(registry: list[str], latest: dict[str, int], cur: int) -> list[str]:
+    """MUST_PIN entries whose due round has arrived (shipping round =
+    cur + 1) and that no post-obligation driver green has satisfied."""
+    ship = cur + 1
+    return [
+        n
+        for n, (due, _reason) in MUST_PIN.items()
+        if n in registry and ship >= due and latest.get(n, -1) < due
+    ]
+
+
 def propose(registry: list[str]) -> tuple[list[str], list[str], list[str]]:
-    """(pinned, never, aged) partitions of the proposed window."""
-    never, latest, _cur = evidence(registry)
-    pinned = [n for n in PINNED if n in registry]
-    never = [n for n in never if n not in pinned]
-    rest = sorted(
-        (n for n in registry if n not in pinned and n not in set(never)),
-        key=lambda n: (latest.get(n, -1), n),
+    """(pinned, never, aged) partitions of the proposed window.
+
+    Fill order is MANDATORY-first: due must-pins and undeferred
+    never-checked queries, then every query whose evidence would breach
+    MAX_AGE if left out, THEN the standing PINNED set (best-effort —
+    r9/r10 showed mandatory classes can crowd it out; displaced pins
+    should get a MUST_PIN obligation for the following round), then the
+    remainder by evidence age."""
+    never, latest, cur = evidence(registry)
+    must = [n for n in _due_must_pins(registry, latest, cur)]
+    never = [
+        n
+        for n in never
+        if n not in must and DEFERRED.get(n, (0,))[0] != cur + 1
+    ]
+    aged_mandatory = sorted(
+        n
+        for n in registry
+        if n in latest and cur - latest[n] >= MAX_AGE
+        and n not in must and n not in set(never)
     )
-    room = WINDOW - len(pinned) - len(never)
-    if room < 0:
-        # More debt than window: oldest-registered never-checked first
-        # (registry order ~ registration order), truncate, warn.
+    mandatory = must + never + aged_mandatory
+    if len(mandatory) > WINDOW:
         print(
-            f"# WARNING: {len(pinned) + len(never)} pinned+never exceeds "
-            f"the {WINDOW}-slot window; {-room} never-checked queries "
-            "must wait a round",
+            f"# WARNING: {len(mandatory)} mandatory rows (must-pin + "
+            f"never + age>={MAX_AGE}) exceed the {WINDOW}-slot window; "
+            "defer explicitly (DEFERRED / MUST_PIN next round)",
             file=sys.stderr,
         )
-        never, room = never[: WINDOW - len(pinned)], 0
-    return pinned, never, rest[:room]
+    taken = set(mandatory)
+    standing = [
+        n for n in PINNED if n in registry and n not in taken
+    ][: max(0, WINDOW - len(mandatory))]
+    pinned = must + standing
+    taken |= set(standing)
+    deferred_now = {n for n in DEFERRED if DEFERRED[n][0] == cur + 1}
+    rest = sorted(
+        (n for n in registry if n not in taken and n not in deferred_now),
+        key=lambda n: (latest.get(n, -1), n),
+    )
+    room = max(0, WINDOW - len(taken))
+    return pinned, never, aged_mandatory + rest[:room]
 
 
 def emit(pinned: list[str], never: list[str], aged: list[str]) -> str:
@@ -136,9 +199,39 @@ def main() -> None:
                 f"queries: {overage}"
             )
             sys.exit(1)
+        # Semantic-drift obligations (ADVICE r9 #2): a MUST_PIN entry
+        # whose due round has arrived must be in-window until a driver
+        # green at >= the due round satisfies it.
+        unmet = [
+            n for n in _due_must_pins(registry, latest, cur) if n not in window
+        ]
+        if unmet:
+            print(
+                "ROTATION STALE: must-pin obligations (changed semantics "
+                f"or promised returns) outside the current window: "
+                f"{[(n, MUST_PIN[n]) for n in unmet]}"
+            )
+            sys.exit(1)
+        satisfied = [
+            n
+            for n, (due, _r) in MUST_PIN.items()
+            if latest.get(n, -1) >= due
+        ]
+        if satisfied:
+            print(f"note: prune satisfied MUST_PIN entries: {satisfied}")
+        deferred_now = sorted(
+            n for n in DEFERRED if DEFERRED[n][0] == cur + 1 and n not in window
+        )
+        if deferred_now:
+            print(
+                f"note: {len(deferred_now)} never-checked queries sit out "
+                f"this round under an explicit deferral (mandatory next "
+                f"round): {deferred_now}"
+            )
         print(
-            f"rotation ok: all {len(never)} never-checked queries "
-            f"in-window; no out-of-window query at age >= {MAX_AGE}"
+            f"rotation ok: all {len(never)} undeferred never-checked "
+            f"queries in-window; no out-of-window query at age >= "
+            f"{MAX_AGE}; all due must-pins in-window"
         )
         return
 

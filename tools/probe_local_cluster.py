@@ -175,7 +175,9 @@ def main():
     assert master.startswith("local-cluster"), f"got master {master!r}"
     print(f"master={master} defaultParallelism={spark.sparkContext.defaultParallelism}")
 
-    qs = entry_mod.queries()
+    from polars_mas_spark.queries_ext import BENCH_ONLY
+
+    qs = {**entry_mod.queries(), **BENCH_ONLY}
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:

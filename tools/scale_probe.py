@@ -97,7 +97,9 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
+    from polars_mas_spark.queries_ext import BENCH_ONLY
+
+    qs = {**entry_mod.queries(), **BENCH_ONLY}
     names = args.names or [n for n in DEFAULT_QUERIES if n in qs]
     rows = []
     for name in names:
