@@ -650,6 +650,102 @@ def model_quality_score(
     )
 
 
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 256,
+    salt: str = "qmodel",
+    fit_intercept: bool = True,
+    max_iter: int = 200,
+    tol: float = 1e-9,
+    reg_param: float = 0.0,
+) -> tuple[list[float], float]:
+    """Distributed training for the hashing-trick quality classifier
+    (the fastText/DCLM-style model ``model_quality_score`` scores with):
+    fit logistic weights over labeled documents and return
+    ``(weights, bias)`` ready to pass straight back into
+    ``model_quality_score`` — closing the curation loop (train on a
+    labeled seed set, score the full crawl).
+
+    The feature map is EXACTLY the inference path's: token t hashes to
+    ``hash_bucket(t, n_buckets, salt)`` and the document's feature
+    vector is the mean-pooled bucket histogram x[b] = count_b/n_tokens,
+    so ``dot(w, x) + bias == model_quality_score``'s
+    ``bias + mean(w[bucket(token)])`` identically.
+
+    Spark-first shape, sized for 100 TB of labeled docs:
+    - Featurization is ONE map-only JVM pass (split/lower/md5-bucket +
+      a sequence-filter histogram), zero shuffles, no Python. The
+      histogram costs O(n_buckets * n_tokens) per doc vs O(n_tokens)
+      for an explode + groupBy(doc) pivot — chosen deliberately: the
+      hashing trick keeps n_buckets small (<= a few hundred) and the
+      filter passes stay inside whole-stage codegen, while the explode
+      route pays a full doc-keyed shuffle of every token.
+    - The fit is MLlib ``LogisticRegression`` (breeze LBFGS/OWLQN over
+      ``treeAggregate`` gradient partials): per-iteration traffic is
+      O(n_buckets) per partition with map-side combine — the canonical
+      big-n / small-p layout. Labels outside {0,1} are dropped
+      (mirrors the MAS pipeline's per-task validation).
+
+    ``standardization=False`` so coefficients are in raw feature units
+    (directly usable as score weights) even under L2; with
+    ``reg_param=0`` the optimum is the plain MLE, which the unit tests
+    bind against the engine's own golden-validated numpy
+    ``logistic_mle`` kernel and, on per-bucket-separable planted data,
+    against the closed-form log-odds (driver query
+    ``quality_classifier_train``).
+
+    Gauge caveat: mean-pooled features sum to 1 on every non-empty doc,
+    so with ``fit_intercept=True`` the intercept is collinear with the
+    feature block and the MLE is a ridge (``w + c, bias - c`` all
+    equivalent). Scores on TRAINED-vocabulary docs are unaffected, but
+    docs whose tokens all hash to never-seen buckets score ``bias``
+    alone, which IS gauge-dependent. For reproducible weights pass
+    ``fit_intercept=False`` (pins bias to 0; per-bucket-separable data
+    then has a closed form) or a small ``reg_param`` (pins the
+    minimum-norm point on the ridge)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from polars_mas_spark.operators.sampling import hash_bucket
+
+    staged = stage_columns(
+        df.select(
+            qcol(label_col).cast("double").alias("__y__"),
+            F.coalesce(qcol(text_col), F.lit("")).alias("__t__"),
+        ),
+        __b__=F.transform(
+            F.filter(
+                F.split(F.lower(F.col("__t__")), r"\s+"), lambda t: t != ""
+            ),
+            lambda t: hash_bucket(t, n_buckets, salt).cast("int"),
+        ),
+    )
+    b = F.col("__b__")
+    n = F.size(b)
+    hist = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda k: F.when(
+            n > 0, F.size(F.filter(b, lambda t: t == k)) / n
+        ).otherwise(F.lit(0.0)),
+    )
+    feats = staged.select(
+        F.col("__y__").alias("label"), array_to_vector(hist).alias("features")
+    ).where(F.col("label").isin(0.0, 1.0))
+    model = LogisticRegression(
+        maxIter=max_iter,
+        tol=tol,
+        regParam=reg_param,
+        fitIntercept=fit_intercept,
+        standardization=False,
+    ).fit(feats)
+    return (
+        [float(w) for w in model.coefficients.toArray()],
+        float(model.intercept),
+    )
+
+
 def char_trigram_scores(
     df: DataFrame,
     id_col: str,

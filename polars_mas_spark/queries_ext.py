@@ -844,6 +844,79 @@ def q_model_quality_score(spark, sf_dir):
     )
 
 
+_QCT_BUCKETS = 64
+_QCT_ORACLE = f"""WITH planted AS (
+  SELECT doc_id, 'qtok' || CAST(doc_id % 8 AS VARCHAR) AS text,
+         CASE WHEN (doc_id // 8) % 4 < 1 + (doc_id % 8) % 3
+              THEN 1 ELSE 0 END AS label
+  FROM documents),
+g AS (
+  SELECT {_bucket_sql('text', _QCT_BUCKETS, 'qm')} AS bucket,
+         sum(label)::BIGINT AS n_pos,
+         (count(*) - sum(label))::BIGINT AS n_neg
+  FROM planted GROUP BY 1)
+SELECT bucket, n_pos, n_neg, TRUE AS fit_ok FROM g ORDER BY bucket"""
+
+
+@query("quality_classifier_train", _QCT_ORACLE)
+def q_quality_classifier_train(spark, sf_dir):
+    """Distributed quality-classifier TRAINING (text.py
+    train_quality_classifier: map-only hashed featurization + MLlib
+    LBFGS), closing the DCLM/fastText curation loop that
+    model_quality_score scores (VERDICT r9 next-steps #5).
+
+    Planted per-bucket-separable corpus derived from documents.doc_id:
+    every doc is a single token qtok{{doc_id%8}}, label positive on a
+    per-token fraction in {{1/4, 1/2, 3/4}}, so the no-intercept MLE
+    factorizes per hash bucket with the CLOSED FORM w[b] =
+    ln(n_pos/n_neg) (both classes present in every bucket at every SF:
+    doc_id is dense 0..n-1 with n >= 500). Self-filtering witness
+    (sex2 pattern): fit_ok is TRUE only if the distributed LBFGS weight
+    matches the closed form within 1e-4 — the oracle asserts TRUE, so
+    solver drift flips the value hash. Projection is integer counts +
+    the boolean (no float quotients cross the engine boundary)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    planted = docs.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("qtok"), (F.col("doc_id") % 8).cast("string")
+        ).alias("text"),
+        F.when(
+            F.expr("doc_id div 8") % 4 < F.lit(1) + (F.col("doc_id") % 8) % 3,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("label"),
+    )
+    w, _bias = tx.train_quality_classifier(
+        planted, "text", "label",
+        n_buckets=_QCT_BUCKETS, salt="qm", fit_intercept=False,
+    )
+    from polars_mas_spark.operators.sampling import hash_bucket
+
+    counts = planted.groupBy(
+        hash_bucket(F.col("text"), _QCT_BUCKETS, "qm").cast("long").alias("bucket")
+    ).agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("label")).cast("long").alias("n_neg"),
+    )
+    # literal weight table from tuples + explicit schema (never pandas:
+    # None->NaN depends on the session's Arrow config, r4 driver-red)
+    wtab = spark.createDataFrame(
+        [(int(b), float(x)) for b, x in enumerate(w)],
+        schema="bucket long, w double",
+    )
+    return (
+        counts.join(F.broadcast(wtab), "bucket")
+        .select(
+            "bucket", "n_pos", "n_neg",
+            (
+                F.abs(F.col("w") - F.log(F.col("n_pos") / F.col("n_neg")))
+                < 1e-4
+            ).alias("fit_ok"),
+        )
+        .orderBy("bucket")
+    )
+
+
 _DOCS_COLS = "doc_id, text, lang, source, n_chars"
 
 
