@@ -324,19 +324,38 @@ def span_decontaminate(
     staged, gpos = _span_window_fingerprints(
         corpus, id_col, text_col, k, "span_decontaminate"
     )
-    # Benchmark doc ids are never used (only the fingerprint set is
-    # kept), so the bench frame does NOT need the corpus's id column —
-    # a plain held-out text list works (review r9).
-    bench_shaped = benchmark.select(
-        F.lit(0).cast("long").alias("__bid__"),
-        qcol(text_col).alias("__btxt__"),
+    bench_g = span_fingerprints(benchmark, text_col, k)
+    return _scrub_spans(staged, gpos, F.broadcast(bench_g), k)
+
+
+def span_fingerprints(df: DataFrame, text_col: str, k: int = 10) -> DataFrame:
+    """DISTINCT md5 fingerprints (column ``g``) of every stride-1
+    ``k``-word window of ``df[text_col]`` — the persistable side table
+    for span-granularity scrubbing. Map-only fingerprinting + one
+    distinct that shuffles 32-hex keys, never text; at 100 TB this is
+    the table an ingestion pipeline maintains across batches (append
+    each accepted batch's fingerprints) so
+    :func:`incremental_span_decontaminate` never re-reads accepted
+    text. Doc ids are never used (only the fingerprint set is kept), so
+    any held-out text list works (review r9)."""
+    shaped = df.select(
+        F.lit(0).cast("long").alias("__fid__"),
+        qcol(text_col).alias("__ftxt__"),
     )
-    _, bench_gpos = _span_window_fingerprints(
-        bench_shaped, "__bid__", "__btxt__", k, "span_decontaminate"
+    _, gpos = _span_window_fingerprints(
+        shaped, "__fid__", "__ftxt__", k, "span_fingerprints"
     )
-    bench_g = bench_gpos.select("g").distinct()
+    return gpos.select("g").distinct()
+
+
+def _scrub_spans(staged, gpos, fset: DataFrame, k: int) -> DataFrame:
+    """Shared scrub core of :func:`span_decontaminate` /
+    :func:`incremental_span_decontaminate`: delete every token covered
+    by a corpus window whose fingerprint appears in ``fset`` (a frame
+    with column ``g``, already broadcast-wrapped by the caller if its
+    size warrants it), then reassemble."""
     removed = (
-        gpos.join(F.broadcast(bench_g), on="g", how="semi")
+        gpos.join(fset, on="g", how="semi")
         .select(
             "doc_id",
             F.explode(
@@ -384,6 +403,54 @@ def span_decontaminate(
         )
         .withColumn("contaminated", F.col("n_removed") > 0)
     )
+
+
+def incremental_span_decontaminate(
+    new_df: DataFrame,
+    seen: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    seen_is_fingerprints: bool = False,
+    broadcast_seen: bool = False,
+) -> DataFrame:
+    """Span-granularity scrub of a NEW ingestion batch against an
+    already-accepted corpus — the rolling-crawl twin of
+    :func:`span_decontaminate` (which scrubs against a small held-out
+    benchmark), completing the incremental family of
+    [[incremental_exact_dedup]] / [[incremental_minhash_dedup]]
+    (VERDICT r9 next-steps #6). Every stride-1 ``k``-word window of the
+    new batch that appears ANYWHERE in the accepted corpus is cut out,
+    regardless of alignment; spans repeated only WITHIN the new batch
+    are untouched (that is :func:`span_dedup`'s job, run after
+    acceptance).
+
+    ``seen`` is either accepted TEXT (default; fingerprinted once here)
+    or, with ``seen_is_fingerprints=True``, an already-persisted
+    :func:`span_fingerprints` table (column ``g``) — the 100 TB layout,
+    where each accepted batch appends its fingerprints and accepted
+    text is NEVER re-read or re-fingerprinted across ingestions.
+
+    Scale shape: the seen side enters the match as DISTINCT 32-hex
+    fingerprints — accepted text never shuffles (plan-asserted) — and
+    the match is one semi join keyed on ``g``. Unlike the benchmark
+    variant the seen set scales with the CORPUS, so it does not
+    broadcast by default (a hash semi-join partitions both sides by
+    ``g``); pass ``broadcast_seen=True`` when the accepted set is known
+    small. Everything else is linear in new-batch tokens: one
+    ~token-count distinct on (doc, position), one anti-join, one
+    reassembly shuffle on doc id."""
+    fset = (
+        seen.select("g")
+        if seen_is_fingerprints
+        else span_fingerprints(seen, text_col, k)
+    )
+    if broadcast_seen:
+        fset = F.broadcast(fset)
+    staged, gpos = _span_window_fingerprints(
+        new_df, id_col, text_col, k, "incremental_span_decontaminate"
+    )
+    return _scrub_spans(staged, gpos, fset, k)
 
 
 # ---------------------------------------------------------------------------

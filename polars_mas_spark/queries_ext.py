@@ -4306,6 +4306,99 @@ def q_span_decontaminate(spark, sf_dir):
     return dd.span_decontaminate(corp, bench, "doc_id", "text", k=10)
 
 
+_ISD_PLANT = " ".join(f"ix{i}" for i in range(12))
+_ISD_PLANT2 = " ".join(f"jx{i}" for i in range(12))
+
+_ISD_SQL = rf"""WITH base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 60 = 1 THEN text || ' {_ISD_PLANT}'
+                WHEN doc_id % 45 = 0 THEN '{_ISD_PLANT} ' || text
+                WHEN doc_id % 132 = 90 THEN '{_ISD_PLANT2} ' || text
+                ELSE text END AS text
+    FROM documents),
+wd AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+    FROM base WHERE doc_id % 3 = 0),
+swd AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+    FROM base WHERE doc_id % 3 <> 0),
+sg AS (
+    SELECT DISTINCT unnest(list_transform(generate_series(0, len(words) - 10),
+                    i -> md5(array_to_string(list_slice(words, i + 1, i + 10),
+                                             ' ')))) AS g
+    FROM swd WHERE len(words) >= 10),
+gr AS (
+    SELECT doc_id,
+           unnest(generate_series(0, len(words) - 10)) AS p,
+           unnest(list_transform(generate_series(0, len(words) - 10),
+                  i -> md5(array_to_string(list_slice(words, i + 1, i + 10),
+                                           ' ')))) AS g
+    FROM wd WHERE len(words) >= 10),
+rem AS (
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT gr.doc_id, unnest(generate_series(gr.p, gr.p + 9)) AS pos
+        FROM gr JOIN sg USING (g))),
+tok AS (
+    SELECT doc_id,
+           unnest(words) AS tok,
+           unnest(generate_series(0, len(words) - 1)) AS pos
+    FROM wd WHERE len(words) > 0),
+surv AS (
+    SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS txt,
+           count(*)::BIGINT AS kept
+    FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+    WHERE r.doc_id IS NULL
+    GROUP BY t.doc_id)
+SELECT w.doc_id, coalesce(s.txt, '') AS clean_text,
+       coalesce(len(w.words), 0)::BIGINT AS n_tokens,
+       (coalesce(len(w.words), 0) - coalesce(s.kept, 0))::BIGINT AS n_removed,
+       (coalesce(len(w.words), 0) - coalesce(s.kept, 0)) > 0 AS contaminated
+FROM wd w LEFT JOIN surv s ON w.doc_id = s.doc_id"""
+
+
+@query("incremental_span_decontaminate", _ISD_SQL)
+def q_incremental_span_decontaminate(spark, sf_dir):
+    """Rolling-crawl span decontamination
+    (dedup.incremental_span_decontaminate, VERDICT r9 next-steps #6):
+    docs with doc_id % 3 != 0 play the accepted corpus, the rest the
+    new batch. A 12-word span is APPENDED to some accepted docs
+    (doc_id % 60 == 1, all != 0 mod 3) and PREPENDED to some new docs
+    (doc_id % 45 == 0, all divisible by 3) — mutually misaligned
+    cross-batch contamination. A second span lives ONLY in new docs
+    (doc_id % 132 == 90): it must SURVIVE, proving the scrub matches
+    against accepted fingerprints only, never within-batch. The seen
+    side goes through the persisted-fingerprint path
+    (span_fingerprints + seen_is_fingerprints=True, the 100 TB
+    layout); the oracle replays fingerprinting, match, coverage, and
+    reassembly in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 60 == 1,
+            F.concat(F.col("text"), F.lit(" " + _ISD_PLANT)),
+        )
+        .when(
+            F.col("doc_id") % 45 == 0,
+            F.concat(F.lit(_ISD_PLANT + " "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 132 == 90,
+            F.concat(F.lit(_ISD_PLANT2 + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    seen = planted.filter(F.col("doc_id") % 3 != 0)
+    new_batch = planted.filter(F.col("doc_id") % 3 == 0)
+    fps = dd.span_fingerprints(seen, "text", k=10)
+    return dd.incremental_span_decontaminate(
+        new_batch, fps, "doc_id", "text", k=10, seen_is_fingerprints=True
+    )
+
+
 @query("span_dedup", _SPAN_DEDUP_SQL)
 def q_span_dedup(spark, sf_dir):
     """Alignment-free repeated-SPAN removal at Lee et al. 2022

@@ -220,6 +220,25 @@ def test_incremental_minhash_seen_text_never_shuffles(spark, qs):
     assert inspected >= 1, plan
 
 
+def test_incremental_span_decon_seen_text_never_shuffles(spark, qs):
+    """The accepted-corpus side of incremental_span_decontaminate must
+    enter the match as distinct md5 fingerprints: no Exchange may carry
+    the raw text column, and there is no pair join or row-Python."""
+    import re
+
+    plan = plan_of(qs["incremental_span_decontaminate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    inspected = 0
+    for block in re.split(r"\n\n", plan):
+        if block.lstrip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            inspected += 1
+            assert not re.search(r"\btext#", block), f"text shuffles:\n{block}"
+    # fingerprint distinct + semi join + reassembly guarantee Exchanges
+    # exist; zero inspected means the block heuristic broke.
+    assert inspected >= 1, plan
+
+
 def test_contamination_broadcasts_benchmark(spark, qs):
     """The benchmark shingle set must broadcast; the corpus side must
     not appear under any shuffle Exchange before the join."""

@@ -1817,6 +1817,60 @@ def test_span_decontaminate_surgical_and_total(spark):
         ), r
 
 
+def test_incremental_span_decontaminate_semantics(spark):
+    """Cross-batch misaligned spans are cut; spans repeated only WITHIN
+    the new batch survive; the persisted-fingerprint path is identical
+    to the text path."""
+    from polars_mas_spark.operators.dedup import (
+        incremental_span_decontaminate,
+        span_fingerprints,
+    )
+
+    seen = spark.createDataFrame(
+        [
+            (100, "u v s0 s1 s2 s3 s4 s5 s6 s7"),  # span mid-doc
+            (101, "other accepted material here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # accepted span at a DIFFERENT alignment -> cut
+            (1, "s0 s1 s2 s3 s4 s5 s6 s7 tail words"),
+            # span repeated only within the NEW batch -> survives twice
+            (2, "n0 n1 n2 n3 n4 lead"),
+            (3, "lead n0 n1 n2 n3 n4"),
+            # clean
+            (4, "p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_span_decontaminate(
+            new, seen, "doc_id", "text", k=4
+        ).collect()
+    }
+    assert out[1].clean_text == "tail words" and out[1].n_removed == 8
+    assert not out[2].contaminated and out[2].clean_text == "n0 n1 n2 n3 n4 lead"
+    assert not out[3].contaminated
+    assert out[4].clean_text == "p q r s t u" and out[4].n_removed == 0
+    for r in out.values():
+        assert r.n_tokens - r.n_removed == len(r.clean_text.split())
+
+    # persisted-fingerprint path == text path (the 100 TB layout)
+    fps = span_fingerprints(seen, "text", k=4)
+    out_fp = {
+        r.doc_id: r
+        for r in incremental_span_decontaminate(
+            new, fps, "doc_id", "text", k=4, seen_is_fingerprints=True
+        ).collect()
+    }
+    assert {d: (r.clean_text, r.n_removed) for d, r in out.items()} == {
+        d: (r.clean_text, r.n_removed) for d, r in out_fp.items()
+    }
+
+
 def test_dedup_cascade_stage_attribution(spark):
     """Each duplicate is attributed to the FIRST stage that catches it;
     survivors are min-id; NULL url/text pass their stages untouched."""
