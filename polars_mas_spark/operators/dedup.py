@@ -707,6 +707,123 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+_PARA_IDX_BITS = 20
+
+
+def paragraph_neardup_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_words: int = 64,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """PARAGRAPH-granularity near-dup removal — RefinedWeb's missing
+    middle between :func:`span_dedup` (exact substrings) and
+    :func:`minhash_dedup` (whole documents): cut documents into
+    non-overlapping ``max_words``-word passages ([[passage_split]] with
+    ``overlap=0``, so passages tile the document exactly), MinHash+LSH
+    each PASSAGE, greedily drop every passage that shares a band bucket
+    with a lower-(doc, position) passage anywhere in the corpus
+    (boilerplate paragraphs, syndicated blocks, repeated templates),
+    and reassemble each document from its surviving passages in order.
+
+    Returns one row per input document: ``doc_id, clean_text,
+    n_passages, n_removed`` (whitespace-normalized; ``clean_text = ''``
+    when every passage was boilerplate — e.g. a full copy of an
+    earlier document loses ALL its passages while a doc that merely
+    embeds a syndicated block loses only that block).
+
+    Scale shape — identical to [[minhash_dedup]]'s, applied to the
+    passage stream (ceil(tokens/max_words)× more rows than docs, each
+    max_words long): passage split is map-only JVM array work; the
+    signature groupBy is ONE shuffle keyed by passage id with K
+    parallel min aggregates (map-side combine); greedy selection is a
+    per-bucket min aggregate + equi-join (AQE-skew-splittable, never
+    the O(k^2) pair list); then one anti-join and one doc-keyed
+    reassembly shuffle. Passage ids pack (doc_id, passage_idx) into
+    one int64 so the greedy "first occurrence wins" order is the
+    natural (doc, position) order."""
+    # local import: text.py pulls in dedup helpers elsewhere (same
+    # pattern as dedup_cascade's canonical_url import)
+    from polars_mas_spark.operators.text import passage_split
+
+    _check_banding(num_hashes, bands, rows_per_band)
+    passages = passage_split(
+        df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
+        "doc_id",
+        "__t__",
+        max_words=max_words,
+        overlap=0,
+    )
+    # Pack (doc_id, passage_idx) preserving lexicographic order. 2^20
+    # passages/doc at max_words=64 ≈ a 67M-word document — validate
+    # loudly rather than silently fold greedy priorities together.
+    cap = 1 << _PARA_IDX_BITS
+    pid = (
+        F.col("doc_id") * F.lit(cap) + F.col("passage_idx")
+    ).alias("pid")
+    overflow = F.col("passage_idx") >= cap
+    keyed = passages.select(
+        F.when(
+            overflow,
+            F.raise_error(
+                F.format_string(
+                    "paragraph_neardup_dedup: passage_idx %s overflows "
+                    "the %s-bit pid packing",
+                    F.col("passage_idx").cast("string"),
+                    F.lit(str(_PARA_IDX_BITS)),
+                )
+            ).cast("long"),
+        )
+        .otherwise(pid)
+        .alias("pid"),
+        "doc_id",
+        "passage_idx",
+        "passage",
+    )
+    # minhash_signatures aliases its id column to "doc_id"; here that
+    # column carries the packed pid.
+    sigs = minhash_signatures(keyed, "pid", "passage", num_hashes)
+    banded = _bucket_mins(_banded(sigs, bands, rows_per_band))
+    losers = (
+        banded.filter(F.col("doc_id") > F.col("bucket_min"))
+        .select(F.col("doc_id").alias("pid"))
+        .distinct()
+    )
+    survivors = keyed.join(losers, on="pid", how="left_anti")
+    reassembled = survivors.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("passage_idx", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("__kept__"),
+    )
+    totals = keyed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passages")
+    )
+    ids = df.select(qcol(id_col).alias("doc_id")).distinct()
+    return (
+        ids.join(totals, on="doc_id", how="left")
+        .join(reassembled, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_passages", F.lit(0)).cast("bigint").alias("n_passages"),
+            (
+                F.coalesce("n_passages", F.lit(0))
+                - F.coalesce(F.col("__kept__"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """(doc_id, label) where label is the MINIMUM doc id in the node's
     connected component, from an edge list (doc_a < doc_b).

@@ -4306,6 +4306,96 @@ def q_span_decontaminate(spark, sf_dir):
     return dd.span_decontaminate(corp, bench, "doc_id", "text", k=10)
 
 
+def _para_neardup_oracle(
+    max_words: int = 16, num_hashes: int = 16, bands: int = 4, rows: int = 4
+) -> str:
+    """Full SQL replay of dedup.paragraph_neardup_dedup over documents
+    with planted full copies (+1000000) and novel-tail partial copies
+    (+2000000): passage tiling, pid packing, per-passage minhash,
+    banding, greedy min-pid selection, in-order reassembly."""
+    sig_cols = _minhash_sig_cols(num_hashes)
+    cap = 1 << 20
+    return rf"""WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 40 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' pz0 pz1 pz2 pz3 pz4 pz5'
+        FROM documents WHERE doc_id % 40 = 20),
+    wd AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+        FROM base),
+    pas AS (
+        SELECT doc_id, CAST(s.i AS BIGINT) AS passage_idx,
+               array_to_string(
+                   list_slice(words, s.i * {max_words} + 1,
+                              s.i * {max_words} + {max_words}), ' ') AS passage
+        FROM wd, UNNEST(generate_series(0, (len(words) + {max_words - 1})
+                                           // {max_words} - 1)) AS s(i)
+        WHERE len(words) > 0),
+    ptoks AS (
+        SELECT DISTINCT p.doc_id * {cap} + p.passage_idx AS doc_id, t.token
+        FROM pas p, UNNEST(regexp_split_to_array(lower(p.passage), '\s+')) AS t(token)
+        WHERE t.token <> ''),
+    h AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) AS h1,
+               CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS h2
+        FROM ptoks),
+    sigs AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+    bnd AS ({_band_selects_sql('sigs', bands, rows)}),
+    mins AS (SELECT band, bucket, min(doc_id) AS m FROM bnd GROUP BY band, bucket),
+    losers AS (
+        SELECT DISTINCT b.doc_id FROM bnd b
+        JOIN mins m ON b.band = m.band AND b.bucket = m.bucket AND b.doc_id > m.m),
+    surv AS (
+        SELECT p.doc_id,
+               string_agg(p.passage, ' ' ORDER BY p.passage_idx) AS txt,
+               count(*)::BIGINT AS kept
+        FROM pas p
+        WHERE (p.doc_id * {cap} + p.passage_idx) NOT IN (SELECT doc_id FROM losers)
+        GROUP BY p.doc_id),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_passages FROM pas GROUP BY doc_id)
+    SELECT b.doc_id, coalesce(s.txt, '') AS clean_text,
+           coalesce(t.n_passages, 0)::BIGINT AS n_passages,
+           (coalesce(t.n_passages, 0) - coalesce(s.kept, 0))::BIGINT AS n_removed
+    FROM base b
+    LEFT JOIN tot t ON b.doc_id = t.doc_id
+    LEFT JOIN surv s ON b.doc_id = s.doc_id"""
+
+
+@query("paragraph_neardup_dedup", _para_neardup_oracle())
+def q_paragraph_neardup_dedup(spark, sf_dir):
+    """Paragraph-granularity near-dup (dedup.paragraph_neardup_dedup,
+    VERDICT r9 next-steps #7 — RefinedWeb's missing middle): documents
+    plus planted FULL copies (doc_id % 40 == 0, at +1000000 — must come
+    back empty, every passage a greedy loser) and NOVEL-TAIL copies
+    (doc_id % 40 == 20, at +2000000 with 6 appended novel words — the
+    copied prefix passages drop, the novel tail survives, binding the
+    passage- not doc-granularity). 16-word passages so the 10-99-word
+    corpus genuinely multi-passages; oracle replays tiling, pid
+    packing, per-passage minhash banding, greedy min-pid selection and
+    in-order reassembly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 20).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" pz0 pz1 pz2 pz3 pz4 pz5")).alias(
+                "text"
+            ),
+        )
+    )
+    return dd.paragraph_neardup_dedup(
+        base, "doc_id", "text",
+        max_words=16, num_hashes=16, bands=4, rows_per_band=4,
+    )
+
+
 _ISD_PLANT = " ".join(f"ix{i}" for i in range(12))
 _ISD_PLANT2 = " ".join(f"jx{i}" for i in range(12))
 

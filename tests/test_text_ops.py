@@ -1817,6 +1817,67 @@ def test_span_decontaminate_surgical_and_total(spark):
         ), r
 
 
+def _para_rows():
+    boiler = " ".join(f"b{i}" for i in range(8))
+    d1 = (
+        " ".join(f"a{i}" for i in range(8))
+        + " " + boiler + " "
+        + " ".join(f"c{i}" for i in range(8))
+    )
+    return [
+        (1, d1),                                       # first occurrence: intact
+        (2, boiler + " " + " ".join(f"d{i}" for i in range(8))),  # loses boiler
+        (3, " ".join(f"e{i}" for i in range(4))),      # short, clean
+        (4, d1),                                       # full copy -> empty
+        (5, ""),                                       # empty doc
+    ]
+
+
+def test_paragraph_neardup_dedup_semantics(spark):
+    from polars_mas_spark.operators.dedup import paragraph_neardup_dedup
+
+    df = spark.createDataFrame(_para_rows(), "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in paragraph_neardup_dedup(
+            df, "doc_id", "text", max_words=8
+        ).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].clean_text == _para_rows()[0][1]
+    assert out[2].clean_text == " ".join(f"d{i}" for i in range(8))
+    assert out[2].n_passages == 2 and out[2].n_removed == 1
+    assert out[3].n_removed == 0
+    assert out[4].clean_text == "" and out[4].n_removed == 3
+    assert out[5].clean_text == "" and out[5].n_passages == 0
+    # surviving text is always a sub-multiset of the original tokens
+    orig = dict(_para_rows())
+    for d, r in out.items():
+        from collections import Counter
+
+        assert not Counter(r.clean_text.split()) - Counter(orig[d].split())
+
+
+def test_paragraph_neardup_dedup_idempotent(spark):
+    """Re-running on the survivors removes nothing more: pass-1 output
+    is a fixpoint on this corpus (copies emptied, boilerplate cut once;
+    surviving passages pairwise share no band bucket and the untouched
+    docs' passage grids are unchanged)."""
+    from polars_mas_spark.operators.dedup import paragraph_neardup_dedup
+
+    df = spark.createDataFrame(_para_rows(), "doc_id long, text string")
+    p1 = paragraph_neardup_dedup(df, "doc_id", "text", max_words=8)
+    p2 = paragraph_neardup_dedup(
+        p1.selectExpr("doc_id", "clean_text AS text"),
+        "doc_id",
+        "text",
+        max_words=8,
+    )
+    r1 = {r.doc_id: r.clean_text for r in p1.collect()}
+    r2 = {r.doc_id: r for r in p2.collect()}
+    assert r1 == {d: r.clean_text for d, r in r2.items()}
+    assert all(r.n_removed == 0 for r in r2.values())
+
+
 def test_incremental_span_decontaminate_semantics(spark):
     """Cross-batch misaligned spans are cut; spans repeated only WITHIN
     the new batch survive; the persisted-fingerprint path is identical
