@@ -71,6 +71,14 @@ HEADLINE = [
     "knn_graph",
     "dedup_cascade",
     "span_decontaminate",
+    # r10 families: distributed quality-classifier training (MLlib
+    # LBFGS over the hashed featurization), rolling-crawl span
+    # decontamination (persisted-fingerprint path), and
+    # paragraph-granularity near-dup (passage tiling + per-passage
+    # minhash banding + reassembly).
+    "quality_classifier_train",
+    "incremental_span_decontaminate",
+    "paragraph_neardup_dedup",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

@@ -78,7 +78,14 @@ MUST_PIN: dict[str, tuple[int, str]] = {
 # following round the name becomes mandatory (enforced below: an
 # expired deferral is treated exactly like a forgotten never-checked
 # query).
-DEFERRED: dict[str, tuple[int, str]] = {}
+DEFERRED: dict[str, tuple[int, str]] = {
+    # r10 window is exactly saturated: 43 age-3 rows + 5 semantic
+    # re-pins + 2 of the 3 r10-new queries = 50 (deferring one new
+    # query over aged evidence is the trade VERDICT r9 next-steps #3
+    # blesses). Local evidence meanwhile: gate-green at 3 SFs,
+    # bit-stable flap hunt, plan audit clean, unit + idempotence tests.
+    "paragraph_neardup_dedup": (10, "r10 window saturated; windowed r11"),
+}
 
 
 def evidence(registry: list[str]) -> tuple[list[str], dict[str, int], int]:
