@@ -886,9 +886,13 @@ def q_quality_classifier_train(spark, sf_dir):
             F.lit(1),
         ).otherwise(F.lit(0)).alias("label"),
     )
+    # tol 1e-7 (not the 1e-9 default): on the exactly-one-hot planted
+    # features LBFGS grinds the last decades at machine precision into
+    # noisy "line search zoom failed" retries; 1e-7 converges cleanly
+    # and sits 1000x below the 1e-4 fit_ok witness tolerance.
     w, _bias = tx.train_quality_classifier(
         planted, "text", "label",
-        n_buckets=_QCT_BUCKETS, salt="qm", fit_intercept=False,
+        n_buckets=_QCT_BUCKETS, salt="qm", fit_intercept=False, tol=1e-7,
     )
     from polars_mas_spark.operators.sampling import hash_bucket
 
