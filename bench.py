@@ -79,6 +79,7 @@ HEADLINE = [
     "quality_classifier_train",
     "incremental_span_decontaminate",
     "paragraph_neardup_dedup",
+    "incremental_dedup_cascade",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

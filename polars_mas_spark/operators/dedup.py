@@ -1409,3 +1409,168 @@ def dedup_cascade(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def incremental_dedup_cascade(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    url_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The rolling-crawl form of :func:`dedup_cascade` — the composite
+    the r10 incremental family exists for: a NEW ingestion batch flows
+    through the cheapest-first production cascade (canonical URL ->
+    exact digest -> MinHash+LSH near-dup), where each stage removes
+    (a) within-batch duplicates (min-id survivor, exactly
+    dedup_cascade's rule), then (b) batch survivors whose stage key
+    already exists in the ACCEPTED corpus (incremental_exact_dedup /
+    incremental_minhash_dedup's rules). Each stage sees only the
+    previous stage's survivors.
+
+    Returns ONE verdict row per new-batch document: ``(doc_id, stage,
+    vs)`` — ``stage`` in {'url', 'exact', 'near', 'kept'} naming the
+    first stage that removed it, ``vs`` = 'batch' (lost to a smaller-id
+    batch doc) or 'seen' (content already accepted; NULL for kept).
+    Within-batch collapse is attributed BEFORE seen-membership, so a
+    duplicated batch doc whose content is also accepted reads 'batch'
+    except for its min-id representative, which reads 'seen' — the
+    composition of the standalone incremental operators' semantics.
+
+    Scale shape: the seen corpus enters each stage as a DISTINCT
+    reduced key set — canonical-url strings, 16-byte digests,
+    (band, bucket) keys — accepted TEXT never shuffles (the minhash
+    signature groupBy moves numeric halves keyed by doc id;
+    tokenize/hash are map-side). At 100 TB these three key tables are
+    persisted and appended per accepted batch (the
+    [[incremental_minhash_dedup]] / [[span_fingerprints]] layout);
+    batch-side work is dedup_cascade's (three keyed shuffles + id
+    anti-joins, localCheckpoint at stage boundaries — same lineage
+    rationale, measured there).
+
+    NULL contracts compose unchanged from dedup_cascade: NULL ids
+    raise; NULL/degenerate urls bypass the URL stage on BOTH sides;
+    NULL text bypasses exact and near (no digest, no signature — it
+    cannot match the seen corpus either)."""
+    _check_banding(num_hashes, bands, rows_per_band)
+    checked_id = F.when(
+        qcol(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"incremental_dedup_cascade: NULL {id_col} — every "
+                "document needs a stable id for min-id survivor selection"
+            )
+        ),
+    ).otherwise(qcol(id_col))
+    base_cols = [checked_id.alias("doc_id"), qcol(text_col).alias("__t__")]
+    seen_cols = [qcol(id_col).alias("__sid__"), qcol(text_col).alias("__t__")]
+    if url_col is not None:
+        base_cols.append(qcol(url_col).alias("__u__"))
+        seen_cols.append(qcol(url_col).alias("__u__"))
+    cur = new_df.select(*base_cols)
+    seen = seen_df.select(*seen_cols)
+    pieces = []
+
+    def _keyed_stage(cur, key_col, seen_keys, stage):
+        """Within-batch min-id collapse then seen-membership drop on
+        one key column; returns (verdict pieces, survivors)."""
+        keyed_all = cur.localCheckpoint(eager=True)
+        degenerate = F.col(key_col).isNull() | (F.col(key_col) == "")
+        keyed = keyed_all.filter(~degenerate)
+        mins = keyed.groupBy(key_col).agg(F.min("doc_id").alias("__keep__"))
+        lab = keyed.join(mins, key_col)
+        batch = lab.filter(F.col("doc_id") > F.col("__keep__")).select(
+            "doc_id", F.lit(stage).alias("stage"), F.lit("batch").alias("vs")
+        )
+        keeps = lab.filter(F.col("doc_id") == F.col("__keep__"))
+        seen_hit = keeps.join(seen_keys, on=key_col, how="left_semi").select(
+            "doc_id", F.lit(stage).alias("stage"), F.lit("seen").alias("vs")
+        )
+        surv = (
+            keeps.join(seen_keys, on=key_col, how="left_anti")
+            .drop(key_col, "__keep__")
+            .unionByName(keyed_all.filter(degenerate).drop(key_col))
+            .localCheckpoint(eager=True)
+        )
+        return [batch, seen_hit], surv
+
+    if url_col is not None:
+        from polars_mas_spark.operators.text import canonical_url
+
+        seen_urls = (
+            seen.filter(F.col("__u__").isNotNull())
+            .select(canonical_url(F.col("__u__")).alias("__k__"))
+            .filter(F.col("__k__") != "")
+            .distinct()
+        )
+        keyed = cur.withColumn(
+            "__k__",
+            F.when(F.col("__u__").isNotNull(), canonical_url(F.col("__u__"))),
+        ).drop("__u__")
+        got, cur = _keyed_stage(keyed, "__k__", seen_urls, "url")
+        pieces += got
+
+    seen_digests = (
+        seen.filter(F.col("__t__").isNotNull())
+        .select(content_digest(F.col("__t__")).alias("__k__"))
+        .distinct()
+    )
+    keyed = cur.withColumn(
+        "__k__",
+        F.when(F.col("__t__").isNotNull(), content_digest(F.col("__t__"))),
+    )
+    got, cur = _keyed_stage(keyed, "__k__", seen_digests, "exact")
+    pieces += got
+
+    seen_keys = (
+        _banded(
+            minhash_signatures(seen, "__sid__", "__t__", num_hashes),
+            bands,
+            rows_per_band,
+        )
+        .select("band", "bucket")
+        .distinct()
+    )
+    new_banded = _banded(
+        minhash_signatures(cur, "doc_id", "__t__", num_hashes),
+        bands,
+        rows_per_band,
+    ).localCheckpoint(eager=True)
+    within = (
+        _bucket_mins(new_banded)
+        .filter(F.col("doc_id") > F.col("bucket_min"))
+        .select("doc_id")
+        .distinct()
+    )
+    pieces.append(
+        within.select(
+            "doc_id", F.lit("near").alias("stage"), F.lit("batch").alias("vs")
+        )
+    )
+    remaining = cur.join(within, on="doc_id", how="left_anti")
+    cross = (
+        new_banded.join(within, on="doc_id", how="left_anti")
+        .join(seen_keys, on=["band", "bucket"], how="left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    pieces.append(
+        cross.select(
+            "doc_id", F.lit("near").alias("stage"), F.lit("seen").alias("vs")
+        )
+    )
+    pieces.append(
+        remaining.join(cross, on="doc_id", how="left_anti").select(
+            "doc_id",
+            F.lit("kept").alias("stage"),
+            F.lit(None).cast("string").alias("vs"),
+        )
+    )
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

@@ -6019,6 +6019,187 @@ def _dedup_cascade_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -
     FROM d"""
 
 
+def _inc_cascade_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    """Full replay of the rolling-crawl cascade: seen/new split of
+    documents (doc_id % 3), planted cross-batch and within-batch
+    duplicates at every stage, arithmetic canonical URLs for the base
+    rows (url_dedup_summary ground truth) and identity URLs for the
+    planted cohorts, batch-before-seen attribution replayed exactly."""
+    sig_cols = _minhash_sig_cols(num_hashes)
+
+    def sig_chain(tag: str, src: str, idc: str = "doc_id") -> str:
+        return f"""tk{tag} AS (
+            SELECT DISTINCT {idc} AS doc_id, t.token
+            FROM {src}, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t(token)
+            WHERE t.token <> ''),
+        h{tag} AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) AS h1,
+                   CAST('0x' || substring(md5(token), 9, 8) AS BIGINT) AS h2
+            FROM tk{tag}),
+        sig{tag} AS (SELECT doc_id, {sig_cols} FROM h{tag} GROUP BY doc_id),
+        band{tag} AS ({_band_selects_sql(f'sig{tag}', bands, rows)})"""
+
+    canon = (
+        "'http://ex' || ((doc_id % 400) % 20) || '.com/p/' || "
+        "((doc_id % 400) // 20) || '?id=' || ((doc_id % 400) % 7) || '&v=2'"
+    )
+    return rf"""WITH d0 AS (SELECT doc_id, text FROM documents),
+    newb AS (
+        SELECT doc_id, text, {canon} AS k FROM d0 WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text,
+               'http://x' || (doc_id + 1000000) || '.org/p'
+        FROM d0 WHERE doc_id % 30 = 1
+        UNION ALL
+        SELECT doc_id + 2000000, text || ' zq9x zq8x',
+               'http://y' || (doc_id + 2000000) || '.org/p'
+        FROM d0 WHERE doc_id % 30 = 2
+        UNION ALL
+        SELECT doc_id + 3000000, text,
+               'http://z' || (doc_id + 3000000) || '.org/p'
+        FROM d0 WHERE doc_id % 30 = 0
+        UNION ALL
+        SELECT doc_id + 4000000, text || ' wq1 wq2',
+               'http://w' || (doc_id + 4000000) || '.org/p'
+        FROM d0 WHERE doc_id % 30 = 3
+        UNION ALL
+        SELECT doc_id + 5000000, text || ' uq1 uq2 uq3', {canon}
+        FROM d0 WHERE doc_id % 30 = 6
+        UNION ALL
+        SELECT doc_id + 6000000,
+               'kxa' || doc_id || ' kxb' || doc_id || ' kxc' || doc_id
+               || ' kxd' || doc_id || ' kxe' || doc_id,
+               'http://k' || (doc_id + 6000000) || '.org/p'
+        FROM d0 WHERE doc_id % 30 = 9),
+    seenb AS (SELECT doc_id, text, {canon} AS k FROM d0 WHERE doc_id % 3 <> 0),
+    sk AS (SELECT DISTINCT k FROM seenb),
+    umin AS (SELECT k, min(doc_id) AS keep FROM newb GROUP BY 1),
+    url_batch AS (
+        SELECT u.doc_id FROM newb u JOIN umin m ON u.k = m.k
+        WHERE u.doc_id > m.keep),
+    ukeeps AS (
+        SELECT u.doc_id, u.text, u.k FROM newb u
+        JOIN umin m ON u.k = m.k AND u.doc_id = m.keep),
+    url_seen AS (SELECT doc_id FROM ukeeps WHERE k IN (SELECT k FROM sk)),
+    s1 AS (SELECT doc_id, text FROM ukeeps
+           WHERE k NOT IN (SELECT k FROM sk)),
+    ek AS (SELECT doc_id, text, md5(text) AS k FROM s1 WHERE text IS NOT NULL),
+    sek AS (SELECT DISTINCT md5(text) AS k FROM seenb WHERE text IS NOT NULL),
+    emin AS (SELECT k, min(doc_id) AS keep FROM ek GROUP BY 1),
+    exact_batch AS (
+        SELECT e.doc_id FROM ek e JOIN emin m ON e.k = m.k
+        WHERE e.doc_id > m.keep),
+    ekeeps AS (
+        SELECT e.doc_id, e.text, e.k FROM ek e
+        JOIN emin m ON e.k = m.k AND e.doc_id = m.keep),
+    exact_seen AS (SELECT doc_id FROM ekeeps WHERE k IN (SELECT k FROM sek)),
+    s2 AS (SELECT doc_id, text FROM ekeeps
+           WHERE k NOT IN (SELECT k FROM sek)
+           UNION ALL SELECT doc_id, text FROM s1 WHERE text IS NULL),
+    {sig_chain('n', 's2')},
+    {sig_chain('s', 'seenb')},
+    skeys AS (SELECT DISTINCT band, bucket FROM bands),
+    near_batch AS (
+        SELECT DISTINCT b.doc_id
+        FROM bandn b JOIN (SELECT band, bucket, min(doc_id) AS mn
+                           FROM bandn GROUP BY 1, 2) mm
+          ON b.band = mm.band AND b.bucket = mm.bucket AND b.doc_id > mm.mn),
+    near_seen AS (
+        SELECT DISTINCT n.doc_id
+        FROM bandn n JOIN skeys s ON n.band = s.band AND n.bucket = s.bucket
+        WHERE n.doc_id NOT IN (SELECT doc_id FROM near_batch))
+    SELECT n.doc_id,
+           CASE WHEN n.doc_id IN (SELECT doc_id FROM url_batch)
+                  OR n.doc_id IN (SELECT doc_id FROM url_seen) THEN 'url'
+                WHEN n.doc_id IN (SELECT doc_id FROM exact_batch)
+                  OR n.doc_id IN (SELECT doc_id FROM exact_seen) THEN 'exact'
+                WHEN n.doc_id IN (SELECT doc_id FROM near_batch)
+                  OR n.doc_id IN (SELECT doc_id FROM near_seen) THEN 'near'
+                ELSE 'kept' END AS stage,
+           CASE WHEN n.doc_id IN (SELECT doc_id FROM url_batch) THEN 'batch'
+                WHEN n.doc_id IN (SELECT doc_id FROM url_seen) THEN 'seen'
+                WHEN n.doc_id IN (SELECT doc_id FROM exact_batch) THEN 'batch'
+                WHEN n.doc_id IN (SELECT doc_id FROM exact_seen) THEN 'seen'
+                WHEN n.doc_id IN (SELECT doc_id FROM near_batch) THEN 'batch'
+                WHEN n.doc_id IN (SELECT doc_id FROM near_seen) THEN 'seen'
+                ELSE NULL END AS vs
+    FROM newb n"""
+
+
+@query("incremental_dedup_cascade", _inc_cascade_oracle())
+def q_incremental_dedup_cascade(spark, sf_dir):
+    """The rolling-crawl dedup cascade
+    (dedup.incremental_dedup_cascade): a new batch (doc_id % 3 == 0
+    plus four planted cohorts) flows through canonical-URL -> exact ->
+    near against the accepted corpus (doc_id % 3 != 0), each stage
+    removing within-batch min-id losers ('batch') then batch survivors
+    whose key the accepted corpus already holds ('seen'). Planted
+    cohorts: +1M exact copies of SEEN text (unique URLs -> 'exact
+    seen'), +2M near-copies of SEEN text ('near seen'), +3M exact
+    copies of NEW text ('exact batch'), +4M near-copies of NEW text
+    ('near batch'); base rows carry the r8 six-axis planted URLs so
+    url/batch and url/seen arise from the arithmetic canonical
+    identity. Oracle replays all three stages with the
+    batch-before-seen attribution."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base_new = docs.filter(d % 3 == 0).select(
+        "doc_id", "text", _planted_url_col().alias("url")
+    )
+    seen = docs.filter(d % 3 != 0).select(
+        "doc_id", "text", _planted_url_col().alias("url")
+    )
+
+    def cohort(offset, mod, text_expr, tag):
+        return docs.filter(d % 30 == mod).select(
+            (d + offset).alias("doc_id"), text_expr.alias("text")
+        ).withColumn(
+            "url",
+            F.concat(
+                F.lit(f"http://{tag}"),
+                F.col("doc_id").cast("string"),
+                F.lit(".org/p"),
+            ),
+        )
+
+    ds = d.cast("string")
+    # +5M: same RAW planted url as the original new doc (pure
+    # within-batch URL dup, text perturbed) -> 'url batch'; +6M: fully
+    # synthetic disjoint-token docs -> guaranteed 'kept' rows.
+    url_dup = docs.filter(d % 30 == 6).select(
+        (d + 5000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" uq1 uq2 uq3")).alias("text"),
+        _planted_url_col().alias("url"),
+    )
+    synth = docs.filter(d % 30 == 9).select(
+        (d + 6000000).alias("doc_id"),
+        F.concat(
+            F.lit("kxa"), ds, F.lit(" kxb"), ds, F.lit(" kxc"), ds,
+            F.lit(" kxd"), ds, F.lit(" kxe"), ds,
+        ).alias("text"),
+    ).withColumn(
+        "url",
+        F.concat(F.lit("http://k"), F.col("doc_id").cast("string"), F.lit(".org/p")),
+    )
+    newb = (
+        base_new
+        .unionByName(cohort(1000000, 1, F.col("text"), "x"))
+        .unionByName(
+            cohort(2000000, 2, F.concat(F.col("text"), F.lit(" zq9x zq8x")), "y")
+        )
+        .unionByName(cohort(3000000, 0, F.col("text"), "z"))
+        .unionByName(
+            cohort(4000000, 3, F.concat(F.col("text"), F.lit(" wq1 wq2")), "w")
+        )
+        .unionByName(url_dup)
+        .unionByName(synth)
+    )
+    return dd.incremental_dedup_cascade(
+        newb, seen, "doc_id", "text", url_col="url"
+    )
+
+
 @query("dedup_cascade", _dedup_cascade_oracle())
 def q_dedup_cascade(spark, sf_dir):
     """The production three-stage dedup cascade as one operator

@@ -1932,6 +1932,58 @@ def test_incremental_span_decontaminate_semantics(spark):
     }
 
 
+def test_incremental_dedup_cascade_attribution(spark):
+    """Stage and batch/seen attribution on a hand-built seen/new pair:
+    within-batch collapse attributes 'batch' before seen-membership;
+    NULL url/text bypass their stages; every new doc gets exactly one
+    verdict."""
+    from polars_mas_spark.operators.dedup import incremental_dedup_cascade
+
+    seen = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon", "http://a.com/x"),
+            (101, "one two three four five six seven",
+             "http://b.com/y?utm_source=z"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    new = spark.createDataFrame(
+        [
+            # url canonicalizes onto seen 100's -> url/seen
+            (1, "fresh novel content entirely here", "HTTP://A.com:80/x"),
+            # exact text of seen 100 -> exact/seen
+            (2, "alpha beta gamma delta epsilon", "http://c.com/1"),
+            # 3 wins the within-batch url group, 4 loses -> url/batch
+            (3, "unique doc body qqq www eee", "http://d.com/1"),
+            (4, "unique doc body qqq www eee rrr", "http://d.com/1"),
+            # near-dup of seen 101 -> near/seen
+            (5, "one two three four five six seven extra", "http://e.com/1"),
+            # 6 kept; 7 exact dup of 6 within batch -> exact/batch
+            (6, "totally different payload zz yy xx", "http://f.com/1"),
+            (7, "totally different payload zz yy xx", "http://g.com/1"),
+            # NULL url and text bypass every stage
+            (8, None, None),
+        ],
+        "doc_id long, text string, url string",
+    )
+    out = {
+        r.doc_id: (r.stage, r.vs)
+        for r in incremental_dedup_cascade(
+            new, seen, "doc_id", "text", url_col="url"
+        ).collect()
+    }
+    assert out == {
+        1: ("url", "seen"),
+        2: ("exact", "seen"),
+        3: ("kept", None),
+        4: ("url", "batch"),
+        5: ("near", "seen"),
+        6: ("kept", None),
+        7: ("exact", "batch"),
+        8: ("kept", None),
+    }
+
+
 def test_dedup_cascade_stage_attribution(spark):
     """Each duplicate is attributed to the FIRST stage that catches it;
     survivors are min-id; NULL url/text pass their stages untouched."""

@@ -85,6 +85,7 @@ DEFERRED: dict[str, tuple[int, str]] = {
     # blesses). Local evidence meanwhile: gate-green at 3 SFs,
     # bit-stable flap hunt, plan audit clean, unit + idempotence tests.
     "paragraph_neardup_dedup": (10, "r10 window saturated; windowed r11"),
+    "incremental_dedup_cascade": (10, "r10 window saturated; windowed r11"),
 }
 
 
