@@ -195,31 +195,35 @@ def main() -> None:
     # Key order matters: the round driver captures the TAIL of stdout,
     # and BENCH_r09.json lost the aggregate because "value" came first
     # and 41 queries + a full spread dict pushed it out (VERDICT r9
-    # "What's wrong" #4). Emit the headline total LAST, and keep only
-    # the noisy spread entries (>=0.25 relative) in the printed line so
-    # the per-query map and total always survive truncation.
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "unit": "sec",
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "passes": passes,
-            "spread": {n: s for n, s in spread.items() if s >= 0.25},
-            "queries": timings,
-            "value": total,
-        }
-    )
-    print(line)
+    # "What's wrong" #4). Emit the headline total LAST, and on STDOUT
+    # keep only the noisy spread entries (>=0.25 relative) so the
+    # per-query map and total always survive truncation.
+    def emit(spread_map):
+        return json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "passes": passes,
+                "spread": spread_map,
+                "queries": timings,
+                "value": total,
+            }
+        )
+
+    print(emit({n: s for n, s in spread.items() if s >= 0.25}))
     # Pin a HEAD-local artifact (VERDICT r5 next-steps #2): the driver's
     # per-round BENCH_r{N}.json runs on a shared box whose load has
     # produced phantom 15-66% "regressions" twice; diffing it against
     # the artifact bench.py wrote at the shipped commit turns that
     # diagnosis into one file compare. Set SPARK_GRAFT_BENCH_OUT=path
-    # to write (e.g. BENCH_LOCAL_r6.json).
+    # to write (e.g. BENCH_LOCAL_r6.json). The file gets the FULL
+    # spread — it has no truncation problem, and sub-25% run-to-run
+    # noise is exactly what the phantom-regression diff reads.
     out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out:
         with open(out, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(emit(spread) + "\n")
     spark.stop()
 
 

@@ -3425,12 +3425,21 @@ def q_mas_firth_sex2_golden(spark, sf_dir):
     The 239-row dataset is the published logistf example data (vendored
     in-package; the reference bundles the identical file unused at
     src/polars_mas/data/sex2.csv)."""
-    import pandas as pd
+    import csv
 
     from polars_mas_spark.sources.readers import bundled_sex2_path
 
-    pdf = pd.read_csv(bundled_sex2_path())
-    sdf = spark.createDataFrame(pdf)
+    # tuples + explicit schema, never createDataFrame(pandas): the
+    # pandas path's None/NaN semantics depend on the session's Arrow
+    # config (the r4 driver-red class). sex2 has no missing cells
+    # today, but the rule is unconditional for driver queries.
+    with open(bundled_sex2_path(), newline="") as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        rows = [tuple(int(v) for v in row) for row in reader]
+    sdf = spark.createDataFrame(
+        rows, schema=", ".join(f"`{c}` bigint" for c in header)
+    )
     terms = [t for t, *_ in _SEX2_PUBLISHED]
     fitted = None
     for t in terms:
