@@ -547,3 +547,68 @@ def test_dedup_cascade_partition_of_input(spark, txts):
     kept = [i for i, s in rows.items() if s == "kept"]
     kept_txts = [txts[i] for i in kept]
     assert len(set(kept_txts)) == len(kept_txts)  # no exact dups survive
+
+
+@given(txts=texts)
+@SETTINGS
+def test_paragraph_neardup_python_replay(spark, txts):
+    """paragraph_neardup_dedup agrees with an independent plain-Python
+    replay (tiling -> md5 double-hash minhash -> banding -> greedy
+    min-pid -> in-order reassembly) on arbitrary corpora — pins the
+    pid packing, the passage grid, and the greedy priority order."""
+    import hashlib
+
+    from polars_mas_spark.operators.dedup import paragraph_neardup_dedup
+
+    K, NH, BANDS, RPB = 3, 16, 4, 4
+    df = _docs(spark, txts)
+    got = {
+        r.doc_id: (r.clean_text, r.n_passages, r.n_removed)
+        for r in paragraph_neardup_dedup(
+            df, "doc_id", "text",
+            max_words=K, num_hashes=NH, bands=BANDS, rows_per_band=RPB,
+        ).collect()
+    }
+
+    def sig(passage):
+        mins = [None] * NH
+        for tok in set(passage.lower().split()):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+            for i in range(NH):
+                v = (h1 + i * h2) % (1 << 32)
+                if mins[i] is None or v < mins[i]:
+                    mins[i] = v
+        return mins
+
+    # tile, sign, band
+    pas = {}  # pid -> (doc, idx, passage)
+    for doc, t in enumerate(txts):
+        words = [w for w in t.split() if w]
+        for idx in range(0, (len(words) + K - 1) // K):
+            p = " ".join(words[idx * K: idx * K + K])
+            pas[doc * (1 << 20) + idx] = (doc, idx, p)
+    buckets = {}
+    for pid, (_d, _i, p) in sorted(pas.items()):
+        s = sig(p)
+        if s[0] is None:
+            continue  # empty passage: no tokens, no signature
+        for b in range(BANDS):
+            key = (b, ",".join(str(x) for x in s[b * RPB:(b + 1) * RPB]))
+            buckets.setdefault(key, []).append(pid)
+    losers = {
+        pid
+        for mem in buckets.values()
+        for pid in mem
+        if pid > min(mem)
+    }
+    want = {}
+    for doc, t in enumerate(txts):
+        mine = sorted(
+            (i, p) for pid, (d, i, p) in pas.items() if d == doc
+        )
+        keep = [
+            p for i, p in mine if doc * (1 << 20) + i not in losers
+        ]
+        want[doc] = (" ".join(keep), len(mine), len(mine) - len(keep))
+    assert got == want, (txts, got, want)
