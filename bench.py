@@ -80,6 +80,7 @@ HEADLINE = [
     "incremental_span_decontaminate",
     "paragraph_neardup_dedup",
     "incremental_dedup_cascade",
+    "unicode_normalize_docs",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

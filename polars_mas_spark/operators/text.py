@@ -10,6 +10,7 @@ engine-specific regex counting).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -201,6 +202,64 @@ PII_PATTERNS: list[tuple[str, str]] = [
     (r"https?://[^\s]+", "<URL>"),
     (r"\+?[0-9][0-9 .-]{7,}[0-9]", "<PHONE>"),
 ]
+
+
+# Engine-portable strip classes (explicit code ranges behave identically
+# in Java regex and RE2, unlike named \p{Cntrl}/\p{Cc} whose sets differ):
+# C0 controls minus \t\n\r, DEL, and the zero-width Cf characters
+# (ZWSP/ZWNJ/ZWJ/BOM) that survive NFC and corrupt tokenization.
+_CTRL_JAVA = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B-\\u200D\\uFEFF]"
+_CTRL_RE2 = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\x{200B}-\\x{200D}\\x{FEFF}]"
+)
+
+
+def unicode_normalize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    form: str = "NFC",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization + non-printing strip — the CCNet-style
+    cleanup at the head of a crawl pipeline (Wenzek et al. 2020 §3.1
+    normalize before everything else): canonicalize combining
+    sequences to ``form`` (NFC/NFKC/NFD/NFKD) so 'e'+U+0301 and U+00E9
+    dedup/tokenize identically, then delete C0 controls (keeping tab/
+    newline/CR), DEL, and zero-width Cf characters (ZWSP/ZWNJ/ZWJ/BOM —
+    they survive normalization and silently split tokens).
+
+    Returns ``(id, out_col, changed, n_chars_norm)`` for every row;
+    NULL text normalizes to ``''`` (the decoder/scorer contract).
+
+    This is the repo's documented SLOW-PATH exception: Spark has no
+    JVM Unicode normalizer, so the normalize step is an Arrow-batched
+    pandas UDF over pandas' vectorized ``Series.str.normalize`` — one
+    map-only pass, no shuffle, ~batch-sized Python cost; the strip is
+    a JVM regexp with an EXPLICIT code-range class (identical
+    semantics in Java regex and DuckDB's RE2, so the oracle replays
+    the strip natively and the NFC step via ``nfc_normalize``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.normalize(form)
+
+    raw = F.coalesce(qcol(text_col), F.lit(""))
+    staged = stage_columns(
+        df.select(qcol(id_col).alias("doc_id"), raw.alias("__raw__")),
+        **{out_col: F.regexp_replace(_norm(F.col("__raw__")), _CTRL_JAVA, "")},
+    )
+    return staged.select(
+        "doc_id",
+        out_col,
+        (F.col(out_col) != F.col("__raw__")).alias("changed"),
+        F.length(out_col).cast("bigint").alias("n_chars_norm"),
+    )
 
 
 def pii_scrub(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:

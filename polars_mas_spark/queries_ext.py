@@ -844,6 +844,63 @@ def q_model_quality_score(spark, sf_dir):
     )
 
 
+_UNORM_ORACLE = r"""WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+              WHEN doc_id % 7 = 3
+              THEN text || ' ze' || chr(8203) || 'ro wi' || chr(8205)
+                   || 'dth be' || chr(7) || 'll' || chr(65279)
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(nfc_normalize(text),
+         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+         '', 'g') AS text_norm,
+       regexp_replace(nfc_normalize(text),
+         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+         '', 'g') <> text AS changed,
+       length(regexp_replace(nfc_normalize(text),
+         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+         '', 'g'))::BIGINT AS n_chars_norm
+FROM planted"""
+
+
+@query("unicode_normalize_docs", _UNORM_ORACLE)
+def q_unicode_normalize_docs(spark, sf_dir):
+    """CCNet-style Unicode normalization (text.unicode_normalize): NFC
+    composition + non-printing strip over documents with planted
+    decomposed accents (e+U+0301, i+U+0308 — must compose), zero-width
+    Cf characters (ZWSP/ZWJ/BOM) and a C0 control (BEL) — all must
+    strip. The normalize step is the repo's documented pandas-UDF
+    slow-path exception (no JVM Unicode normalizer); the oracle replays
+    NFC via DuckDB's native nfc_normalize and the strip via the same
+    explicit code-range class (identical semantics in Java regex and
+    RE2 by construction — no named \\p classes)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(
+                F.col("text"),
+                # decomposed plants (e+U+0301, i+U+0308): NFC must compose
+                F.lit(" cafe\u0301 nai\u0308ve"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" ze\u200bro wi\u200ddth be\x07ll\ufeff"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return tx.unicode_normalize(planted, "doc_id", "text", form="NFC")
+
+
 _QCT_BUCKETS = 64
 _QCT_ORACLE = f"""WITH planted AS (
   SELECT doc_id, 'qtok' || CAST(doc_id % 8 AS VARCHAR) AS text,

@@ -1932,6 +1932,67 @@ def test_incremental_span_decontaminate_semantics(spark):
     }
 
 
+def test_unicode_normalize_forms_and_strip(spark):
+    """NFC composes combining sequences; NFKC additionally folds
+    compatibility forms (ligature, fullwidth); controls/zero-widths
+    strip while tab/newline survive; NULL -> ''; output matches python
+    unicodedata on every row; normalization is idempotent."""
+    import unicodedata
+
+    from polars_mas_spark.operators.text import unicode_normalize
+
+    rows = [
+        (0, "cafe\u0301 nai\u0308ve"),  # decomposed accents
+        (1, "\ufb01n \uff21\uff22 \u2460"),  # NFKC-only folds
+        (2, "ze\u200bro\twi\u200ddth\nbe\x07ll\ufeff"),
+        (3, None),
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py(form, s):
+        import re
+
+        out = unicodedata.normalize(form, s or "")
+        return re.sub(
+            "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\u200b-\u200d\ufeff]", "", out
+        )
+
+    for form in ("NFC", "NFKC"):
+        got = {
+            r.doc_id: r
+            for r in unicode_normalize(df, "doc_id", "text", form=form).collect()
+        }
+        for i, t in rows:
+            assert got[i].text_norm == py(form, t), (form, i)
+            assert got[i].n_chars_norm == len(py(form, t))
+        assert got[3].text_norm == "" and not got[3].changed
+        assert not got[4].changed
+        assert got[2].changed and "\t" in got[2].text_norm
+        assert "\n" in got[2].text_norm and "\x07" not in got[2].text_norm
+
+    # NFC leaves the ligature; NFKC folds it
+    nfc = {r.doc_id: r.text_norm
+           for r in unicode_normalize(df, "doc_id", "text", form="NFC").collect()}
+    nfkc = {r.doc_id: r.text_norm
+            for r in unicode_normalize(df, "doc_id", "text", form="NFKC").collect()}
+    assert nfc[1].startswith("\ufb01n") and nfkc[1].startswith("fin")
+    assert nfc[0] == nfkc[0] == "caf\u00e9 na\u00efve"  # composed
+
+    # idempotent: normalizing the output changes nothing
+    once = unicode_normalize(df, "doc_id", "text", form="NFKC")
+    twice = unicode_normalize(
+        once.selectExpr("doc_id", "text_norm AS text"),
+        "doc_id", "text", form="NFKC",
+    )
+    assert all(not r.changed for r in twice.collect())
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        unicode_normalize(df, "doc_id", "text", form="NFX")
+
+
 def test_incremental_dedup_cascade_attribution(spark):
     """Stage and batch/seen attribution on a hand-built seen/new pair:
     within-batch collapse attributes 'batch' before seen-membership;

@@ -86,6 +86,7 @@ DEFERRED: dict[str, tuple[int, str]] = {
     # bit-stable flap hunt, plan audit clean, unit + idempotence tests.
     "paragraph_neardup_dedup": (10, "r10 window saturated; windowed r11"),
     "incremental_dedup_cascade": (10, "r10 window saturated; windowed r11"),
+    "unicode_normalize_docs": (10, "r10 window saturated; windowed r11"),
 }
 
 
