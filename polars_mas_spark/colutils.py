@@ -40,3 +40,15 @@ def stage_columns(df, **exprs):
     for name, expr in exprs.items():
         df = df.select("*", F.explode(F.array(expr)).alias(name))
     return df
+
+
+def nonempty_words(text: Column, lowercase: bool = False) -> Column:
+    """Whitespace word split with empty tokens removed — THE word-grid
+    tokenizer shared by chunk/span/passage/jaccard/shingle operators
+    (review r10: previously five inlined copies; a tokenizer fix — e.g.
+    NBSP or zero-width handling — must land in all of them at once or
+    the operators' word grids silently diverge). ``lowercase`` folds
+    case first for the set-similarity family; the positional family
+    (chunking, span fingerprints, passages) keeps original case."""
+    t = F.lower(text) if lowercase else text
+    return F.filter(F.split(t, r"\s+"), lambda w: w != "")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_mas_spark.colutils import qcol, stage_columns
+from polars_mas_spark.colutils import nonempty_words, qcol, stage_columns
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -157,6 +157,14 @@ def chunk_dedup(
     document. Returns ``(doc_id, text_dedup)`` for ALL input documents
     (a document whose every chunk was seen earlier comes back empty).
 
+    Precondition shared by every reassembling operator in this module
+    (chunk_dedup, [[span_dedup]], [[span_decontaminate]],
+    [[paragraph_neardup_dedup]]): ``id_col`` must be UNIQUE per
+    document — a duplicated id merges two documents' pieces into one
+    reassembly and multiplies output rows (review r10). The driver
+    fixtures are probed for this (tools/probe_testdata.py);
+    operator-side enforcement would cost an extra full aggregate.
+
     Scale shape: chunking is a map-only array program (split → slice →
     join, all JVM higher-order functions; one exploded row per CHUNK,
     k× fewer than per word). Global first-occurrence selection is one
@@ -171,9 +179,7 @@ def chunk_dedup(
     # chunk (colutils.stage_columns has the measurements).
     staged = stage_columns(
         df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
-        __words__=F.filter(
-            F.split(F.col("__t__"), r"\s+"), lambda t: t != ""
-        ),
+        __words__=nonempty_words(F.col("__t__")),
     )
     words = F.col("__words__")
     n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
@@ -277,9 +283,7 @@ def _span_window_fingerprints(
         raise ValueError(f"{caller} requires k >= 1, got {k}")
     staged = stage_columns(
         df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
-        __words__=F.filter(
-            F.split(F.col("__t__"), r"\s+"), lambda t: t != ""
-        ),
+        __words__=nonempty_words(F.col("__t__")),
     )
     words = F.col("__words__")
     grams = F.when(
@@ -474,9 +478,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     # (colutils.stage_columns has the measurements).
     staged = stage_columns(
         df.select(qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")),
-        __toks__=F.filter(
-            F.split(F.lower(F.col("__t__")), r"\s+"), lambda t: t != ""
-        ),
+        __toks__=nonempty_words(F.col("__t__"), lowercase=True),
     )
     toks = F.col("__toks__")
     shingles = F.array_distinct(
@@ -597,6 +599,27 @@ def lsh_candidate_pairs(
     yields k^2/2 rows. Use this only when the downstream consumer needs
     the explicit pair list (similarity scoring); `minhash_dedup` /
     `minhash_dedup_cc` purposely avoid it via bucket-min contraction."""
+    # Runtime banding guard (review r10): this is the one public
+    # signature-consuming entry point that cannot _check_banding
+    # statically (it never sees num_hashes). A band sliced past the
+    # signature hashes md5('') identically for EVERY doc — all n docs
+    # share one bucket and the self-join goes n^2 with no error. Fail
+    # loudly per row instead.
+    sigs = sigs.select(
+        "doc_id",
+        F.when(
+            F.size("sig") < bands * rows_per_band,
+            F.raise_error(
+                F.format_string(
+                    "lsh_candidate_pairs: signature has %s hashes but "
+                    "bands*rows_per_band = %s — out-of-range bands would "
+                    "collapse every document into one bucket",
+                    F.size("sig").cast("string"),
+                    F.lit(str(bands * rows_per_band)),
+                )
+            ).cast(sigs.schema["sig"].dataType),
+        ).otherwise(F.col("sig")).alias("sig"),
+    )
     banded = _banded(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -642,9 +665,19 @@ def incremental_minhash_dedup(
     side. Beyond-reference operator (the reference has no incremental
     mode); granularity per Lee et al. 2022 NearDup / MinHashLSH."""
     _check_banding(num_hashes, bands, rows_per_band)
+    # The seen side gets FRESH per-row ids (review r10): only its
+    # DISTINCT (band, bucket) keys are used, so id values are
+    # irrelevant — but grouping signatures by the caller's id column
+    # would silently merge every NULL-id (or duplicate-id) document's
+    # tokens into one element-wise-min signature, losing their real
+    # band buckets and letting cross-batch near-duplicates through.
+    seen_shaped = seen_df.select(
+        F.monotonically_increasing_id().alias("__sid__"),
+        qcol(text_col).alias("__stxt__"),
+    )
     seen_keys = (
         _banded(
-            minhash_signatures(seen_df, id_col, text_col, num_hashes),
+            minhash_signatures(seen_shaped, "__sid__", "__stxt__", num_hashes),
             bands,
             rows_per_band,
         )
@@ -739,7 +772,9 @@ def paragraph_neardup_dedup(
     the O(k^2) pair list); then one anti-join and one doc-keyed
     reassembly shuffle. Passage ids pack (doc_id, passage_idx) into
     one int64 so the greedy "first occurrence wins" order is the
-    natural (doc, position) order."""
+    natural (doc, position) order — which requires an INTEGRAL id
+    column in [0, 2^43) (guarded with a loud per-row error; remap
+    hash-scale, negative, or string ids first)."""
     # local import: text.py pulls in dedup helpers elsewhere (same
     # pattern as dedup_cascade's canonical_url import)
     from polars_mas_spark.operators.text import passage_split
@@ -757,17 +792,31 @@ def paragraph_neardup_dedup(
     # loudly rather than silently fold greedy priorities together.
     cap = 1 << _PARA_IDX_BITS
     pid = (
-        F.col("doc_id") * F.lit(cap) + F.col("passage_idx")
+        F.col("doc_id").cast("long") * F.lit(cap) + F.col("passage_idx")
     ).alias("pid")
-    overflow = F.col("passage_idx") >= cap
+    # BOTH packing operands are guarded (review r10): doc ids at or
+    # above 2^43 (e.g. 64-bit hash ids — a regime connected_min_labels
+    # explicitly supports) would overflow the int64 product — ANSI mode
+    # throws a confusing engine error per row, non-ANSI silently wraps
+    # and corrupts greedy priorities. Negative ids would likewise break
+    # the (doc, position) lexicographic packing.
+    overflow = (
+        (F.col("passage_idx") >= cap)
+        | (F.col("doc_id") >= F.lit(1 << (63 - _PARA_IDX_BITS)))
+        | (F.col("doc_id") < 0)
+    )
     keyed = passages.select(
         F.when(
             overflow,
             F.raise_error(
                 F.format_string(
-                    "paragraph_neardup_dedup: passage_idx %s overflows "
-                    "the %s-bit pid packing",
+                    "paragraph_neardup_dedup: (doc_id %s, passage_idx %s) "
+                    "does not fit the int64 (doc, position) pid packing "
+                    "(need 0 <= doc_id < 2^%s and passage_idx < 2^%s); "
+                    "remap hash-scale or negative ids first",
+                    F.col("doc_id").cast("string"),
                     F.col("passage_idx").cast("string"),
+                    F.lit(str(63 - _PARA_IDX_BITS)),
                     F.lit(str(_PARA_IDX_BITS)),
                 )
             ).cast("long"),
@@ -845,6 +894,7 @@ def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .persist()
     )
     try:
+        residual = -1  # -1 = loop never ran (max_rounds < 1)
         for _ in range(max_rounds):
             prop = (
                 edges.join(
@@ -888,13 +938,28 @@ def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-            done = (
-                new_labels.filter(F.col("label") != F.col("__old__")).count() == 0
-            )
+            residual = new_labels.filter(
+                F.col("label") != F.col("__old__")
+            ).count()
             labels.unpersist()
             labels = new_labels.drop("__old__")
-            if done:
+            if residual == 0:
                 break
+        else:
+            # Fail loudly on non-convergence (review r10): exhausting
+            # max_rounds with labels still moving means some component
+            # is split across several labels — minhash_dedup_cc would
+            # keep multiple "survivors" per duplicate cluster and a
+            # leakage-safe split would silently place near-duplicates
+            # on both sides. With pointer doubling max_rounds=r covers
+            # compressed diameters up to ~2^r, so hitting this means a
+            # pathological graph or a caller-chosen tiny bound.
+            raise RuntimeError(
+                f"connected_min_labels: labels still changing on "
+                f"{residual} nodes after {max_rounds} pointer-doubling "
+                f"rounds — raise max_rounds (each round covers ~2x the "
+                f"remaining component diameter)"
+            )
     finally:
         edges.unpersist()
     return labels
@@ -990,6 +1055,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     bit_i(simhash) = 1 iff sum over tokens of (+1 if token bit_i else -1)
     is positive. All `bits` votes are parallel aggregates of one
     groupBy."""
+    # Only 64 hash bits exist and the hex assembly packs 4 per nibble:
+    # bits > 64 would vote on constant zeros (making every document
+    # collide in those segments — quadratic pair blowup downstream) and
+    # a non-multiple of 4 silently drops the top bits (review r10).
+    if not (1 <= bits <= 64 and bits % 4 == 0):
+        raise ValueError(
+            f"simhash: bits must be a multiple of 4 in [4, 64], got {bits} "
+            "(the md5-derived token hash provides exactly 64 bits)"
+        )
     toks = _distinct_tokens(df, id_col, text_col)
     # Two 32-bit halves of the md5 prefix avoid signed-long overflow on
     # the high bit while keeping everything in JVM integer math.
@@ -1112,29 +1186,41 @@ def jaccard_pairs(
     length_tolerance: float = 0.2,
 ) -> DataFrame:
     """Word-set Jaccard similarity over candidate pairs. Candidates are
-    pruned by an equality block (e.g. language) and a relative length
-    band before any set math — the standard way to keep the pair count
-    sub-quadratic. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    pruned by an equality block (e.g. language) and a SYMMETRIC length
+    band ``min(len_a, len_b) >= f * max(len_a, len_b)`` before any set
+    math — the standard way to keep the pair count sub-quadratic.
+    Returns (doc_a, doc_b, jaccard >= threshold).
+
+    The band factor ``f``: with the default length (the exact distinct
+    word-set size) it is ``threshold`` itself, which is LOSSLESS —
+    J(A,B) <= min/max, so any pair outside the band is mathematically
+    below threshold (no recall loss, not a heuristic). With a caller-
+    supplied ``length_col`` (a proxy like raw char count, where no
+    exact bound exists) it is ``1 - length_tolerance``. Either way the
+    predicate is symmetric in the pair, so results cannot depend on
+    which duplicate happened to get the smaller id (review r10: the
+    old band was anchored to the smaller-id doc and its fixed 0.2
+    tolerance silently pruned true >=0.8-jaccard pairs with a size
+    ratio in (1.2, 1.25])."""
     # Empty split tokens (leading/trailing whitespace) are excluded from
     # both the word sets and the default length — they would otherwise
     # put '' into every padded document's set (inflating jaccard between
     # unrelated docs) and shift the length band by the padding.
-    words = F.filter(
-        F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != ""
-    )
+    words = nonempty_words(qcol(text_col), lowercase=True)
     base = df.select(
         qcol(id_col).alias("doc_id"),
         F.array_sort(F.array_distinct(words)).alias("words"),
         *( [qcol(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
         *( [qcol(length_col).alias("len")] if length_col else [F.size(words).alias("len")] ),
     )
+    f = threshold if length_col is None else 1.0 - length_tolerance
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
         (F.col("a.block") == F.col("b.block"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("b.len") >= F.col("a.len") * (1 - length_tolerance))
-        & (F.col("b.len") <= F.col("a.len") * (1 + length_tolerance)),
+        & (F.col("b.len") * F.lit(f) <= F.col("a.len"))
+        & (F.col("a.len") * F.lit(f) <= F.col("b.len")),
     )
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
     union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
@@ -1455,7 +1541,14 @@ def incremental_dedup_cascade(
         ),
     ).otherwise(qcol(id_col))
     base_cols = [checked_id.alias("doc_id"), qcol(text_col).alias("__t__")]
-    seen_cols = [qcol(id_col).alias("__sid__"), qcol(text_col).alias("__t__")]
+    # Seen-side ids are synthesized per row (review r10): the seen
+    # corpus only contributes DISTINCT key sets, and grouping its
+    # minhash by a caller id would merge NULL-/duplicate-id documents'
+    # token sets into one signature (see incremental_minhash_dedup).
+    seen_cols = [
+        F.monotonically_increasing_id().alias("__sid__"),
+        qcol(text_col).alias("__t__"),
+    ]
     if url_col is not None:
         base_cols.append(qcol(url_col).alias("__u__"))
         seen_cols.append(qcol(url_col).alias("__u__"))

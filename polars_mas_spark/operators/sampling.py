@@ -25,7 +25,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_mas_spark.colutils import qcol
+from polars_mas_spark.colutils import nonempty_words, qcol
 
 DEFAULT_BUCKETS = 10_000
 
@@ -635,7 +635,7 @@ def dsir_select(
         raise ValueError(f"alpha must be > 0, got {alpha}")
 
     text = F.lower(F.coalesce(qcol(text_col).cast("string"), F.lit("")))
-    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    toks = nonempty_words(text)
     base = stage_columns(
         df.select(
             qcol(id_col).alias("doc_id"),

@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_mas_spark.colutils import qcol, stage_columns
+from polars_mas_spark.colutils import nonempty_words, qcol, stage_columns
 
 # Small marker-word lists per language: enough signal for a heuristic
 # n-gram/stopword language id on clean text.
@@ -68,7 +68,7 @@ def token_count(df: DataFrame, text_col: str) -> DataFrame:
     runs + digit runs + punctuation characters each count as one token
     (the shape a byte-pair tokenizer's pre-tokenization produces)."""
     text = qcol(text_col)
-    ws = F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+    ws = F.size(nonempty_words(text))
     letter_runs = F.size(
         F.filter(F.split(text, "[^A-Za-z]+"), lambda t: t != "")
     )
@@ -90,7 +90,7 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
     quality score in [0, 1]."""
     text = qcol(text_col)
     n_chars = F.length(text)
-    words = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    words = nonempty_words(text)
     n_words = F.size(words)
     avg_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(0.0)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
@@ -138,9 +138,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # once per distinct gram — measured 7x on sf0.1 documents.
     staged = stage_columns(
         df.select(qcol(id_col).alias("doc_id"), text.alias("__t__")),
-        __words__=F.filter(
-            F.split(F.lower(F.col("__t__")), r"\s+"), lambda t: t != ""
-        ),
+        __words__=nonempty_words(F.col("__t__"), lowercase=True),
     ).drop("__t__")
     w = F.col("__words__")
     n_words = F.size(w)
@@ -290,7 +288,7 @@ def quality_filter(
     per-rule flags is deliberate (corpus curation wants removal-reason
     histograms, not just the survivor set). Map-only plan."""
     text = qcol(text_col)
-    words = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    words = nonempty_words(text, lowercase=True)
     staged = df.select(
         qcol(id_col).alias("doc_id"),
         *( [qcol(lang_col).alias("__lang__")] if lang_col else [F.lit(keep_lang).alias("__lang__")] ),
@@ -333,7 +331,7 @@ def token_histogram(df: DataFrame, text_col: str, top_n: int = 100) -> DataFrame
     determinism."""
     toks = df.select(
         F.explode(
-            F.filter(F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != "")
+            nonempty_words(qcol(text_col), lowercase=True)
         ).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("n"))
@@ -360,9 +358,7 @@ def tfidf_top_terms(
         df.select(
             qcol(id_col).alias("doc_id"),
             F.explode(
-                F.filter(
-                    F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != ""
-                )
+                nonempty_words(qcol(text_col), lowercase=True)
             ).alias("token"),
         )
         .groupBy("doc_id", "token")
@@ -540,7 +536,7 @@ def passage_split(
     if overlap >= max_words:
         raise ValueError("overlap must be smaller than max_words")
     stride = max_words - overlap
-    words = F.filter(F.split(qcol(text_col), r"\s+"), lambda t: t != "")
+    words = nonempty_words(qcol(text_col))
     n = F.size(words)
     starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
@@ -683,9 +679,7 @@ def model_quality_score(
             qcol(id_col).alias("doc_id"),
             F.coalesce(qcol(text_col), F.lit("")).alias("__t__"),
         ),
-        __toks__=F.filter(
-            F.split(F.lower(F.col("__t__")), r"\s+"), lambda t: t != ""
-        ),
+        __toks__=nonempty_words(F.col("__t__"), lowercase=True),
     )
     toks = F.col("__toks__")
     n = F.size(toks)
@@ -775,9 +769,7 @@ def train_quality_classifier(
             F.coalesce(qcol(text_col), F.lit("")).alias("__t__"),
         ),
         __b__=F.transform(
-            F.filter(
-                F.split(F.lower(F.col("__t__")), r"\s+"), lambda t: t != ""
-            ),
+            nonempty_words(F.col("__t__"), lowercase=True),
             lambda t: hash_bucket(t, n_buckets, salt).cast("int"),
         ),
     )
@@ -917,9 +909,7 @@ def bm25_topk(
         docs.select(
             qcol(doc_id_col).alias("doc_id"),
             F.explode(
-                F.filter(
-                    F.split(F.lower(qcol(text_col)), r"\s+"), lambda t: t != ""
-                )
+                nonempty_words(qcol(text_col), lowercase=True)
             ).alias("token"),
         )
         .groupBy("doc_id", "token")
@@ -933,10 +923,7 @@ def bm25_topk(
         qcol(query_id_col).alias("query_id"),
         F.explode(
             F.array_distinct(
-                F.filter(
-                    F.split(F.lower(qcol(query_text_col)), r"\s+"),
-                    lambda t: t != "",
-                )
+                nonempty_words(qcol(query_text_col), lowercase=True)
             )
         ).alias("token"),
     ).distinct()

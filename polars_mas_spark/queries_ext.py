@@ -441,7 +441,7 @@ def q_word_shingles(spark, sf_dir):
                      / len(list_distinct(a.words || b.words)), 6) AS jaccard
         FROM base a JOIN base b
           ON a.block = b.block AND a.doc_id < b.doc_id
-         AND b.len >= a.len * 0.8 AND b.len <= a.len * 1.2
+         AND b.len * 0.8 <= a.len AND a.len * 0.8 <= b.len
         WHERE len(list_intersect(a.words, b.words))::DOUBLE
               / len(list_distinct(a.words || b.words)) >= 0.6""",
 )

@@ -822,6 +822,28 @@ def test_jaccard_empty_tokens_excluded(spark):
     assert out == []
 
 
+def test_jaccard_length_band_lossless_and_symmetric(spark):
+    """Review r10: the default length band must be LOSSLESS at the
+    requested threshold (J <= min/max, so min >= t*max admits every
+    possible >=t pair) and symmetric in id assignment. A containment
+    pair with |A|=4 ⊂ |B|=5 has J=0.8 exactly — the old smaller-id-
+    anchored 1.2x band dropped it; both id orders must now find it."""
+    from polars_mas_spark.operators.dedup import jaccard_pairs
+
+    small = "w1 w2 w3 w4"
+    big = "w1 w2 w3 w4 w5"
+    for rows in ([(1, small), (2, big)], [(1, big), (2, small)]):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect()
+        assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(1, 2, 0.8)], rows
+    # just below the lossless band (4 vs 6 -> max possible J = 2/3):
+    # pruned by the band AND truly below threshold — no false negative
+    df = spark.createDataFrame(
+        [(1, small), (2, "w1 w2 w3 w4 w5 w6")], "doc_id long, text string"
+    )
+    assert jaccard_pairs(df, "doc_id", "text", threshold=0.8).collect() == []
+
+
 def test_ngram_contamination_reports_short_docs(spark):
     """Review r4: documents shorter than n words must appear in the
     report with n_grams=0 rather than silently vanishing."""
@@ -1991,6 +2013,64 @@ def test_unicode_normalize_forms_and_strip(spark):
 
     with pytest.raises(ValueError):
         unicode_normalize(df, "doc_id", "text", form="NFX")
+
+
+def test_r10_review_guards(spark):
+    """Loud-failure guards added by the r10 review: simhash bits
+    validation, lsh_candidate_pairs runtime banding check,
+    paragraph_neardup_dedup doc-id packing bounds,
+    connected_min_labels non-convergence, and NULL-id seen docs
+    contributing real band keys to the incremental near-dup."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.dedup import (
+        connected_min_labels,
+        incremental_minhash_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        paragraph_neardup_dedup,
+        simhash,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    for bad_bits in (0, 62, 128):
+        with pytest.raises(ValueError, match="multiple of 4"):
+            simhash(docs, "doc_id", "text", bits=bad_bits)
+
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    with pytest.raises(Exception, match="collapse every document"):
+        lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).collect()
+
+    huge = spark.createDataFrame(
+        [(1 << 50, "a b c d")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="pid packing"):
+        paragraph_neardup_dedup(huge, "doc_id", "text", max_words=2).collect()
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_min_labels(pairs, max_rounds=1)
+
+    # a NULL-id seen document must still block its exact near-dup
+    seen = spark.createDataFrame(
+        [(None, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta"), (8, "other words here")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in incremental_minhash_dedup(new, seen, "doc_id", "text").collect()
+    }
+    assert kept == {8}
 
 
 def test_incremental_dedup_cascade_attribution(spark):

@@ -71,6 +71,10 @@ MUST_PIN: dict[str, tuple[int, str]] = {
     # sit-outs; kernels untouched since their r8 greens).
     "mas_poisson_rate_golden": (11, "pinned golden, sat out r9 and r10"),
     "mas_logistic_mtcars_golden": (11, "pinned golden, sat out r9 and r10"),
+    # r10 review fix: the length band became symmetric/lossless and the
+    # pair set GREW (6088 -> 6547 at sf0.01) — r9 evidence binds the
+    # old values.
+    "jaccard_pairs": (11, "r10 symmetric length-band fix changed values"),
 }
 
 # Never-driver-checked queries explicitly granted ONE round out of the
