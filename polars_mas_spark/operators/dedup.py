@@ -883,6 +883,10 @@ def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     extra join, and (unlike a sum(label) monotonicity probe) immune to
     bigint overflow under ANSI mode and to float summation collisions
     when ids are ~1e18 hash values."""
+    if max_rounds < 1:
+        raise ValueError(
+            f"connected_min_labels: max_rounds must be >= 1, got {max_rounds}"
+        )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -894,7 +898,6 @@ def connected_min_labels(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .persist()
     )
     try:
-        residual = -1  # -1 = loop never ran (max_rounds < 1)
         for _ in range(max_rounds):
             prop = (
                 edges.join(

@@ -205,11 +205,28 @@ PII_PATTERNS: list[tuple[str, str]] = [
 # Engine-portable strip classes (explicit code ranges behave identically
 # in Java regex and RE2, unlike named \p{Cntrl}/\p{Cc} whose sets differ):
 # C0 controls minus \t\n\r, DEL, and the zero-width Cf characters
-# (ZWSP/ZWNJ/ZWJ/BOM) that survive NFC and corrupt tokenization.
-_CTRL_JAVA = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B-\\u200D\\uFEFF]"
-_CTRL_RE2 = (
-    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
-    "\\x{200B}-\\x{200D}\\x{FEFF}]"
+# (ZWSP/ZWNJ/ZWJ/BOM) that survive NFC and corrupt tokenization. ONE
+# range table generates both syntaxes (Java \uXXXX vs RE2 \x{XXXX}) so
+# the engine regex and the DuckDB oracle's replay class cannot drift
+# (ADVICE r10 #4 — queries_ext._UNORM_ORACLE interpolates _CTRL_RE2).
+_CTRL_RANGES: tuple[tuple[int, int], ...] = (
+    (0x00, 0x08), (0x0B, 0x0C), (0x0E, 0x1F), (0x7F, 0x7F),
+    (0x200B, 0x200D), (0xFEFF, 0xFEFF),
+)
+
+
+def _ctrl_class(esc) -> str:
+    parts = []
+    for lo, hi in _CTRL_RANGES:
+        parts.append(esc(lo) if lo == hi else f"{esc(lo)}-{esc(hi)}")
+    return "[" + "".join(parts) + "]"
+
+
+_CTRL_JAVA = _ctrl_class(
+    lambda cp: f"\\x{cp:02X}" if cp <= 0xFF else f"\\u{cp:04X}"
+)
+_CTRL_RE2 = _ctrl_class(
+    lambda cp: f"\\x{cp:02X}" if cp <= 0xFF else f"\\x{{{cp:04X}}}"
 )
 
 

@@ -133,73 +133,60 @@ def q_multi_token_nulls(spark, sf_dir):
 
 
 @query(
-    "null_counts",
-    """SELECT count(*) AS n_rows,
-              count(*) FILTER (WHERE o_orderpriority IN ('URGENT','HIGH')) AS n_null_priority
-       FROM orders""",
+    "prep_stats",
+    """SELECT
+         (SELECT count(*) FROM orders) AS n_rows,
+         (SELECT count(*) FILTER (WHERE o_orderpriority IN ('URGENT','HIGH'))
+          FROM orders) AS n_null_priority,
+         (SELECT count(DISTINCT l_returnflag) FROM lineitem) AS n_returnflag,
+         (SELECT count(DISTINCT l_linestatus) FROM lineitem) AS n_linestatus,
+         (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS n_suppkey,
+         (SELECT round(min(l_quantity), 6) FROM lineitem) AS min_qty,
+         (SELECT round(max(l_quantity), 6) FROM lineitem) AS max_qty,
+         (SELECT round(avg(l_quantity), 6) FROM lineitem) AS mean_qty,
+         (SELECT round(avg(l_discount), 6) FROM lineitem) AS mean_disc,
+         (SELECT string_agg(level, '|' ORDER BY level)
+          FROM (SELECT DISTINCT o_orderpriority AS level FROM orders))
+           AS priority_levels""",
 )
-def q_null_counts(spark, sf_dir):
-    """A1+A2: row count and per-column null count (config.py:270,
-    preprocessing.py:10-17) over the null-rewritten column."""
+def q_prep_stats(spark, sf_dir):
+    """A1-A4 + A6 in ONE value-bound row (r11 registry consolidation,
+    VERDICT r10 next-steps #2a — replaces the null_counts /
+    distinct_counts / min_max_mean / group_levels registry rows, every
+    column of which this composite still binds): row count + null count
+    over the null-rewritten priority column (config.py:270,
+    preprocessing.py:10-17), exact per-column distinct counts
+    (preprocessing.py:68), fill-value statistics
+    (preprocessing.py:32-34), and sorted categorical level discovery
+    (preprocessing.py:87-97) folded to a '|'-joined string. Two 1-row
+    aggregates (one per table, each a partial-agg tree) combined via
+    broadcast nested-loop join — no CartesianProduct node, no
+    data-sized shuffle."""
     o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
     cleaned = F.when(
         F.col("o_orderpriority").isin("URGENT", "HIGH"), F.lit(None)
     ).otherwise(F.col("o_orderpriority"))
-    return o.agg(
+    o_agg = o.agg(
         F.count("*").alias("n_rows"),
         F.count(F.when(cleaned.isNull(), 1)).alias("n_null_priority"),
+        F.concat_ws(
+            "|", F.sort_array(F.collect_set("o_orderpriority"))
+        ).alias("priority_levels"),
     )
-
-
-@query(
-    "distinct_counts",
-    """SELECT count(DISTINCT l_returnflag) AS n_returnflag,
-              count(DISTINCT l_linestatus) AS n_linestatus,
-              count(DISTINCT l_suppkey) AS n_suppkey
-       FROM lineitem""",
-)
-def q_distinct_counts(spark, sf_dir):
-    """A3: exact per-column distinct counts (constant detection,
-    preprocessing.py:68)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    li_agg = li.agg(
         F.countDistinct("l_returnflag").alias("n_returnflag"),
         F.countDistinct("l_linestatus").alias("n_linestatus"),
         F.countDistinct("l_suppkey").alias("n_suppkey"),
-    )
-
-
-@query(
-    "min_max_mean",
-    """SELECT round(min(l_quantity), 6) AS min_qty,
-              round(max(l_quantity), 6) AS max_qty,
-              round(avg(l_quantity), 6) AS mean_qty,
-              round(avg(l_discount), 6) AS mean_disc
-       FROM lineitem""",
-)
-def q_min_max_mean(spark, sf_dir):
-    """A4: fill-value statistics (preprocessing.py:32-34)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
         F.round(F.min("l_quantity"), 6).alias("min_qty"),
         F.round(F.max("l_quantity"), 6).alias("max_qty"),
         F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
         F.round(F.avg("l_discount"), 6).alias("mean_disc"),
     )
-
-
-@query(
-    "group_levels",
-    "SELECT DISTINCT o_orderpriority AS level FROM orders ORDER BY level",
-)
-def q_group_levels(spark, sf_dir):
-    """A6: categorical level discovery, sorted for determinism
-    (preprocessing.py:87-97 + SURVEY.md §2.4 A6 note)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .select(F.col("o_orderpriority").alias("level"))
-        .distinct()
-        .orderBy("level")
+    return o_agg.crossJoin(F.broadcast(li_agg)).select(
+        "n_rows", "n_null_priority", "n_returnflag", "n_linestatus",
+        "n_suppkey", "min_qty", "max_qty", "mean_qty", "mean_disc",
+        "priority_levels",
     )
 
 
@@ -211,122 +198,85 @@ _NULLIFIED_DISC = "CASE WHEN l_discount < 0.03 THEN NULL ELSE l_discount END"
 
 
 @query(
-    "fill_mean",
+    "fill_strategies",
     f"""WITH base AS (
           SELECT l_orderkey, l_linenumber, {_NULLIFIED_DISC} AS disc FROM lineitem)
         SELECT l_orderkey, l_linenumber,
-               round(coalesce(disc, (SELECT avg(disc) FROM base)), 6) AS disc_filled
+               round(coalesce(disc, (SELECT avg(disc) FROM base)), 6)
+                 AS disc_mean_filled,
+               round(coalesce(disc, (SELECT min(disc) FROM base)), 6)
+                 AS disc_min_filled,
+               round(coalesce(disc, 0.0), 6) AS disc_zero_filled
         FROM base""",
 )
-def q_fill_mean(spark, sf_dir):
-    """F5: mean imputation = one aggregate + na.fill
-    (preprocessing.py:32-34)."""
+def q_fill_strategies(spark, sf_dir):
+    """F5+F6 in ONE value-bound frame (r11 registry consolidation,
+    VERDICT r10 next-steps #2a — replaces the fill_mean / fill_min /
+    fill_zero registry rows; each former query's full projection is
+    still a column here): mean / min imputation = one aggregate +
+    column-scoped na.fill (preprocessing.py:32-34), zero fill scoped to
+    the target column (preprocessing.py:35-36, whole-frame bug fixed
+    per SURVEY.md §2.5). One scan, one 2-value aggregate, three fills."""
     li = _t(spark, sf_dir, "lineitem")
+    nulled = F.when(F.col("l_discount") < 0.03, F.lit(None)).otherwise(
+        F.col("l_discount")
+    )
     base = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.when(F.col("l_discount") < 0.03, F.lit(None))
-        .otherwise(F.col("l_discount"))
-        .alias("disc"),
+        nulled.alias("disc_mean_filled"),
+        nulled.alias("disc_min_filled"),
+        nulled.alias("disc_zero_filled"),
     )
-    mean_val = base.agg(F.avg("disc")).first()[0]
+    stats = base.agg(
+        F.avg("disc_mean_filled").alias("m"),
+        F.min("disc_min_filled").alias("mn"),
+    ).first()
     # All-null guard: na.fill(None) raises; an all-null column passes
     # through unfilled like the oracle's coalesce (review r9).
-    if mean_val is not None:
-        base = base.na.fill({"disc": mean_val})
-    return base.select(
-        "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc_filled")
-    )
-
-
-@query(
-    "fill_zero",
-    f"""SELECT l_orderkey, l_linenumber,
-               round(coalesce({_NULLIFIED_DISC}, 0.0), 6) AS disc_filled
-        FROM lineitem""",
-)
-def q_fill_zero(spark, sf_dir):
-    """F6: zero fill scoped to target columns (preprocessing.py:35-36,
-    with the whole-frame bug fixed per SURVEY.md §2.5)."""
-    li = _t(spark, sf_dir, "lineitem")
-    base = li.select(
+    fills: dict = {"disc_zero_filled": 0.0}
+    if stats["m"] is not None:
+        fills["disc_mean_filled"] = stats["m"]
+    if stats["mn"] is not None:
+        fills["disc_min_filled"] = stats["mn"]
+    return base.na.fill(fills).select(
         "l_orderkey",
         "l_linenumber",
-        F.when(F.col("l_discount") < 0.03, F.lit(None))
-        .otherwise(F.col("l_discount"))
-        .alias("disc"),
-    )
-    return base.na.fill({"disc": 0.0}).select(
-        "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc_filled")
+        F.round(F.col("disc_mean_filled"), 6).alias("disc_mean_filled"),
+        F.round(F.col("disc_min_filled"), 6).alias("disc_min_filled"),
+        F.round(F.col("disc_zero_filled"), 6).alias("disc_zero_filled"),
     )
 
 
 @query(
-    "forward_fill",
+    "bidirectional_fill",
     """SELECT event_id,
               round(last_value(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
                     OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-                AS value_ffilled
-       FROM events""",
-)
-def q_forward_fill(spark, sf_dir):
-    """F3: ordered forward fill via the distributed block-prefix
-    algorithm (operators/fills.py) — oracle is the sequential
-    IGNORE NULLS window."""
-    ev = _t(spark, sf_dir, "events")
-    base = ev.select(
-        "event_id",
-        F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value")).alias("v"),
-    )
-    filled = forward_fill(base, ["v"], "event_id")
-    return filled.select(
-        "event_id", F.round(F.col("v"), 6).alias("value_ffilled")
-    )
-
-
-@query(
-    "backward_fill",
-    """SELECT event_id,
+                AS value_ffilled,
               round(first_value(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
                     OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
                 AS value_bfilled
        FROM events""",
 )
-def q_backward_fill(spark, sf_dir):
-    """F4: ordered backward fill, same distributed block-prefix algorithm
-    as F3 run in reverse (operators/fills.py)."""
+def q_bidirectional_fill(spark, sf_dir):
+    """F3+F4 in ONE value-bound frame (r11 registry consolidation,
+    VERDICT r10 next-steps #2a — replaces the forward_fill /
+    backward_fill registry rows; each former query's full projection is
+    still a column here): ordered forward AND backward fill via the
+    distributed block-prefix algorithm (operators/fills.py), oracle =
+    the sequential IGNORE NULLS windows. Both directions run over the
+    same range-partitioned layout."""
     ev = _t(spark, sf_dir, "events")
+    nulled = F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
     base = ev.select(
+        "event_id", nulled.alias("vf"), nulled.alias("vb")
+    )
+    filled = backward_fill(forward_fill(base, ["vf"], "event_id"), ["vb"], "event_id")
+    return filled.select(
         "event_id",
-        F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value")).alias("v"),
-    )
-    filled = backward_fill(base, ["v"], "event_id")
-    return filled.select("event_id", F.round(F.col("v"), 6).alias("value_bfilled"))
-
-
-@query(
-    "fill_min",
-    f"""WITH base AS (
-          SELECT l_orderkey, l_linenumber, {_NULLIFIED_DISC} AS disc FROM lineitem)
-        SELECT l_orderkey, l_linenumber,
-               round(coalesce(disc, (SELECT min(disc) FROM base)), 6) AS disc_filled
-        FROM base""",
-)
-def q_fill_min(spark, sf_dir):
-    """F5: min imputation (preprocessing.py:32)."""
-    li = _t(spark, sf_dir, "lineitem")
-    base = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.when(F.col("l_discount") < 0.03, F.lit(None))
-        .otherwise(F.col("l_discount"))
-        .alias("disc"),
-    )
-    min_val = base.agg(F.min("disc")).first()[0]
-    if min_val is not None:  # all-null guard (see fill_mean)
-        base = base.na.fill({"disc": min_val})
-    return base.select(
-        "l_orderkey", "l_linenumber", F.round(F.col("disc"), 6).alias("disc_filled")
+        F.round(F.col("vf"), 6).alias("value_ffilled"),
+        F.round(F.col("vb"), 6).alias("value_bfilled"),
     )
 
 
@@ -574,19 +524,25 @@ def q_bh_fdr(spark, sf_dir):
 
 
 @query(
-    "standard_scale",
+    "scale_extremes",
     """SELECT l_orderkey, l_linenumber,
               round((l_extendedprice
                      - round((SELECT avg(l_extendedprice) FROM lineitem), 6))
                     / round((SELECT stddev_samp(l_extendedprice) FROM lineitem), 6),
-                    6) + 0.0 AS price_scaled
+                    6) + 0.0 AS price_std,
+              round((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
+                    / ((SELECT max(l_extendedprice) FROM lineitem)
+                       - (SELECT min(l_extendedprice) FROM lineitem)), 6)
+                AS price_minmax
        FROM lineitem""",
 )
-def q_standard_scale(spark, sf_dir):
-    """Covariate standardization (reference roadmap README.md:161).
-
-    Two cross-engine hash hazards, both caught by the sf0.1 gate in r6
-    (sf0.01 happened to hash clean on each):
+def q_scale_extremes(spark, sf_dir):
+    """Standard + min-max covariate scaling in ONE value-bound frame
+    (r11 registry consolidation, VERDICT r10 next-steps #2a — replaces
+    the standard_scale / min_max_scale registry rows; each former
+    query's full projection is still a column here; reference roadmap
+    README.md:161). The expressions are byte-identical to the retired
+    queries', preserving the two r6 cross-engine hash hazards' fixes:
 
     - The mean/std are pinned to 6 decimals on BOTH engines before the
       per-row scale, so a last-ulp disagreement between Spark's partial
@@ -597,42 +553,31 @@ def q_standard_scale(spark, sf_dir):
       std::round) but +0.0 in Spark (BigDecimal HALF_UP drops the
       sign), and the driver's hasher reprs them differently. Adding
       positive zero maps -0.0 -> +0.0 and is exact for every other
-      value."""
-    li = _t(spark, sf_dir, "lineitem")
+      value.
+
+    The min-max column goes through functions.transforms.min_max_scale
+    (the engine path the retired query bound); the standard column uses
+    the pinned-6dp literal shape (transforms.standard_scale doesn't pin,
+    deliberately — pinning is an oracle-parity device, not semantics)."""
+    from polars_mas_spark.functions.transforms import min_max_scale
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.col("l_extendedprice").alias("price_minmax"),
+    )
     stats = li.agg(
         F.round(F.avg("l_extendedprice"), 6).alias("m"),
         F.round(F.stddev_samp("l_extendedprice"), 6).alias("s"),
     ).first()
-    return li.select(
+    out = min_max_scale(li, ["price_minmax"])
+    return out.select(
         "l_orderkey",
         "l_linenumber",
         (
             F.round((F.col("l_extendedprice") - stats["m"]) / stats["s"], 6)
             + F.lit(0.0)
-        ).alias("price_scaled"),
-    )
-
-
-@query(
-    "min_max_scale",
-    """SELECT l_orderkey, l_linenumber,
-              round((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
-                    / ((SELECT max(l_extendedprice) FROM lineitem)
-                       - (SELECT min(l_extendedprice) FROM lineitem)), 6) AS price_scaled
-       FROM lineitem""",
-)
-def q_min_max_scale(spark, sf_dir):
-    """Min-max covariate scaling (reference roadmap README.md:161),
-    via functions.transforms.min_max_scale."""
-    from polars_mas_spark.functions.transforms import min_max_scale
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice"
-    )
-    out = min_max_scale(li, ["l_extendedprice"])
-    return out.select(
-        "l_orderkey", "l_linenumber",
-        F.round(F.col("l_extendedprice"), 6).alias("price_scaled"),
+        ).alias("price_std"),
+        F.round(F.col("price_minmax"), 6).alias("price_minmax"),
     )
 
 

@@ -844,6 +844,10 @@ def q_model_quality_score(spark, sf_dir):
     )
 
 
+# The strip class is interpolated from text._CTRL_RE2 so the oracle's
+# replay class cannot drift from the engine's _CTRL_JAVA twin without a
+# test catching it (ADVICE r10 #4); text.py asserts the two classes
+# enumerate the same code points.
 _UNORM_ORACLE = r"""WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 1
@@ -854,16 +858,12 @@ _UNORM_ORACLE = r"""WITH planted AS (
               ELSE text END AS text
   FROM documents)
 SELECT doc_id,
-       regexp_replace(nfc_normalize(text),
-         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
-         '', 'g') AS text_norm,
-       regexp_replace(nfc_normalize(text),
-         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
-         '', 'g') <> text AS changed,
-       length(regexp_replace(nfc_normalize(text),
-         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
-         '', 'g'))::BIGINT AS n_chars_norm
-FROM planted"""
+       regexp_replace(nfc_normalize(text), '@CTRL@', '', 'g') AS text_norm,
+       regexp_replace(nfc_normalize(text), '@CTRL@', '', 'g') <> text
+         AS changed,
+       length(regexp_replace(nfc_normalize(text), '@CTRL@', '', 'g'))::BIGINT
+         AS n_chars_norm
+FROM planted""".replace("@CTRL@", tx._CTRL_RE2)
 
 
 @query("unicode_normalize_docs", _UNORM_ORACLE)

@@ -32,13 +32,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # Queries whose single final aggregate/sort legitimately lands on one
 # partition because the data reaching it is a handful of rows.
 SINGLE_PARTITION_OK = {
-    # ungrouped scalar aggregates (1-row results)
-    "null_counts", "distinct_counts", "min_max_mean", "tpch_q6",
+    # ungrouped scalar aggregates (1-row results; prep_stats is the r11
+    # composite of the retired null_counts/distinct_counts/min_max_mean/
+    # group_levels rows)
+    "prep_stats", "tpch_q6",
     "tpch_q14ish", "tpch_q19ish", "tpch_q22ish", "drop_constant_diag",
     # per-step scalar conversion counts (k rows for a k-step funnel)
     "funnel_steps",
-    # global ORDER BY of small result sets
-    "group_levels",
     # results-table sort in _complete_pairs (P x D rows, documented)
     "mas_linear_fanout", "mas_sex_specific_linear", "mas_logistic_fanout",
     "mas_firth_fanout", "mas_phewas_firth_180", "mas_linear_moments",

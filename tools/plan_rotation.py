@@ -57,17 +57,12 @@ PINNED = [
 # CORRECTNESS round >= the due round has gone green for it. Prune an
 # entry once satisfied.
 MUST_PIN: dict[str, tuple[int, str]] = {
-    # r9 integer-cents quotient-trap rebinding changed output values;
-    # r9 window was saturated, re-pin consciously deferred to r10
-    # (CLAUDE.md obligation; VERDICT r9 next-steps #1).
-    "bonferroni": (10, "r9 integer-cents rebinding changed values"),
-    "bh_fdr": (10, "r9 integer-cents rebinding changed values"),
-    "event_cube": (10, "r9 integer-cents rebinding changed values"),
-    "mas_firth_fanout_golden": (10, "r9 integer-cell projection hardening"),
-    "mas_logistic_fanout_golden": (10, "r9 integer-cell projection hardening"),
-    "mas_firth_columnar_golden": (10, "r9 integer-cell projection hardening"),
-    # Promised r10 returns displaced by the six pins above + the r10-new
-    # queries (VERDICT r9 next-steps #3 names them the safest one-round
+    # (r10 satisfied and pruned: bonferroni / bh_fdr / event_cube /
+    # mas_firth_fanout_golden / mas_logistic_fanout_golden /
+    # mas_firth_columnar_golden — all driver-green r10 on the r9
+    # integer-cents projections.)
+    # Promised r10 returns displaced by the r10 semantic re-pins
+    # (VERDICT r9 next-steps #3 names them the safest one-round
     # sit-outs; kernels untouched since their r8 greens).
     "mas_poisson_rate_golden": (11, "pinned golden, sat out r9 and r10"),
     "mas_logistic_mtcars_golden": (11, "pinned golden, sat out r9 and r10"),
@@ -83,14 +78,26 @@ MUST_PIN: dict[str, tuple[int, str]] = {
 # expired deferral is treated exactly like a forgotten never-checked
 # query).
 DEFERRED: dict[str, tuple[int, str]] = {
-    # r10 window is exactly saturated: 43 age-3 rows + 5 semantic
-    # re-pins + 2 of the 3 r10-new queries = 50 (deferring one new
-    # query over aged evidence is the trade VERDICT r9 next-steps #3
-    # blesses). Local evidence meanwhile: gate-green at 3 SFs,
-    # bit-stable flap hunt, plan audit clean, unit + idempotence tests.
-    "paragraph_neardup_dedup": (10, "r10 window saturated; windowed r11"),
-    "incremental_dedup_cascade": (10, "r10 window saturated; windowed r11"),
-    "unicode_normalize_docs": (10, "r10 window saturated; windowed r11"),
+    # (r10 grants expired and honored: paragraph_neardup_dedup /
+    # incremental_dedup_cascade / unicode_normalize_docs are in the
+    # r11 window.)
+    # r11 window is exactly saturated by obligations (3 expired
+    # deferrals + 40 age-3 rows + 7 pinned/must-pin). The r11-new
+    # names — 4 registry-consolidation composites whose every column
+    # is a projection of a long-green retired query, plus the 3 new
+    # semantic-family operators — sit out r11 with local evidence
+    # (3-SF gate, flap hunt, plan audit, unit tests). r12 planning
+    # note: 44 age-3 rows + these 7 = 51 > 50; re-defer
+    # scale_extremes (the lowest-risk composite: byte-identical
+    # expressions to two queries green since r6) to r13, where the
+    # aged bucket is 49.
+    "prep_stats": (11, "r11 saturated; consolidation composite"),
+    "fill_strategies": (11, "r11 saturated; consolidation composite"),
+    "bidirectional_fill": (11, "r11 saturated; consolidation composite"),
+    "scale_extremes": (11, "r11 saturated; re-defer to r13 per note"),
+    "semantic_decontaminate": (11, "r11 saturated; new r11 operator"),
+    "incremental_semantic_dedup": (11, "r11 saturated; new r11 operator"),
+    "classifier_eval": (11, "r11 saturated; new r11 operator"),
 }
 
 
@@ -136,11 +143,14 @@ def propose(registry: list[str]) -> tuple[list[str], list[str], list[str]]:
     )
     mandatory = must + never + aged_mandatory
     if len(mandatory) > WINDOW:
-        print(
-            f"# WARNING: {len(mandatory)} mandatory rows (must-pin + "
+        # Hard error, not a warning (ADVICE r10 #2): an emitted block
+        # longer than WINDOW reads as covered while the driver silently
+        # never checks its tail. Force an explicit DEFERRED / MUST_PIN
+        # decision before a block can be produced at all.
+        raise SystemExit(
+            f"OVERFLOW: {len(mandatory)} mandatory rows (must-pin + "
             f"never + age>={MAX_AGE}) exceed the {WINDOW}-slot window; "
-            "defer explicitly (DEFERRED / MUST_PIN next round)",
-            file=sys.stderr,
+            "add explicit DEFERRED / MUST_PIN entries before emitting"
         )
     taken = set(mandatory)
     standing = [
