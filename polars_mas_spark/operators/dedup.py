@@ -1498,6 +1498,12 @@ def incremental_dedup_cascade(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    new_vectors: DataFrame | None = None,
+    seen_vectors: DataFrame | None = None,
+    vec_threshold: float = 0.92,
+    n_clusters: int = 8,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """The rolling-crawl form of :func:`dedup_cascade` — the composite
     the r10 incremental family exists for: a NEW ingestion batch flows
@@ -1656,8 +1662,49 @@ def incremental_dedup_cascade(
             "doc_id", F.lit("near").alias("stage"), F.lit("seen").alias("vs")
         )
     )
+    survivors = remaining.join(cross, on="doc_id", how="left_anti")
+
+    # Optional fourth stage (r11, VERDICT r10 next-steps #4): semantic
+    # near-dup vs the accepted corpus's embedding space. Only near-stage
+    # survivors are scored; a batch doc with no vector row bypasses
+    # (mirrors the NULL-text bypass — no embedding, no semantic key).
+    # Seen embeddings STREAM map-side (the batch side broadcasts) —
+    # see incremental_semantic_dedup's scale notes.
+    if new_vectors is not None and seen_vectors is not None:
+        from polars_mas_spark.operators.similarity import (
+            incremental_semantic_dedup,
+        )
+
+        surv_vecs = new_vectors.select(
+            qcol(vec_id_col).alias("doc_id"), qcol(vec_col).alias("__v__")
+        ).join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+        seen_v = seen_vectors.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            qcol(vec_col).alias("__v__"),
+        )
+        sem_losers = (
+            incremental_semantic_dedup(
+                surv_vecs,
+                seen_v,
+                threshold=vec_threshold,
+                n_clusters=n_clusters,
+                id_col="doc_id",
+                vec_col="__v__",
+            )
+            .filter(F.col("verdict") != "kept")
+            .select(
+                "doc_id",
+                F.lit("semantic").alias("stage"),
+                F.col("verdict").alias("vs"),
+            )
+        )
+        pieces.append(sem_losers)
+        survivors = survivors.join(
+            sem_losers.select("doc_id"), on="doc_id", how="left_anti"
+        )
+
     pieces.append(
-        remaining.join(cross, on="doc_id", how="left_anti").select(
+        survivors.select(
             "doc_id",
             F.lit("kept").alias("stage"),
             F.lit(None).cast("string").alias("vs"),

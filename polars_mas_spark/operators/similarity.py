@@ -1059,3 +1059,215 @@ def knn_label_vote(
         .withColumn("agrees", F.col("pred_label") == F.col("own_label"))
         .select("query_id", "pred_label", "votes", "own_label", "agrees")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Embedding-space decontamination: flag every CORPUS document
+    whose embedding is within cosine ``threshold`` of ANY benchmark
+    item — the contamination channel exact n-gram overlap
+    ([[ngram_contamination]]) and exact-substring scrubbing
+    ([[span_decontaminate]]) both miss: a PARAPHRASED eval question
+    shares no 8-gram with its source but sits next to it in embedding
+    space (the decontamination axis of Yang et al. 2023's rephrased-
+    sample study).
+
+    Returns one row per contaminated corpus doc: ``(id_col,
+    bench_id_col, cos)`` — the benchmark item of MAXIMUM cosine (ties
+    -> lowest benchmark id), cos rounded to 4dp. Clean docs are absent
+    (anti-joining the ids against the corpus is the caller's scrub
+    step).
+
+    Plan shape (the knn_graph/ivf layout with the roles fixed): the
+    IVF index is built on the CORPUS (deterministic seeded k-means,
+    driver traffic = n_centroids x dim); corpus vectors take their
+    argmax home bucket MAP-SIDE (broadcast centroid matrix — the
+    corpus never shuffles and is never broadcast); the benchmark set —
+    small by construction, eval suites are thousands of items, not
+    billions — explodes to its ``n_probe`` closest buckets and
+    BROADCASTS onto the corpus stream. Candidate scoring is JVM
+    higher-order dot with per-vector norms hoisted map-side (never a
+    per-pair cosine() re-fold); the only shuffle in the whole plan is
+    the per-corpus-doc max aggregate over rows that already passed the
+    threshold — contaminated candidates, a vanishing fraction of the
+    corpus. Recall is n_probe-tunable exactly as in [[ivf_topk]]; a
+    benchmark item's paraphrase-near corpus doc is missed only if the
+    doc's home bucket is outside the item's n_probe closest — raise
+    n_probe toward n_centroids for exhaustive scanning.
+
+    Zero-norm vectors have no cosine direction (0/0 = NaN would sort
+    above every real score): they are excluded on both sides, matching
+    knn_graph's contract.
+    """
+    spark = corpus.sparkSession
+    centroids = kmeans_centroids(
+        corpus, k=n_centroids, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    bc = _centroid_matrix_bc(spark, centroids)
+    c = corpus.select(
+        qcol(id_col).alias("__cid__"),
+        qcol(vec_col).alias("__cvec__"),
+        norm(qcol(vec_col)).alias("__cn__"),
+        _assign_udf(bc)(qcol(vec_col)).alias("__bucket__"),
+    )
+    b = benchmark.select(
+        qcol(bench_id_col).alias("__bid__"),
+        qcol(vec_col).alias("__bvec__"),
+        norm(qcol(vec_col)).alias("__bn__"),
+        F.explode(_probe_udf(bc, n_probe)(qcol(vec_col))).alias("__bucket__"),
+    )
+    hits = (
+        c.join(F.broadcast(b), on="__bucket__")
+        .filter((F.col("__cn__") > 0) & (F.col("__bn__") > 0))
+        .select(
+            "__cid__",
+            "__bid__",
+            (
+                dot(F.col("__cvec__"), F.col("__bvec__"))
+                / (F.col("__cn__") * F.col("__bn__"))
+            ).alias("__cos__"),
+        )
+        .filter(F.col("__cos__") >= float(threshold))
+    )
+    # Best benchmark match per contaminated doc: min of (-cos, bench_id)
+    # = highest cosine, ties -> lowest benchmark id. The struct min is
+    # ONE map-side-combinable aggregate (no ranking window needed).
+    best = hits.groupBy("__cid__").agg(
+        F.min(
+            F.struct(
+                (-F.col("__cos__")).alias("nc"), F.col("__bid__").alias("bid")
+            )
+        ).alias("__best__")
+    )
+    return best.select(
+        F.col("__cid__").alias(id_col),
+        F.col("__best__.bid").alias(bench_id_col),
+        F.round(-F.col("__best__.nc"), 4).alias("cos"),
+    )
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    threshold: float = 0.92,
+    n_clusters: int = 8,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seen_cluster_col: str | None = None,
+) -> DataFrame:
+    """The embedding-space member of the rolling-crawl dedup family
+    (exact [[incremental_exact_dedup]], minhash
+    [[incremental_minhash_dedup]], span fingerprints, cascade): drop
+    every NEW-batch vector that is semantically near (cosine >=
+    ``threshold``) an ACCEPTED-corpus vector — or a smaller-id batch
+    peer — inside its SemDeDup cluster block ([[semantic_dedup]]'s
+    greedy any-smaller-neighbor rule, composed with the incremental
+    family's batch-before-seen attribution).
+
+    Returns one verdict row per batch vector: ``(id_col, verdict)`` —
+    'batch' (lost to a smaller-id batch peer), 'seen' (near an
+    accepted vector), or 'kept'. Batch-internal collapse is attributed
+    BEFORE seen-membership, exactly as in [[incremental_dedup_cascade]].
+
+    Scale shape — accepted embeddings NEVER shuffle: the cluster space
+    is the SEEN corpus's k-means (centroids from [[kmeans_centroids]],
+    driver-tiny); the seen side streams map-side (home-bucket argmax
+    against the broadcast centroid matrix + hoisted norm) into a
+    BroadcastHashJoin whose broadcast side is the BATCH (small by
+    construction — one crawl increment vs the accumulated corpus; the
+    opposite roles of a normal dim-fact join, chosen so the 100 TB
+    side is the streamed one). If ``seen_cluster_col`` names a
+    precomputed assignment column (the persisted SemDeDup layout —
+    at scale, a table bucketed by cluster), the map-side re-assignment
+    is skipped and centroids refine from the seen corpus only for the
+    batch's assignment. Pair scoring is JVM higher-order dot with
+    per-vector norms hoisted before the join (never per-pair cosine()
+    re-folds). The batch self-check is a cluster-blocked self-join of
+    the (small) batch alone.
+
+    Zero-norm vectors form no pairs on either side (NaN contract as in
+    [[knn_graph]]) — a zero-norm batch vector is always 'kept'.
+    """
+    spark = batch.sparkSession
+    centroids = kmeans_centroids(
+        seen, k=n_clusters, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    bc = _centroid_matrix_bc(spark, centroids)
+    b = batch.select(
+        qcol(id_col).alias("__bid__"),
+        qcol(vec_col).alias("__bvec__"),
+        norm(qcol(vec_col)).alias("__bn__"),
+        _assign_udf(bc)(qcol(vec_col)).alias("__cluster__"),
+    ).localCheckpoint(eager=True)  # 3 consumers: self-join x2 + verdict
+    if seen_cluster_col is not None:
+        s = seen.select(
+            qcol(vec_col).alias("__svec__"),
+            norm(qcol(vec_col)).alias("__sn__"),
+            qcol(seen_cluster_col).alias("__cluster__"),
+        )
+    else:
+        s = seen.select(
+            qcol(vec_col).alias("__svec__"),
+            norm(qcol(vec_col)).alias("__sn__"),
+            _assign_udf(bc)(qcol(vec_col)).alias("__cluster__"),
+        )
+    thr = float(threshold)
+    # Within-batch greedy: loser to ANY smaller-id same-cluster peer.
+    peers = b.select(
+        F.col("__bid__").alias("__pid__"),
+        F.col("__bvec__").alias("__pvec__"),
+        F.col("__bn__").alias("__pn__"),
+        "__cluster__",
+    )
+    batch_losers = (
+        b.join(F.broadcast(peers), on="__cluster__")
+        .filter(
+            (F.col("__pid__") < F.col("__bid__"))
+            & (F.col("__bn__") > 0)
+            & (F.col("__pn__") > 0)
+        )
+        .filter(
+            dot(F.col("__bvec__"), F.col("__pvec__"))
+            / (F.col("__bn__") * F.col("__pn__"))
+            >= thr
+        )
+        .select("__bid__")
+        .distinct()
+    )
+    # Vs accepted: seen STREAMS, batch broadcasts.
+    seen_losers = (
+        s.join(F.broadcast(b), on="__cluster__")
+        .filter((F.col("__bn__") > 0) & (F.col("__sn__") > 0))
+        .filter(
+            dot(F.col("__bvec__"), F.col("__svec__"))
+            / (F.col("__bn__") * F.col("__sn__"))
+            >= thr
+        )
+        .select("__bid__")
+        .distinct()
+    )
+    verdict = (
+        b.select("__bid__")
+        .join(batch_losers.withColumn("__isb__", F.lit(True)), "__bid__", "left")
+        .join(seen_losers.withColumn("__iss__", F.lit(True)), "__bid__", "left")
+        .select(
+            F.col("__bid__").alias(id_col),
+            F.when(F.col("__isb__"), F.lit("batch"))
+            .when(F.col("__iss__"), F.lit("seen"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+    return verdict

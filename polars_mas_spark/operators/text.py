@@ -814,6 +814,106 @@ def train_quality_classifier(
     )
 
 
+def classifier_eval(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    n_buckets: int = 20,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Train/holdout evaluation report for a scored corpus — the
+    accept/reject gate after [[train_quality_classifier]] (VERDICT r10
+    next-steps #5): bucketed AUC plus the confusion counts at a score
+    threshold, per split, in ONE aggregation pass over score buckets
+    (the conditional-count shape of ``maintenance.drift_psi``).
+
+    Returns one row per split ('train' / 'holdout') of ALL-INTEGER
+    columns — no rounded quotients can diverge cross-engine (the r9
+    quotient-trap lesson):
+
+    - ``n``, ``n_pos``: split size and positive count.
+    - ``auc_num`` / ``auc_den``: the bucketed-AUC ratio held as exact
+      integers. With scores quantized to ``n_buckets`` equal-width
+      buckets over [0, 1], AUC = P(score_pos > score_neg) + 0.5 *
+      P(tie) = sum_b pos_b * (2 * neg_below_b + neg_b) / (2 * P * N)
+      — the numerator counts each (pos, neg) pair twice (ties once),
+      hence the factor-2 denominator. Same-bucket pairs are ties by
+      construction: this is the AUC of the quantized score, exact for
+      it, and within 1/n_buckets of the raw-score AUC.
+    - ``tp`` / ``fp`` / ``fn`` at ``threshold`` (predict positive iff
+      bucket >= floor(threshold * n_buckets), i.e. score >= the bucket
+      edge at or above the threshold): precision = tp/(tp+fp) and
+      recall = tp/(tp+fn) are the CALLER's division — binding the
+      counts instead of the ratios keeps the oracle exact
+      (tests/test_semantic_incremental.py binds the quotient
+      identities).
+
+    The split is deterministic: holdout iff ``id % holdout_mod == 0``
+    (ids are stable upstream keys; a hash split would also work but is
+    not needed for a held-out ESTIMATE, and the modulus is replayable
+    in one SQL token). Scores are clamped into [0, 1] bucket range
+    (bucket = clamp(floor(score * n_buckets), 0, n_buckets - 1)).
+
+    Scale shape: one map-side pass computes (split, bucket, is_pos);
+    ONE shuffle aggregates to at most 2 * n_buckets cells (map-side
+    partial combine makes per-partition traffic O(n_buckets)); the
+    cumulative-negatives window and final per-split rollup run over
+    those cells — driver-scale, independent of corpus size."""
+    if holdout_mod < 2:
+        raise ValueError(
+            f"classifier_eval: holdout_mod must be >= 2, got {holdout_mod}"
+        )
+    t_bucket = int(threshold * n_buckets)
+    split = F.when(
+        qcol(id_col) % holdout_mod == 0, F.lit("holdout")
+    ).otherwise(F.lit("train"))
+    bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(qcol(score_col) * n_buckets).cast("int"),
+        ),
+    )
+    is_pos = qcol(label_col).cast("boolean")
+    cells = (
+        df.select(
+            split.alias("split"),
+            bucket.alias("bucket"),
+            is_pos.alias("__pos__"),
+        )
+        .groupBy("split", "bucket")
+        .agg(
+            F.count(F.when(F.col("__pos__"), 1)).alias("pos_b"),
+            F.count(F.when(~F.col("__pos__"), 1)).alias("neg_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cells.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_b").over(w), F.lit(0))
+    )
+    pred_pos = F.col("bucket") >= t_bucket
+    return (
+        cum.groupBy("split")
+        .agg(
+            F.sum(F.col("pos_b") + F.col("neg_b")).alias("n"),
+            F.sum("pos_b").alias("n_pos"),
+            F.sum(
+                F.col("pos_b") * (2 * F.col("neg_below") + F.col("neg_b"))
+            ).alias("auc_num"),
+            (2 * F.sum("pos_b") * F.sum("neg_b")).alias("auc_den"),
+            F.sum(F.when(pred_pos, F.col("pos_b")).otherwise(0)).alias("tp"),
+            F.sum(F.when(pred_pos, F.col("neg_b")).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pred_pos, F.col("pos_b")).otherwise(0)).alias("fn"),
+        )
+    )
+
+
 def char_trigram_scores(
     df: DataFrame,
     id_col: str,

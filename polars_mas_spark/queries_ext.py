@@ -542,6 +542,66 @@ def q_text_quality(spark, sf_dir):
     return tx.text_stats(docs, "text").drop("text")
 
 
+_CLF_EVAL_ORACLE = rf"""WITH p AS (
+    SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+           length(text) AS n_chars,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words,
+           length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+           length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers
+    FROM documents),
+  r AS (SELECT doc_id, n_words,
+               CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END AS pr,
+               CASE WHEN n_chars > 0 THEN uppers::DOUBLE / n_chars ELSE 0.0 END AS ur,
+               CASE WHEN n_words > 0 THEN ({_STOP_HITS})::DOUBLE / n_words ELSE 0.0 END AS sr
+        FROM p),
+  scored AS (SELECT doc_id,
+                    round(least(n_words::DOUBLE / 20.0, 1.0) * 0.4
+                          + least(sr * 4.0, 1.0) * 0.3
+                          + (1.0 - least(pr * 5.0, 1.0)) * 0.2
+                          + (1.0 - least(ur * 5.0, 1.0)) * 0.1, 6) AS q
+             FROM r),
+  cells0 AS (SELECT CASE WHEN d.doc_id % 5 = 0 THEN 'holdout' ELSE 'train' END AS split,
+                    greatest(0, least(19, floor(s.q * 20)::INT)) AS bucket,
+                    (d.lang = 'en') AS pos
+             FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+  cells AS (SELECT split, bucket,
+                   count(*) FILTER (WHERE pos) AS pos_b,
+                   count(*) FILTER (WHERE NOT pos) AS neg_b
+            FROM cells0 GROUP BY split, bucket),
+  cum AS (SELECT split, bucket, pos_b, neg_b,
+                 coalesce(sum(neg_b) OVER (PARTITION BY split ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+          FROM cells)
+SELECT split,
+       sum(pos_b + neg_b)::BIGINT AS n,
+       sum(pos_b)::BIGINT AS n_pos,
+       sum(pos_b * (2 * neg_below + neg_b))::BIGINT AS auc_num,
+       (2 * sum(pos_b) * sum(neg_b))::BIGINT AS auc_den,
+       sum(CASE WHEN bucket >= 10 THEN pos_b ELSE 0 END)::BIGINT AS tp,
+       sum(CASE WHEN bucket >= 10 THEN neg_b ELSE 0 END)::BIGINT AS fp,
+       sum(CASE WHEN bucket < 10 THEN pos_b ELSE 0 END)::BIGINT AS fn
+FROM cum GROUP BY split"""
+
+
+@query("classifier_eval", _CLF_EVAL_ORACLE)
+def q_classifier_eval(spark, sf_dir):
+    """Quality-classifier evaluation report (text.classifier_eval):
+    deterministic train/holdout split (doc_id % 5), the text_stats
+    composite quality score as the classifier, lang='en' as ground
+    truth; bucketed AUC + threshold confusion counts, ALL-INTEGER
+    projection (the auc_num/auc_den and precision/recall quotient
+    identities are bound in tests/test_semantic_incremental.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scored = tx.text_stats(docs, "text").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return tx.classifier_eval(
+        scored, "doc_id", "quality_score", "is_en",
+        threshold=0.5, n_buckets=20, holdout_mod=5,
+    )
+
+
 @query(
     "token_count",
     r"""SELECT doc_id,
@@ -1172,11 +1232,14 @@ def q_embedding_neardup(spark, sf_dir):
 # clusters keep their seed), final assignment. Cross-engine FP safety:
 # measured min argmax margin on this corpus is ~7e-5 — nine orders
 # above double-rounding noise, so the integer cluster ids hash-match.
-def _kmeans_ctes(k: int) -> str:
-    return _KMEANS_CTES_TMPL.format(k=k)
+def _kmeans_ctes(k: int, src: str = "embeddings") -> str:
+    """``src`` lets the corpus be a filtered subquery (the incremental
+    semantic dedup oracle builds its cluster space from the SEEN rows
+    only, mirroring kmeans_centroids(seen))."""
+    return _KMEANS_CTES_TMPL.format(k=k, src=src)
 
 
-_KMEANS_CTES_TMPL = """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+_KMEANS_CTES_TMPL = """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v AS sv
       FROM base ORDER BY vec_id LIMIT {k}),
@@ -1236,6 +1299,136 @@ def q_semantic_dedup(spark, sf_dir):
     )
     return sim.semantic_dedup(emb, k=8, threshold=0.35, refine_iters=1).select(
         "vec_id", "label"
+    )
+
+
+@query(
+    "semantic_decontaminate",
+    # Full value oracle: corpus IVF = the kmeans_assign CTE chain
+    # (k=16); the benchmark probe set is PLANTED as paraphrase-near
+    # vectors (every component +0.02 — elementwise double arithmetic,
+    # bit-identical across engines) of the vec_id % 37 = 5 rows; each
+    # benchmark item probes its 4 closest refined centroids (ties ->
+    # lower index, matching _probe_udf); candidates are the probed
+    # buckets; best match per contaminated doc by (cos DESC, bench
+    # ASC). Threshold margin measured on this corpus: planted matches
+    # ~0.987, natural pairs' closest approach to 0.42 is 2.4e-3
+    # (sf0.01) / 2.8e-4 (sf0.1) — 12 orders above double-rounding
+    # noise.
+    f"""WITH {_kmeans_ctes(16)},
+       bench AS (SELECT vec_id AS bench_id,
+                        list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> x + 0.02) AS bv
+                 FROM embeddings WHERE vec_id % 37 = 5),
+       probes AS (
+         SELECT b.bench_id, b.bv, cent.c,
+                row_number() OVER (PARTITION BY b.bench_id
+                                   ORDER BY list_cosine_similarity(b.bv, cent.sv) DESC,
+                                            cent.c ASC) AS prk
+         FROM bench b CROSS JOIN cent),
+       hits AS (SELECT a.vec_id, p.bench_id,
+                       list_cosine_similarity(a.v, p.bv) AS cos
+                FROM (SELECT bench_id, bv, c FROM probes WHERE prk <= 4) p
+                JOIN assigned1 a ON a.cluster = p.c
+                WHERE list_cosine_similarity(a.v, p.bv) >= 0.42),
+       best AS (SELECT vec_id, bench_id, cos,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, bench_id ASC)
+                         AS rk
+                FROM hits)
+    SELECT vec_id, bench_id, round(cos, 4) AS cos FROM best WHERE rk = 1""",
+)
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (similarity.semantic_decontaminate):
+    flag corpus docs within cosine 0.42 of any planted paraphrase-near
+    benchmark vector; IVF-bucketed candidates, benchmark side broadcast,
+    corpus never shuffles. Catches what n-gram decontamination misses
+    (tests/test_semantic_incremental.py binds that claim)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    bench = emb.filter(F.col("vec_id") % 37 == 5).select(
+        F.col("vec_id").alias("bench_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    return sim.semantic_decontaminate(
+        emb, bench, threshold=0.42, n_centroids=16, n_probe=4
+    )
+
+
+@query(
+    "incremental_semantic_dedup",
+    # Full value oracle: the cluster space is k-means over the SEEN
+    # rows only (vec_id % 3 <> 0 — kmeans_centroids(seen)); the batch
+    # is the natural vec_id % 3 = 0 rows plus TWO planted
+    # paraphrase-near copies (+0.02 / +0.03 per component, ids
+    # 10000/20000 + source) of each seen row with vec_id % 41 = 1,
+    # exercising all three verdicts: the +0.03 copy loses to its
+    # smaller-id +0.02 sibling ('batch'), the +0.02 copy to its
+    # accepted source ('seen'), naturals are 'kept' (max natural
+    # cosine on this corpus ~0.46 vs threshold 0.8).
+    f"""WITH {_kmeans_ctes(8, src="(SELECT * FROM embeddings WHERE vec_id % 3 <> 0)")},
+       planted AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+                   FROM embeddings
+                   WHERE vec_id % 3 <> 0 AND vec_id % 41 = 1),
+       batch AS (
+         SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+         FROM embeddings WHERE vec_id % 3 = 0
+         UNION ALL
+         SELECT 10000 + vec_id, list_transform(v0, x -> x + 0.02) FROM planted
+         UNION ALL
+         SELECT 20000 + vec_id, list_transform(v0, x -> x + 0.03) FROM planted),
+       bassign AS (
+         SELECT b.bid, b.bv, cent.c AS cluster,
+                row_number() OVER (PARTITION BY b.bid
+                                   ORDER BY list_cosine_similarity(b.bv, cent.sv) DESC,
+                                            cent.c ASC) AS rk
+         FROM batch b CROSS JOIN cent),
+       ba AS (SELECT bid, bv, cluster FROM bassign WHERE rk = 1),
+       bl AS (SELECT DISTINCT a.bid
+              FROM ba a JOIN ba p ON a.cluster = p.cluster AND p.bid < a.bid
+              WHERE list_cosine_similarity(a.bv, p.bv) >= 0.8),
+       sl AS (SELECT DISTINCT a.bid
+              FROM ba a JOIN assigned1 s ON s.cluster = a.cluster
+              WHERE list_cosine_similarity(a.bv, s.v) >= 0.8)
+    SELECT ba.bid AS vec_id,
+           CASE WHEN bl.bid IS NOT NULL THEN 'batch'
+                WHEN sl.bid IS NOT NULL THEN 'seen'
+                ELSE 'kept' END AS verdict
+    FROM ba LEFT JOIN bl ON ba.bid = bl.bid LEFT JOIN sl ON ba.bid = sl.bid""",
+)
+def q_incremental_semantic_dedup(spark, sf_dir):
+    """Rolling-crawl semantic dedup (similarity.incremental_semantic_dedup):
+    new-batch vectors vs the accepted corpus's SemDeDup cluster space;
+    accepted embeddings stream map-side (batch broadcasts), greedy
+    batch-before-seen attribution."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    seen = emb.filter(F.col("vec_id") % 3 != 0)
+    planted = seen.filter(F.col("vec_id") % 41 == 1)
+    batch = (
+        emb.filter(F.col("vec_id") % 3 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(
+            planted.select(
+                (F.lit(10000) + F.col("vec_id")).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(0.02)
+                ).alias("embedding"),
+            )
+        )
+        .unionByName(
+            planted.select(
+                (F.lit(20000) + F.col("vec_id")).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(0.03)
+                ).alias("embedding"),
+            )
+        )
+    )
+    return sim.incremental_semantic_dedup(
+        batch, seen, threshold=0.8, n_clusters=8, refine_iters=1
     )
 
 
