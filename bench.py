@@ -81,6 +81,13 @@ HEADLINE = [
     "paragraph_neardup_dedup",
     "incremental_dedup_cascade",
     "unicode_normalize_docs",
+    # r11 families: embedding-space decontamination (IVF-bucketed,
+    # broadcast benchmark probes), rolling-crawl semantic dedup (seen
+    # embeddings stream, batch broadcasts), and the classifier
+    # evaluation report (bucketed-AUC integer aggregate).
+    "semantic_decontaminate",
+    "incremental_semantic_dedup",
+    "classifier_eval",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

@@ -230,6 +230,24 @@ _CTRL_RE2 = _ctrl_class(
 )
 
 
+def unicode_normalize_col(text, form: str = "NFC"):
+    """COLUMN form of [[unicode_normalize]] — the one normalize+strip
+    implementation, shared by the batch operator and the streaming
+    head-of-pipeline twin (streaming.events.stream_normalized_dedup's
+    ``unicode_form``): NFC/NFKC/NFD/NFKD via the Arrow-batched pandas
+    UDF (NULL -> ''), then the explicit code-range strip."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.normalize(form)
+
+    return F.regexp_replace(_norm(text), _CTRL_JAVA, "")
+
+
 def unicode_normalize(
     df: DataFrame,
     id_col: str,
@@ -255,19 +273,10 @@ def unicode_normalize(
     a JVM regexp with an EXPLICIT code-range class (identical
     semantics in Java regex and DuckDB's RE2, so the oracle replays
     the strip natively and the NFC step via ``nfc_normalize``)."""
-    from pyspark.sql.functions import pandas_udf
-
-    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
-        raise ValueError(f"unknown normalization form {form!r}")
-
-    @pandas_udf("string")
-    def _norm(s: pd.Series) -> pd.Series:
-        return s.fillna("").str.normalize(form)
-
     raw = F.coalesce(qcol(text_col), F.lit(""))
     staged = stage_columns(
         df.select(qcol(id_col).alias("doc_id"), raw.alias("__raw__")),
-        **{out_col: F.regexp_replace(_norm(F.col("__raw__")), _CTRL_JAVA, "")},
+        **{out_col: unicode_normalize_col(F.col("__raw__"), form)},
     )
     return staged.select(
         "doc_id",

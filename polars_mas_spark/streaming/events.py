@@ -111,6 +111,7 @@ def stream_normalized_dedup(
     ts_col: str = "ts",
     watermark: str = "30 minutes",
     id_col: str | None = None,
+    unicode_form: str | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate suppression on the CCNet normalization
     digest (operators.dedup.normalized_digest): the first arrival of
@@ -130,12 +131,29 @@ def stream_normalized_dedup(
     NULL-text rows PASS THROUGH undeduplicated in both forms — the
     same contract as batch normalized_dedup (md5(NULL) = NULL would
     otherwise become one shared dedup key and silently collapse every
-    text-less event after the first)."""
+    text-less event after the first). The null split happens BEFORE
+    normalization, so ``unicode_form`` can't collapse text-less events
+    into one ''-keyed group.
+
+    ``unicode_form`` (r11, VERDICT r10 next-steps #8): CCNet's §3.1
+    order is normalize BEFORE dedup — pass 'NFC' (or NFKC/NFD/NFKD) to
+    run text.unicode_normalize_col at the head of the stream, so a
+    decomposed-accent variant ('cafe'+U+0301) dedups against its
+    composed twin (U+00E9) and downstream consumers see NORMALIZED
+    text. Applies identically to the batch/backfill form, preserving
+    stream == batch parity (tests/test_streaming.py)."""
     from polars_mas_spark.operators.dedup import normalized_digest
 
     marked = _with_watermark(stream, ts_col, watermark)
     nulls = marked.filter(qcol(text_col).isNull())
-    with_digest = marked.filter(qcol(text_col).isNotNull()).withColumn(
+    nonnull = marked.filter(qcol(text_col).isNotNull())
+    if unicode_form is not None:
+        from polars_mas_spark.operators.text import unicode_normalize_col
+
+        nonnull = nonnull.withColumn(
+            text_col, unicode_normalize_col(qcol(text_col), unicode_form)
+        )
+    with_digest = nonnull.withColumn(
         "__norm_digest__", normalized_digest(qcol(text_col))
     )
     if with_digest.isStreaming:

@@ -516,3 +516,81 @@ def test_enrich_events_dim_key_collision(spark):
     out = enrich_events(stream, dim)
     assert out.columns.count("user_id") == 1
     assert out.collect()[0].tier == "gold"
+
+
+def test_stream_unicode_normalized_dedup_matches_batch(spark):
+    """r11 (VERDICT r10 #8): unicode_form threads normalization in
+    FRONT of the streaming dedup (CCNet §3.1 order) — a decomposed
+    accent variant dedups against its composed twin, the emitted text
+    is normalized, and stream == batch on the surviving digest set.
+    Without unicode_form the variants survive separately."""
+    import shutil
+    import tempfile
+
+    from polars_mas_spark.operators.dedup import normalized_digest
+    from polars_mas_spark.streaming.events import stream_normalized_dedup
+
+    tmp = tempfile.mkdtemp(prefix="pms_unormdedup_")
+    try:
+        composed = "café menu du jour"
+        decomposed = "café menu du jour"
+        zwsp = "plain​ doc body"
+        rows = [
+            (0, "2024-01-01 00:00:00", composed),
+            (1, "2024-01-01 00:01:00", decomposed),   # NFC twin of 0
+            (2, "2024-01-01 00:02:00", zwsp),
+            (3, "2024-01-01 00:03:00", "plain doc body"),  # strip twin of 2
+            (4, "2024-01-01 00:04:00", None),
+            (5, "2024-01-01 00:05:00", None),
+            (6, "2024-01-01 00:06:00", "unrelated text"),
+        ]
+        df = (
+            spark.createDataFrame(rows, "doc_id long, ts_str string, text string")
+            .withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+        plain = stream_normalized_dedup(
+            spark.read.parquet(tmp), "text", id_col="doc_id"
+        )
+        # normalized_digest alone does NOT see through the DECOMPOSED
+        # accent (doc 1 survives) — the ZWSP twin it already collapses
+        # via its own punctuation strip (doc 3 drops).
+        assert sorted(
+            r.doc_id for r in plain.collect()
+        ) == [0, 1, 2, 4, 5, 6]
+
+        batch = stream_normalized_dedup(
+            spark.read.parquet(tmp), "text", id_col="doc_id",
+            unicode_form="NFC",
+        )
+        brows = batch.collect()
+        assert sorted(r.doc_id for r in brows) == [0, 2, 4, 5, 6]
+        by_id = {r.doc_id: r.text for r in brows}
+        assert by_id[0] == composed          # emitted text is normalized
+        assert by_id[2] == "plain doc body"  # ZWSP stripped
+        assert by_id[4] is None and by_id[5] is None  # nulls pass through
+
+        schema = spark.read.parquet(tmp).schema
+        stream = stream_normalized_dedup(
+            spark.readStream.schema(schema).parquet(tmp), "text",
+            unicode_form="NFC",
+        )
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory").queryName("unorm_sink")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        sdf = spark.sql("SELECT * FROM unorm_sink")
+        s_digests = {
+            r[0]
+            for r in sdf.select(normalized_digest(F.col("text"))).collect()
+        }
+        b_digests = {
+            r[0]
+            for r in batch.select(normalized_digest(F.col("text"))).collect()
+        }
+        assert sdf.count() == 5 and s_digests == b_digests
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

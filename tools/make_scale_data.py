@@ -20,10 +20,18 @@ Replication is workload-faithful, not naive duplication:
 - Embedding vectors get their first component shifted by 10*replica,
   placing each replica in a distinct region (cluster structure repeats
   per replica; total cluster count grows with data, per-cluster size
-  constant — again matching real corpus growth).
+  constant — again matching real corpus growth). CAVEAT (SCALING.md
+  r9): the shift makes replicas nearly COLLINEAR under COSINE (the
+  shifted component dominates, everything points ~e1) — fine for
+  euclidean/label-blocked probes, invalid for cosine-space ops
+  (knn/ANN/semantic dedup). For those pass ``--emb-transform roll``:
+  each replica's vectors rotate by 6*replica coordinate positions
+  (np.roll semantics — a permutation, so intra-replica geometry is
+  bit-identical while replica directions stay mutually distinct).
 
 Usage: python tools/make_scale_data.py [--replicas 10]
        [--small /tmp/sfx0.1] [--big /tmp/sfx1]
+       [--emb-transform shift|roll]
 Then:  SCALE_PROBE_SMALL=/tmp/sfx0.1 SCALE_PROBE_BIG=/tmp/sfx1 \
        python tools/scale_probe.py minhash_dedup semantic_dedup ...
 """
@@ -38,6 +46,7 @@ sys.path.insert(0, "/root/repo")
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 KEY_STRIDE = 1_000_000_000
+EMB_TRANSFORM = "shift"
 
 TABLES = ["documents", "embeddings", "customer", "orders", "lineitem", "events"]
 
@@ -56,13 +65,25 @@ def _replica(spark, table: str, r: int):
         )
     if table == "embeddings":
         e = F.col("embedding")
-        shifted = F.concat(
-            F.array((F.element_at(e, 1) + F.lit(float(10 * r))).cast("float")),
-            F.slice(e, 2, 1 << 20),
-        )
+        if EMB_TRANSFORM == "roll":
+            # np.roll(v, 6r): result = concat(last 6r, first n-6r). A
+            # coordinate permutation — intra-replica cosines identical,
+            # replica directions mutually distinct (the r9 knn-knob
+            # fixture; SCALING.md r9).
+            k = (6 * r) % 64
+            moved = e if k == 0 else F.concat(
+                F.slice(e, 64 - k + 1, k), F.slice(e, 1, 64 - k)
+            )
+        else:
+            moved = F.concat(
+                F.array(
+                    (F.element_at(e, 1) + F.lit(float(10 * r))).cast("float")
+                ),
+                F.slice(e, 2, 1 << 20),
+            )
         return df.select(
             (F.col("vec_id") + off).alias("vec_id"),
-            shifted.alias("embedding"),
+            moved.alias("embedding"),
             # Labels shift per replica too: 10x data must mean 10x label
             # BLOCKS of constant size (real corpus growth), not 10x
             # bigger blocks — otherwise every label-blocked quadratic
@@ -116,7 +137,14 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--small", default="/tmp/sfx0.1")
     ap.add_argument("--big", default="/tmp/sfx1")
+    ap.add_argument(
+        "--emb-transform", choices=("shift", "roll"), default="shift",
+        help="embedding replica transform: shift (euclidean probes) or "
+             "roll (cosine-space probes — see module docstring)",
+    )
     args = ap.parse_args()
+    global EMB_TRANSFORM
+    EMB_TRANSFORM = args.emb_transform
 
     from polars_mas_spark.session import get_spark
 
