@@ -1678,9 +1678,13 @@ def incremental_dedup_cascade(
         surv_vecs = new_vectors.select(
             qcol(vec_id_col).alias("doc_id"), qcol(vec_col).alias("__v__")
         ).join(survivors.select("doc_id"), on="doc_id", how="left_semi")
+        # Seen ids ARE used here (unlike the text stages' synthesized
+        # __sid__): kmeans_centroids seeds from the k lowest-id seen
+        # vectors, so the id must be the caller's stable key — a
+        # monotonically_increasing_id would make the cluster space
+        # depend on partition layout.
         seen_v = seen_vectors.select(
-            F.monotonically_increasing_id().alias("doc_id"),
-            qcol(vec_col).alias("__v__"),
+            qcol(vec_id_col).alias("doc_id"), qcol(vec_col).alias("__v__")
         )
         sem_losers = (
             incremental_semantic_dedup(
