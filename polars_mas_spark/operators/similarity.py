@@ -1165,6 +1165,7 @@ def incremental_semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seen_cluster_col: str | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """The embedding-space member of the rolling-crawl dedup family
     (exact [[incremental_exact_dedup]], minhash
@@ -1198,12 +1199,21 @@ def incremental_semantic_dedup(
 
     Zero-norm vectors form no pairs on either side (NaN contract as in
     [[knn_graph]]) — a zero-norm batch vector is always 'kept'.
+
+    ``centroids`` (r11 streaming shape): pass the precomputed centroid
+    matrix (e.g. from [[kmeans_centroids]] run once over the accepted
+    corpus) to skip the per-call k-means — together with
+    ``seen_cluster_col`` this is the per-micro-batch foreachBatch form
+    (tests/test_streaming_decontaminate.py): the cluster space is
+    computed ONCE per crawl epoch, every micro-batch only assigns its
+    own rows map-side.
     """
     spark = batch.sparkSession
-    centroids = kmeans_centroids(
-        seen, k=n_clusters, refine_iters=refine_iters,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            seen, k=n_clusters, refine_iters=refine_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     bc = _centroid_matrix_bc(spark, centroids)
     b = batch.select(
         qcol(id_col).alias("__bid__"),

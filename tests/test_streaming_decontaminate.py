@@ -69,3 +69,84 @@ def test_stream_span_decontaminate_foreachbatch_matches_batch(spark):
         assert got == batch_out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_semantic_dedup_foreachbatch_matches_batch(spark):
+    """r11: the semantic member's streaming binding — a micro-batched
+    vector ingestion scrubbed per batch against a STATIC accepted
+    corpus (centroids + cluster assignment computed once per epoch,
+    passed in) via foreachBatch equals the one-shot batch operator.
+    The fixture keeps every within-batch near-pair inside one file so
+    per-file micro-batching and one-shot batching agree by
+    construction (micro-batch boundaries change 'batch' attribution
+    only for pairs they split)."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pms_semdedup_stream_")
+    try:
+        seen = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        # epoch-static index: centroids + assignment computed ONCE
+        cents = kmeans_centroids(seen, k=2)
+        seen_assigned = seen.join(kmeans_assign(seen, k=2), on="vec_id").cache()
+        seen_assigned.count()
+
+        file_a = [
+            (1, [0.99, 0.01, 0.0]),   # 'seen' (near 100)
+            (2, [0.98, 0.02, 0.0]),   # 'batch' (near 1, same file)
+            (3, [0.0, 0.0, 1.0]),     # 'kept'
+        ]
+        file_b = [
+            (10, [0.0, 0.99, 0.01]),  # 'seen' (near 101)
+            (11, [0.57, 0.0, 0.8]),   # 'kept' (distinct direction)
+        ]
+        schema = "vec_id long, embedding array<double>"
+        spark.createDataFrame(file_a, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        spark.createDataFrame(file_b, schema).coalesce(1).write.mode(
+            "append").parquet(tmp)
+
+        def scrub_frame(df):
+            return incremental_semantic_dedup(
+                df, seen_assigned, threshold=0.9, n_clusters=2,
+                seen_cluster_col="cluster", centroids=cents,
+            )
+
+        batch_out = {
+            r.vec_id: r.verdict
+            for r in scrub_frame(spark.read.parquet(tmp)).collect()
+        }
+        assert batch_out == {
+            1: "seen", 2: "batch", 3: "kept", 10: "seen", 11: "kept"
+        }
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(tmp).schema
+        ).option("maxFilesPerTrigger", 1).parquet(tmp)
+        assert stream.isStreaming
+        got: dict[int, str] = {}
+        epochs: list[int] = []
+
+        def scrub(batch_df, epoch):
+            epochs.append(epoch)
+            for r in scrub_frame(batch_df).collect():
+                got[r.vec_id] = r.verdict
+
+        q = (
+            stream.writeStream.foreachBatch(scrub)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(epochs) >= 2  # per-file micro-batching exercised
+        assert got == batch_out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
