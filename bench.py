@@ -88,6 +88,7 @@ HEADLINE = [
     "semantic_decontaminate",
     "incremental_semantic_dedup",
     "classifier_eval",
+    "decontaminate_cascade",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

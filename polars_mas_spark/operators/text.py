@@ -466,6 +466,134 @@ def ngram_contamination(
     )
 
 
+def decontaminate_cascade(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_k: int = 8,
+    ngram_n: int = 3,
+    ngram_threshold: float = 0.5,
+    corpus_vectors: DataFrame | None = None,
+    benchmark_vectors: DataFrame | None = None,
+    cos_threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The decontamination twin of ``dedup.dedup_cascade`` (r11): one
+    verdict row per corpus document naming the FIRST channel that
+    flags it as benchmark leakage, precision-first —
+
+    - ``'span'``: the document contains a VERBATIM stride-1
+      ``span_k``-word window of the benchmark (the
+      [[span_decontaminate]] channel; here only the any-hit flag is
+      needed, so the scrub/reassembly stage is skipped — one md5
+      semi-join on the window fingerprints).
+    - ``'ngram'``: >= ``ngram_threshold`` of the document's distinct
+      word ``ngram_n``-grams appear in the benchmark
+      ([[ngram_contamination]]'s fuzzy-overlap channel — catches
+      shuffled/partial copies with no long verbatim window).
+    - ``'semantic'``: within cosine ``cos_threshold`` of a benchmark
+      item in embedding space ([[semantic_decontaminate]]'s paraphrase
+      channel — catches what neither text channel can see). Runs only
+      when both vector tables are supplied; a document with no vector
+      row bypasses (no embedding, no semantic key).
+    - ``'clean'``: none of the above.
+
+    Each stage sees only the previous stage's survivors (cheapest-
+    and highest-precision-first, the dedup_cascade layout), with
+    localCheckpoint at stage boundaries bounding lineage. NULL ids
+    raise (verdict rows need a key); NULL/short texts produce no
+    windows or shingles and flow through the text stages as clean.
+
+    Scale shape: the benchmark side of every stage is DISTINCT reduced
+    keys or a broadcast probe set (window fingerprints, shingle set,
+    exploded IVF probes) — corpus text shuffles only for the per-doc
+    shingle aggregate; corpus embeddings never shuffle at all (see
+    semantic_decontaminate)."""
+    from polars_mas_spark.operators.dedup import (
+        _span_window_fingerprints,
+        span_fingerprints,
+    )
+
+    checked_id = F.when(
+        qcol(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"decontaminate_cascade: NULL {id_col} — every document "
+                "needs a stable id for verdict attribution"
+            )
+        ),
+    ).otherwise(qcol(id_col))
+    cur = corpus.select(
+        checked_id.alias("doc_id"), qcol(text_col).alias("__t__")
+    )
+    # ngram_contamination/word_shingles resolve (id_col, text_col) on
+    # BOTH frames, so the benchmark takes the same internal shape.
+    bench = benchmark.select(
+        qcol(id_col).alias("doc_id"), qcol(text_col).alias("__t__")
+    )
+    pieces = []
+
+    fset = span_fingerprints(bench, "__t__", span_k)
+    _, gpos = _span_window_fingerprints(
+        cur, "doc_id", "__t__", span_k, "decontaminate_cascade"
+    )
+    span_hit = (
+        gpos.join(F.broadcast(fset), on="g", how="semi")
+        .select("doc_id")
+        .distinct()
+    )
+    pieces.append(span_hit.select("doc_id", F.lit("span").alias("stage")))
+    cur = cur.join(span_hit, on="doc_id", how="left_anti").localCheckpoint(
+        eager=True
+    )
+
+    ngram_hit = (
+        ngram_contamination(cur, bench, "doc_id", "__t__", n=ngram_n)
+        .filter(F.col("contamination_frac") >= float(ngram_threshold))
+        .select("doc_id")
+    )
+    pieces.append(ngram_hit.select("doc_id", F.lit("ngram").alias("stage")))
+    cur = cur.join(ngram_hit, on="doc_id", how="left_anti").localCheckpoint(
+        eager=True
+    )
+
+    if corpus_vectors is not None and benchmark_vectors is not None:
+        from polars_mas_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        surv_vecs = corpus_vectors.select(
+            qcol(vec_id_col).alias("doc_id"), qcol(vec_col).alias("__v__")
+        ).join(cur.select("doc_id"), on="doc_id", how="left_semi")
+        sem_hit = semantic_decontaminate(
+            surv_vecs,
+            benchmark_vectors.select(
+                qcol(vec_id_col).alias("bench_id"), qcol(vec_col).alias("__v__")
+            ),
+            threshold=cos_threshold,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            id_col="doc_id",
+            vec_col="__v__",
+        ).select("doc_id")
+        pieces.append(
+            sem_hit.select("doc_id", F.lit("semantic").alias("stage"))
+        )
+        cur = cur.join(sem_hit, on="doc_id", how="left_anti")
+
+    pieces.append(
+        cur.select("doc_id", F.lit("clean").alias("stage"))
+    )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,

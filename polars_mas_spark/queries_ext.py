@@ -4341,6 +4341,33 @@ def q_mas_phewas_firth_1800_c20(spark, sf_dir):
     return _run_phewas(spark, sf_dir, n_phecodes=1800, n_covariates=20)
 
 
+def q_decontaminate_cascade_bench(spark, sf_dir):
+    """Bench shape for text.decontaminate_cascade (r11): the full
+    three-channel decontamination verdict over documents — benchmark =
+    the doc_id % 53 = 7 slice (its own docs trip the span channel
+    verbatim), paraphrase-near planted vectors (the
+    semantic_decontaminate fixture) drive the semantic channel. Not a
+    driver-registry query this round (the r11-r13 windows are
+    obligation-saturated — see plan_rotation.DEFERRED); value coverage
+    = every stage's own oracle-bound operator + the planted-taxonomy
+    unit tests (tests/test_semantic_incremental.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench_docs = docs.filter(F.col("doc_id") % 53 == 7)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    bench_vecs = emb.filter(F.col("vec_id") % 37 == 5).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    return tx.decontaminate_cascade(
+        docs, bench_docs, "doc_id", "text",
+        span_k=8, ngram_n=3, ngram_threshold=0.5,
+        corpus_vectors=emb, benchmark_vectors=bench_vecs,
+        cos_threshold=0.42, n_centroids=16, n_probe=4,
+    )
+
+
 BENCH_ONLY = {
     "mas_phewas_firth_1800": q_mas_phewas_firth_1800,
     "mas_phewas_firth_1800_n20k": q_mas_phewas_firth_1800_n20k,
@@ -4351,6 +4378,9 @@ BENCH_ONLY = {
     "mas_logistic_fanout": q_mas_logistic_fanout,
     "mas_firth_fanout": q_mas_firth_fanout,
     "mas_phewas_firth_180": q_mas_phewas_firth_180,
+    # r11: decontamination cascade composite (see its docstring for the
+    # deferred-registration rationale).
+    "decontaminate_cascade": q_decontaminate_cascade_bench,
 }
 
 

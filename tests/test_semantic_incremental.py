@@ -321,3 +321,74 @@ def test_connected_min_labels_validates_max_rounds(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="max_rounds"):
         dd.connected_min_labels(pairs, max_rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_cascade
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_cascade_stage_taxonomy(spark):
+    """One doc per channel + precedence + NULL-text and no-vector
+    bypasses. The benchmark text is 'b0 b1 ... b9'; doc 1 quotes an
+    8-word window verbatim ('span'), doc 2 contains most benchmark
+    3-grams but never 8 consecutive words ('ngram'), doc 3 shares no
+    text but sits next to a benchmark vector ('semantic'), doc 4 is
+    clean, doc 5 has NULL text ('clean' through text stages; no vector
+    row so the semantic stage bypasses too)."""
+    bench_text = " ".join(f"b{i}" for i in range(10))
+    benchmark = spark.createDataFrame(
+        [(900, bench_text)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + " ".join(f"b{i}" for i in range(8)) + " outro"),
+            # 3-gram coverage without any 8-run: two 5-word halves,
+            # separated by noise
+            (2, "b0 b1 b2 b3 b4 zz b5 b6 b7 b8 b9"),
+            (3, "a completely different paraphrased question"),
+            (4, "nothing shared with anything at all"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_vecs = _vec_df(
+        spark,
+        [(1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [0.99, 0.01]),
+         (4, [0.0, -1.0])],
+        id_name="vec_id",
+    )
+    bench_vecs = _vec_df(spark, [(900, [1.0, 0.0])], id_name="vec_id")
+
+    out = {
+        r.doc_id: r.stage
+        for r in tx.decontaminate_cascade(
+            docs, benchmark, "doc_id", "text",
+            span_k=8, ngram_n=3, ngram_threshold=0.5,
+            corpus_vectors=corpus_vecs, benchmark_vectors=bench_vecs,
+            cos_threshold=0.9, n_centroids=2, n_probe=2,
+        ).collect()
+    }
+    assert out == {1: "span", 2: "ngram", 3: "semantic", 4: "clean", 5: "clean"}
+
+    # precedence: doc 1 also clears the ngram threshold, but reads span;
+    # doc 2's vector is ALSO within tau of the benchmark vector
+    # (cos([1,1],[1,0]) ~ 0.707 < 0.9 -> not actually; use the explicit
+    # check that text channels win by running without vectors)
+    no_vec = {
+        r.doc_id: r.stage
+        for r in tx.decontaminate_cascade(
+            docs, benchmark, "doc_id", "text",
+            span_k=8, ngram_n=3, ngram_threshold=0.5,
+        ).collect()
+    }
+    assert no_vec == {1: "span", 2: "ngram", 3: "clean", 4: "clean", 5: "clean"}
+
+
+def test_decontaminate_cascade_null_id_raises(spark):
+    docs = spark.createDataFrame(
+        [(None, "some text")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(1, "b words")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        tx.decontaminate_cascade(docs, bench, "doc_id", "text").collect()
