@@ -1516,9 +1516,11 @@ def incremental_dedup_cascade(
     previous stage's survivors.
 
     Returns ONE verdict row per new-batch document: ``(doc_id, stage,
-    vs)`` — ``stage`` in {'url', 'exact', 'near', 'kept'} naming the
-    first stage that removed it, ``vs`` = 'batch' (lost to a smaller-id
-    batch doc) or 'seen' (content already accepted; NULL for kept).
+    vs)`` — ``stage`` in {'url', 'exact', 'near', 'kept'} (plus
+    'semantic' when the optional embedding stage below is enabled)
+    naming the first stage that removed it, ``vs`` = 'batch' (lost to
+    a smaller-id batch doc) or 'seen' (content already accepted; NULL
+    for kept).
     Within-batch collapse is attributed BEFORE seen-membership, so a
     duplicated batch doc whose content is also accepted reads 'batch'
     except for its min-id representative, which reads 'seen' — the
@@ -1670,6 +1672,16 @@ def incremental_dedup_cascade(
     # (mirrors the NULL-text bypass — no embedding, no semantic key).
     # Seen embeddings STREAM map-side (the batch side broadcasts) —
     # see incremental_semantic_dedup's scale notes.
+    if (new_vectors is None) != (seen_vectors is None):
+        # Loud guard (review r11): one-sided vectors would silently
+        # skip the semantic stage and report every semantic near-dup
+        # as 'kept' — the silent-degradation class the r10 review
+        # removed from this family.
+        raise ValueError(
+            "incremental_dedup_cascade: new_vectors and seen_vectors "
+            "must be supplied together (got exactly one) — the "
+            "semantic stage cannot run one-sided"
+        )
     if new_vectors is not None and seen_vectors is not None:
         from polars_mas_spark.operators.similarity import (
             incremental_semantic_dedup,
@@ -1686,6 +1698,11 @@ def incremental_dedup_cascade(
         seen_v = seen_vectors.select(
             qcol(vec_id_col).alias("doc_id"), qcol(vec_col).alias("__v__")
         )
+        # localCheckpoint: sem_losers is consumed twice (verdict piece +
+        # survivor anti-join); without it each consumer re-runs the
+        # whole semantic plan INCLUDING the accepted-corpus embedding
+        # scan — the stage-boundary rule every other stage follows
+        # (review r11).
         sem_losers = (
             incremental_semantic_dedup(
                 surv_vecs,
@@ -1701,6 +1718,7 @@ def incremental_dedup_cascade(
                 F.lit("semantic").alias("stage"),
                 F.col("verdict").alias("vs"),
             )
+            .localCheckpoint(eager=True)
         )
         pieces.append(sem_losers)
         survivors = survivors.join(

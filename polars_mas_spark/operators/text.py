@@ -561,6 +561,14 @@ def decontaminate_cascade(
         eager=True
     )
 
+    if (corpus_vectors is None) != (benchmark_vectors is None):
+        # Loud guard (review r11): one-sided vectors would silently
+        # skip the semantic channel and mark paraphrase leakage 'clean'.
+        raise ValueError(
+            "decontaminate_cascade: corpus_vectors and benchmark_vectors "
+            "must be supplied together (got exactly one) — the semantic "
+            "channel cannot run one-sided"
+        )
     if corpus_vectors is not None and benchmark_vectors is not None:
         from polars_mas_spark.operators.similarity import (
             semantic_decontaminate,
@@ -579,7 +587,10 @@ def decontaminate_cascade(
             n_probe=n_probe,
             id_col="doc_id",
             vec_col="__v__",
-        ).select("doc_id")
+        ).select("doc_id").localCheckpoint(eager=True)
+        # (checkpointed: consumed by both the verdict piece and the
+        # clean-survivor anti-join — review r11, same rationale as the
+        # other stage boundaries)
         pieces.append(
             sem_hit.select("doc_id", F.lit("semantic").alias("stage"))
         )
@@ -980,10 +991,12 @@ def classifier_eval(
       construction: this is the AUC of the quantized score, exact for
       it, and within 1/n_buckets of the raw-score AUC.
     - ``tp`` / ``fp`` / ``fn`` at ``threshold`` (predict positive iff
-      bucket >= floor(threshold * n_buckets), i.e. score >= the bucket
-      edge at or above the threshold): precision = tp/(tp+fp) and
-      recall = tp/(tp+fn) are the CALLER's division — binding the
-      counts instead of the ratios keeps the oracle exact
+      bucket >= ceil(threshold * n_buckets), i.e. score >= the first
+      bucket edge at or above the threshold — computed with a 1e-9
+      guard so 0.29 * 100 = 28.999999999999996 still lands on edge
+      0.29, review r11): precision = tp/(tp+fp) and recall =
+      tp/(tp+fn) are the CALLER's division — binding the counts
+      instead of the ratios keeps the oracle exact
       (tests/test_semantic_incremental.py binds the quotient
       identities).
 
@@ -993,16 +1006,25 @@ def classifier_eval(
     in one SQL token). Scores are clamped into [0, 1] bucket range
     (bucket = clamp(floor(score * n_buckets), 0, n_buckets - 1)).
 
+    Rows with a NULL/NaN score or a NULL label are EXCLUDED up front
+    (review r11: NULL would otherwise slide through greatest/least —
+    both skip NULLs — into the TOP bucket, silently inflating tp and
+    AUC; NaN would throw on the ANSI int cast). An unscorable or
+    unlabeled row carries no evaluation signal; count them upstream if
+    the fraction matters.
+
     Scale shape: one map-side pass computes (split, bucket, is_pos);
     ONE shuffle aggregates to at most 2 * n_buckets cells (map-side
     partial combine makes per-partition traffic O(n_buckets)); the
     cumulative-negatives window and final per-split rollup run over
     those cells — driver-scale, independent of corpus size."""
+    import math
+
     if holdout_mod < 2:
         raise ValueError(
             f"classifier_eval: holdout_mod must be >= 2, got {holdout_mod}"
         )
-    t_bucket = int(threshold * n_buckets)
+    t_bucket = math.ceil(threshold * n_buckets - 1e-9)
     split = F.when(
         qcol(id_col) % holdout_mod == 0, F.lit("holdout")
     ).otherwise(F.lit("train"))
@@ -1015,7 +1037,12 @@ def classifier_eval(
     )
     is_pos = qcol(label_col).cast("boolean")
     cells = (
-        df.select(
+        df.filter(
+            qcol(score_col).isNotNull()
+            & ~F.isnan(qcol(score_col).cast("double"))
+            & qcol(label_col).isNotNull()
+        )
+        .select(
             split.alias("split"),
             bucket.alias("bucket"),
             is_pos.alias("__pos__"),

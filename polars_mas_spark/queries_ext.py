@@ -905,9 +905,10 @@ def q_model_quality_score(spark, sf_dir):
 
 
 # The strip class is interpolated from text._CTRL_RE2 so the oracle's
-# replay class cannot drift from the engine's _CTRL_JAVA twin without a
-# test catching it (ADVICE r10 #4); text.py asserts the two classes
-# enumerate the same code points.
+# replay class cannot drift from the engine's _CTRL_JAVA twin
+# (ADVICE r10 #4): both are GENERATED from the single
+# text._CTRL_RANGES table, so equal code-point sets hold by
+# construction — there is no separate assert to keep in sync.
 _UNORM_ORACLE = r"""WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 = 1
@@ -1362,7 +1363,8 @@ def q_semantic_decontaminate(spark, sf_dir):
     # rows only (vec_id % 3 <> 0 — kmeans_centroids(seen)); the batch
     # is the natural vec_id % 3 = 0 rows plus TWO planted
     # paraphrase-near copies (+0.02 / +0.03 per component, ids
-    # 10000/20000 + source) of each seen row with vec_id % 41 = 1,
+    # 1e9/2e9 + source — the KEY_STRIDE pattern, collision-safe
+    # against driver testdata growth, review r11) of each seen row with vec_id % 41 = 1,
     # exercising all three verdicts: the +0.03 copy loses to its
     # smaller-id +0.02 sibling ('batch'), the +0.02 copy to its
     # accepted source ('seen'), naturals are 'kept' (max natural
@@ -1375,9 +1377,9 @@ def q_semantic_decontaminate(spark, sf_dir):
          SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
          FROM embeddings WHERE vec_id % 3 = 0
          UNION ALL
-         SELECT 10000 + vec_id, list_transform(v0, x -> x + 0.02) FROM planted
+         SELECT 1000000000 + vec_id, list_transform(v0, x -> x + 0.02) FROM planted
          UNION ALL
-         SELECT 20000 + vec_id, list_transform(v0, x -> x + 0.03) FROM planted),
+         SELECT 2000000000 + vec_id, list_transform(v0, x -> x + 0.03) FROM planted),
        bassign AS (
          SELECT b.bid, b.bv, cent.c AS cluster,
                 row_number() OVER (PARTITION BY b.bid
@@ -1412,7 +1414,7 @@ def q_incremental_semantic_dedup(spark, sf_dir):
         .select("vec_id", "embedding")
         .unionByName(
             planted.select(
-                (F.lit(10000) + F.col("vec_id")).alias("vec_id"),
+                (F.lit(1_000_000_000) + F.col("vec_id")).alias("vec_id"),
                 F.transform(
                     "embedding", lambda x: x + F.lit(0.02)
                 ).alias("embedding"),
@@ -1420,7 +1422,7 @@ def q_incremental_semantic_dedup(spark, sf_dir):
         )
         .unionByName(
             planted.select(
-                (F.lit(20000) + F.col("vec_id")).alias("vec_id"),
+                (F.lit(2_000_000_000) + F.col("vec_id")).alias("vec_id"),
                 F.transform(
                     "embedding", lambda x: x + F.lit(0.03)
                 ).alias("embedding"),

@@ -392,3 +392,56 @@ def test_decontaminate_cascade_null_id_raises(spark):
     bench = spark.createDataFrame([(1, "b words")], "doc_id long, text string")
     with pytest.raises(Exception, match="NULL doc_id"):
         tx.decontaminate_cascade(docs, bench, "doc_id", "text").collect()
+
+
+def test_classifier_eval_null_score_and_label_excluded(spark):
+    """Review r11: NULL scores previously slid through greatest/least
+    (both skip NULLs) into the TOP bucket, inflating tp and AUC; NULL
+    labels counted in neither class but still in no row. Both are now
+    excluded up front."""
+    rows = [
+        (1, 0.9, 1), (2, None, 1), (3, 0.1, 0), (4, 0.8, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = {
+        r.split: r.asDict()
+        for r in tx.classifier_eval(
+            df, "id", "score", "label",
+            threshold=0.5, n_buckets=10, holdout_mod=1000,
+        ).collect()
+    }["train"]
+    assert got["n"] == 2 and got["n_pos"] == 1
+    assert (got["tp"], got["fp"], got["fn"]) == (1, 0, 0)
+    assert got["auc_num"] == got["auc_den"] == 2
+
+
+def test_classifier_eval_threshold_edge_rounding(spark):
+    """Review r11: threshold*n_buckets one ulp below an integer
+    (0.29*100 = 28.999999999999996) must land on the 0.29 edge, not
+    one bucket early."""
+    rows = [(1, 0.285, 0), (2, 0.295, 1)]
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    got = {
+        r.split: r.asDict()
+        for r in tx.classifier_eval(
+            df, "id", "score", "label",
+            threshold=0.29, n_buckets=100, holdout_mod=1000,
+        ).collect()
+    }["train"]
+    # bucket(0.285)=28 < 29 -> predicted negative (fp=0);
+    # bucket(0.295)=29 >= 29 -> predicted positive (tp=1)
+    assert (got["tp"], got["fp"], got["fn"]) == (1, 0, 0)
+
+
+def test_cascade_one_sided_vectors_raise(spark):
+    docs = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "b")], "doc_id long, text string")
+    vecs = _vec_df(spark, [(1, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="together"):
+        tx.decontaminate_cascade(
+            docs, bench, "doc_id", "text", corpus_vectors=vecs
+        )
+    with pytest.raises(ValueError, match="together"):
+        dd.incremental_dedup_cascade(
+            docs, bench, "doc_id", "text", new_vectors=vecs
+        )

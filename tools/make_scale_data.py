@@ -69,10 +69,17 @@ def _replica(spark, table: str, r: int):
             # np.roll(v, 6r): result = concat(last 6r, first n-6r). A
             # coordinate permutation — intra-replica cosines identical,
             # replica directions mutually distinct (the r9 knn-knob
-            # fixture; SCALING.md r9).
-            k = (6 * r) % 64
+            # fixture; SCALING.md r9). The dim is READ from the data
+            # (review r11: a hard-coded 64 would silently return [] from
+            # slice if the driver regenerates testdata at another dim,
+            # degenerating the fixture into exact copies).
+            dim = len(
+                spark.read.parquet(f"{SRC}/embeddings.parquet")
+                .select("embedding").first()[0]
+            )
+            k = (6 * r) % dim
             moved = e if k == 0 else F.concat(
-                F.slice(e, 64 - k + 1, k), F.slice(e, 1, 64 - k)
+                F.slice(e, dim - k + 1, k), F.slice(e, 1, dim - k)
             )
         else:
             moved = F.concat(

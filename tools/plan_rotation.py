@@ -100,6 +100,18 @@ DEFERRED: dict[str, tuple[int, str]] = {
     "classifier_eval": (11, "r11 saturated; new r11 operator"),
 }
 
+# Operators shipped WITHOUT a registry entry (BENCH_ONLY / unit-bound)
+# that OWE a future @query registration: name -> (shipping round the
+# registration is due, reason). --check fails once the due round
+# arrives and the name is still not in the registry — the prose-only
+# obligation class review r11 flagged.
+PLANNED: dict[str, tuple[int, str]] = {
+    # r11: the three-channel decontamination composite; every channel's
+    # operator is separately oracle-bound, the composite verdict isn't.
+    # r14 is the first window with free slots (the r10-retired bucket).
+    "decontaminate_cascade": (14, "BENCH_ONLY r11; register when r14 frees slots"),
+}
+
 
 def evidence(registry: list[str]) -> tuple[list[str], dict[str, int], int]:
     """(never-checked names, latest-green-round per name, current round)."""
@@ -242,6 +254,22 @@ def main() -> None:
         ]
         if satisfied:
             print(f"note: prune satisfied MUST_PIN entries: {satisfied}")
+        # Promised registrations (review r11): an operator shipped
+        # BENCH_ONLY with a due round must be in the registry by then.
+        overdue_planned = sorted(
+            n
+            for n, (due, _r) in PLANNED.items()
+            if cur + 1 >= due and n not in registry
+        )
+        if overdue_planned:
+            print(
+                "ROTATION STALE: promised @query registrations overdue: "
+                f"{[(n, PLANNED[n]) for n in overdue_planned]}"
+            )
+            sys.exit(1)
+        planned_done = [n for n in PLANNED if n in registry]
+        if planned_done:
+            print(f"note: prune satisfied PLANNED entries: {planned_done}")
         deferred_now = sorted(
             n for n in DEFERRED if DEFERRED[n][0] == cur + 1 and n not in window
         )
