@@ -89,6 +89,7 @@ HEADLINE = [
     "incremental_semantic_dedup",
     "classifier_eval",
     "decontaminate_cascade",
+    "ann_quantized_topk",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
-from polars_mas_spark.colutils import qcol
+from polars_mas_spark.colutils import qcol, stage_columns
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1281,3 +1281,79 @@ def incremental_semantic_dedup(
         )
     )
     return verdict
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization of an embedding column —
+    the storage lever for 100 TB vector corpora (4x smaller than
+    float32, 8x than float64, before parquet encodings; the standard
+    compressed-index input alongside [[pq_encode]], which compresses
+    further but loses the per-component values).
+
+    Layout: ``(id, out_col array<tinyint>, scale_col double)`` with
+    ``x ~ q * scale``, ``scale = max(|x|) / 127``, ``q = round(x /
+    scale)`` clamped to [-127, 127] (symmetric, zero-point-free, so
+    dot products need no offset correction). An all-zero or empty
+    vector gets scale 0 and all-zero codes ([[dequantize_embeddings]]
+    restores exact zeros). Per-component round-trip error is bounded
+    by scale/2 = max|x|/254.
+
+    Everything is JVM higher-order functions (transform / array_max /
+    aggregate) — map-only, zero shuffles, whole-stage codegen; no UDF.
+    """
+    amax = F.array_max(
+        F.transform(F.col("__v__"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    staged = stage_columns(
+        df.select(qcol(id_col).alias(id_col), qcol(vec_col).alias("__v__")),
+        __scale__=F.coalesce(scale, F.lit(0.0)),
+    )
+    q = F.when(
+        F.col("__scale__") > 0,
+        F.transform(
+            F.col("__v__"),
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(x.cast("double") / F.col("__scale__"), 0).cast("int"),
+                ),
+            ).cast("tinyint"),
+        ),
+    ).otherwise(
+        F.transform(F.col("__v__"), lambda x: F.lit(0).cast("tinyint"))
+    )
+    return staged.select(
+        id_col,
+        q.alias(out_col),
+        F.col("__scale__").alias(scale_col),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of [[quantize_embeddings]]: ``x = q * scale`` as
+    array<double>. Map-only JVM transform; pair with the ANN operators
+    (e.g. ``brute_force_topk(dequantize_embeddings(corpus_q), ...)``)
+    to search a quantized corpus — cosine is scale-invariant per
+    vector, so quantized-corpus rankings differ from float rankings
+    only by the bounded rounding error, never by the scale itself."""
+    return df.select(
+        qcol(id_col).alias(id_col),
+        F.transform(
+            qcol(qvec_col),
+            lambda q: q.cast("double") * qcol(scale_col),
+        ).alias(out_col),
+    )

@@ -4370,6 +4370,20 @@ def q_decontaminate_cascade_bench(spark, sf_dir):
     )
 
 
+def q_ann_quantized_bench(spark, sf_dir):
+    """Bench shape for the int8-quantized ANN path (r11): quantize the
+    embedding corpus (map-only JVM), dequantize, exact cosine top-5 for
+    the first 20 ids — the storage-compressed variant of
+    ann_bruteforce_topk. Registration PLANNED for r14 (plan_rotation)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    deq = sim.dequantize_embeddings(sim.quantize_embeddings(emb))
+    return sim.brute_force_topk(
+        deq, deq.filter(F.col("vec_id") < 20), k=5
+    ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
+
+
 BENCH_ONLY = {
     "mas_phewas_firth_1800": q_mas_phewas_firth_1800,
     "mas_phewas_firth_1800_n20k": q_mas_phewas_firth_1800_n20k,
@@ -4381,8 +4395,9 @@ BENCH_ONLY = {
     "mas_firth_fanout": q_mas_firth_fanout,
     "mas_phewas_firth_180": q_mas_phewas_firth_180,
     # r11: decontamination cascade composite (see its docstring for the
-    # deferred-registration rationale).
+    # deferred-registration rationale) + the int8-quantized ANN path.
     "decontaminate_cascade": q_decontaminate_cascade_bench,
+    "ann_quantized_topk": q_ann_quantized_bench,
 }
 
 

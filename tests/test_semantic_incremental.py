@@ -445,3 +445,81 @@ def test_cascade_one_sided_vectors_raise(spark):
         dd.incremental_dedup_cascade(
             docs, bench, "doc_id", "text", new_vectors=vecs
         )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Per-component round-trip error <= scale/2 = max|x|/254; zero and
+    empty vectors restore exactly; codes stay in [-127, 127]."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8) * (10 ** (i % 4))])
+            for i in range(20)]
+    rows += [(100, [0.0, 0.0, 0.0]), (101, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = sim.quantize_embeddings(df)
+    deq = {r.vec_id: r.embedding for r in
+           sim.dequantize_embeddings(q).collect()}
+    qrows = {r.vec_id: (r.qvec, r.qscale) for r in q.collect()}
+    orig = dict(rows)
+    for vid, v in orig.items():
+        qv, scale = qrows[vid]
+        assert all(-127 <= int(c) <= 127 for c in qv)
+        if not v or max(abs(x) for x in v) == 0:
+            assert scale == 0.0 and all(c == 0 for c in qv)
+            assert deq[vid] == [0.0] * len(v)
+            continue
+        assert scale == max(abs(x) for x in v) / 127.0
+        for x, y in zip(v, deq[vid]):
+            assert abs(x - y) <= scale / 2 + 1e-12
+
+
+def test_quantized_ann_recall(spark):
+    """brute_force_topk over the dequantized corpus reproduces the
+    float top-k on well-separated planted clusters (cosine is
+    per-vector-scale invariant, so quantization only perturbs by the
+    bounded rounding error)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = np.eye(4)
+    rows = []
+    for i in range(40):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in c + rng.randn(4) * 0.05]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.brute_force_topk(df, queries, k=5).collect()
+    }
+    deq = sim.dequantize_embeddings(sim.quantize_embeddings(df))
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.brute_force_topk(deq, queries, k=5).collect()
+    }
+    # set-level recall per query (ranks may swap within rounding error)
+    for qid in range(4):
+        e = {exact[(qid, r)] for r in range(1, 6)}
+        a = {approx[(qid, r)] for r in range(1, 6)}
+        assert len(e & a) >= 4, (qid, e, a)
+
+
+def test_quantize_plan_is_map_only(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(4)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = formatted_plan(
+        sim.dequantize_embeddings(sim.quantize_embeddings(df))
+    )
+    assert op_count(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

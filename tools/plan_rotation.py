@@ -110,6 +110,7 @@ PLANNED: dict[str, tuple[int, str]] = {
     # operator is separately oracle-bound, the composite verdict isn't.
     # r14 is the first window with free slots (the r10-retired bucket).
     "decontaminate_cascade": (14, "BENCH_ONLY r11; register when r14 frees slots"),
+    "ann_quantized_topk": (14, "BENCH_ONLY r11; register when r14 frees slots"),
 }
 
 
