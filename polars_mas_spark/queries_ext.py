@@ -1363,8 +1363,11 @@ def q_semantic_decontaminate(spark, sf_dir):
     # rows only (vec_id % 3 <> 0 — kmeans_centroids(seen)); the batch
     # is the natural vec_id % 3 = 0 rows plus TWO planted
     # paraphrase-near copies (+0.02 / +0.03 per component, ids
-    # 1e9/2e9 + source — the KEY_STRIDE pattern, collision-safe
-    # against driver testdata growth, review r11) of each seen row with vec_id % 41 = 1,
+    # m + source / 2m + source where m = max(vec_id) + 1 — DATA-DERIVED
+    # offsets are the only collision-free choice: fixed 10000 collides
+    # once natural ids grow past it, and fixed 1e9 collided with
+    # make_scale_data's own KEY_STRIDE replicas at the sf1 gate,
+    # review r11) of each seen row with vec_id % 41 = 1,
     # exercising all three verdicts: the +0.03 copy loses to its
     # smaller-id +0.02 sibling ('batch'), the +0.02 copy to its
     # accepted source ('seen'), naturals are 'kept' (max natural
@@ -1373,13 +1376,16 @@ def q_semantic_decontaminate(spark, sf_dir):
        planted AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
                    FROM embeddings
                    WHERE vec_id % 3 <> 0 AND vec_id % 41 = 1),
+       moff AS (SELECT max(vec_id) + 1 AS m FROM embeddings),
        batch AS (
          SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
          FROM embeddings WHERE vec_id % 3 = 0
          UNION ALL
-         SELECT 1000000000 + vec_id, list_transform(v0, x -> x + 0.02) FROM planted
+         SELECT moff.m + vec_id, list_transform(v0, x -> x + 0.02)
+         FROM planted, moff
          UNION ALL
-         SELECT 2000000000 + vec_id, list_transform(v0, x -> x + 0.03) FROM planted),
+         SELECT 2 * moff.m + vec_id, list_transform(v0, x -> x + 0.03)
+         FROM planted, moff),
        bassign AS (
          SELECT b.bid, b.bv, cent.c AS cluster,
                 row_number() OVER (PARTITION BY b.bid
@@ -1409,12 +1415,15 @@ def q_incremental_semantic_dedup(spark, sf_dir):
     )
     seen = emb.filter(F.col("vec_id") % 3 != 0)
     planted = seen.filter(F.col("vec_id") % 41 == 1)
+    # Data-derived planted-id offset (collision-free for ANY corpus —
+    # see the oracle comment); exact integer max, identical in DuckDB.
+    m = emb.agg(F.max("vec_id")).first()[0] + 1
     batch = (
         emb.filter(F.col("vec_id") % 3 == 0)
         .select("vec_id", "embedding")
         .unionByName(
             planted.select(
-                (F.lit(1_000_000_000) + F.col("vec_id")).alias("vec_id"),
+                (F.lit(m) + F.col("vec_id")).alias("vec_id"),
                 F.transform(
                     "embedding", lambda x: x + F.lit(0.02)
                 ).alias("embedding"),
@@ -1422,7 +1431,7 @@ def q_incremental_semantic_dedup(spark, sf_dir):
         )
         .unionByName(
             planted.select(
-                (F.lit(2_000_000_000) + F.col("vec_id")).alias("vec_id"),
+                (F.lit(2 * m) + F.col("vec_id")).alias("vec_id"),
                 F.transform(
                     "embedding", lambda x: x + F.lit(0.03)
                 ).alias("embedding"),
