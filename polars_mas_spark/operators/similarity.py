@@ -1071,6 +1071,7 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bench_id_col: str = "bench_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination: flag every CORPUS document
     whose embedding is within cosine ``threshold`` of ANY benchmark
@@ -1107,12 +1108,23 @@ def semantic_decontaminate(
     Zero-norm vectors have no cosine direction (0/0 = NaN would sort
     above every real score): they are excluded on both sides, matching
     knn_graph's contract.
+
+    ``centroids`` (r11 streaming shape): pass a precomputed centroid
+    matrix to skip the per-call k-means. Because a corpus doc's
+    verdict depends only on ITSELF and the (static) benchmark, the
+    operator is embarrassingly parallel per doc — with fixed
+    centroids, scrubbing a stream per micro-batch via foreachBatch is
+    EXACTLY the one-shot batch result, not an approximation
+    (tests/test_streaming_decontaminate.py binds the parity). Any
+    centroid set is a valid partition (both sides use the same one,
+    so the colocation logic holds); recall still follows n_probe.
     """
     spark = corpus.sparkSession
-    centroids = kmeans_centroids(
-        corpus, k=n_centroids, refine_iters=refine_iters,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, k=n_centroids, refine_iters=refine_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     bc = _centroid_matrix_bc(spark, centroids)
     c = corpus.select(
         qcol(id_col).alias("__cid__"),

@@ -150,3 +150,67 @@ def test_stream_semantic_dedup_foreachbatch_matches_batch(spark):
         assert got == batch_out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_semantic_decontaminate_foreachbatch_matches_batch(spark):
+    """r11: semantic decontamination is per-doc independent, so with a
+    fixed centroid set the per-micro-batch foreachBatch scrub equals
+    the one-shot batch result EXACTLY — no fixture construction needed
+    to dodge boundary effects (contrast the dedup twin above)."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_decontaminate,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pms_semdecon_stream_")
+    try:
+        bench = spark.createDataFrame(
+            [(900, [1.0, 0.05, 0.0]), (901, [0.0, 1.0, 0.05])],
+            "bench_id long, embedding array<double>",
+        ).cache()
+        bench.count()
+        cents = kmeans_centroids(bench, k=2, id_col="bench_id")
+
+        file_a = [(1, [0.99, 0.06, 0.0]), (2, [0.0, 0.0, 1.0])]
+        file_b = [(10, [0.02, 0.98, 0.06]), (11, [0.6, 0.6, 0.53])]
+        schema = "vec_id long, embedding array<double>"
+        spark.createDataFrame(file_a, schema).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        spark.createDataFrame(file_b, schema).coalesce(1).write.mode(
+            "append").parquet(tmp)
+
+        def scrub_frame(df):
+            return semantic_decontaminate(
+                df, bench, threshold=0.9, n_centroids=2, n_probe=2,
+                centroids=cents,
+            )
+
+        batch_out = {
+            (r.vec_id, r.bench_id): r.cos
+            for r in scrub_frame(spark.read.parquet(tmp)).collect()
+        }
+        assert set(batch_out) == {(1, 900), (10, 901)}
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(tmp).schema
+        ).option("maxFilesPerTrigger", 1).parquet(tmp)
+        got: dict = {}
+        epochs: list[int] = []
+
+        def scrub(batch_df, epoch):
+            epochs.append(epoch)
+            for r in scrub_frame(batch_df).collect():
+                got[(r.vec_id, r.bench_id)] = r.cos
+
+        q = (
+            stream.writeStream.foreachBatch(scrub)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(epochs) >= 2
+        assert got == batch_out  # exact, cos values included
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
