@@ -61,15 +61,10 @@ MUST_PIN: dict[str, tuple[int, str]] = {
     # mas_firth_fanout_golden / mas_logistic_fanout_golden /
     # mas_firth_columnar_golden — all driver-green r10 on the r9
     # integer-cents projections.)
-    # Promised r10 returns displaced by the r10 semantic re-pins
-    # (VERDICT r9 next-steps #3 names them the safest one-round
-    # sit-outs; kernels untouched since their r8 greens).
-    "mas_poisson_rate_golden": (11, "pinned golden, sat out r9 and r10"),
-    "mas_logistic_mtcars_golden": (11, "pinned golden, sat out r9 and r10"),
-    # r10 review fix: the length band became symmetric/lossless and the
-    # pair set GREW (6088 -> 6547 at sf0.01) — r9 evidence binds the
-    # old values.
-    "jaccard_pairs": (11, "r10 symmetric length-band fix changed values"),
+    # (r11 satisfied and pruned: mas_poisson_rate_golden /
+    # mas_logistic_mtcars_golden (pinned goldens that sat out r9+r10)
+    # and jaccard_pairs (r10 symmetric length-band value change) — all
+    # driver-green r11.)
 }
 
 # Never-driver-checked queries explicitly granted ONE round out of the
@@ -91,13 +86,16 @@ DEFERRED: dict[str, tuple[int, str]] = {
     # scale_extremes (the lowest-risk composite: byte-identical
     # expressions to two queries green since r6) to r13, where the
     # aged bucket is 49.
-    "prep_stats": (11, "r11 saturated; consolidation composite"),
-    "fill_strategies": (11, "r11 saturated; consolidation composite"),
-    "bidirectional_fill": (11, "r11 saturated; consolidation composite"),
-    "scale_extremes": (11, "r11 saturated; re-defer to r13 per note"),
-    "semantic_decontaminate": (11, "r11 saturated; new r11 operator"),
-    "incremental_semantic_dedup": (11, "r11 saturated; new r11 operator"),
-    "classifier_eval": (11, "r11 saturated; new r11 operator"),
+    # (r11 grants expired and honored: prep_stats / fill_strategies /
+    # bidirectional_fill / classifier_eval / semantic_decontaminate /
+    # incremental_semantic_dedup are in the r12 window.)
+    # r12 is over-subscribed by exactly one slot (44 age-3 rows + 7
+    # expired r11 grants = 51 > 50); the documented resolution
+    # (VERDICT r11 #2, ADVICE r11 #3) is the second and final deferral
+    # of scale_extremes — the lowest-risk composite: byte-identical
+    # expressions to two queries green since r6 — to r13, where the
+    # aged bucket is 49 and it fits.
+    "scale_extremes": (12, "r12 over-subscribed by one; lowest-risk composite"),
 }
 
 # Operators shipped WITHOUT a registry entry (BENCH_ONLY / unit-bound)
