@@ -1164,7 +1164,11 @@ def semantic_decontaminate(
     return best.select(
         F.col("__cid__").alias(id_col),
         F.col("__best__.bid").alias(bench_id_col),
-        F.round(-F.col("__best__.nc"), 4).alias("cos"),
+        # + 0.0 canonicalizes IEEE signed zero: at a threshold <= 0 a
+        # tiny negative cosine rounds to -0.0 in DuckDB but +0.0 in
+        # Spark (the documented rounded-quantity-spanning-zero trap);
+        # cost-free at positive thresholds (ADVICE r11 #4).
+        (F.round(-F.col("__best__.nc"), 4) + F.lit(0.0)).alias("cos"),
     )
 
 
@@ -1316,6 +1320,15 @@ def quantize_embeddings(
     restores exact zeros). Per-component round-trip error is bounded
     by scale/2 = max|x|/254.
 
+    NULL-element contract: a NULL component stays NULL in the codes
+    (and is skipped by the scale's array_max, like every Spark
+    null-skipping aggregate); [[dequantize_embeddings]] round-trips it
+    back to NULL (NULL * scale = NULL). The clamp is explicitly
+    isNotNull-guarded because ``F.greatest``/``F.least`` SKIP NULL
+    operands — unguarded, least(127, NULL)=127 then greatest(-127,
+    127)=127 would silently quantize a NULL component to the max
+    positive code (ADVICE r11 #1, the classifier_eval clamp trap).
+
     Everything is JVM higher-order functions (transform / array_max /
     aggregate) — map-only, zero shuffles, whole-stage codegen; no UDF.
     """
@@ -1331,19 +1344,31 @@ def quantize_embeddings(
         F.col("__scale__") > 0,
         F.transform(
             F.col("__v__"),
-            lambda x: F.greatest(
-                F.lit(-127),
-                F.least(
-                    F.lit(127),
-                    F.round(x.cast("double") / F.col("__scale__"), 0).cast("int"),
+            lambda x: F.when(
+                x.isNotNull(),
+                F.greatest(
+                    F.lit(-127),
+                    F.least(
+                        F.lit(127),
+                        F.round(
+                            x.cast("double") / F.col("__scale__"), 0
+                        ).cast("int"),
+                    ),
                 ),
-            ).cast("tinyint"),
+            )
+            .otherwise(F.lit(None).cast("int"))
+            .cast("tinyint"),
         ),
     ).otherwise(
-        F.transform(F.col("__v__"), lambda x: F.lit(0).cast("tinyint"))
+        F.transform(
+            F.col("__v__"),
+            lambda x: F.when(x.isNotNull(), F.lit(0))
+            .otherwise(F.lit(None))
+            .cast("tinyint"),
+        )
     )
     return staged.select(
-        id_col,
+        qcol(id_col),
         q.alias(out_col),
         F.col("__scale__").alias(scale_col),
     )

@@ -1337,7 +1337,7 @@ def q_semantic_dedup(spark, sf_dir):
                                           ORDER BY cos DESC, bench_id ASC)
                          AS rk
                 FROM hits)
-    SELECT vec_id, bench_id, round(cos, 4) AS cos FROM best WHERE rk = 1""",
+    SELECT vec_id, bench_id, round(cos, 4) + 0.0 AS cos FROM best WHERE rk = 1""",
 )
 def q_semantic_decontaminate(spark, sf_dir):
     """Embedding-space decontamination (similarity.semantic_decontaminate):

@@ -479,6 +479,30 @@ def test_quantize_roundtrip_error_bound(spark):
             assert abs(x - y) <= scale / 2 + 1e-12
 
 
+def test_quantize_null_elements_roundtrip(spark):
+    """A NULL component must quantize to a NULL code (not get silently
+    clamped to +127 — F.greatest/F.least skip NULL operands, ADVICE r11
+    #1), be skipped by the scale's array_max, and round-trip to NULL
+    through dequantize; dotted user id columns go through qcol."""
+    df = spark.createDataFrame(
+        [(1, [2.54, None, -1.0]), (2, [None, None])],
+        "`250.1` long, embedding array<double>",
+    )
+    q = sim.quantize_embeddings(df, id_col="250.1")
+    qrows = {r["250.1"]: (r.qvec, r.qscale) for r in q.collect()}
+    codes, scale = qrows[1]
+    assert scale == 2.54 / 127.0  # array_max skipped the NULL
+    assert codes[0] == 127 and codes[1] is None and codes[2] == -50
+    codes2, scale2 = qrows[2]
+    assert scale2 == 0.0 and list(codes2) == [None, None]
+    deq = {
+        r["250.1"]: r.embedding
+        for r in sim.dequantize_embeddings(q, id_col="250.1").collect()
+    }
+    assert deq[1][1] is None and abs(deq[1][0] - 2.54) < scale / 2 + 1e-12
+    assert deq[2] == [None, None]
+
+
 def test_quantized_ann_recall(spark):
     """brute_force_topk over the dequantized corpus reproduces the
     float top-k on well-separated planted clusters (cosine is
