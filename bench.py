@@ -205,9 +205,12 @@ def main() -> None:
     # Key order matters: the round driver captures the TAIL of stdout,
     # and BENCH_r09.json lost the aggregate because "value" came first
     # and 41 queries + a full spread dict pushed it out (VERDICT r9
-    # "What's wrong" #4). Emit the headline total LAST, and on STDOUT
-    # keep only the noisy spread entries (>=0.25 relative) so the
-    # per-query map and total always survive truncation.
+    # "What's wrong" #4). Emit the headline total LAST. Since r12 the
+    # STDOUT JSON carries the FULL spread dict (VERDICT r11 #6: the
+    # driver artifact must be self-contained — the r10 phantom
+    # image_neardup regression was only diagnosable against the local
+    # pin's spread); spread precedes queries so a hypothetical head
+    # truncation eats run-to-run noise before it eats the timings.
     def emit(spread_map):
         return json.dumps(
             {
@@ -221,7 +224,7 @@ def main() -> None:
             }
         )
 
-    print(emit({n: s for n, s in spread.items() if s >= 0.25}))
+    print(emit(spread))
     # Pin a HEAD-local artifact (VERDICT r5 next-steps #2): the driver's
     # per-round BENCH_r{N}.json runs on a shared box whose load has
     # produced phantom 15-66% "regressions" twice; diffing it against
