@@ -90,6 +90,9 @@ HEADLINE = [
     "classifier_eval",
     "decontaminate_cascade",
     "ann_quantized_topk",
+    # r12 family: CCNet per-language perplexity thirds (trigram-LM
+    # integer micro-nat scores + grouped two-phase distributed rank).
+    "perplexity_thirds",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",

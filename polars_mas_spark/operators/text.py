@@ -1104,6 +1104,33 @@ def char_trigram_scores(
     shapes probabilities of trigrams the corpus has seen (self-scoring,
     the mode this operator runs in, never hits the floor at all).
     Documents shorter than 3 chars emit (0, NULL, NULL)."""
+    base, tris, model = _char_trigram_lm(df, id_col, text_col, alpha, vocab)
+    scored = (
+        tris.join(F.broadcast(model), on="tri", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.avg(
+                -F.coalesce(
+                    F.col("logp"), F.log(F.lit(1.0 / vocab))
+                )
+            ).alias("nll_mean"),
+        )
+    )
+    ids = base.select("doc_id")
+    return ids.join(scored, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.col("nll_mean"),
+        F.exp("nll_mean").alias("ppl"),
+    )
+
+
+def _char_trigram_lm(df, id_col, text_col, alpha, vocab):
+    """Shared LM build for [[char_trigram_scores]] and
+    [[perplexity_thirds]]: ``(base, tris, model)`` where ``base`` is
+    (doc_id, __t__, __tris__), ``tris`` the exploded (doc_id, tri)
+    stream, and ``model`` the broadcastable (tri, logp) table."""
     base = stage_columns(
         df.select(
             qcol(id_col).alias("doc_id"),
@@ -1134,24 +1161,94 @@ def char_trigram_scores(
             / (F.col("c_ctx") + F.lit(float(alpha * vocab)))
         ).alias("logp"),
     )
+    return base, tris, model
+
+
+def perplexity_thirds(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    alpha: float = 0.5,
+    vocab: int = 256,
+    quant: float = 1_000_000.0,
+    n_buckets: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """CCNet §4.4 perplexity bucketing (Wenzek et al. 2020): cut each
+    LANGUAGE's perplexity distribution into equal-rank thirds —
+    ``head`` (lowest perplexity, closest to the LM's training
+    distribution), ``middle``, ``tail`` — the bucket labels LLM corpus
+    recipes cite when they say "CCNet head+middle". The LM is the
+    self-trained char-trigram model of [[char_trigram_scores]] (the
+    documented deviation from CCNet's Wikipedia-trained KenLM: no
+    external model artifacts in this engine); the cut composes
+    [[quantile_buckets]]' per-group two-phase distributed rank, so no
+    language ever funnels through a single task.
+
+    Cross-engine exactness (the reason this does NOT rank the double
+    ``nll_mean`` of [[char_trigram_scores]]): each doc's score is the
+    integer sum of per-trigram ``round(-logp * quant)`` micro-nats
+    divided once by the trigram count — integer sums are exact in any
+    aggregation order (the q11 integer-cents pattern), and one division
+    of identical integers is the identical IEEE double in Spark and
+    DuckDB, so rank ties are bit-deterministic in both engines.
+    Ranking a float mean instead would let Spark's own shuffle-read
+    order re-roll last-ulp ties between duplicate documents run to run
+    (the r7 flap class). Docs with no trigrams (< 3 chars) or NULL
+    text get a NULL bucket.
+
+    Output: ``(id, lang, n_trigrams, nll_q, bucket, bucket_label)`` —
+    ``nll_q`` is the exact integer micro-nat sum (oracle-bindable),
+    ``bucket`` in [0, n_buckets) ascending perplexity.
+
+    Scale shape: one trigram-count pass + broadcast model join (the
+    char_trigram_scores plan), then ONE hash shuffle on (lang, block)
+    for the rank; driver state = per-(lang, block) counts, bounded by
+    language cardinality x num_blocks.
+    """
+    from polars_mas_spark.functions.transforms import quantile_buckets
+
+    base, tris, model = _char_trigram_lm(df, id_col, text_col, alpha, vocab)
+    nll_q_term = F.round(
+        -F.coalesce(F.col("logp"), F.log(F.lit(1.0 / vocab)))
+        * F.lit(float(quant)),
+        0,
+    ).cast("long")
     scored = (
         tris.join(F.broadcast(model), on="tri", how="left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_trigrams"),
-            F.avg(
-                -F.coalesce(
-                    F.col("logp"), F.log(F.lit(1.0 / vocab))
-                )
-            ).alias("nll_mean"),
+            F.sum(nll_q_term).alias("nll_q"),
         )
     )
-    ids = base.select("doc_id")
-    return ids.join(scored, on="doc_id", how="left").select(
+    ids = df.select(
+        qcol(id_col).alias("doc_id"), qcol(lang_col).alias("__lang__")
+    )
+    joined = ids.join(scored, on="doc_id", how="left").select(
         "doc_id",
+        "__lang__",
         F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
-        F.col("nll_mean"),
-        F.exp("nll_mean").alias("ppl"),
+        "nll_q",
+        (F.col("nll_q").cast("double") / F.col("n_trigrams")).alias("__s__"),
+    )
+    out = quantile_buckets(
+        joined,
+        "__s__",
+        "__lang__",
+        n_buckets=n_buckets,
+        labels=labels,
+        num_blocks=num_blocks,
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.col("__lang__").alias(lang_col),
+        "n_trigrams",
+        "nll_q",
+        "bucket",
+        "bucket_label",
     )
 
 

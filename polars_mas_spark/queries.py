@@ -56,9 +56,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: SparkQuery) -> SparkQuery:
+        assert (
+            name not in SHADOW_QUERIES
+        ), f"registering '{name}' while a shadow entry exists: remove the shadow"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Pre-written driver rows (VERDICT r11 #3): a query + oracle pair that
+# the LOCAL gate (tools/check_oracles.py) and plan audit exercise like
+# any registered query, but which is NOT exposed through
+# ``__spark_entry__.queries()`` — it occupies zero driver-window slots
+# and does not count against the registry-growth capacity (CLAUDE.md).
+# Used to pre-write a PLANNED registration (tools/plan_rotation.py)
+# during the obligation-saturated rounds, so promoting it when its due
+# window arrives is a one-line decorator swap, not a project. A shadow
+# name must not collide with a registered name.
+SHADOW_QUERIES: dict[str, SparkQuery] = {}
+SHADOW_ORACLES: dict[str, str] = {}
+
+
+def shadow_query(name: str, oracle: str):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        assert name not in QUERIES, f"shadow name collides with registry: {name}"
+        SHADOW_QUERIES[name] = fn
+        SHADOW_ORACLES[name] = oracle
         return fn
 
     return deco

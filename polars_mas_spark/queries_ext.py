@@ -25,7 +25,7 @@ from polars_mas_spark.operators import text as tx
 from polars_mas_spark.operators import windows as wd
 from polars_mas_spark.operators.association import run_associations
 from polars_mas_spark.pipeline import run_pipeline
-from polars_mas_spark.queries import _t, query
+from polars_mas_spark.queries import _t, query, shadow_query
 from polars_mas_spark.streaming.events import (
     session_windows,
     stream_dedup,
@@ -4393,6 +4393,71 @@ def q_ann_quantized_bench(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"))
 
 
+@shadow_query(
+    "perplexity_thirds",
+    # The trigram-LM CTEs replay trigram_perplexity's oracle byte-for-
+    # byte; the per-doc score is the INTEGER micro-nat sum (round(-logp
+    # * 1e6)::BIGINT summed — exact in any order, the q11 integer-cents
+    # pattern) divided ONCE by the trigram count, so the rank key is
+    # the identical IEEE double in both engines and the per-language
+    # thirds cut is bit-deterministic. Ranks: tie-min rank() + RANGE-
+    # frame tie-max count over a valid-only slice, same identity as
+    # Spark's grouped_avg_tie_ranks.
+    """WITH d AS (SELECT doc_id, lang, lower(coalesce(text, '')) AS t
+                  FROM documents),
+       tri AS (SELECT doc_id,
+                      unnest([substr(t, i, 3)
+                              for i in range(1, greatest(length(t) - 2, 0) + 1)])
+                        AS tri
+               FROM d WHERE length(t) >= 3),
+       tc AS (SELECT tri, count(*) AS c_tri FROM tri GROUP BY 1),
+       cc AS (SELECT substr(tri, 1, 2) AS ctx, sum(c_tri) AS c_ctx
+              FROM tc GROUP BY 1),
+       model AS (SELECT tri,
+                        ln((tc.c_tri::DOUBLE + 0.5)
+                           / (cc.c_ctx::DOUBLE + 128.0)) AS logp
+                 FROM tc JOIN cc ON substr(tc.tri, 1, 2) = cc.ctx),
+       sq AS (SELECT t.doc_id, count(*) AS n_tri,
+                     sum(CAST(round(-coalesce(m.logp, ln(1.0 / 256))
+                                    * 1000000.0, 0) AS BIGINT)) AS q
+              FROM tri t LEFT JOIN model m USING (tri) GROUP BY 1),
+       scored AS (SELECT d.doc_id, d.lang,
+                         coalesce(sq.n_tri, 0)::BIGINT AS n_trigrams,
+                         CAST(sq.q AS BIGINT) AS nll_q,
+                         CASE WHEN sq.n_tri IS NULL THEN NULL
+                              ELSE CAST(sq.q AS DOUBLE) / sq.n_tri END AS s
+                  FROM d LEFT JOIN sq USING (doc_id)),
+       ranked AS (SELECT doc_id, lang, n_trigrams, nll_q,
+                         (CAST(rank() OVER w AS DOUBLE)
+                          + CAST(count(*) OVER (w RANGE BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS DOUBLE)) / 2.0
+                           AS ar,
+                         count(*) OVER (PARTITION BY lang) AS n
+                  FROM scored WHERE s IS NOT NULL
+                  WINDOW w AS (PARTITION BY lang ORDER BY s)),
+       bucketed AS (
+         SELECT doc_id, lang, n_trigrams, nll_q,
+                CAST(floor(3.0 * (ar - 0.5) / CAST(n AS DOUBLE)) AS INTEGER)
+                  AS bucket
+         FROM ranked
+         UNION ALL
+         SELECT doc_id, lang, n_trigrams, nll_q, NULL AS bucket
+         FROM scored WHERE s IS NULL)
+    SELECT doc_id, lang, n_trigrams, nll_q, bucket,
+           ['head', 'middle', 'tail'][bucket + 1] AS bucket_label
+    FROM bucketed""",
+)
+def q_perplexity_thirds(spark, sf_dir):
+    """CCNet §4.4 per-language perplexity thirds (Wenzek et al. 2020):
+    head/middle/tail cut of each language's trigram-LM perplexity
+    distribution via the grouped two-phase distributed rank
+    (text.perplexity_thirds over functions.transforms.quantile_buckets).
+    Shadow row this round (r12's driver window is obligation-saturated,
+    zero new registrations — VERDICT r11 #2); registration PLANNED(14)
+    in tools/plan_rotation.py."""
+    return tx.perplexity_thirds(_t(spark, sf_dir, "documents"))
+
+
 BENCH_ONLY = {
     "mas_phewas_firth_1800": q_mas_phewas_firth_1800,
     "mas_phewas_firth_1800_n20k": q_mas_phewas_firth_1800_n20k,
@@ -4407,6 +4472,9 @@ BENCH_ONLY = {
     # deferred-registration rationale) + the int8-quantized ANN path.
     "decontaminate_cascade": q_decontaminate_cascade_bench,
     "ann_quantized_topk": q_ann_quantized_bench,
+    # r12: CCNet per-language perplexity thirds (shadow-oracled,
+    # registration PLANNED(14)).
+    "perplexity_thirds": q_perplexity_thirds,
 }
 
 

@@ -650,3 +650,94 @@ def test_curriculum_stages_quartiles_ties_nulls(spark):
     # n==0 short-circuit: all-null scores -> all-null stages
     empty = spark.createDataFrame([(1, None)], "id long, score double")
     assert curriculum_stages(empty, "score").collect()[0].stage is None
+
+
+def test_quantile_buckets_grouped_planted(spark):
+    """Per-group thirds on a planted distribution: each group's cut is
+    independent (same score can land in different buckets per group);
+    ties share a bucket; NULL scores get a NULL bucket; a NULL GROUP is
+    a legal group (eqNullSafe offsets join); labels resolve."""
+    from polars_mas_spark.functions.transforms import quantile_buckets
+
+    rows = (
+        # group a: 9 values 0..8 -> exact thirds [0,1,2],[3,4,5],[6,7,8]
+        [(f"a{i}", "a", float(i)) for i in range(9)]
+        # group b: 6 values 100..105 -> thirds of 2 each; note b's
+        # minimum (100) far exceeds a's maximum — per-group cut, not
+        # global
+        + [(f"b{i}", "b", 100.0 + i) for i in range(6)]
+        # group c: a 3-way tie straddling what would be the 1/3 cut of
+        # 4 values -> all three share a bucket
+        + [("c0", "c", 1.0), ("c1", "c", 2.0), ("c2", "c", 2.0),
+           ("c3", "c", 2.0)]
+        # NULL group with 3 values; NULL/NaN scores
+        + [("n0", None, 5.0), ("n1", None, 6.0), ("n2", None, 7.0),
+           ("x0", "a", None), ("x1", "b", float("nan"))]
+    )
+    df = spark.createDataFrame(rows, "id string, g string, score double")
+    got = {
+        r.id: (r.bucket, r.bucket_label)
+        for r in quantile_buckets(
+            df, "score", "g", n_buckets=3,
+            labels=("head", "middle", "tail"), num_blocks=4,
+        ).collect()
+    }
+    assert len(got) == len(rows)
+    for i in range(9):
+        assert got[f"a{i}"] == (i // 3, ("head", "middle", "tail")[i // 3])
+    for i in range(6):
+        assert got[f"b{i}"][0] == i // 2
+    assert got["c0"][0] == 0 and len({got[f"c{i}"][0] for i in (1, 2, 3)}) == 1
+    assert [got[f"n{i}"][0] for i in range(3)] == [0, 1, 2]
+    assert got["x0"] == (None, None) and got["x1"] == (None, None)
+    with pytest.raises(ValueError, match="labels"):
+        quantile_buckets(df, "score", "g", n_buckets=3, labels=("a", "b"))
+    with pytest.raises(ValueError, match="n_buckets"):
+        quantile_buckets(df, "score", "g", n_buckets=0)
+    # all-invalid short-circuit
+    empty = spark.createDataFrame([(1, "a", None)], "id long, g string, score double")
+    assert quantile_buckets(empty, "score", "g").collect()[0].bucket is None
+
+
+def test_perplexity_thirds_planted(spark):
+    """Planted corpus: per language, gibberish docs (trigrams the LM
+    saw once) land in the tail, repeated-boilerplate docs in the head;
+    short docs (<3 chars) get NULL buckets; thirds are balanced."""
+    from polars_mas_spark.operators.text import perplexity_thirds
+
+    common = "the cat sat on the mat and the dog sat on the log "
+    rows = []
+    for lang in ("en", "xx"):
+        # 3 boilerplate docs (all trigrams frequent), 3 mid docs,
+        # 3 rare-trigram docs per language
+        for i in range(3):
+            rows.append((f"{lang}_head{i}", lang, common * 4))
+        for i in range(3):
+            rows.append((f"{lang}_mid{i}", lang, common + f"zw{i}qx{i}vb"))
+        for i in range(3):
+            rows.append(
+                (f"{lang}_tail{i}", lang,
+                 f"q{i}zxj wvk{i}qp zzq{i} xqv jjw{i}kz qqx{i}")
+            )
+    rows.append(("short", "en", "ab"))
+    rows.append(("nulltext", "en", None))
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    got = {
+        r.doc_id: r
+        for r in perplexity_thirds(df, num_blocks=4).collect()
+    }
+    assert len(got) == len(rows)
+    for lang in ("en", "xx"):
+        for i in range(3):
+            assert got[f"{lang}_head{i}"].bucket_label == "head", (
+                lang, i, got[f"{lang}_head{i}"])
+            assert got[f"{lang}_tail{i}"].bucket_label == "tail", (
+                lang, i, got[f"{lang}_tail{i}"])
+    assert got["short"].bucket is None and got["short"].n_trigrams == 0
+    assert got["nulltext"].bucket is None
+    # nll_q is the exact integer micro-nat sum: reproducible across runs
+    again = {
+        r.doc_id: r.nll_q
+        for r in perplexity_thirds(df, num_blocks=4).collect()
+    }
+    assert again == {k: v.nll_q for k, v in got.items()}

@@ -56,6 +56,11 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+    # Shadow rows (pre-written PLANNED registrations) are plan-audited
+    # like registered queries.
+    from polars_mas_spark.queries import SHADOW_QUERIES
+
+    qs = {**qs, **SHADOW_QUERIES}
     only = set(sys.argv[1:])
     bad: list[str] = []
     for name, fn in qs.items():

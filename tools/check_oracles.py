@@ -188,6 +188,12 @@ def main():
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # Shadow rows (pre-written PLANNED registrations) get the exact same
+    # gate as registered queries, without a driver-window slot.
+    from polars_mas_spark.queries import SHADOW_ORACLES, SHADOW_QUERIES
+
+    qs = {**qs, **SHADOW_QUERIES}
+    oracles = {**oracles, **SHADOW_ORACLES}
 
     con = duckdb.connect()
     for t in TABLES:

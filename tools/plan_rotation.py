@@ -109,6 +109,9 @@ PLANNED: dict[str, tuple[int, str]] = {
     # r14 is the first window with free slots (the r10-retired bucket).
     "decontaminate_cascade": (14, "BENCH_ONLY r11; register when r14 frees slots"),
     "ann_quantized_topk": (14, "BENCH_ONLY r11; register when r14 frees slots"),
+    # r12: CCNet per-language perplexity thirds — shipped shadow-oracled
+    # (gate-green at 3 SFs) + BENCH_ONLY; promotion is a decorator swap.
+    "perplexity_thirds": (14, "shadow-oracled r12; register when r14 frees slots"),
 }
 
 
