@@ -4352,16 +4352,84 @@ def q_mas_phewas_firth_1800_c20(spark, sf_dir):
     return _run_phewas(spark, sf_dir, n_phecodes=1800, n_covariates=20)
 
 
+@shadow_query(
+    "decontaminate_cascade",
+    # Full three-channel replay with FIRST-FLAG precedence (the piece
+    # the per-channel oracles don't bind — VERDICT r11 #3): span =
+    # verbatim 8-word stride-1 window md5 semi-join (the
+    # span_decontaminate pattern at k=8, raw-case tokens); ngram =
+    # lowercased 3-gram shingle overlap >= 0.5 over the SPAN SURVIVORS
+    # (an exact integer-quotient comparison, identical in both
+    # engines); semantic = the semantic_decontaminate kmeans/IVF chain
+    # with centroids built from the NGRAM SURVIVORS' embeddings only —
+    # stage scoping changes the cluster space, so the oracle must
+    # re-derive it, not reuse the full-corpus chain.
+    rf"""WITH docs AS (SELECT doc_id, text FROM documents),
+    bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 53 = 7),
+    bw AS (SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '') AS words
+           FROM bdocs),
+    bg AS (SELECT DISTINCT
+                  unnest(list_transform(generate_series(0, len(words) - 8),
+                         i -> md5(array_to_string(
+                                list_slice(words, i + 1, i + 8), ' ')))) AS g
+           FROM bw WHERE len(words) >= 8),
+    cw AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '') AS words
+           FROM docs),
+    cg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(0, len(words) - 8),
+                         i -> md5(array_to_string(
+                                list_slice(words, i + 1, i + 8), ' ')))) AS g
+           FROM cw WHERE len(words) >= 8),
+    span_hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+    surv1 AS (SELECT d.doc_id, d.text FROM docs d
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM span_hit)),
+    corp_sh AS (SELECT * FROM {_shingle_sql('(SELECT doc_id, text FROM surv1)')} c),
+    bench_sh AS (SELECT DISTINCT shingle
+                 FROM {_shingle_sql('(SELECT doc_id, text FROM bdocs)')} b),
+    frac AS (SELECT c.doc_id, count(*) AS n_grams,
+                    sum(CASE WHEN b.shingle IS NULL THEN 0 ELSE 1 END) AS n_hit
+             FROM corp_sh c LEFT JOIN bench_sh b USING (shingle)
+             GROUP BY c.doc_id),
+    ngram_hit AS (SELECT doc_id FROM frac
+                  WHERE n_hit::DOUBLE / n_grams >= 0.5),
+    surv2 AS (SELECT doc_id FROM surv1
+              WHERE doc_id NOT IN (SELECT doc_id FROM ngram_hit)),
+    {_kmeans_ctes(16, src='(SELECT e.vec_id, e.embedding FROM embeddings e '
+                          'WHERE e.vec_id IN (SELECT doc_id FROM surv2))')},
+    bench2 AS (SELECT vec_id AS bench_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x + 0.02) AS bv
+               FROM embeddings WHERE vec_id % 37 = 5),
+    probes AS (
+      SELECT b.bench_id, b.bv, cent.c,
+             row_number() OVER (PARTITION BY b.bench_id
+                                ORDER BY list_cosine_similarity(b.bv, cent.sv)
+                                           DESC,
+                                         cent.c ASC) AS prk
+      FROM bench2 b CROSS JOIN cent),
+    sem_hit AS (SELECT DISTINCT a.vec_id AS doc_id
+                FROM (SELECT bench_id, bv, c FROM probes WHERE prk <= 4) p
+                JOIN assigned1 a ON a.cluster = p.c
+                WHERE list_cosine_similarity(a.v, p.bv) >= 0.42),
+    clean AS (SELECT doc_id FROM surv2
+              WHERE doc_id NOT IN (SELECT doc_id FROM sem_hit))
+    SELECT doc_id, 'span' AS stage FROM span_hit
+    UNION ALL SELECT doc_id, 'ngram' AS stage FROM ngram_hit
+    UNION ALL SELECT doc_id, 'semantic' AS stage FROM sem_hit
+    UNION ALL SELECT doc_id, 'clean' AS stage FROM clean""",
+)
 def q_decontaminate_cascade_bench(spark, sf_dir):
     """Bench shape for text.decontaminate_cascade (r11): the full
     three-channel decontamination verdict over documents — benchmark =
     the doc_id % 53 = 7 slice (its own docs trip the span channel
     verbatim), paraphrase-near planted vectors (the
-    semantic_decontaminate fixture) drive the semantic channel. Not a
-    driver-registry query this round (the r11-r13 windows are
-    obligation-saturated — see plan_rotation.DEFERRED); value coverage
-    = every stage's own oracle-bound operator + the planted-taxonomy
-    unit tests (tests/test_semantic_incremental.py)."""
+    semantic_decontaminate fixture) drive the semantic channel.
+    Shadow-oracled r12 (VERDICT r11 #3: the per-channel oracles bind
+    each operator, this binds the first-flag precedence and stage
+    scoping); registration PLANNED(14) in tools/plan_rotation.py."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bench_docs = docs.filter(F.col("doc_id") % 53 == 7)
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -4379,11 +4447,51 @@ def q_decontaminate_cascade_bench(spark, sf_dir):
     )
 
 
+@shadow_query(
+    "ann_quantized_topk",
+    # The int8 chain replayed in SQL (the PQ-oracle pattern): per-vector
+    # symmetric scale = max|x|/127, codes = clamp(round(x/scale)),
+    # dequantize = code * scale — all exact-arithmetic (identical
+    # divisions of identical doubles) so the dequantized corpus is
+    # bit-identical cross-engine; then the ann_bruteforce_topk oracle
+    # over it.
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         a AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS amax
+               FROM e),
+         s AS (SELECT vec_id, v,
+                      CASE WHEN amax > 0 THEN amax / 127.0
+                           ELSE 0.0 END AS scale
+               FROM a),
+         deq AS (SELECT vec_id,
+                        CASE WHEN scale > 0 THEN
+                          list_transform(v, x ->
+                            CAST(greatest(-127, least(127,
+                              CAST(round(x / scale, 0) AS INTEGER)))
+                                 AS DOUBLE) * scale)
+                        ELSE list_transform(v, x -> 0.0) END AS dv
+                 FROM s),
+         q AS (SELECT vec_id AS query_id, dv AS qv
+               FROM deq WHERE vec_id < 20),
+         c AS (SELECT vec_id AS neighbor_id, dv AS cv FROM deq),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  list_cosine_similarity(qv, cv) AS cos
+           FROM q, c WHERE neighbor_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rk
+           FROM scored)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos
+       FROM ranked WHERE rk <= 5""",
+)
 def q_ann_quantized_bench(spark, sf_dir):
     """Bench shape for the int8-quantized ANN path (r11): quantize the
     embedding corpus (map-only JVM), dequantize, exact cosine top-5 for
     the first 20 ids — the storage-compressed variant of
-    ann_bruteforce_topk. Registration PLANNED for r14 (plan_rotation)."""
+    ann_bruteforce_topk. Shadow-oracled r12 (VERDICT r11 #3);
+    registration PLANNED(14) in tools/plan_rotation.py."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
