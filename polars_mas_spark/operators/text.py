@@ -1131,6 +1131,27 @@ def _char_trigram_lm(df, id_col, text_col, alpha, vocab):
     [[perplexity_thirds]]: ``(base, tris, model)`` where ``base`` is
     (doc_id, __t__, __tris__), ``tris`` the exploded (doc_id, tri)
     stream, and ``model`` the broadcastable (tri, logp) table."""
+    base, tris = _char_trigram_windows(df, id_col, text_col)
+    tri_counts = tris.groupBy("tri").agg(F.count("*").alias("c_tri"))
+    ctx_counts = tri_counts.groupBy(
+        F.substring("tri", 1, 2).alias("ctx")
+    ).agg(F.sum("c_tri").alias("c_ctx"))
+    model = tri_counts.join(
+        ctx_counts, F.substring(tri_counts["tri"], 1, 2) == ctx_counts["ctx"]
+    ).select(
+        "tri",
+        F.log(
+            (F.col("c_tri") + F.lit(float(alpha)))
+            / (F.col("c_ctx") + F.lit(float(alpha * vocab)))
+        ).alias("logp"),
+    )
+    return base, tris, model
+
+
+def _char_trigram_windows(df, id_col, text_col):
+    """(base, tris): the stride-1 char-trigram stream of a document
+    frame — the scoring-side half of [[_char_trigram_lm]], shared with
+    the epoch-static streaming scorer [[perplexity_bucket_assign]]."""
     base = stage_columns(
         df.select(
             qcol(id_col).alias("doc_id"),
@@ -1148,20 +1169,7 @@ def _char_trigram_lm(df, id_col, text_col, alpha, vocab):
         ).otherwise(F.array().cast("array<string>")),
     )
     tris = base.select("doc_id", F.explode("__tris__").alias("tri"))
-    tri_counts = tris.groupBy("tri").agg(F.count("*").alias("c_tri"))
-    ctx_counts = tri_counts.groupBy(
-        F.substring("tri", 1, 2).alias("ctx")
-    ).agg(F.sum("c_tri").alias("c_ctx"))
-    model = tri_counts.join(
-        ctx_counts, F.substring(tri_counts["tri"], 1, 2) == ctx_counts["ctx"]
-    ).select(
-        "tri",
-        F.log(
-            (F.col("c_tri") + F.lit(float(alpha)))
-            / (F.col("c_ctx") + F.lit(float(alpha * vocab)))
-        ).alias("logp"),
-    )
-    return base, tris, model
+    return base, tris
 
 
 def perplexity_thirds(
@@ -1211,19 +1219,7 @@ def perplexity_thirds(
     from polars_mas_spark.functions.transforms import quantile_buckets
 
     base, tris, model = _char_trigram_lm(df, id_col, text_col, alpha, vocab)
-    nll_q_term = F.round(
-        -F.coalesce(F.col("logp"), F.log(F.lit(1.0 / vocab)))
-        * F.lit(float(quant)),
-        0,
-    ).cast("long")
-    scored = (
-        tris.join(F.broadcast(model), on="tri", how="left")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_trigrams"),
-            F.sum(nll_q_term).alias("nll_q"),
-        )
-    )
+    scored = _trigram_int_scores(tris, model, vocab, quant)
     ids = df.select(
         qcol(id_col).alias("doc_id"), qcol(lang_col).alias("__lang__")
     )
@@ -1249,6 +1245,191 @@ def perplexity_thirds(
         "nll_q",
         "bucket",
         "bucket_label",
+    )
+
+
+def _trigram_int_scores(tris, model, vocab, quant):
+    """(doc_id, n_trigrams, nll_q): the exact integer micro-nat scoring
+    aggregate shared by [[perplexity_thirds]] and the epoch-static
+    streaming scorer [[perplexity_bucket_assign]] — identical
+    expressions so batch and micro-batch scores are bit-equal."""
+    nll_q_term = F.round(
+        -F.coalesce(F.col("logp"), F.log(F.lit(1.0 / vocab)))
+        * F.lit(float(quant)),
+        0,
+    ).cast("long")
+    return (
+        tris.join(F.broadcast(model), on="tri", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(nll_q_term).alias("nll_q"),
+        )
+    )
+
+
+def char_trigram_model(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    vocab: int = 256,
+    materialize: bool = True,
+) -> DataFrame:
+    """The (tri, logp) trigram-LM table of [[char_trigram_scores]]
+    exposed as an EPOCH ARTIFACT: compute it once per crawl epoch over
+    the accepted corpus, then every streaming micro-batch scores
+    against the broadcast table without re-reading the corpus — the
+    same epoch-static role the centroid matrix plays for the r11
+    semantic twins. Bounded by the distinct-trigram count
+    (<= charset^3), corpus-size independent.
+
+    ``materialize`` (default True) SEVERS the result from the corpus
+    lineage via an eager ``localCheckpoint``. This is load-bearing, not
+    an optimization: ``cache()`` is NOT an epoch snapshot — any later
+    append to the corpus path triggers Spark's ``recacheByPath``, which
+    re-materializes the cached plan from a refreshed file listing and
+    silently RE-TRAINS the LM on post-epoch files (observed
+    non-deterministically: the drift depends on file-listing cache
+    timing). On a cluster, prefer writing the table to its own path per
+    epoch; localCheckpoint is the in-session equivalent. Pass
+    ``materialize=False`` only when the caller persists it itself."""
+    _, _, model = _char_trigram_lm(df, id_col, text_col, alpha, vocab)
+    return model.localCheckpoint(eager=True) if materialize else model
+
+
+def perplexity_cut_points(
+    thirds: DataFrame,
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> list[tuple]:
+    """Driver-tiny epoch artifact derived from a [[perplexity_thirds]]
+    output: per-language RUNNING-MAX score cut points ``[(lang,
+    [c_0, ..., c_{n_buckets-2}])]`` where ``c_b`` is the max score
+    (nll_q / n_trigrams — the exact rank key) over buckets <= b, with
+    empty buckets filling down (-inf when every bucket <= b is empty).
+
+    The running-max construction makes threshold assignment replay the
+    RANK cut exactly: scores are monotone across buckets and ties never
+    straddle a bucket (quantile_buckets' average-tie-rank), so for a
+    doc in rank-bucket B, ``count(b: score > c_b) == B`` — including
+    the degenerate languages where the floor formula leaves a LOWER
+    bucket empty (2 docs land in buckets 0 and 2; a 1-doc language
+    lands in bucket 1), which a naive per-bucket-max threshold would
+    misassign. Bounded by language cardinality x n_buckets."""
+    rows = (
+        thirds.filter(F.col("bucket").isNotNull())
+        .groupBy(qcol(lang_col).alias("__lang__"), "bucket")
+        .agg(
+            F.max(
+                F.col("nll_q").cast("double") / F.col("n_trigrams")
+            ).alias("mx")
+        )
+        .collect()
+    )
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["__lang__"], {})[r["bucket"]] = r["mx"]
+    out = []
+    for lang, byb in sorted(per.items(), key=lambda kv: repr(kv[0])):
+        cuts, run = [], float("-inf")
+        for b in range(n_buckets - 1):
+            if b in byb:
+                run = max(run, byb[b])
+            cuts.append(run)
+        out.append((lang, cuts))
+    return out
+
+
+def perplexity_bucket_assign(
+    df: DataFrame,
+    model: DataFrame,
+    cut_points: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab: int = 256,
+    quant: float = 1_000_000.0,
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Micro-batch member of the CCNet bucketing epoch (the
+    foreachBatch twin of [[perplexity_thirds]], the r11 epoch-static
+    pattern): score each document against the EPOCH trigram LM
+    ([[char_trigram_model]], broadcast) with the identical integer
+    micro-nat arithmetic, then assign head/middle/tail by the epoch's
+    [[perplexity_cut_points]] — ``bucket = count(c in cuts: score >
+    c)``, map-only, no rank, no shuffle beyond the per-doc aggregate.
+    Same output schema as the batch operator; parity on epoch members
+    is exact (tests/test_streaming_decontaminate.py). Docs with no
+    trigrams, and languages absent from the epoch cut points (a new
+    language mid-epoch — give it buckets next epoch), get NULL."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    base, tris = _char_trigram_windows(df, id_col, text_col)
+    scored = _trigram_int_scores(tris, model, vocab, quant)
+    ids = df.select(
+        qcol(id_col).alias("doc_id"), qcol(lang_col).alias("__lang__")
+    )
+    gtype = df.schema[lang_col].dataType
+    cuts = spark.createDataFrame(
+        [(lang, [float(c) for c in cs]) for lang, cs in cut_points],
+        StructType(
+            [
+                StructField("__lang__", gtype),
+                StructField("__cuts__", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+    # eqNullSafe: a NULL language is a legal group in the batch cut
+    # (grouped_avg_tie_ranks), so it must match its cut row here too.
+    joined = (
+        ids.join(scored, on="doc_id", how="left")
+        .join(
+            F.broadcast(cuts.withColumnRenamed("__lang__", "__clang__")),
+            F.col("__lang__").eqNullSafe(F.col("__clang__")),
+            "left",
+        )
+        .drop("__clang__")
+        .select(
+            "doc_id",
+            "__lang__",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            "nll_q",
+            (F.col("nll_q").cast("double") / F.col("n_trigrams")).alias("__s__"),
+            "__cuts__",
+        )
+    )
+    bucket = F.when(
+        F.col("__s__").isNotNull() & F.col("__cuts__").isNotNull(),
+        F.size(
+            F.filter(F.col("__cuts__"), lambda c: F.col("__s__") > c)
+        ),
+    ).cast("int")
+    out = joined.withColumn("bucket", bucket)
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.col("__lang__").alias(lang_col),
+        "n_trigrams",
+        "nll_q",
+        "bucket",
+        # Explicit isNotNull guard: Spark 4.1 codegen's element_at
+        # returns the LAST element (not NULL) when the index is a
+        # runtime NULL from a CASE WHEN — only constant-folded literal
+        # NULL indexes behave; same guard-the-nullable-clamp class as
+        # F.greatest/F.least (CLAUDE.md).
+        F.when(
+            F.col("bucket").isNotNull(),
+            F.element_at(
+                F.array(*[F.lit(str(l)) for l in labels]),
+                F.col("bucket") + 1,
+            ),
+        ).alias("bucket_label"),
     )
 
 

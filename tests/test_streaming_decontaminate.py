@@ -214,3 +214,108 @@ def test_stream_semantic_decontaminate_foreachbatch_matches_batch(spark):
         assert got == batch_out  # exact, cos values included
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_perplexity_buckets_foreachbatch_matches_batch(spark):
+    """r12: the CCNet bucketing epoch in streaming form — the trigram
+    LM and the per-language cut points are EPOCH-STATIC artifacts
+    (char_trigram_model + perplexity_cut_points, the r11 epoch-static
+    centroid pattern); every micro-batch assigns head/middle/tail
+    map-only via perplexity_bucket_assign. Parity with the batch rank
+    cut is EXACT on epoch members — including the degenerate languages
+    (a 2-doc language lands in buckets 0 and 2, a 1-doc language in
+    bucket 1) that bind the running-max cut construction — and a
+    language unseen at cut time gets NULL."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators.text import (
+        char_trigram_model,
+        perplexity_bucket_assign,
+        perplexity_cut_points,
+        perplexity_thirds,
+    )
+
+    common = "the cat sat on the mat and the dog sat on the log "
+    rows = []
+    for lang in ("en", "xx"):
+        for i in range(3):
+            rows.append((f"{lang}_h{i}", lang, common * 4))
+            rows.append((f"{lang}_m{i}", lang, common + f"zw{i}qx{i}vb"))
+            rows.append(
+                (f"{lang}_t{i}", lang, f"q{i}zxj wvk{i}qp zzq{i} xqv jjw{i}kz")
+            )
+    rows += [
+        ("deg2a", "de", common),                     # 2-doc lang: buckets 0, 2
+        ("deg2b", "de", "qq zz xx vv ww kk"),
+        ("deg1", "fr", common),                      # 1-doc lang: bucket 1
+        ("nul0", None, common),                      # NULL lang is a group
+        ("nul1", None, common + " zzq"),
+        ("nul2", None, "xqzv wvkq"),
+        ("short", "en", "ab"),                       # no trigrams -> NULL
+    ]
+    tmp = tempfile.mkdtemp(prefix="pms_ppl_stream_")
+    try:
+        df = spark.createDataFrame(
+            rows, "doc_id string, lang string, text string"
+        )
+        df.coalesce(2).write.mode("overwrite").parquet(tmp)
+        epoch = spark.read.parquet(tmp)
+
+        thirds = perplexity_thirds(epoch, num_blocks=4)
+        batch_out = {
+            r.doc_id: (r.lang, r.n_trigrams, r.nll_q, r.bucket, r.bucket_label)
+            for r in thirds.collect()
+        }
+        # the degenerate classes the running-max cut must replay
+        assert batch_out["deg2a"][3] == 0 and batch_out["deg2b"][3] == 2
+        assert batch_out["deg1"][3] == 1
+        assert batch_out["short"][3] is None
+        assert {batch_out[f"nul{i}"][3] for i in range(3)} == {0, 1, 2}
+
+        # epoch artifacts: LM table + cut points, computed ONCE.
+        # char_trigram_model localCheckpoints by default — a cache()
+        # here would be silently RE-TRAINED on the post-epoch append
+        # below (recacheByPath refreshes the file listing), which this
+        # test's new0-vs-deg1 score identity would catch.
+        model = char_trigram_model(epoch)
+        cuts = perplexity_cut_points(thirds)
+        assert all(len(cs) == 2 for _, cs in cuts)
+        assert any(lang is None for lang, _ in cuts)
+
+        # a post-epoch file with a language the cuts never saw
+        spark.createDataFrame(
+            [("new0", "pt", common)], "doc_id string, lang string, text string"
+        ).write.mode("append").parquet(tmp)
+
+        stream = spark.readStream.schema(epoch.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(tmp)
+        got: dict = {}
+        epochs: list[int] = []
+
+        def assign(batch_df, ep):
+            epochs.append(ep)
+            for r in perplexity_bucket_assign(batch_df, model, cuts).collect():
+                got[r.doc_id] = (
+                    r.lang, r.n_trigrams, r.nll_q, r.bucket, r.bucket_label
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(assign)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(epochs) >= 2
+        # new0 shares deg1's text -> identical exact score, but its
+        # language has no epoch cut points -> NULL bucket
+        new0 = got.pop("new0")
+        assert new0 == ("pt", batch_out["deg1"][1], batch_out["deg1"][2],
+                        None, None)
+        assert got == batch_out  # exact parity on every epoch member
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
