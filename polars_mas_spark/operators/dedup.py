@@ -101,7 +101,11 @@ def normalized_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def incremental_exact_dedup(
-    new_df: DataFrame, seen_df: DataFrame, id_col: str, text_col: str
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seen_bloom=None,
 ) -> DataFrame:
     """Dedup a NEW ingestion batch against an already-accepted corpus:
     collapse within-batch exact duplicates to their lowest-id
@@ -114,15 +118,38 @@ def incremental_exact_dedup(
     digest-only bloom/parquet side table maintained across ingestions;
     this operator is the query against it. Both the within-batch
     collapse and the anti-join are single hash shuffles on the digest.
+
+    ``seen_bloom`` (a [[bloom.KeyBloom]] built over the seen DIGEST
+    column, once per epoch) routes the anti-join: bloom-NEGATIVE batch
+    rows are definite non-members and bypass the join map-only, so the
+    seen digest table — scanned and shuffled on EVERY batch without it
+    — is touched only by the bloom-positive candidates (true dups +
+    ~fpp false positives). Output rows are EXACTLY the unrouted
+    anti-join's (the filter routes, the exact join decides; the unit
+    suite binds equality incl. forced false positives), so oracles
+    hold verbatim. Build it with
+    ``build_key_bloom(seen_digest_frame, "digest", n_bits=10 * n)``.
     """
     seen_digests = seen_df.select(
         content_digest(qcol(text_col)).alias("__digest__")
     ).distinct()
-    return (
-        exact_dedup(new_df, id_col, text_col)
-        .withColumn("__digest__", content_digest(qcol(text_col)))
-        .join(seen_digests, on="__digest__", how="left_anti")
-        .drop("__digest__")
+    batch = exact_dedup(new_df, id_col, text_col).withColumn(
+        "__digest__", content_digest(qcol(text_col))
+    )
+    if seen_bloom is not None:
+        batch = batch.withColumn(
+            "__maybe__", seen_bloom.might_contain(F.col("__digest__"))
+        )
+        fresh = batch.filter(~F.col("__maybe__")).drop("__maybe__", "__digest__")
+        candidates = (
+            batch.filter(F.col("__maybe__"))
+            .drop("__maybe__")
+            .join(seen_digests, on="__digest__", how="left_anti")
+            .drop("__digest__")
+        )
+        return fresh.unionByName(candidates)
+    return batch.join(seen_digests, on="__digest__", how="left_anti").drop(
+        "__digest__"
     )
 
 

@@ -5013,9 +5013,10 @@ def q_span_dedup(spark, sf_dir):
     return dd.span_dedup(planted, "doc_id", "text", k=10)
 
 
-@query(
-    "incremental_dedup",
-    f"""WITH b AS (
+# Shared by incremental_dedup and its bloom-routed shadow twin: the
+# Bloom filter only ROUTES rows around the anti-join (negatives are
+# definite non-members), so both paths bind to the identical replay.
+_INCR_DEDUP_ORACLE = f"""WITH b AS (
             SELECT doc_id, text, source,
                    {_bucket_sql('doc_id', 10000)} AS bkt
             FROM documents),
@@ -5027,8 +5028,10 @@ def q_span_dedup(spark, sf_dir):
         keep AS (SELECT min(doc_id) AS doc_id FROM new GROUP BY dg)
         SELECT n.doc_id, n.source FROM new n
         JOIN keep k ON n.doc_id = k.doc_id
-        WHERE n.dg NOT IN (SELECT dg FROM seen)""",
-)
+        WHERE n.dg NOT IN (SELECT dg FROM seen)"""
+
+
+@query("incremental_dedup", _INCR_DEDUP_ORACLE)
 def q_incremental_dedup(spark, sf_dir):
     """Batch-vs-corpus dedup (operators/dedup.incremental_exact_dedup):
     the "new" batch overlaps the "seen" corpus (bucket ranges [0,5000)
@@ -5041,6 +5044,29 @@ def q_incremental_dedup(spark, sf_dir):
     return dd.incremental_exact_dedup(new, seen, "doc_id", "text").select(
         "doc_id", "source"
     )
+
+
+@shadow_query("incremental_dedup_bloom", _INCR_DEDUP_ORACLE)
+def q_incremental_dedup_bloom(spark, sf_dir):
+    """The [[q_incremental_dedup]] split re-run through the r12
+    bloom-routed path (operators/bloom.build_key_bloom +
+    incremental_exact_dedup(seen_bloom=...)): bloom-negative batch rows
+    bypass the anti-join map-only; positives confirm exactly. Same
+    oracle verbatim — the filter routes, the join decides. PLANNED(15)
+    registration (tools/plan_rotation.py)."""
+    from polars_mas_spark.operators import bloom as bl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    b = smp.hash_bucket(F.col("doc_id"), 10000)
+    seen = docs.filter(b < 5000)
+    new = docs.filter(b >= 3000)
+    seen_digests = seen.select(
+        dd.content_digest(F.col("text")).alias("digest")
+    ).distinct()
+    kb = bl.build_key_bloom(seen_digests, "digest")
+    return dd.incremental_exact_dedup(
+        new, seen, "doc_id", "text", seen_bloom=kb
+    ).select("doc_id", "source")
 
 
 @query(

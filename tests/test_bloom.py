@@ -1,0 +1,109 @@
+"""KeyBloom epoch artifacts (operators/bloom.py) and their routing
+contract inside incremental_exact_dedup: the filter ROUTES rows, the
+exact join DECIDES them — output equality with the unrouted path must
+hold at every fpp, including a degenerate all-positive filter."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_mas_spark.operators.bloom import KeyBloom, build_key_bloom
+from polars_mas_spark.operators.dedup import (
+    content_digest,
+    incremental_exact_dedup,
+)
+
+
+def _digest_frame(spark, texts):
+    return spark.createDataFrame(
+        [(t,) for t in texts], ["text"]
+    ).select(content_digest(F.col("text")).alias("digest"))
+
+
+def test_bloom_no_false_negatives_and_sized_fpp(spark):
+    members = [f"member text {i}" for i in range(500)]
+    others = [f"other text {i}" for i in range(2000)]
+    bloom = build_key_bloom(
+        _digest_frame(spark, members), "digest", n_bits=10 * 500
+    )
+    assert bloom.n_keys == 500
+    assert 0.0 < bloom.fpp_estimate() < 0.05
+
+    got = {
+        r["digest"]: r["maybe"]
+        for r in _digest_frame(spark, members + others)
+        .withColumn("maybe", bloom.might_contain(F.col("digest")))
+        .collect()
+    }
+    member_digests = {r["digest"] for r in _digest_frame(spark, members).collect()}
+    # Bloom invariant: NO false negative, ever.
+    assert all(got[d] for d in member_digests)
+    # Sized at 10 bits/key, non-members come back mostly negative.
+    fp = sum(1 for d, m in got.items() if m and d not in member_digests)
+    assert fp / 2000 < 0.05
+
+
+def test_bloom_single_word_exercises_every_bit(spark):
+    """n_bits=64 packs the whole filter into one long, driving
+    positions across bit 0..63 — incl. bit 63, whose mask is the long
+    SIGN bit (shiftleft(1L, 63) < 0): the bit_or aggregate and the
+    unsigned numpy reinterpretation must round-trip it."""
+    keys = [f"k{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    bloom = build_key_bloom(df, "k", n_bits=64, n_hashes=3)
+    assert bloom.words.shape == (1,)
+    # 200 keys x 3 hashes over 64 bits: the word saturates, incl. bit 63
+    assert bloom.words[0] == np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = df.withColumn("m", bloom.might_contain(F.col("k"))).collect()
+    assert all(r["m"] for r in out)
+
+
+def test_bloom_rejects_tiny_bitmap(spark):
+    with pytest.raises(ValueError):
+        build_key_bloom(
+            spark.createDataFrame([("a",)], "k string"), "k", n_bits=63
+        )
+
+
+def test_incremental_dedup_bloom_routes_identically(spark):
+    """Bloom-routed incremental_exact_dedup returns EXACTLY the
+    unrouted rows — with a realistically-sized filter AND with a
+    64-bit degenerate one (every row a false-positive candidate)."""
+    seen_rows = [(i, f"seen doc {i}") for i in range(50)]
+    seen = spark.createDataFrame(seen_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100, "seen doc 7"), (101, "fresh alpha"), (102, "fresh alpha"),
+         (103, "fresh beta"), (104, "seen doc 49"), (105, None)],
+        ["doc_id", "text"],
+    )
+    baseline = sorted(
+        (r["doc_id"], r["text"])
+        for r in incremental_exact_dedup(new, seen, "doc_id", "text").collect()
+    )
+    assert [d for d, _ in baseline] == [101, 103, 105]
+
+    seen_digests = seen.select(content_digest(F.col("text")).alias("digest"))
+    for n_bits in (10 * 50, 64):
+        bloom = build_key_bloom(seen_digests, "digest", n_bits=n_bits)
+        routed = sorted(
+            (r["doc_id"], r["text"])
+            for r in incremental_exact_dedup(
+                new, seen, "doc_id", "text", seen_bloom=bloom
+            ).collect()
+        )
+        assert routed == baseline, f"n_bits={n_bits}"
+
+
+def test_bloom_null_keys_route_conservatively(spark):
+    """NULL keys hash on the seed alone: if any NULL was built in, all
+    NULL probes are candidates; the exact join's NULL-never-equals then
+    keeps them — never a silent drop."""
+    seen = spark.createDataFrame([(None,), ("x",)], "k string")
+    bloom = build_key_bloom(seen, "k", n_bits=4096)
+    out = {
+        r["k"]: r["m"]
+        for r in spark.createDataFrame([(None,), ("x",), ("y",)], "k string")
+        .withColumn("m", bloom.might_contain(F.col("k")))
+        .collect()
+    }
+    assert out[None] is True and out["x"] is True

@@ -112,6 +112,10 @@ PLANNED: dict[str, tuple[int, str]] = {
     # r12: CCNet per-language perplexity thirds — shipped shadow-oracled
     # (gate-green at 3 SFs) + BENCH_ONLY; promotion is a decorator swap.
     "perplexity_thirds": (14, "shadow-oracled r12; register when r14 frees slots"),
+    # r12: bloom-routed incremental dedup — shadow-oracled (identical
+    # replay to incremental_dedup; the filter routes, the join decides).
+    # Due r15: r14's free slots are spoken for by the three names above.
+    "incremental_dedup_bloom": (15, "shadow-oracled r12; register r15"),
 }
 
 
