@@ -466,6 +466,104 @@ def ngram_contamination(
     )
 
 
+def _ngram_stream(df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """The FULL-multiplicity word n-gram occurrence stream (one row per
+    occurrence — unlike [[dedup.word_shingles]]' per-doc distinct set),
+    same tokenization (lowercase, empty tokens dropped) and same
+    Generate-boundary staging. Map-only."""
+    staged = stage_columns(
+        df.select(qcol(text_col).alias("__t__")),
+        __toks__=nonempty_words(F.col("__t__"), lowercase=True),
+    )
+    toks = F.col("__toks__")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return staged.select(F.explode(grams).alias("ngram")).filter(
+        F.size(F.split(F.col("ngram"), " ")) == n
+    )
+
+
+def heavy_hitter_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int | None = None,
+    min_frac: float | None = None,
+) -> DataFrame:
+    """EXACT corpus-wide heavy-hitter word n-grams: every n-gram whose
+    total occurrence count reaches the threshold, with its exact count
+    — the boilerplate-mining query (cookie banners, navigation chrome,
+    license headers) LLM curation runs before writing removal rules.
+    Exactly one of ``min_count`` (absolute) / ``min_frac`` (fraction of
+    the occurrence stream; threshold = ceil(min_frac * total)).
+
+    Scale shape — the naive ``groupBy(ngram).count()`` shuffles the
+    ENTIRE distinct n-gram space (trillions of mostly-singleton keys
+    at 100 TB: partial aggregation can't combine singletons, so ~the
+    whole stream hits the wire). Instead: (1) one map-side count of
+    the stream (no n-gram ever shuffles); (2) a Misra-Gries/Karp
+    sketch pass (``DataFrame.freqItems``, JVM treeAggregate of
+    per-partition capped maps — guaranteed SUPERSET of every item with
+    frequency above the support) proposes candidates; (3) exact
+    confirmation counts ONLY candidate occurrences (broadcast
+    semi-join routes the stream map-side, then one small aggregation).
+    The sketch can over-propose but never miss, and the exact filter
+    decides — so the output equals the naive plan's exactly, and a
+    plain SQL replay oracles it.
+
+    ``min_frac`` is the scale-free contract (>= 2e-4: freqItems'
+    support floor is 1e-4 and the sketch map is ~1/support entries per
+    merge): "boilerplate" is a frequency statement, and the sketch
+    stays feasible at ANY corpus size. An absolute ``min_count`` whose
+    implied support falls below the floor voids the superset guarantee
+    — there the operator falls back to the exact groupBy, which at
+    that threshold (a huge heavy set) is the honest plan. Crossover,
+    measured (SCALING.md r12): at fixture scale (272k distinct keys)
+    the naive single shuffle beats the sketch's 3 scans ~2x — the
+    sketch buys away shuffle BYTES with map CPU, and wins only when
+    the distinct space is the bottleneck.
+
+    Returns (ngram, cnt), cnt exact."""
+    if (min_count is None) == (min_frac is None):
+        raise ValueError("pass exactly one of min_count / min_frac")
+    if min_frac is not None and not (2e-4 <= min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in [2e-4, 1], got {min_frac}")
+    if min_count is not None and min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    stream = _ngram_stream(df, text_col, n)
+    total = stream.count()
+    if min_frac is not None:
+        # ceil(min_frac * total) via exact integer arithmetic (min_frac
+        # scaled to an integer/1e9 ratio) so an oracle can replay the
+        # threshold bit-identically.
+        num = int(round(min_frac * 10**9))
+        min_count = max(1, -((-num * total) // 10**9))
+    if total == 0 or min_count > total:
+        return df.sparkSession.createDataFrame([], "ngram string, cnt bigint")
+    support = (min_count - 0.5) / total
+    if support < 1e-4:
+        # Below the sketch's support floor: superset guarantee is void;
+        # the exact aggregate is the honest plan.
+        return (
+            stream.groupBy("ngram")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+        )
+    spark = df.sparkSession
+    cands = stream.freqItems(["ngram"], support=float(support)).collect()[0][0]
+    if not cands:
+        return spark.createDataFrame([], "ngram string, cnt bigint")
+    cand_df = spark.createDataFrame([(c,) for c in cands], "ngram string")
+    return (
+        stream.join(F.broadcast(cand_df), on="ngram", how="left_semi")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
 def decontaminate_cascade(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -5046,6 +5046,30 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+@shadow_query(
+    "heavy_hitter_ngrams",
+    r"""WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS toks
+               FROM documents),
+        s AS (SELECT array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS ngram
+              FROM t, UNNEST(range(0, greatest(len(toks) - 3, 0) + 1)) AS u(i)),
+        f AS (SELECT ngram FROM s WHERE len(string_split(ngram, ' ')) = 3)
+        SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+        FROM f GROUP BY ngram HAVING count(*) >= 6""",
+)
+def q_heavy_hitter_ngrams(spark, sf_dir):
+    """Boilerplate mining (text.heavy_hitter_ngrams): every word
+    trigram with corpus-wide count >= 6, exact counts; oracle is the
+    naive exact replay. min_count=6 deliberately straddles the
+    operator's support floor across the SFs: the Misra-Gries sketch
+    path runs at sf0.001/sf0.01 (~27k trigrams) and the exact-groupBy
+    fallback at sf0.1 (~260k trigrams, 5.5/N < 1e-4) — the gate binds
+    BOTH branches. PLANNED(16) registration."""
+    return tx.heavy_hitter_ngrams(
+        _t(spark, sf_dir, "documents"), "text", n=3, min_count=6
+    )
+
+
 @shadow_query("incremental_dedup_bloom", _INCR_DEDUP_ORACLE)
 def q_incremental_dedup_bloom(spark, sf_dir):
     """The [[q_incremental_dedup]] split re-run through the r12

@@ -533,6 +533,67 @@ def test_ngram_contamination_fraction(spark):
     assert rows[11].n_contaminated == 0
 
 
+def test_heavy_hitter_ngrams_exact_counts(spark):
+    """Sketch + exact-confirm equals the naive exact aggregate — on a
+    sketch-ADVERSARIAL distribution (many distinct singletons pressure
+    the Misra-Gries counters; the superset guarantee must still hold)
+    and across the support-floor fallback and empty edges."""
+    from pyspark.sql import functions as F
+
+    from polars_mas_spark.operators import text as tx
+
+    rows = [(i, f"unique filler {i} noise {i * 7} pad {i * 13}") for i in range(300)]
+    rows += [(1000 + i, "accept all cookies now please friend") for i in range(40)]
+    rows += [(2000 + i, "click here to subscribe today") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    got = {
+        r.ngram: r.cnt
+        for r in tx.heavy_hitter_ngrams(df, "text", n=3, min_count=20).collect()
+    }
+    naive = {
+        r.ngram: r.cnt
+        for r in tx._ngram_stream(df, "text", 3)
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 20)
+        .collect()
+    }
+    assert got == naive
+    assert got["accept all cookies"] == 40 and got["click here to"] == 25
+    assert all(c >= 20 for c in got.values())
+
+    # min_count above the stream total -> empty, stable schema
+    empty = tx.heavy_hitter_ngrams(df, "text", n=3, min_count=10**9)
+    assert empty.columns == ["ngram", "cnt"] and empty.count() == 0
+
+    # support-floor fallback (min_count/total < 1e-4) still exact
+    low = {
+        r.ngram: r.cnt
+        for r in tx.heavy_hitter_ngrams(df, "text", n=3, min_count=1).collect()
+    }
+    assert low["accept all cookies"] == 40
+    total = tx._ngram_stream(df, "text", 3).count()
+    assert sum(low.values()) == total
+
+    # min_frac: the scale-free threshold — ceil(frac * total), exact
+    frac = 20 / total
+    by_frac = {
+        r.ngram: r.cnt
+        for r in tx.heavy_hitter_ngrams(df, "text", n=3, min_frac=frac).collect()
+    }
+    assert by_frac == naive
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tx.heavy_hitter_ngrams(df, "text", n=3)  # neither threshold
+    with pytest.raises(ValueError):
+        tx.heavy_hitter_ngrams(df, "text", n=3, min_count=5, min_frac=0.5)
+    with pytest.raises(ValueError):
+        tx.heavy_hitter_ngrams(df, "text", n=3, min_frac=1e-5)  # under floor
+
+
 def test_winnow_pairs_detects_shared_substring(spark):
     """Two docs sharing a long substring must pair; unrelated must not."""
     from polars_mas_spark.operators.text import winnow_pairs

@@ -116,6 +116,11 @@ PLANNED: dict[str, tuple[int, str]] = {
     # replay to incremental_dedup; the filter routes, the join decides).
     # Due r15: r14's free slots are spoken for by the three names above.
     "incremental_dedup_bloom": (15, "shadow-oracled r12; register r15"),
+    # r12: heavy-hitter n-grams (Misra-Gries sketch + exact confirm) —
+    # shadow-oracled. Due r16; NOTE registry will reach 188 once all
+    # PLANNED names land — schedule a consolidation (policy lever (a))
+    # alongside the r15/r16 promotions.
+    "heavy_hitter_ngrams": (16, "shadow-oracled r12; register r16"),
 }
 
 
