@@ -439,6 +439,7 @@ def incremental_span_decontaminate(
     k: int = 10,
     seen_is_fingerprints: bool = False,
     broadcast_seen: bool = False,
+    seen_bloom=None,
 ) -> DataFrame:
     """Span-granularity scrub of a NEW ingestion batch against an
     already-accepted corpus — the rolling-crawl twin of
@@ -465,7 +466,16 @@ def incremental_span_decontaminate(
     ``g``); pass ``broadcast_seen=True`` when the accepted set is known
     small. Everything else is linear in new-batch tokens: one
     ~token-count distinct on (doc, position), one anti-join, one
-    reassembly shuffle on doc id."""
+    reassembly shuffle on doc id.
+
+    ``seen_bloom`` (a [[bloom.KeyBloom]] over the persisted fingerprint
+    table's ``g`` column, built once per epoch) pre-filters the batch's
+    window stream MAP-SIDE before the semi join: a bloom-negative
+    window is a definite non-member and can never match, so dropping it
+    is semantics-free — at a typical few-percent contamination rate the
+    semi join's batch side shrinks by ~the complement, and the window
+    stream (~token count of the batch) stops shuffling. Positives
+    (matches + ~fpp noise) confirm exactly; output is identical."""
     fset = (
         seen.select("g")
         if seen_is_fingerprints
@@ -476,6 +486,8 @@ def incremental_span_decontaminate(
     staged, gpos = _span_window_fingerprints(
         new_df, id_col, text_col, k, "incremental_span_decontaminate"
     )
+    if seen_bloom is not None:
+        gpos = gpos.filter(seen_bloom.might_contain(F.col("g")))
     return _scrub_spans(staged, gpos, fset, k)
 
 

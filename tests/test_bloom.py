@@ -94,6 +94,44 @@ def test_incremental_dedup_bloom_routes_identically(spark):
         assert routed == baseline, f"n_bits={n_bits}"
 
 
+def test_incremental_span_decontaminate_bloom_routes_identically(spark):
+    """Bloom pre-filter on the window-fingerprint stream is
+    semantics-free: a negative window can never match the semi join.
+    Output equality with the unrouted scrub — realistically sized AND
+    64-bit degenerate (every window a candidate)."""
+    from polars_mas_spark.operators.dedup import (
+        incremental_span_decontaminate,
+        span_fingerprints,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "x alpha beta gamma delta epsilon y"),   # overlapping span
+         (11, "totally fresh words nothing shared here"),
+         (12, "one two three four five six")],          # full copy
+        ["doc_id", "text"],
+    )
+    base = sorted(
+        tuple(r) for r in incremental_span_decontaminate(
+            new, seen, "doc_id", "text", k=5
+        ).collect()
+    )
+    fset = span_fingerprints(seen, "text", k=5)
+    for n_bits in (4096, 64):
+        kb = build_key_bloom(fset, "g", n_bits=n_bits)
+        routed = sorted(
+            tuple(r) for r in incremental_span_decontaminate(
+                new, fset, "doc_id", "text", k=5,
+                seen_is_fingerprints=True, seen_bloom=kb,
+            ).collect()
+        )
+        assert routed == base, f"n_bits={n_bits}"
+
+
 def test_bloom_null_keys_route_conservatively(spark):
     """NULL keys hash on the seed alone: if any NULL was built in, all
     NULL probes are candidates; the exact join's NULL-never-equals then
