@@ -4583,6 +4583,8 @@ BENCH_ONLY = {
     # r12: CCNet per-language perplexity thirds (shadow-oracled,
     # registration PLANNED(14)).
     "perplexity_thirds": q_perplexity_thirds,
+    # r12 bloom/heavy-hitter shadows are appended AFTER their
+    # definitions below (this dict precedes them in the file).
 }
 
 
@@ -5091,6 +5093,12 @@ def q_incremental_dedup_bloom(spark, sf_dir):
     return dd.incremental_exact_dedup(
         new, seen, "doc_id", "text", seen_bloom=kb
     ).select("doc_id", "source")
+
+
+# r12: bloom-routed incremental dedup (PLANNED(15)) + heavy-hitter
+# n-grams (PLANNED(16)), both shadow-oracled — timed per round.
+BENCH_ONLY["incremental_dedup_bloom"] = q_incremental_dedup_bloom
+BENCH_ONLY["heavy_hitter_ngrams"] = q_heavy_hitter_ngrams
 
 
 @query(
