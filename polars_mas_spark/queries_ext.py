@@ -4562,8 +4562,18 @@ def q_perplexity_thirds(spark, sf_dir):
     (text.perplexity_thirds over functions.transforms.quantile_buckets).
     Shadow row this round (r12's driver window is obligation-saturated,
     zero new registrations — VERDICT r11 #2); registration PLANNED(14)
-    in tools/plan_rotation.py."""
-    return tx.perplexity_thirds(_t(spark, sf_dir, "documents"))
+    in tools/plan_rotation.py.
+
+    The repartition is the single-compact-file fixture knob (the
+    winnow/mapInPandas precedent at queries_ext ~2956): documents.parquet
+    arrives as ONE split, serializing the CPU-heavy trigram explode into
+    one task (measured 19.3s -> see SCALING r12). Result-invariant by
+    construction: scores are integer-quantized order-free sums, ranks
+    are exact-key ranks. At real scale files are plentiful and the
+    operator itself correctly never repartitions."""
+    return tx.perplexity_thirds(
+        _t(spark, sf_dir, "documents").repartition(32)
+    )
 
 
 BENCH_ONLY = {
