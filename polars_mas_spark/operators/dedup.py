@@ -674,6 +674,14 @@ def lsh_candidate_pairs(
     )
 
 
+def band_bucket_key(band="band", bucket="bucket") -> "F.Column":
+    """Canonical string key of a ``(band, bucket)`` LSH row — the
+    column an epoch [[bloom.KeyBloom]] for
+    [[incremental_minhash_dedup]] must be built over (build side and
+    probe side must hash the identical encoding)."""
+    return F.concat_ws(":", F.col(band), F.col(bucket))
+
+
 def incremental_minhash_dedup(
     new_df: DataFrame,
     seen_df: DataFrame,
@@ -682,6 +690,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     rows_per_band: int = 4,
+    seen_bloom=None,
 ) -> DataFrame:
     """NEAR-dup dedup of a NEW ingestion batch against an already-
     accepted corpus — the production rolling-crawl shape (the near-dup
@@ -702,7 +711,15 @@ def incremental_minhash_dedup(
     operator is the query against it. Everything is keyed hash
     shuffles — no pair lists, no O(k^2) buckets on the cross-batch
     side. Beyond-reference operator (the reference has no incremental
-    mode); granularity per Lee et al. 2022 NearDup / MinHashLSH."""
+    mode); granularity per Lee et al. 2022 NearDup / MinHashLSH.
+
+    ``seen_bloom`` (a [[bloom.KeyBloom]] built once per epoch over
+    [[band_bucket_key]] of the persisted seen band-key table) routes
+    the CROSS-batch probe: a bloom-negative (band, bucket) row can
+    never match the semi join, so it is dropped map-side and only
+    candidate band rows shuffle. The within-batch greedy stage is
+    untouched (it never sees the corpus). Output identical — the
+    filter routes, the exact semi join decides."""
     _check_banding(num_hashes, bands, rows_per_band)
     # The seen side gets FRESH per-row ids (review r10): only its
     # DISTINCT (band, bucket) keys are used, so id values are
@@ -733,7 +750,12 @@ def incremental_minhash_dedup(
         .filter(F.col("doc_id") > F.col("bucket_min"))
         .select("doc_id")
     )
-    cross_losers = new_banded.join(
+    cross_probe = new_banded
+    if seen_bloom is not None:
+        cross_probe = new_banded.filter(
+            seen_bloom.might_contain(band_bucket_key())
+        )
+    cross_losers = cross_probe.join(
         seen_keys, on=["band", "bucket"], how="left_semi"
     ).select("doc_id")
     losers = (

@@ -132,6 +132,59 @@ def test_incremental_span_decontaminate_bloom_routes_identically(spark):
         assert routed == base, f"n_bits={n_bits}"
 
 
+def test_incremental_minhash_bloom_routes_identically(spark):
+    """Bloom on the cross-batch band probe is semantics-free: negative
+    (band, bucket) rows can never match the semi join; the within-batch
+    greedy stage never sees the filter. Equality with the unrouted
+    operator at realistic and degenerate filter sizes."""
+    from polars_mas_spark.operators.dedup import (
+        band_bucket_key,
+        incremental_minhash_dedup,
+        minhash_signatures,
+        _banded,
+    )
+
+    seen = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),   # exact cross-batch copy
+         (11, "epsilon delta gamma beta alpha"),   # token-set twin
+         (12, "totally new words appear here"),
+         (13, "totally new words appear here"),    # within-batch dup
+         (14, "completely different fresh content")],
+        ["doc_id", "text"],
+    )
+    kw = dict(num_hashes=16, bands=4, rows_per_band=4)
+    base = sorted(
+        r["doc_id"]
+        for r in incremental_minhash_dedup(new, seen, "doc_id", "text", **kw).collect()
+    )
+    assert 10 not in base and 12 in base and 13 not in base and 14 in base
+
+    seen_shaped = seen.select(
+        F.monotonically_increasing_id().alias("__sid__"),
+        F.col("text").alias("__stxt__"),
+    )
+    seen_keys = (
+        _banded(minhash_signatures(seen_shaped, "__sid__", "__stxt__", 16), 4, 4)
+        .select("band", "bucket")
+        .distinct()
+        .select(band_bucket_key().alias("k"))
+    )
+    for n_bits in (4096, 64):
+        kb = build_key_bloom(seen_keys, "k", n_bits=n_bits)
+        routed = sorted(
+            r["doc_id"]
+            for r in incremental_minhash_dedup(
+                new, seen, "doc_id", "text", seen_bloom=kb, **kw
+            ).collect()
+        )
+        assert routed == base, f"n_bits={n_bits}"
+
+
 def test_bloom_null_keys_route_conservatively(spark):
     """NULL keys hash on the seed alone: if any NULL was built in, all
     NULL probes are candidates; the exact join's NULL-never-equals then

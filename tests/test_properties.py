@@ -776,3 +776,29 @@ def test_incremental_semantic_dedup_matches_greedy_reference(spark, corpora):
                      else [cos(bv, sv) for sv in S])
                     if c is not None and c >= t - 1e-6]
             assert qual, (i, got[i])
+
+
+@given(
+    members=st.lists(st.text(min_size=0, max_size=12), min_size=1,
+                     max_size=30, unique=True),
+    probes=st.lists(st.text(min_size=0, max_size=12), max_size=30),
+    n_bits=st.sampled_from([64, 256, 4096]),
+    n_hashes=st.integers(min_value=1, max_value=8),
+)
+@SETTINGS
+def test_bloom_never_false_negative(spark, members, probes, n_bits, n_hashes):
+    """The Bloom invariant on ANY key set and sizing: every built-in
+    key probes True — false positives are allowed, false negatives
+    never (a false negative would silently DROP a duplicate in the
+    routed incremental dedups)."""
+    from polars_mas_spark.operators.bloom import build_key_bloom
+
+    df = spark.createDataFrame([(m,) for m in members], "k string")
+    kb = build_key_bloom(df, "k", n_bits=n_bits, n_hashes=n_hashes)
+    got = {
+        r["k"]: r["m"]
+        for r in spark.createDataFrame(
+            [(x,) for x in set(members) | set(probes)], "k string"
+        ).withColumn("m", kb.might_contain(F.col("k"))).collect()
+    }
+    assert all(got[m] for m in members)
