@@ -76,17 +76,45 @@ class KeyBloom:
     appends to the corpus path can never silently retrain it (the
     cache()-vs-recacheByPath trap, CLAUDE.md)."""
 
-    def __init__(self, words: np.ndarray, n_bits: int, n_hashes: int, n_keys: int):
+    def __init__(
+        self,
+        words: np.ndarray,
+        n_bits: int,
+        n_hashes: int,
+        n_keys: int | None,
+        key_tag: str | None = None,
+    ):
         self.words = words
         self.n_bits = int(n_bits)
         self.n_hashes = int(n_hashes)
-        self.n_keys = int(n_keys)
+        self.n_keys = None if n_keys is None else int(n_keys)
+        # Provenance: WHAT this filter was built over, checked by the
+        # routed operators — a build/probe key mismatch (wrong column,
+        # wrong banding params) would otherwise silently LEAK
+        # duplicates, since mismatched probes read as definite
+        # non-members.
+        self.key_tag = key_tag
         self._bc = None
 
-    def fpp_estimate(self) -> float:
+    def check_tag(self, expected: str, caller: str) -> None:
+        """Raise if this filter carries a provenance tag that is not
+        ``expected``. An untagged filter (key_tag None) passes — the
+        caller opted out of provenance."""
+        if self.key_tag is not None and self.key_tag != expected:
+            raise ValueError(
+                f"{caller}: seen_bloom was built over {self.key_tag!r}, "
+                f"but this operator probes {expected!r} keys — a "
+                "mismatched filter silently leaks duplicates (every "
+                "probe reads as a definite non-member)"
+            )
+
+    def fpp_estimate(self) -> float | None:
         """(1 - e^(-k n / m))^k — the classic Bloom false-positive rate
         for the built key count; candidates beyond true dups arrive at
-        roughly this rate."""
+        roughly this rate. None when the build skipped the sizing count
+        (explicit n_bits)."""
+        if self.n_keys is None:
+            return None
         k, n, m = self.n_hashes, self.n_keys, self.n_bits
         return float((1.0 - np.exp(-k * n / m)) ** k)
 
@@ -117,6 +145,7 @@ def build_key_bloom(
     n_bits: int | None = None,
     n_hashes: int = 7,
     bits_per_key: int = 10,
+    key_tag: str | None = None,
 ) -> KeyBloom:
     """Build the epoch [[KeyBloom]] over ``df[key_col]`` (digests, band
     buckets, span fingerprints — any reduced key an ``incremental_*``
@@ -127,7 +156,10 @@ def build_key_bloom(
     never keys), then the sparse nonzero words fill a driver numpy
     array. ``n_bits`` defaults to ``bits_per_key`` (10) x the row count
     — ~1% fpp at the default 7 hashes (module docstring has the
-    formula); pass it explicitly to avoid the sizing count job."""
+    formula); pass it explicitly to avoid the sizing count job (then
+    ``n_keys``/``fpp_estimate()`` stay None — no hidden extra scan).
+    ``key_tag`` records provenance (what kind of key this was built
+    over); the routed operators check it via [[KeyBloom.check_tag]]."""
     n_keys = None
     if n_bits is None:
         n_keys = df.count()
@@ -148,10 +180,8 @@ def build_key_bloom(
     )
     n_words = (n_bits + 63) // 64
     words = np.zeros(n_words, dtype=np.uint64)
-    if n_keys is None:
-        n_keys = df.count()
     for r in packed.collect():
         words[r["__word__"]] = np.uint64(r["__bits__"] & 0xFFFFFFFFFFFFFFFF)
-    bloom = KeyBloom(words, n_bits, n_hashes, n_keys)
+    bloom = KeyBloom(words, n_bits, n_hashes, n_keys, key_tag=key_tag)
     bloom._bc = df.sparkSession.sparkContext.broadcast(words)
     return bloom

@@ -137,6 +137,12 @@ def incremental_exact_dedup(
         "__digest__", content_digest(qcol(text_col))
     )
     if seen_bloom is not None:
+        seen_bloom.check_tag("content_digest", "incremental_exact_dedup")
+        # The fresh/candidate split reads `batch` twice, so the digest
+        # + k hash positions + bitmap gather run twice per batch row
+        # (two stages over the reused exact_dedup exchange). Accepted
+        # trade: cheap map-side JVM work doubled vs the per-batch seen
+        # scan+shuffle eliminated — measured 0.51x net (SCALING r12).
         batch = batch.withColumn(
             "__maybe__", seen_bloom.might_contain(F.col("__digest__"))
         )
@@ -487,6 +493,9 @@ def incremental_span_decontaminate(
         new_df, id_col, text_col, k, "incremental_span_decontaminate"
     )
     if seen_bloom is not None:
+        seen_bloom.check_tag(
+            "span_fingerprint", "incremental_span_decontaminate"
+        )
         gpos = gpos.filter(seen_bloom.might_contain(F.col("g")))
     return _scrub_spans(staged, gpos, fset, k)
 
@@ -678,7 +687,11 @@ def band_bucket_key(band="band", bucket="bucket") -> "F.Column":
     """Canonical string key of a ``(band, bucket)`` LSH row — the
     column an epoch [[bloom.KeyBloom]] for
     [[incremental_minhash_dedup]] must be built over (build side and
-    probe side must hash the identical encoding)."""
+    probe side must hash the identical encoding). Build with
+    ``key_tag=f"band_bucket:{bands}x{rows_per_band}"`` — the operator
+    validates the tag, so a filter built under different banding
+    params (whose probes would all read as non-members and silently
+    leak near-dups) raises instead."""
     return F.concat_ws(":", F.col(band), F.col(bucket))
 
 
@@ -752,6 +765,10 @@ def incremental_minhash_dedup(
     )
     cross_probe = new_banded
     if seen_bloom is not None:
+        seen_bloom.check_tag(
+            f"band_bucket:{bands}x{rows_per_band}",
+            "incremental_minhash_dedup",
+        )
         cross_probe = new_banded.filter(
             seen_bloom.might_contain(band_bucket_key())
         )

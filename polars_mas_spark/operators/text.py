@@ -476,10 +476,17 @@ def _ngram_stream(df: DataFrame, text_col: str, n: int) -> DataFrame:
         __toks__=nonempty_words(F.col("__t__"), lowercase=True),
     )
     toks = F.col("__toks__")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # Explicit size guard (the span/_char_trigram_windows idiom), not a
+    # bare greatest() clamp: size(NULL) is NULL and F.greatest skips
+    # NULL operands (CLAUDE.md) — without the guard a NULL/short text
+    # emits a window that only the trailing n-word filter catches.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return staged.select(F.explode(grams).alias("ngram")).filter(
         F.size(F.split(F.col("ngram"), " ")) == n
     )
@@ -1399,13 +1406,17 @@ def char_trigram_model(
 def perplexity_cut_points(
     thirds: DataFrame,
     lang_col: str = "lang",
-    n_buckets: int = 3,
+    n_buckets: int | None = None,
 ) -> list[tuple]:
     """Driver-tiny epoch artifact derived from a [[perplexity_thirds]]
     output: per-language RUNNING-MAX score cut points ``[(lang,
     [c_0, ..., c_{n_buckets-2}])]`` where ``c_b`` is the max score
     (nll_q / n_trigrams — the exact rank key) over buckets <= b, with
     empty buckets filling down (-inf when every bucket <= b is empty).
+    ``n_buckets`` is DERIVED from the thirds frame (max bucket + 1) by
+    default — passing a count that disagrees with how the thirds were
+    built would silently truncate or pad the cut list and misassign
+    every downstream micro-batch (review r12).
 
     The running-max construction makes threshold assignment replay the
     RANK cut exactly: scores are monotone across buckets and ties never
@@ -1428,6 +1439,10 @@ def perplexity_cut_points(
     per: dict = {}
     for r in rows:
         per.setdefault(r["__lang__"], {})[r["bucket"]] = r["mx"]
+    if n_buckets is None:
+        n_buckets = 1 + max(
+            (b for byb in per.values() for b in byb), default=0
+        )
     out = []
     for lang, byb in sorted(per.items(), key=lambda kv: repr(kv[0])):
         cuts, run = [], float("-inf")
@@ -1468,8 +1483,16 @@ def perplexity_bucket_assign(
         StructType,
     )
 
+    n_cuts = max((len(cs) for _, cs in cut_points), default=0)
+    if len(labels) < n_cuts + 1:
+        raise ValueError(
+            f"{len(labels)} labels cannot name {n_cuts + 1} buckets — "
+            "cut_points came from an epoch with more buckets than this "
+            "label tuple (the element_at lookup would read past the "
+            "label array)"
+        )
     spark = df.sparkSession
-    base, tris = _char_trigram_windows(df, id_col, text_col)
+    _, tris = _char_trigram_windows(df, id_col, text_col)
     scored = _trigram_int_scores(tris, model, vocab, quant)
     ids = df.select(
         qcol(id_col).alias("doc_id"), qcol(lang_col).alias("__lang__")

@@ -5099,7 +5099,7 @@ def q_incremental_dedup_bloom(spark, sf_dir):
     seen_digests = seen.select(
         dd.content_digest(F.col("text")).alias("digest")
     ).distinct()
-    kb = bl.build_key_bloom(seen_digests, "digest")
+    kb = bl.build_key_bloom(seen_digests, "digest", key_tag="content_digest")
     return dd.incremental_exact_dedup(
         new, seen, "doc_id", "text", seen_bloom=kb
     ).select("doc_id", "source")

@@ -23,11 +23,14 @@ def _digest_frame(spark, texts):
 def test_bloom_no_false_negatives_and_sized_fpp(spark):
     members = [f"member text {i}" for i in range(500)]
     others = [f"other text {i}" for i in range(2000)]
-    bloom = build_key_bloom(
-        _digest_frame(spark, members), "digest", n_bits=10 * 500
-    )
-    assert bloom.n_keys == 500
+    bloom = build_key_bloom(_digest_frame(spark, members), "digest")
+    assert bloom.n_keys == 500 and bloom.n_bits == 5000
     assert 0.0 < bloom.fpp_estimate() < 0.05
+    # explicit n_bits skips the sizing count — no hidden scan, no stats
+    explicit = build_key_bloom(
+        _digest_frame(spark, members), "digest", n_bits=4096
+    )
+    assert explicit.n_keys is None and explicit.fpp_estimate() is None
 
     got = {
         r["digest"]: r["maybe"]
@@ -84,7 +87,9 @@ def test_incremental_dedup_bloom_routes_identically(spark):
 
     seen_digests = seen.select(content_digest(F.col("text")).alias("digest"))
     for n_bits in (10 * 50, 64):
-        bloom = build_key_bloom(seen_digests, "digest", n_bits=n_bits)
+        bloom = build_key_bloom(
+            seen_digests, "digest", n_bits=n_bits, key_tag="content_digest"
+        )
         routed = sorted(
             (r["doc_id"], r["text"])
             for r in incremental_exact_dedup(
@@ -122,7 +127,9 @@ def test_incremental_span_decontaminate_bloom_routes_identically(spark):
     )
     fset = span_fingerprints(seen, "text", k=5)
     for n_bits in (4096, 64):
-        kb = build_key_bloom(fset, "g", n_bits=n_bits)
+        kb = build_key_bloom(
+            fset, "g", n_bits=n_bits, key_tag="span_fingerprint"
+        )
         routed = sorted(
             tuple(r) for r in incremental_span_decontaminate(
                 new, fset, "doc_id", "text", k=5,
@@ -175,7 +182,9 @@ def test_incremental_minhash_bloom_routes_identically(spark):
         .select(band_bucket_key().alias("k"))
     )
     for n_bits in (4096, 64):
-        kb = build_key_bloom(seen_keys, "k", n_bits=n_bits)
+        kb = build_key_bloom(
+            seen_keys, "k", n_bits=n_bits, key_tag="band_bucket:4x4"
+        )
         routed = sorted(
             r["doc_id"]
             for r in incremental_minhash_dedup(
@@ -183,6 +192,16 @@ def test_incremental_minhash_bloom_routes_identically(spark):
             ).collect()
         )
         assert routed == base, f"n_bits={n_bits}"
+
+    # provenance check: a filter built under DIFFERENT banding params
+    # would silently leak near-dups (all probes read non-member) — the
+    # tag turns that into a loud error
+    kb44 = build_key_bloom(seen_keys, "k", n_bits=4096, key_tag="band_bucket:4x4")
+    with pytest.raises(ValueError, match="band_bucket"):
+        incremental_minhash_dedup(
+            new, seen, "doc_id", "text",
+            num_hashes=16, bands=8, rows_per_band=2, seen_bloom=kb44,
+        )
 
 
 def test_bloom_null_keys_route_conservatively(spark):

@@ -242,7 +242,7 @@ def test_stream_bloom_routed_dedup_foreachbatch_matches_batch(spark):
             "doc_id long, text string",
         )
         digests = seen.select(content_digest(F.col("text")).alias("digest"))
-        kb = build_key_bloom(digests, "digest")
+        kb = build_key_bloom(digests, "digest", key_tag="content_digest")
 
         rows = [
             (100, "accepted doc 7"),     # cross-batch dup -> dropped

@@ -567,13 +567,22 @@ def test_heavy_hitter_ngrams_exact_counts(spark):
     empty = tx.heavy_hitter_ngrams(df, "text", n=3, min_count=10**9)
     assert empty.columns == ["ngram", "cnt"] and empty.count() == 0
 
-    # support-floor fallback (min_count/total < 1e-4) still exact
+    # support-floor fallback: needs (min_count - 0.5)/total < 1e-4, so
+    # inflate the corpus past 5000 trigrams (the original fixture's
+    # ~1.7k total would silently take the SKETCH path at min_count=1 —
+    # review r12 caught exactly that)
+    big = spark.createDataFrame(
+        rows + [(10_000 + i, f"bulk {i} filler {i * 3} pad {i * 11} row")
+                for i in range(1200)],
+        "doc_id long, text string",
+    ).repartition(8)
+    total = tx._ngram_stream(big, "text", 3).count()
+    assert (1 - 0.5) / total < 1e-4  # genuinely on the fallback branch
     low = {
         r.ngram: r.cnt
-        for r in tx.heavy_hitter_ngrams(df, "text", n=3, min_count=1).collect()
+        for r in tx.heavy_hitter_ngrams(big, "text", n=3, min_count=1).collect()
     }
     assert low["accept all cookies"] == 40
-    total = tx._ngram_stream(df, "text", 3).count()
     assert sum(low.values()) == total
 
     # min_frac: the scale-free threshold — ceil(frac * total), exact
