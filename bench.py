@@ -91,8 +91,12 @@ HEADLINE = [
     "decontaminate_cascade",
     "ann_quantized_topk",
     # r12 family: CCNet per-language perplexity thirds (trigram-LM
-    # integer micro-nat scores + grouped two-phase distributed rank).
+    # integer micro-nat scores + grouped two-phase distributed rank),
+    # bloom-routed incremental dedup (epoch KeyBloom anti-join bypass),
+    # heavy-hitter n-grams (freqItems sketch + exact confirm).
     "perplexity_thirds",
+    "incremental_dedup_bloom",
+    "heavy_hitter_ngrams",
     # Full product lifecycle (CSV -> preprocess -> moments fit ->
     # corrections -> annotation join -> parquet sink).
     "mas_pipeline_e2e",
