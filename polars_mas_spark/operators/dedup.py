@@ -106,6 +106,7 @@ def incremental_exact_dedup(
     id_col: str,
     text_col: str,
     seen_bloom=None,
+    confirm: str = "shuffle",
 ) -> DataFrame:
     """Dedup a NEW ingestion batch against an already-accepted corpus:
     collapse within-batch exact duplicates to their lowest-id
@@ -121,42 +122,89 @@ def incremental_exact_dedup(
 
     ``seen_bloom`` (a [[bloom.KeyBloom]] built over the seen DIGEST
     column, once per epoch) routes the anti-join: bloom-NEGATIVE batch
-    rows are definite non-members and bypass the join map-only, so the
-    seen digest table — scanned and shuffled on EVERY batch without it
-    — is touched only by the bloom-positive candidates (true dups +
-    ~fpp false positives). Output rows are EXACTLY the unrouted
-    anti-join's (the filter routes, the exact join decides; the unit
-    suite binds equality incl. forced false positives), so oracles
-    hold verbatim. Build it with
-    ``build_key_bloom(seen_digest_frame, "digest", n_bits=10 * n)``.
+    rows are definite non-members and bypass the confirm join
+    map-only; only bloom-positive candidates (true dups + ~fpp false
+    positives) are confirmed exactly. Output rows are EXACTLY the
+    unrouted anti-join's (the filter routes, the exact join decides;
+    the unit suite binds equality incl. forced false positives), so
+    oracles hold verbatim. Build it with
+    ``build_key_bloom(seen_digest_frame, "digest",
+    key_tag="content_digest")``.
+
+    ``confirm`` picks the candidate-confirmation plan:
+
+    - ``"shuffle"`` (default): hash anti-join of candidates vs the
+      distinct seen digests. The bloom thins the BATCH side of that
+      shuffle — decisive when the batch is the big side; at small
+      fixture scale the probe overhead can exceed the saving
+      (measured honestly in SCALING.md r12, incl. the warm-up
+      artifact the first A/B fell for).
+    - ``"broadcast_hits"``: for a BIG seen side and a small candidate
+      set — the candidate digests broadcast INTO a map-side semi scan
+      of the raw seen digest stream (the seen table is scanned but
+      NEVER shuffled, and never distinct-ed corpus-wide), the
+      surviving hit set (tiny: <= candidate count) broadcasts back
+      for a shuffle-free anti join. Requires the candidate digest set
+      to fit broadcast comfort — low dup + fpp rates; with a huge
+      overlap fall back to "shuffle". The batch subtree is evaluated
+      once more for the key set; persist upstream if that matters.
     """
-    seen_digests = seen_df.select(
+    if confirm not in ("shuffle", "broadcast_hits"):
+        raise ValueError(f"unknown confirm strategy: {confirm!r}")
+    if confirm == "broadcast_hits" and seen_bloom is None:
+        raise ValueError(
+            "confirm='broadcast_hits' needs seen_bloom: without the "
+            "routing filter every batch row is a candidate and the "
+            "broadcast key set is the whole batch"
+        )
+    seen_raw = seen_df.select(
         content_digest(qcol(text_col)).alias("__digest__")
-    ).distinct()
+    )
     batch = exact_dedup(new_df, id_col, text_col).withColumn(
         "__digest__", content_digest(qcol(text_col))
     )
     if seen_bloom is not None:
         seen_bloom.check_tag("content_digest", "incremental_exact_dedup")
-        # The fresh/candidate split reads `batch` twice, so the digest
-        # + k hash positions + bitmap gather run twice per batch row
-        # (two stages over the reused exact_dedup exchange). Accepted
-        # trade: cheap map-side JVM work doubled vs the per-batch seen
-        # scan+shuffle eliminated — measured 0.51x net (SCALING r12).
+        # The fresh/candidate split reads `batch` twice (three times
+        # under broadcast_hits), so the digest + k hash positions +
+        # bitmap gather repeat per consuming stage over the reused
+        # exact_dedup exchange — cheap map-side JVM work traded for
+        # the join-side volume the routing removes.
         batch = batch.withColumn(
             "__maybe__", seen_bloom.might_contain(F.col("__digest__"))
         )
         fresh = batch.filter(~F.col("__maybe__")).drop("__maybe__", "__digest__")
-        candidates = (
-            batch.filter(F.col("__maybe__"))
-            .drop("__maybe__")
-            .join(seen_digests, on="__digest__", how="left_anti")
-            .drop("__digest__")
-        )
-        return fresh.unionByName(candidates)
-    return batch.join(seen_digests, on="__digest__", how="left_anti").drop(
-        "__digest__"
-    )
+        cands = batch.filter(F.col("__maybe__")).drop("__maybe__")
+        if confirm == "broadcast_hits":
+            # Materialize the candidate set ONCE: without this the
+            # whole batch pipeline (collapse shuffle + digest + probe)
+            # replays inside BOTH broadcast subtrees and the final
+            # anti — measured 16.0 -> see SCALING r12. Bounded by the
+            # candidate volume (dup rate + fpp of the batch), small in
+            # this strategy's intended regime.
+            cands = cands.localCheckpoint(eager=True)
+            cand_keys = cands.select("__digest__").distinct()
+            # Map-side semi scan of the RAW seen digest stream: the
+            # seen table is never shuffled and never distinct-ed
+            # corpus-wide; the hit set is bounded by the candidate
+            # count, then broadcasts back for a shuffle-free anti.
+            hits = (
+                seen_raw.join(
+                    F.broadcast(cand_keys), on="__digest__", how="left_semi"
+                )
+                .distinct()
+            )
+            confirmed = cands.join(
+                F.broadcast(hits), on="__digest__", how="left_anti"
+            ).drop("__digest__")
+        else:
+            confirmed = cands.join(
+                seen_raw.distinct(), on="__digest__", how="left_anti"
+            ).drop("__digest__")
+        return fresh.unionByName(confirmed)
+    return batch.join(
+        seen_raw.distinct(), on="__digest__", how="left_anti"
+    ).drop("__digest__")
 
 
 # ---------------------------------------------------------------------------

@@ -90,13 +90,24 @@ def test_incremental_dedup_bloom_routes_identically(spark):
         bloom = build_key_bloom(
             seen_digests, "digest", n_bits=n_bits, key_tag="content_digest"
         )
-        routed = sorted(
-            (r["doc_id"], r["text"])
-            for r in incremental_exact_dedup(
-                new, seen, "doc_id", "text", seen_bloom=bloom
-            ).collect()
+        for confirm in ("shuffle", "broadcast_hits"):
+            routed = sorted(
+                (r["doc_id"], r["text"])
+                for r in incremental_exact_dedup(
+                    new, seen, "doc_id", "text",
+                    seen_bloom=bloom, confirm=confirm,
+                ).collect()
+            )
+            assert routed == baseline, f"n_bits={n_bits} confirm={confirm}"
+
+    with pytest.raises(ValueError, match="broadcast_hits"):
+        incremental_exact_dedup(
+            new, seen, "doc_id", "text", confirm="broadcast_hits"
         )
-        assert routed == baseline, f"n_bits={n_bits}"
+    with pytest.raises(ValueError, match="confirm"):
+        incremental_exact_dedup(
+            new, seen, "doc_id", "text", confirm="nope"
+        )
 
 
 def test_incremental_span_decontaminate_bloom_routes_identically(spark):
