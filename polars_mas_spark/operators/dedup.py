@@ -494,6 +494,7 @@ def incremental_span_decontaminate(
     seen_is_fingerprints: bool = False,
     broadcast_seen: bool = False,
     seen_bloom=None,
+    confirm: str = "shuffle",
 ) -> DataFrame:
     """Span-granularity scrub of a NEW ingestion batch against an
     already-accepted corpus — the rolling-crawl twin of
@@ -529,7 +530,24 @@ def incremental_span_decontaminate(
     is semantics-free — at a typical few-percent contamination rate the
     semi join's batch side shrinks by ~the complement, and the window
     stream (~token count of the batch) stops shuffling. Positives
-    (matches + ~fpp noise) confirm exactly; output is identical."""
+    (matches + ~fpp noise) confirm exactly; output is identical.
+
+    ``confirm="broadcast_hits"`` (requires ``seen_bloom``): the
+    candidate windows' distinct fingerprints broadcast into a map-side
+    semi SCAN of the persisted fingerprint table — ``fset``, the
+    per-token-scale largest seen structure in the incremental family,
+    is never shuffled — and the surviving hit set (<= candidate
+    count) broadcasts back for the window-marking semi. Candidates
+    are localCheckpointed once (bounded by the contamination + fpp
+    rate of the batch's window stream)."""
+    if confirm not in ("shuffle", "broadcast_hits"):
+        raise ValueError(f"unknown confirm strategy: {confirm!r}")
+    if confirm == "broadcast_hits" and seen_bloom is None:
+        raise ValueError(
+            "confirm='broadcast_hits' needs seen_bloom: without the "
+            "routing filter every window is a candidate and the "
+            "broadcast key set is the batch's whole window stream"
+        )
     fset = (
         seen.select("g")
         if seen_is_fingerprints
@@ -545,6 +563,17 @@ def incremental_span_decontaminate(
             "span_fingerprint", "incremental_span_decontaminate"
         )
         gpos = gpos.filter(seen_bloom.might_contain(F.col("g")))
+        if confirm == "broadcast_hits":
+            # One bounded materialization, then the big fset is only
+            # ever SCANNED: candidate fingerprints broadcast into a
+            # map-side semi of fset, the tiny hit set broadcasts back
+            # (the incremental_exact_dedup broadcast_hits pattern).
+            gpos = gpos.localCheckpoint(eager=True)
+            cand_g = gpos.select("g").distinct()
+            fset = F.broadcast(
+                fset.join(F.broadcast(cand_g), on="g", how="left_semi")
+                .distinct()
+            )
     return _scrub_spans(staged, gpos, fset, k)
 
 

@@ -141,13 +141,15 @@ def test_incremental_span_decontaminate_bloom_routes_identically(spark):
         kb = build_key_bloom(
             fset, "g", n_bits=n_bits, key_tag="span_fingerprint"
         )
-        routed = sorted(
-            tuple(r) for r in incremental_span_decontaminate(
-                new, fset, "doc_id", "text", k=5,
-                seen_is_fingerprints=True, seen_bloom=kb,
-            ).collect()
-        )
-        assert routed == base, f"n_bits={n_bits}"
+        for confirm in ("shuffle", "broadcast_hits"):
+            routed = sorted(
+                tuple(r) for r in incremental_span_decontaminate(
+                    new, fset, "doc_id", "text", k=5,
+                    seen_is_fingerprints=True, seen_bloom=kb,
+                    confirm=confirm,
+                ).collect()
+            )
+            assert routed == base, f"n_bits={n_bits} confirm={confirm}"
 
 
 def test_incremental_minhash_bloom_routes_identically(spark):
