@@ -802,3 +802,71 @@ def test_bloom_never_false_negative(spark, members, probes, n_bits, n_hashes):
         ).withColumn("m", kb.might_contain(F.col("k"))).collect()
     }
     assert all(got[m] for m in members)
+
+
+@given(txts=texts, min_count=st.integers(min_value=1, max_value=6))
+@SETTINGS
+def test_heavy_hitter_sketch_equals_naive(spark, txts, min_count):
+    """heavy_hitter_ngrams == the naive exact aggregate on ANY corpus
+    and threshold: the Misra-Gries pass may over-propose but never
+    miss, and the exact confirm decides — regardless of which branch
+    (sketch or support-floor fallback) the sizing selects."""
+    from polars_mas_spark.operators.text import _ngram_stream, heavy_hitter_ngrams
+
+    df = _docs(spark, txts)
+    got = {
+        (r["ngram"], r["cnt"])
+        for r in heavy_hitter_ngrams(df, "text", n=2, min_count=min_count).collect()
+    }
+    naive = {
+        (r["ngram"], r["cnt"])
+        for r in _ngram_stream(df, "text", 2)
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .collect()
+    }
+    assert got == naive
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr", None]),
+            st.lists(st.sampled_from(list("abcd x")), min_size=0,
+                     max_size=24).map("".join),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@SETTINGS
+def test_perplexity_cut_replay_exact_on_any_corpus(spark, rows):
+    """The running-max cut points replay the batch rank cut EXACTLY on
+    every epoch member, for ANY language/tie/degenerate-bucket
+    structure (tiny alphabet -> identical texts and exact score ties
+    are common; 1-doc and 2-doc languages exercise the empty-bucket
+    fill-down)."""
+    from polars_mas_spark.operators.text import (
+        char_trigram_model,
+        perplexity_bucket_assign,
+        perplexity_cut_points,
+        perplexity_thirds,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in enumerate(rows)],
+        "doc_id long, lang string, text string",
+    )
+    thirds = perplexity_thirds(df, num_blocks=4)
+    batch = {
+        r.doc_id: (r.lang, r.n_trigrams, r.nll_q, r.bucket, r.bucket_label)
+        for r in thirds.collect()
+    }
+    model = char_trigram_model(df)
+    cuts = perplexity_cut_points(thirds)
+    got = {
+        r.doc_id: (r.lang, r.n_trigrams, r.nll_q, r.bucket, r.bucket_label)
+        for r in perplexity_bucket_assign(df, model, cuts).collect()
+    }
+    assert got == batch
