@@ -1659,6 +1659,7 @@ def incremental_dedup_cascade(
     n_clusters: int = 8,
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seen_blooms: dict | None = None,
 ) -> DataFrame:
     """The rolling-crawl form of :func:`dedup_cascade` — the composite
     the r10 incremental family exists for: a NEW ingestion batch flows
@@ -1695,8 +1696,35 @@ def incremental_dedup_cascade(
     NULL contracts compose unchanged from dedup_cascade: NULL ids
     raise; NULL/degenerate urls bypass the URL stage on BOTH sides;
     NULL text bypasses exact and near (no digest, no signature — it
-    cannot match the seen corpus either)."""
+    cannot match the seen corpus either).
+
+    ``seen_blooms`` (optional dict with keys in {'url', 'exact',
+    'near'}, each a per-epoch [[bloom.KeyBloom]] over that stage's
+    persisted key table: canonical urls tagged ``canonical_url``,
+    digests ``content_digest``, band keys
+    ``band_bucket:{bands}x{rows_per_band}`` over [[band_bucket_key]])
+    routes each stage's seen-membership check: bloom-negative
+    keys skip both the semi and the anti join map-side (a negative
+    can never match, so 'seen' attribution and survivorship are
+    unchanged — the standalone operators' routing argument, composed).
+    Verdicts are identical with or without filters."""
     _check_banding(num_hashes, bands, rows_per_band)
+    seen_blooms = seen_blooms or {}
+    unknown = set(seen_blooms) - {"url", "exact", "near"}
+    if unknown:
+        raise ValueError(
+            f"incremental_dedup_cascade: unknown seen_blooms stages "
+            f"{sorted(unknown)} (expected a subset of url/exact/near)"
+        )
+    if "url" in seen_blooms:
+        seen_blooms["url"].check_tag("canonical_url", "incremental_dedup_cascade[url]")
+    if "exact" in seen_blooms:
+        seen_blooms["exact"].check_tag("content_digest", "incremental_dedup_cascade[exact]")
+    if "near" in seen_blooms:
+        seen_blooms["near"].check_tag(
+            f"band_bucket:{bands}x{rows_per_band}",
+            "incremental_dedup_cascade[near]",
+        )
     checked_id = F.when(
         qcol(id_col).isNull(),
         F.raise_error(
@@ -1741,6 +1769,14 @@ def incremental_dedup_cascade(
             "doc_id", F.lit(stage).alias("stage"), F.lit("batch").alias("vs")
         )
         keeps = lab.filter(F.col("doc_id") == F.col("__keep__"))
+        bloom = seen_blooms.get(stage)
+        neg = None
+        if bloom is not None:
+            keeps = keeps.withColumn(
+                "__maybe__", bloom.might_contain(F.col(key_col))
+            )
+            neg = keeps.filter(~F.col("__maybe__")).drop("__maybe__")
+            keeps = keeps.filter(F.col("__maybe__")).drop("__maybe__")
         seen_hit = keeps.join(seen_keys, on=key_col, how="left_semi").select(
             "doc_id", F.lit(stage).alias("stage"), F.lit("seen").alias("vs")
         )
@@ -1748,9 +1784,10 @@ def incremental_dedup_cascade(
             keeps.join(seen_keys, on=key_col, how="left_anti")
             .drop(key_col, "__keep__")
             .unionByName(keyed_all.filter(degenerate).drop(key_col))
-            .localCheckpoint(eager=True)
         )
-        return [batch, seen_hit], surv
+        if neg is not None:
+            surv = surv.unionByName(neg.drop(key_col, "__keep__"))
+        return [batch, seen_hit], surv.localCheckpoint(eager=True)
 
     if url_col is not None:
         from polars_mas_spark.operators.text import canonical_url
@@ -1808,8 +1845,13 @@ def incremental_dedup_cascade(
         )
     )
     remaining = cur.join(within, on="doc_id", how="left_anti")
+    cross_probe = new_banded.join(within, on="doc_id", how="left_anti")
+    if "near" in seen_blooms:
+        cross_probe = cross_probe.filter(
+            seen_blooms["near"].might_contain(band_bucket_key())
+        )
     cross = (
-        new_banded.join(within, on="doc_id", how="left_anti")
+        cross_probe
         .join(seen_keys, on=["band", "bucket"], how="left_semi")
         .select("doc_id")
         .distinct()

@@ -217,6 +217,96 @@ def test_incremental_minhash_bloom_routes_identically(spark):
         )
 
 
+def test_incremental_cascade_blooms_route_identically(spark):
+    """Per-stage epoch blooms on the cascade preserve every verdict —
+    the standalone operators' routing argument, composed: a negative
+    key skips both the 'seen' semi and the survivor anti map-side, at
+    realistic and 64-bit degenerate filter sizes. Mis-tagged banding
+    raises."""
+    from polars_mas_spark.operators.dedup import (
+        _banded,
+        band_bucket_key,
+        content_digest,
+        incremental_dedup_cascade,
+        minhash_signatures,
+    )
+    from polars_mas_spark.operators.text import canonical_url
+
+    seen = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon", "http://a.com/x"),
+         (101, "one two three four five six seven",
+          "http://b.com/y?utm_source=z")],
+        "doc_id long, text string, url string",
+    )
+    new = spark.createDataFrame(
+        [(1, "fresh novel content entirely here", "HTTP://A.com:80/x"),
+         (2, "alpha beta gamma delta epsilon", "http://c.com/1"),
+         (3, "unique doc body qqq www eee", "http://d.com/1"),
+         (4, "unique doc body qqq www eee rrr", "http://d.com/1"),
+         (5, "one two three four five six seven extra", "http://e.com/1"),
+         (6, "totally different payload zz yy xx", "http://f.com/1"),
+         (7, "totally different payload zz yy xx", "http://g.com/1"),
+         (8, None, None)],
+        "doc_id long, text string, url string",
+    )
+    base = {
+        r.doc_id: (r.stage, r.vs)
+        for r in incremental_dedup_cascade(
+            new, seen, "doc_id", "text", url_col="url"
+        ).collect()
+    }
+    assert base[1] == ("url", "seen") and base[5] == ("near", "seen")
+
+    # the three persisted epoch key tables (the 100 TB side layout)
+    urls = (
+        seen.filter(F.col("url").isNotNull())
+        .select(canonical_url(F.col("url")).alias("k"))
+        .filter(F.col("k") != "")
+    )
+    digests = seen.filter(F.col("text").isNotNull()).select(
+        content_digest(F.col("text")).alias("k")
+    )
+    seen_shaped = seen.select(
+        F.monotonically_increasing_id().alias("__sid__"),
+        F.col("text").alias("__stxt__"),
+    )
+    bandkeys = (
+        _banded(minhash_signatures(seen_shaped, "__sid__", "__stxt__", 16), 4, 4)
+        .select(band_bucket_key().alias("k"))
+    )
+    for n_bits in (4096, 64):
+        blooms = {
+            "url": build_key_bloom(urls, "k", n_bits=n_bits,
+                                   key_tag="canonical_url"),
+            "exact": build_key_bloom(digests, "k", n_bits=n_bits,
+                                     key_tag="content_digest"),
+            "near": build_key_bloom(bandkeys, "k", n_bits=n_bits,
+                                    key_tag="band_bucket:4x4"),
+        }
+        routed = {
+            r.doc_id: (r.stage, r.vs)
+            for r in incremental_dedup_cascade(
+                new, seen, "doc_id", "text", url_col="url",
+                seen_blooms=blooms,
+            ).collect()
+        }
+        assert routed == base, f"n_bits={n_bits}"
+
+    with pytest.raises(ValueError, match="band_bucket"):
+        incremental_dedup_cascade(
+            new, seen, "doc_id", "text", url_col="url",
+            bands=8, rows_per_band=2,
+            seen_blooms={"near": build_key_bloom(
+                bandkeys, "k", n_bits=4096, key_tag="band_bucket:4x4")},
+        )
+    with pytest.raises(ValueError, match="unknown seen_blooms"):
+        incremental_dedup_cascade(
+            new, seen, "doc_id", "text",
+            seen_blooms={"semantic": build_key_bloom(
+                digests, "k", n_bits=4096)},
+        )
+
+
 def test_bloom_null_keys_route_conservatively(spark):
     """NULL keys hash on the seed alone: if any NULL was built in, all
     NULL probes are candidates; the exact join's NULL-never-equals then
