@@ -1335,6 +1335,19 @@ def perplexity_thirds(
         "nll_q",
         (F.col("nll_q").cast("double") / F.col("n_trigrams")).alias("__s__"),
     )
+    # Materialize the per-doc score table ONCE before the rank phase
+    # (guide §3.3/§5: truncate a replayed subtree with a narrow
+    # intermediate). quantile_buckets runs two driver jobs
+    # (approxQuantile block boundaries + the per-(lang, block) counts
+    # collect) and its final plan unions valid/invalid slices and joins
+    # the broadcast offset table — without truncation every one of
+    # those consumers replays the FULL trigram pipeline (explode +
+    # LM aggregate + broadcast score join): the before-plan for this
+    # query carried 16 parquet scans of the document table (r12,
+    # plans/r12/perplexity_thirds_before.txt); measured 7.20 -> 4.03 s
+    # at sf0.1. The checkpoint is one row per document, 5 narrow
+    # columns — bounded by corpus DOC count, the 100 TB-safe shape.
+    joined = joined.localCheckpoint(eager=True)
     out = quantile_buckets(
         joined,
         "__s__",

@@ -25,7 +25,7 @@ from polars_mas_spark.operators import text as tx
 from polars_mas_spark.operators import windows as wd
 from polars_mas_spark.operators.association import run_associations
 from polars_mas_spark.pipeline import run_pipeline
-from polars_mas_spark.queries import _t, query, shadow_query
+from polars_mas_spark.queries import _t, _tr, query, shadow_query
 from polars_mas_spark.streaming.events import (
     session_windows,
     stream_dedup,
@@ -1750,7 +1750,7 @@ def q_knn_graph(spark, sf_dir):
     (ivf_topk's small-query contract) and never a cross join. Oracle
     replays centroids, probes, the bucket-local candidate set, and the
     exact (cos desc, id) top-5 per node."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    emb = _tr(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     out = sim.knn_graph(emb, k=5, n_centroids=16, n_probe=4, refine_iters=1)
@@ -4564,16 +4564,13 @@ def q_perplexity_thirds(spark, sf_dir):
     zero new registrations — VERDICT r11 #2); registration PLANNED(14)
     in tools/plan_rotation.py.
 
-    The repartition is the single-compact-file fixture knob (the
-    winnow/mapInPandas precedent at queries_ext ~2956): documents.parquet
-    arrives as ONE split, serializing the CPU-heavy trigram explode into
-    one task (measured 19.3s -> see SCALING r12). Result-invariant by
-    construction: scores are integer-quantized order-free sums, ranks
-    are exact-key ranks. At real scale files are plentiful and the
-    operator itself correctly never repartitions."""
-    return tx.perplexity_thirds(
-        _t(spark, sf_dir, "documents").repartition(32)
-    )
+    Single-compact-file unstarving (measured 19.3s -> see SCALING r12)
+    now comes from the shared `_t` reader's adaptive rebalance
+    (queries._rebalance, r12 optimization round) instead of a local
+    repartition(32) constant. Result-invariant by construction: scores
+    are integer-quantized order-free sums, ranks are exact-key ranks.
+    At real scale files are plentiful and the rebalance is a no-op."""
+    return tx.perplexity_thirds(_tr(spark, sf_dir, "documents"))
 
 
 BENCH_ONLY = {
