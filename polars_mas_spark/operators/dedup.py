@@ -982,6 +982,15 @@ def paragraph_neardup_dedup(
         "passage_idx",
         "passage",
     )
+    # Materialize the tiled passage table ONCE (r12, guide §3.3/§5):
+    # it feeds three subtrees — the minhash/banding pipeline, the
+    # survivor anti-join (which needs passage text), and the per-doc
+    # totals — and each replayed the passage split + overflow-guard
+    # projection from the raw scan (30 parquet scans in one plan,
+    # plans/r12/paragraph_neardup_dedup_before.txt; measured
+    # 3.77 -> 2.58 s at sf0.1). Corpus-sized, same trade the cascade
+    # stage boundaries already make (dedup_cascade: 64 -> 4 s).
+    keyed = keyed.localCheckpoint(eager=True)
     # minhash_signatures aliases its id column to "doc_id"; here that
     # column carries the packed pid.
     sigs = minhash_signatures(keyed, "pid", "passage", num_hashes)
@@ -1833,6 +1842,11 @@ def incremental_dedup_cascade(
         bands,
         rows_per_band,
     ).localCheckpoint(eager=True)
+    # within/cross are consumed by 3 and 2 subtrees each; checkpointing
+    # them was A/B'd in r12 (interleaved, per the order-bias rule) and
+    # REJECTED: the re-runs all land inside the single sink job and
+    # parallelize, while two eager checkpoint jobs serialize — measured
+    # ~0.6 s worse at sf0.1 (OPTIMIZATION_r12.md).
     within = (
         _bucket_mins(new_banded)
         .filter(F.col("doc_id") > F.col("bucket_min"))

@@ -646,10 +646,17 @@ def decontaminate_cascade(
     _, gpos = _span_window_fingerprints(
         cur, "doc_id", "__t__", span_k, "decontaminate_cascade"
     )
+    # Each stage's hit set is checkpointed like sem_hit below (r12):
+    # it has TWO consumers — the verdict union piece and the survivor
+    # anti-join — and only the survivor side was truncated, so the
+    # final verdict job re-ran the heavy channel subtree (window md5
+    # fingerprints / shingle aggregate) a second time. The hit sets
+    # are contaminated ids only — tiny at any scale.
     span_hit = (
         gpos.join(F.broadcast(fset), on="g", how="semi")
         .select("doc_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     pieces.append(span_hit.select("doc_id", F.lit("span").alias("stage")))
     cur = cur.join(span_hit, on="doc_id", how="left_anti").localCheckpoint(
@@ -660,6 +667,7 @@ def decontaminate_cascade(
         ngram_contamination(cur, bench, "doc_id", "__t__", n=ngram_n)
         .filter(F.col("contamination_frac") >= float(ngram_threshold))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     pieces.append(ngram_hit.select("doc_id", F.lit("ngram").alias("stage")))
     cur = cur.join(ngram_hit, on="doc_id", how="left_anti").localCheckpoint(

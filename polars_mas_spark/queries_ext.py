@@ -4620,7 +4620,19 @@ def _run_phewas(spark, sf_dir, n_phecodes, n_samples=5000, n_covariates=5):
 
 def _mas_wide_table(spark, sf_dir):
     """Deterministic PheWAS-shaped wide table from the TPC-H-ish data:
-    one row per order, binary dependents, continuous covariates."""
+    one row per order, binary dependents, continuous covariates.
+
+    Materialized eagerly (r12): run_pipeline consumes its input df in
+    SEVERAL driver actions (the fused prep-stats aggregate, then the
+    packed fan-out shuffle), each of which re-derived the
+    orders-joins-lineitem aggregate (~0.9 s per pass at sf0.1, guide
+    §3.3 "materialising an intermediate truncates the plan"). The
+    checkpoint is one narrow row per order. This mirrors the BASELINE
+    workload contract — the reference benches against an EXISTING
+    input file, and the phewas twin reads its parquet fixture — while
+    the timed path still performs the full derivation once per
+    invocation (bench clears nothing here: a fresh localCheckpoint is
+    built every call)."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     li_agg = li.groupBy("l_orderkey").agg(
@@ -4638,6 +4650,7 @@ def _mas_wide_table(spark, sf_dir):
             (F.col("n_lines") >= 4).cast("long").alias("many_lines"),
             "sum_qty", "avg_disc",
         )
+        .localCheckpoint(eager=True)
     )
 
 
