@@ -1600,9 +1600,11 @@ def bm25_topk(
     Shape: ONE corpus pass (explode -> (doc, token, tf) aggregate, the
     same whitespace tokenization as tfidf_top_terms), then the query
     side — distinct (query, token) pairs, broadcast — filters that
-    table down to query-term rows, so document frequencies, lengths,
-    and scores all aggregate over query-relevant rows only. N and
-    avgdl enter as broadcast 1-row aggregates (no eager action).
+    table down to query-term rows, so document frequencies (a count
+    window over those rows) and scores aggregate over query-relevant
+    rows only. Document lengths come map-side from the token-array
+    size (== sum(tf), no second corpus aggregate); N and avgdl enter
+    as broadcast 1-row aggregates (no eager action).
     Per-query top-k is a bounded window keyed on the query. Documents
     with no query term never appear (score 0 by definition); query
     term multiplicity is ignored (set semantics, the common choice)."""
@@ -1616,7 +1618,17 @@ def bm25_topk(
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
-    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # dl == sum(tf) == the token-array length, so document lengths (and
+    # avgdl) come MAP-SIDE from the raw text instead of re-aggregating
+    # the corpus explode (r12: the tf subtree had four consumers — lens,
+    # avgdl, the df broadcast, and scoring — each replaying the corpus
+    # pass; the docstring's "one corpus pass" now holds physically).
+    # dl > 0 keeps exactly the explode semantics: NULL/empty texts
+    # produce no tf rows and contributed no lens row before.
+    lens = docs.select(
+        qcol(doc_id_col).alias("doc_id"),
+        F.size(nonempty_words(qcol(text_col), lowercase=True)).alias("dl"),
+    ).filter(F.col("dl") > 0)
     stats = lens.agg(
         F.avg("dl").alias("__avgdl__")
     ).crossJoin(docs.agg(F.count("*").alias("__N__")))
@@ -1629,11 +1641,14 @@ def bm25_topk(
         ).alias("token"),
     ).distinct()
     tf_q = tf.join(F.broadcast(qt.select("token").distinct()), "token")
-    dfreq = tf_q.groupBy("token").agg(
-        F.count("*").alias("df")
-    )
+    # Document frequency as a count window over the query-relevant rows
+    # (one row per (doc, token), so count(*) per token == df): the
+    # previous groupBy+broadcast-join consumed tf_q from a second
+    # subtree, replaying the corpus aggregate once more.
     scored = (
-        tf_q.join(F.broadcast(dfreq), "token")
+        tf_q.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token"))
+        )
         .join(F.broadcast(qt), "token")
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
