@@ -607,11 +607,16 @@ def decontaminate_cascade(
       row bypasses (no embedding, no semantic key).
     - ``'clean'``: none of the above.
 
-    Each stage sees only the previous stage's survivors (cheapest-
-    and highest-precision-first, the dedup_cascade layout), with
-    localCheckpoint at stage boundaries bounding lineage. NULL ids
-    raise (verdict rows need a key); NULL/short texts produce no
-    windows or shingles and flow through the text stages as clean.
+    Verdict precedence is cheapest- and highest-precision-first (the
+    dedup_cascade ordering). The two text channels are per-doc
+    properties against broadcast benchmark sets, so they are computed
+    over the full corpus and precedence is resolved on the tiny hit-id
+    sets (identical verdicts to survivors-scoping, with no full-text
+    materialization between stages — r12); the corpus-dependent
+    semantic channel still sees exactly the text-stage survivor set.
+    localCheckpoint bounds lineage at each hit set. NULL ids raise
+    (verdict rows need a key); NULL/short texts produce no windows or
+    shingles and flow through the text stages as clean.
 
     Scale shape: the benchmark side of every stage is DISTINCT reduced
     keys or a broadcast probe set (window fingerprints, shingle set,
@@ -659,19 +664,31 @@ def decontaminate_cascade(
         .localCheckpoint(eager=True)
     )
     pieces.append(span_hit.select("doc_id", F.lit("span").alias("stage")))
-    cur = cur.join(span_hit, on="doc_id", how="left_anti").localCheckpoint(
-        eager=True
-    )
 
-    ngram_hit = (
+    # The text channels are PER-DOC properties (a document is span-hit /
+    # ngram-hit against the broadcast benchmark sets regardless of what
+    # other corpus docs exist), so the ngram channel runs over the FULL
+    # corpus and the span precedence is applied on the tiny hit-id sets
+    # afterwards — identical verdicts (r12, guide §5): the old
+    # survivors-scoped shape forced TWO eager checkpoints of the full
+    # survivor TEXT between stages; now nothing wider than an id set is
+    # ever materialized, and the survivor frame the (corpus-dependent)
+    # semantic stage sees is the same id set as before.
+    ngram_hit_full = (
         ngram_contamination(cur, bench, "doc_id", "__t__", n=ngram_n)
         .filter(F.col("contamination_frac") >= float(ngram_threshold))
         .select("doc_id")
         .localCheckpoint(eager=True)
     )
-    pieces.append(ngram_hit.select("doc_id", F.lit("ngram").alias("stage")))
-    cur = cur.join(ngram_hit, on="doc_id", how="left_anti").localCheckpoint(
-        eager=True
+    pieces.append(
+        ngram_hit_full.join(span_hit, on="doc_id", how="left_anti").select(
+            "doc_id", F.lit("ngram").alias("stage")
+        )
+    )
+    cur = (
+        cur.select("doc_id")
+        .join(span_hit, on="doc_id", how="left_anti")
+        .join(ngram_hit_full, on="doc_id", how="left_anti")
     )
 
     if (corpus_vectors is None) != (benchmark_vectors is None):
