@@ -1263,11 +1263,17 @@ def _char_trigram_lm(df, id_col, text_col, alpha, vocab):
     stream, and ``model`` the broadcastable (tri, logp) table."""
     base, tris = _char_trigram_windows(df, id_col, text_col)
     tri_counts = tris.groupBy("tri").agg(F.count("*").alias("c_tri"))
-    ctx_counts = tri_counts.groupBy(
-        F.substring("tri", 1, 2).alias("ctx")
-    ).agg(F.sum("c_tri").alias("c_ctx"))
-    model = tri_counts.join(
-        ctx_counts, F.substring(tri_counts["tri"], 1, 2) == ctx_counts["ctx"]
+    # Context (bigram) totals as a sum window over the trigram table —
+    # NOT a self-join: tri_counts fed both join sides before (r12) and
+    # each side replayed the full corpus explode+aggregate (the model
+    # subtree cost two corpus passes instead of one). The window
+    # shuffles only the model table (bounded by distinct trigrams,
+    # corpus-independent); c_ctx is the same integer sum.
+    model = tri_counts.withColumn(
+        "c_ctx",
+        F.sum("c_tri").over(
+            Window.partitionBy(F.substring("tri", 1, 2))
+        ),
     ).select(
         "tri",
         F.log(
