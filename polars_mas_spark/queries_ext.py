@@ -504,7 +504,7 @@ _LANG_ID_ORACLE = f"""WITH p AS (
 @query("lang_id", _LANG_ID_ORACLE)
 def q_lang_id(spark, sf_dir):
     """Marker-word language ID vs the table's true lang column."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tr(spark, sf_dir, "documents")
     return tx.lang_id(docs, "text").select("doc_id", "lang", "lang_guess")
 
 
@@ -538,7 +538,7 @@ _TEXT_STATS_ORACLE = rf"""WITH p AS (
 @query("text_quality", _TEXT_STATS_ORACLE)
 def q_text_quality(spark, sf_dir):
     """Length/punct/stopword quality features + composite score."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tr(spark, sf_dir, "documents").select("doc_id", "text")
     return tx.text_stats(docs, "text").drop("text")
 
 
@@ -592,7 +592,7 @@ def q_classifier_eval(spark, sf_dir):
     truth; bucketed AUC + threshold confusion counts, ALL-INTEGER
     projection (the auc_num/auc_den and precision/recall quotient
     identities are bound in tests/test_semantic_incremental.py)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = _tr(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     scored = tx.text_stats(docs, "text").withColumn(
         "is_en", F.col("lang") == "en"
     )
@@ -733,7 +733,7 @@ def q_pii_scrub(spark, sf_dir):
 def q_quality_filter(spark, sf_dir):
     """FineWeb/C4-style filter chain with per-rule removal flags."""
     return tx.quality_filter(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", lang_col="lang"
+        _tr(spark, sf_dir, "documents"), "doc_id", "text", lang_col="lang"
     )
 
 
@@ -4259,7 +4259,7 @@ def q_dsir_select(spark, sf_dir):
     dsir_select). The oracle replays the bucketing, both distributions,
     the quantized log-ratio sum, the Gumbel key, and the exact top-100
     cut (ties by doc_id)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = _tr(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return smp.dsir_select(
         docs, "doc_id", "text", F.col("lang") == "en", k=100
     ).select("doc_id", "n_ngrams", "logw", "gumbel", "select_key", "selected")
@@ -5088,7 +5088,7 @@ def q_heavy_hitter_ngrams(spark, sf_dir):
     fallback at sf0.1 (~260k trigrams, 5.5/N < 1e-4) — the gate binds
     BOTH branches. PLANNED(16) registration."""
     return tx.heavy_hitter_ngrams(
-        _t(spark, sf_dir, "documents"), "text", n=3, min_count=6
+        _tr(spark, sf_dir, "documents"), "text", n=3, min_count=6
     )
 
 
