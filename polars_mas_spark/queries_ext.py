@@ -733,7 +733,7 @@ def q_pii_scrub(spark, sf_dir):
 def q_quality_filter(spark, sf_dir):
     """FineWeb/C4-style filter chain with per-rule removal flags."""
     return tx.quality_filter(
-        _tr(spark, sf_dir, "documents"), "doc_id", "text", lang_col="lang"
+        _t(spark, sf_dir, "documents"), "doc_id", "text", lang_col="lang"
     )
 
 
