@@ -53,6 +53,11 @@ for name in NAMES:
         _phewas_wide_parquet(spark, SF_DIR, n_samples=20000)
     elif name == "mas_phewas_firth_1800_c20":
         _phewas_wide_parquet(spark, SF_DIR, n_covariates=20)
+# Drain the fixture write's dirty pages OUTSIDE the timed passes (the
+# r9 bench.py lesson; without it the n20k fixture's ~300 MB writeback
+# lands inside pass 1 and the query flaps 8 <-> 13 s with a
+# deceptively tight per-run spread — reproduced r12).
+os.sync()
 
 qs = {**entry_mod.queries(), **BENCH_ONLY}
 timings: dict[str, float] = {}
