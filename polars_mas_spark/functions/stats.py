@@ -326,6 +326,12 @@ def _firth_newton(
     # log-likelihood pass entirely, keeping the well-behaved hot path
     # at the unguarded loop's cost (None = stale/not computed).
     pll = None
+    # All-free fast path (the full fit and every profile refit's
+    # complement): score[free] / fisher[np.ix_(free, free)] with an
+    # all-True mask are plain copies — skipping them feeds the SAME
+    # values to the same LAPACK calls (bit-identical results), minus
+    # two array copies per Newton iteration (r13).
+    free_all = bool(free.all())
     for _ in range(max_iter):
         try:
             fisher_inv = np.linalg.inv(fisher)
@@ -344,8 +350,12 @@ def _firth_newton(
         np.subtract(y, p, out=ws.u)
         np.add(ws.u, ws.t, out=ws.u)
         score = Xc.T @ ws.u
-        score_f = score[free]
-        sub = fisher[np.ix_(free, free)]
+        if free_all:
+            score_f = score
+            sub = fisher
+        else:
+            score_f = score[free]
+            sub = fisher[np.ix_(free, free)]
         try:
             step = np.linalg.solve(sub, score_f)
         except np.linalg.LinAlgError:
@@ -359,12 +369,17 @@ def _firth_newton(
         # state, so the guarded path costs one state eval per halving
         # try and the small-step path costs exactly what the unguarded
         # loop did (one state eval per iteration, no PLL pass).
-        cand = beta.copy()
+        # beta[free] + step with free all-True adds the same operands
+        # elementwise as beta + step — identical bits, one copy fewer.
+        cand = beta.copy() if not free_all else None
         if mx >= 1.0:
             if pll is None:
                 pll = _pll_from_parts(y, p, fisher, ws)
             for _hs in range(max_halvings + 1):
-                cand[free] = beta[free] + step
+                if free_all:
+                    cand = beta + step
+                else:
+                    cand[free] = beta[free] + step
                 p2, w2, f2 = state(cand, 1 - cur)
                 pll2 = _pll_from_parts(y, p2, f2, ws)
                 if pll2 >= pll - 1e-12:
@@ -372,7 +387,10 @@ def _firth_newton(
                 step = step * 0.5
                 mx = mx * 0.5
         else:
-            cand[free] = beta[free] + step
+            if free_all:
+                cand = beta + step
+            else:
+                cand[free] = beta[free] + step
             p2, w2, f2 = state(cand, 1 - cur)
             pll2 = None
         beta, p, w, fisher, pll = cand, p2, w2, f2, pll2

@@ -257,29 +257,43 @@ def make_packed_kernel(
 ) -> Callable[[tuple, pd.DataFrame], pd.DataFrame]:
     """Grouped-map kernel over (predictor, dep-bucket) groups: unpack the
     bucket's dependent-value arrays and run the EXACT per-pair kernel
-    (make_kernel) once per dependent, so validation, sex restriction,
-    per-subset constant drop, and the failure-as-row channel are shared
-    code with the classic unpivot path — result parity by construction."""
-    inner = make_kernel(
+    core ([[make_array_kernel]]) once per dependent, so validation, sex
+    restriction, per-subset constant drop, and the failure-as-row
+    channel are shared code with the classic unpivot path — result
+    parity by construction. One result DataFrame per bucket group
+    instead of a per-dependent concat (r13: same rows, less pandas
+    construction overhead)."""
+    inner = make_array_kernel(
         model, covariates, quantitative, min_case_count,
         sex_restrictions, sex_col,
     )
-    cov_safe = [safe for safe, _ in safe_covariate_pairs(covariates)]
+    cov_pairs = safe_covariate_pairs(covariates)
+    columns = [f.name for f in result_schema(model).fields]
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         predictor, bucket = key
         deps = bucket_deps[int(bucket)]
         # Arrow list<double> arrives as ndarray-per-cell; nulls are NaN.
         mat = np.array(pdf[PACKED_DEPS].tolist(), dtype=np.float64)
-        base = pdf[[PRED_VALUE, *cov_safe]]
-        outs = []
+        x = pdf[PRED_VALUE].to_numpy()
+        cov_np = [
+            (safe, orig, pdf[safe].to_numpy())
+            for safe, orig in cov_pairs
+            if safe in pdf.columns
+        ]
+        rows = []
         for j, dep in enumerate(deps):
             y = mat[:, j] if mat.size else np.empty(0, dtype=np.float64)
             mask = ~np.isnan(y)
-            sub = base.loc[mask].copy()
-            sub[DEP_VALUE] = y[mask]
-            outs.append(inner((predictor, dep), sub))
-        return pd.concat(outs, ignore_index=True)
+            rows.append(
+                inner(
+                    predictor, dep, x[mask], y[mask],
+                    [(s, o, a[mask]) for s, o, a in cov_np],
+                )
+            )
+        return pd.DataFrame(
+            [{c: r[c] for c in columns} for r in rows], columns=columns
+        )
 
     return kernel
 
@@ -565,6 +579,143 @@ def _fit_linear_moments(df: DataFrame, config: MASConfig) -> DataFrame:
     return g.mapInPandas(solve, schema=LINEAR_RESULT_SCHEMA)
 
 
+def _nunique_values(arr) -> int:
+    """Distinct-value count of a 1-D array with pandas semantics
+    (``Series.nunique(dropna=False)``): all NA-likes collapse to one
+    value, -0.0 == 0.0. Series.nunique(dropna=False) is literally
+    ``len(self.unique())`` and ``Series.unique()`` delegates to
+    ``pd.unique`` on the values, so calling ``pd.unique`` on the raw
+    ndarray is the same hashtable over the same values — identical
+    count, minus the Series-construction overhead that dominated the
+    kernel's validation profile (r13)."""
+    return len(pd.unique(arr))
+
+
+def make_array_kernel(
+    model: str,
+    covariates: list[str],
+    quantitative: bool,
+    min_case_count: int,
+    sex_restrictions: dict | None = None,
+    sex_col: str | None = None,
+) -> Callable:
+    """The per-pair fit kernel over RAW NUMPY ARRAYS — the shared core
+    behind make_kernel / make_packed_kernel / the columnar fan-out, so
+    every physical strategy runs the exact same validation, per-subset
+    constant drop, design build, and failure-as-row channel.
+
+    Returns ``fn(predictor, dependent, x, y, cov_arrays) -> dict`` where
+    ``x``/``y`` are equal-length float64 ndarrays (already null-masked
+    like the long-table filter) and ``cov_arrays`` is ``[(safe_name,
+    orig_name, values_ndarray)]`` in covariate order for the covariates
+    present in the group. The dict is one result row (result_schema
+    order keys).
+
+    Split out in r13 (guide §4.2): the pdf-facing wrapper spent
+    3-6 ms/fit in pandas machinery (DataFrame construction, Series
+    getitem, Series.nunique) against a 14-52 ms fit — pure dispatch
+    overhead, none of it arithmetic. Every numeric decision here is
+    made by the same operations on the same float64 values as the old
+    pdf path (y.sum(), pd.unique-based distinct counts, column_stack →
+    add_intercept's C-order copy), so results are bit-identical — the
+    r13 A/B battery re-ran green (see OPTIMIZATION_r13.md)."""
+    defaults = _LINEAR_DEFAULTS if model in _QUANT_MODELS else _BINARY_DEFAULTS
+    fit_func = _MODEL_FUNCS[model]
+    cov_pairs = safe_covariate_pairs(covariates)
+    sex_safe = None
+    if sex_restrictions and sex_col is not None:
+        for safe, orig in cov_pairs:
+            if orig == sex_col:
+                sex_safe = safe
+                break
+
+    def akernel(predictor, dependent, x, y, cov_arrays) -> dict:
+        from polars_mas_spark.functions.native_threads import limit_native_threads
+
+        limit_native_threads(1)  # no-op after first call per process
+        row = dict(defaults)
+        row["predictor"] = predictor
+        row["dependent"] = dependent
+
+        if sex_safe is not None and sex_restrictions.get(dependent) is not None:
+            code = sex_restrictions[dependent]
+            mask = None
+            for safe, _orig, arr in cov_arrays:
+                if safe == sex_safe:
+                    # Elementwise == with NaN -> False, exactly the
+                    # pandas boolean-filter semantics of the old path.
+                    mask = arr == code
+                    break
+            if mask is not None:
+                x = x[mask]
+                y = y[mask]
+                cov_arrays = [(s, o, a[mask]) for s, o, a in cov_arrays]
+
+        n_rows = len(y)
+        if n_rows == 0:
+            row["failed_reason"] = "No data after dropping nulls."
+            return row
+
+        if not quantitative:
+            cases = int(y.sum())
+            controls = n_rows - cases
+            if cases < min_case_count:
+                row["failed_reason"] = f"Insufficient case count ({cases} cases)."
+                return row
+            if controls < min_case_count:
+                row["failed_reason"] = (
+                    f"Insufficient control count ({controls} controls)."
+                )
+                return row
+            if cases == n_rows:
+                row["failed_reason"] = "All observations are cases."
+                return row
+            row.update(cases=cases, controls=controls, total_n=n_rows)
+        else:
+            if n_rows < min_case_count:
+                row["failed_reason"] = f"Not enough observations ({n_rows})."
+                return row
+            row["n_observations"] = n_rows
+
+        # A constant (monomorphic) predictor carries no association
+        # signal, but the design matrix [pred, ..., intercept] becomes
+        # rank-deficient with the deficiency INVOLVING the predictor:
+        # lstsq's min-norm solution then splits the intercept across the
+        # two constant columns and reports an arbitrarily significant
+        # nonzero beta — a pure false positive. Fail the pair instead
+        # (also keeps all three physical strategies result-identical;
+        # the centered-moments formulation would report beta=0 here).
+        if _nunique_values(x) <= 1:
+            row["failed_reason"] = "Constant predictor."
+            return row
+
+        # Per-subset constant-covariate drop (analysis.py:196-206).
+        active = [
+            (orig, arr)
+            for _safe, orig, arr in cov_arrays
+            if _nunique_values(arr) > 1
+        ]
+        equation = (
+            f"{dependent} ~ {predictor} + {' + '.join(orig for orig, _ in active)}"
+        )
+        row["equation"] = equation
+
+        # column_stack casts + copies exactly like the old
+        # pdf[[...]].to_numpy(float64); layout is normalized anyway by
+        # add_intercept's own column_stack (C-order) inside fit_func.
+        X = np.column_stack(
+            [x, *[arr.astype(np.float64, copy=False) for _o, arr in active]]
+        ) if active else x.reshape(-1, 1)
+        try:
+            stats = fit_func(X, y)
+            row.update(stats)
+        except Exception as exc:  # failures are rows, not exceptions
+            row["failed_reason"] = str(exc)
+        return row
+
+    return akernel
+
+
 def make_kernel(
     model: str,
     covariates: list[str],
@@ -577,7 +728,8 @@ def make_kernel(
     per-task pipeline: validation (analysis.py:110-193), per-subset
     constant-covariate drop (analysis.py:196-206), design-matrix build +
     fit (analysis.py:71-87), failure-as-row error channel
-    (analysis.py:89-102).
+    (analysis.py:89-102). Thin pdf adapter over [[make_array_kernel]] —
+    the numeric core is shared with every other physical strategy.
 
     ``sex_restrictions`` implements the reference's declared-but-dead
     sex-specific phecode sets (constants.py:14-16, SURVEY.md §2.12): a
@@ -585,89 +737,24 @@ def make_kernel(
     Restricted dependents are fitted only on matching-sex rows (R PheWAS
     semantics); the sex covariate then goes constant in that subset and
     the per-group constant drop removes it from the design naturally."""
-    defaults = _LINEAR_DEFAULTS if model in _QUANT_MODELS else _BINARY_DEFAULTS
     columns = [f.name for f in result_schema(model).fields]
-    fit_func = _MODEL_FUNCS[model]
     cov_pairs = safe_covariate_pairs(covariates)
-    sex_safe = None
-    if sex_restrictions and sex_col is not None:
-        for safe, orig in cov_pairs:
-            if orig == sex_col:
-                sex_safe = safe
-                break
+    akernel = make_array_kernel(
+        model, covariates, quantitative, min_case_count,
+        sex_restrictions, sex_col,
+    )
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        from polars_mas_spark.functions.native_threads import limit_native_threads
-
-        limit_native_threads(1)  # no-op after first call per process
         predictor, dependent = key
-        row = dict(defaults)
-        row["predictor"] = predictor
-        row["dependent"] = dependent
-
-        def emit() -> pd.DataFrame:
-            return pd.DataFrame([{c: row[c] for c in columns}])
-
-        if sex_safe is not None and sex_restrictions.get(dependent) is not None:
-            pdf = pdf[pdf[sex_safe] == sex_restrictions[dependent]]
-
-        n_rows = len(pdf)
-        if n_rows == 0:
-            row["failed_reason"] = "No data after dropping nulls."
-            return emit()
-
+        x = pdf[PRED_VALUE].to_numpy()
         y = pdf[DEP_VALUE].to_numpy(dtype=np.float64)
-        if not quantitative:
-            cases = int(y.sum())
-            controls = n_rows - cases
-            if cases < min_case_count:
-                row["failed_reason"] = f"Insufficient case count ({cases} cases)."
-                return emit()
-            if controls < min_case_count:
-                row["failed_reason"] = (
-                    f"Insufficient control count ({controls} controls)."
-                )
-                return emit()
-            if cases == n_rows:
-                row["failed_reason"] = "All observations are cases."
-                return emit()
-            row.update(cases=cases, controls=controls, total_n=n_rows)
-        else:
-            if n_rows < min_case_count:
-                row["failed_reason"] = f"Not enough observations ({n_rows})."
-                return emit()
-            row["n_observations"] = n_rows
-
-        # A constant (monomorphic) predictor carries no association
-        # signal, but the design matrix [pred, ..., intercept] becomes
-        # rank-deficient with the deficiency INVOLVING the predictor:
-        # lstsq's min-norm solution then splits the intercept across the
-        # two constant columns and reports an arbitrarily significant
-        # nonzero beta — a pure false positive. Fail the pair instead
-        # (also keeps all three physical strategies result-identical;
-        # the centered-moments formulation would report beta=0 here).
-        if pdf[PRED_VALUE].nunique(dropna=False) <= 1:
-            row["failed_reason"] = "Constant predictor."
-            return emit()
-
-        # Per-subset constant-covariate drop (analysis.py:196-206).
-        active = [
-            (safe, orig)
+        cov_arrays = [
+            (safe, orig, pdf[safe].to_numpy())
             for safe, orig in cov_pairs
-            if safe in pdf.columns and pdf[safe].nunique(dropna=False) > 1
+            if safe in pdf.columns
         ]
-        equation = (
-            f"{dependent} ~ {predictor} + {' + '.join(orig for _, orig in active)}"
-        )
-        row["equation"] = equation
-
-        X = pdf[[PRED_VALUE, *[safe for safe, _ in active]]].to_numpy(dtype=np.float64)
-        try:
-            stats = fit_func(X, y)
-            row.update(stats)
-        except Exception as exc:  # failures are rows, not exceptions
-            row["failed_reason"] = str(exc)
-        return emit()
+        row = akernel(predictor, dependent, x, y, cov_arrays)
+        return pd.DataFrame([{c: row[c] for c in columns}])
 
     return kernel
 
@@ -1156,11 +1243,12 @@ def _fit_columnar(
         path = checkpoint_path or checkpoint_wide(df, checkpoint_dir)
         source_files = _parquet_files(path)
 
-    kernel = make_kernel(
+    akernel = make_array_kernel(
         model, covariates, config.quantitative, config.min_case_count,
         config.sex_restrictions, config.sex_col,
     )
     schema = result_schema(model)
+    columns = [f.name for f in schema.fields]
     n_parts = max(1, min(len(predictors) * len(dependents),
                          spark.sparkContext.defaultParallelism))
     pairs = _pair_frame(spark, predictors, dependents).repartition(n_parts)
@@ -1224,19 +1312,33 @@ def _fit_columnar(
                     ).to_numpy(zero_copy_only=False)
                 data = recipe.apply_pandas(data)
             x = pd.to_numeric(data[p], errors="coerce")
-            covs_frame = {
-                safe: data[orig] for safe, orig in cov_names
-            }
+            # One numpy view per group column; per-dependent work below
+            # is pure ndarray masking + the shared array kernel. Values
+            # and decisions are identical to the old per-dependent
+            # pandas-frame construction (see make_array_kernel); rows
+            # come back as ONE DataFrame per predictor group instead of
+            # 1-row frames — same rows, ~D fewer Arrow batches per task.
+            x_np = x.to_numpy()
+            prednull_np = data["__pred_isnull__"].to_numpy()
+            cov_np = [
+                (safe, orig, data[orig].to_numpy())
+                for safe, orig in cov_names
+            ]
+            rows = []
             for d in deps:
                 y = pd.to_numeric(data[d], errors="coerce")
-                mask = (~data["__pred_isnull__"]) & y.notna()
-                pdf = pd.DataFrame(
-                    {
-                        PRED_VALUE: x[mask].astype("float64"),
-                        DEP_VALUE: y[mask].astype("float64"),
-                        **{safe: s[mask] for safe, s in covs_frame.items()},
-                    }
+                y_np = y.to_numpy()
+                mask = (~prednull_np) & ~pd.isna(y_np)
+                rows.append(
+                    akernel(
+                        p, d,
+                        x_np[mask].astype(np.float64),
+                        y_np[mask].astype(np.float64),
+                        [(s, o, a[mask]) for s, o, a in cov_np],
+                    )
                 )
-                yield kernel((p, d), pdf)
+            yield pd.DataFrame(
+                [{c: r[c] for c in columns} for r in rows], columns=columns
+            )
 
     return pairs.mapInPandas(fit_partition, schema=schema)

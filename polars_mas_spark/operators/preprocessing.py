@@ -417,11 +417,66 @@ class PrepRecipe:
         return data
 
 
-def build_prep_recipe(df: DataFrame, config: MASConfig) -> PrepRecipe:
+# Driver-side recipe stats stay on when the covariate slice is at most
+# this many rows (~16 MB/column of float64): above it, the stats run as
+# the usual Spark aggregate job. Scale-adaptive guard, not a tuned
+# local constant — production tables blow straight past it.
+_RECIPE_DRIVER_MAX_ROWS = 2_000_000
+
+
+def _recipe_stats_local(source_files, covs, strategy):
+    """Driver-side pyarrow replica of the recipe's eager-stats job for
+    the ``drop``/``fail`` strategies (exact-integer statistics only —
+    no fill means/mins whose float summation order could differ from
+    Spark's). Returns ``(nd, null_counts, total)`` or None when the
+    inputs are out of scope (non-local files, too many rows).
+
+    Parity argument: for ``drop``, Spark runs countDistinct AFTER
+    na.drop(subset=covs) — na.drop treats float NaN as missing, exactly
+    ``notna().all(axis=1)`` here; with no NA left, countDistinct equals
+    ``Series.nunique(dropna=False)`` (both hash binary64 values,
+    -0.0 == 0.0, integer result). For ``fail``, only the NULL counts
+    (arrow validity bitmaps — NOT NaN, matching Spark's isNull) and the
+    row total matter; nd is only consumed when every null count is zero,
+    where countDistinct == nunique(dropna=False) again (NaN counted
+    once by both). Worth one Spark job per pipeline run: at PheWAS
+    width each job costs ~1 s of fixed driver latency regardless of how
+    narrow the pruned read is (r13 measurement; guide §1.2/§5)."""
+    if not source_files or any("://" in f for f in source_files):
+        return None
+    try:
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(source_files)
+        if ds.count_rows() > _RECIPE_DRIVER_MAX_ROWS:
+            return None
+        tbl = ds.to_table(columns=list(dict.fromkeys(covs)), use_threads=False)
+    except Exception:
+        return None
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    total = tbl.num_rows
+    null_counts = {c: int(pc.sum(pc.is_null(tbl[c])).as_py() or 0) for c in covs}
+    data = tbl.to_pandas(use_threads=False)
+    if strategy == "drop":
+        data = data[data[covs].notna().all(axis=1)]
+    nd = {c: int(data[c].nunique(dropna=False)) for c in covs}
+    return nd, null_counts, total
+
+
+def build_prep_recipe(
+    df: DataFrame, config: MASConfig, source_files: list[str] | None = None
+) -> PrepRecipe:
     """Compute a PrepRecipe with narrow aggregate jobs against ``df``
     (ideally a parquet scan, so every job is column-pruned down to the
     covariates). Mutates ``config.covariate_columns`` exactly like
-    ``preprocess`` does, so the downstream kernel sees the same design."""
+    ``preprocess`` does, so the downstream kernel sees the same design.
+
+    ``source_files`` (the columnar path's local parquet files) enables a
+    driver-side pyarrow fast path for the stats of the ``drop``/``fail``
+    strategies — same integer statistics, zero Spark jobs — gated to
+    small row counts (see _recipe_stats_local)."""
     covs = list(config.covariate_columns)
     strategy = config.missing_covariate_values
     recipe = PrepRecipe(onehot={})
@@ -456,7 +511,32 @@ def build_prep_recipe(df: DataFrame, config: MASConfig) -> PrepRecipe:
     cats = [c for c in config.categorical_covariate_columns if c in covs]
     nd: dict[str, int] = {}
     levels_map: dict[str, list] = {}
-    if covs and strategy == "drop":
+    local_stats = None
+    if (
+        covs
+        and strategy in ("drop", "fail")
+        and not cats
+        and recipe.sex_filter is None
+        and source_files is not None
+    ):
+        local_stats = _recipe_stats_local(source_files, covs, strategy)
+    if local_stats is not None:
+        nd, null_counts, total = local_stats
+        if strategy == "drop":
+            recipe.drop_null_covs = list(covs)
+        else:
+            # Same messages, same order as handle_missing_covariates.
+            for c in covs:
+                if null_counts[c] == total:
+                    raise ValueError(
+                        f"All values are missing in covariate column '{c}'."
+                    )
+                if null_counts[c] > 0:
+                    raise ValueError(
+                        f"Missing values found in covariate column '{c}': "
+                        f"{null_counts[c]} missing values."
+                    )
+    elif covs and strategy == "drop":
         recipe.drop_null_covs = list(covs)
         df = df.na.drop(subset=covs)
         aggs = [F.countDistinct(qcol(c)).alias(f"__nd_{c}") for c in covs]

@@ -194,10 +194,14 @@ def run_pipeline(
             ckpt = checkpoint_wide(df, config.checkpoint_dir)
             df.unpersist()  # checkpoint written; drop the pre-count cache
             stats_df = spark.read.parquet(ckpt)
+            from polars_mas_spark.operators.association import _parquet_files
+
+            stats_files = _parquet_files(ckpt)
         else:
             ckpt = None
             stats_df = df
-        recipe = build_prep_recipe(stats_df, config)
+            stats_files = files
+        recipe = build_prep_recipe(stats_df, config, source_files=stats_files)
         results = run_associations(
             stats_df, config, strategy="columnar",
             checkpoint_path=ckpt, recipe=recipe, source_files=files,

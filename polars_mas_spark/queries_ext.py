@@ -4596,12 +4596,22 @@ BENCH_ONLY = {
 
 
 def _run_phewas(spark, sf_dir, n_phecodes, n_samples=5000, n_covariates=5):
-    wide = spark.read.parquet(
-        _phewas_wide_parquet(
-            spark, sf_dir, n_samples=n_samples, n_phecodes=n_phecodes,
-            n_covariates=n_covariates,
-        )
+    path = _phewas_wide_parquet(
+        spark, sf_dir, n_samples=n_samples, n_phecodes=n_phecodes,
+        n_covariates=n_covariates,
     )
+    # The fixture's schema is a pure function of its generator
+    # (_phewas_wide_parquet writes exposure/cov_* as float64 and
+    # phecode_* as int64, in this order) — pass it explicitly so the
+    # read skips the footer schema-inference job (guide §6: one fewer
+    # driver action per invocation; at 1,806 columns the inferred-footer
+    # merge alone cost ~0.4-0.7 s per bench pass, r13).
+    ddl = ", ".join(
+        ["exposure DOUBLE"]
+        + [f"cov_{c} DOUBLE" for c in range(n_covariates)]
+        + [f"phecode_{i:04d} BIGINT" for i in range(n_phecodes)]
+    )
+    wide = spark.read.schema(ddl).parquet(path)
     deps = [c for c in wide.columns if c.startswith("phecode_")]
     covs = [c for c in wide.columns if c.startswith("cov_")]
     cfg = MASConfig(
