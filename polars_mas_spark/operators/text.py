@@ -1630,7 +1630,14 @@ def bm25_topk(
     as broadcast 1-row aggregates (no eager action).
     Per-query top-k is a bounded window keyed on the query. Documents
     with no query term never appear (score 0 by definition); query
-    term multiplicity is ignored (set semantics, the common choice)."""
+    term multiplicity is ignored (set semantics, the common choice).
+
+    Precondition: ``doc_id`` must be unique per document row (ADVICE
+    r12). The map-side lens table is one row per INPUT row; duplicate
+    doc_id rows would fan out the lens join and double-count scored
+    rows, where the pre-r12 tf-derived aggregate silently merged them.
+    Corpus tables own their id uniqueness upstream (every dedup
+    operator in this library assumes and preserves it)."""
     tf = (
         docs.select(
             qcol(doc_id_col).alias("doc_id"),

@@ -41,8 +41,14 @@ _SCAN_SPLITS: dict[str, int] = {}
 
 # Files below this size stay un-rebalanced even when single-split:
 # broadcast dimension tables (region/nation/supplier) would otherwise
-# pay a pointless pre-broadcast shuffle in dozens of queries.
-_REBALANCE_MIN_BYTES = 128 * 1024
+# pay a pointless pre-broadcast shuffle in dozens of queries. 256 KiB
+# (raised from 128 KiB, ADVICE r12): the floor must also sit ABOVE
+# every _tr-opted table at the sf0.01 correctness SF — embeddings.parquet
+# is 193 KiB there, so the old floor silently repartitioned q_knn_graph's
+# oracle-gate read, resting the gate's green on no near-ties instead of
+# on the documented no-op. test_rebalance pins both sides of the
+# boundary (every opted sf0.01 file below, every opted sf0.1 file above).
+_REBALANCE_MIN_BYTES = 256 * 1024
 
 
 def _rebalance(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:

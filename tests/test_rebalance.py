@@ -9,10 +9,17 @@ from pyspark.sql import functions as F
 from polars_mas_spark.queries import _REBALANCE_MIN_BYTES, _rebalance, _t, _tr
 
 SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
-# The bench scale: sf0.01's files sit below the size floor, so the
-# rebalance is deliberately a NO-OP at the driver's correctness SF —
-# the firing behavior is asserted against sf0.1 (read-only testdata).
+# The rebalance must be a NO-OP at the driver's correctness SF (sf0.01)
+# for every table a query opts into via _tr, and must FIRE at the bench
+# SF (sf0.1) — test_tr_noop_at_correctness_sf pins both sides of the
+# size-floor boundary so testdata regeneration cannot silently flip
+# which SFs repartition (ADVICE r12: the old 128 KiB floor was below
+# sf0.01's embeddings.parquet and the stated no-op was false).
 SF_BENCH = "/root/testdata/sf0.1"
+
+# Tables read through _tr anywhere in the registry (grep '_tr(spark' in
+# polars_mas_spark/) — update when a query opts a new table in.
+TR_OPTED = ["documents", "embeddings"]
 
 
 def test_rebalance_unstarves_single_split_scan(spark):
@@ -40,9 +47,31 @@ def test_rebalance_skips_missing_path(spark):
     assert _rebalance(df, spark, "/nonexistent/nowhere.parquet") is df
 
 
+def test_tr_opted_tables_straddle_floor():
+    # Every _tr-opted table: below the floor at the correctness SF
+    # (identity plan for the oracle gate), above it at the bench SF
+    # (the repartition actually fires where it was measured).
+    for name in TR_OPTED:
+        small = os.path.getsize(f"/root/testdata/sf0.01/{name}.parquet")
+        big = os.path.getsize(f"{SF_BENCH}/{name}.parquet")
+        assert small < _REBALANCE_MIN_BYTES <= big, (name, small, big)
+
+
+def test_tr_noop_at_correctness_sf(spark):
+    for name in TR_OPTED:
+        df = _t(spark, "/root/testdata/sf0.01", name)
+        out = _rebalance(
+            df, spark, f"/root/testdata/sf0.01/{name}.parquet"
+        )
+        assert out is df, name
+
+
 def test_tr_result_identical_to_t(spark):
-    a = _t(spark, SF_DIR, "documents").orderBy("doc_id").collect()
-    b = _tr(spark, SF_DIR, "documents").orderBy("doc_id").collect()
+    # Result identity where the repartition actually FIRES (SF_BENCH):
+    # the sf0.01 case is the no-op test above, which would never
+    # exercise the round-robin exchange (ADVICE r12).
+    a = _t(spark, SF_BENCH, "documents").orderBy("doc_id").collect()
+    b = _tr(spark, SF_BENCH, "documents").orderBy("doc_id").collect()
     assert a == b
 
 
