@@ -1196,8 +1196,12 @@ def q_source_stats(spark, sf_dir):
        FROM ranked WHERE rk <= 5""",
 )
 def q_ann_bruteforce(spark, sf_dir):
-    """Exact cosine top-5: query set broadcast, corpus streams."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    """Exact cosine top-5: query set broadcast, corpus streams.
+
+    _tr read (r13): the corpus-side cosine fold is map-CPU-bound on a
+    single-split scan; interleaved A/B twice, B(_tr) won both (min
+    1.13->0.94 / 1.01->0.94, med 1.33->1.06 / 1.25->1.06)."""
+    emb = _tr(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     out = sim.brute_force_topk(
@@ -4491,8 +4495,12 @@ def q_ann_quantized_bench(spark, sf_dir):
     embedding corpus (map-only JVM), dequantize, exact cosine top-5 for
     the first 20 ids — the storage-compressed variant of
     ann_bruteforce_topk. Shadow-oracled r12 (VERDICT r11 #3);
-    registration PLANNED(14) in tools/plan_rotation.py."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    registration PLANNED(14) in tools/plan_rotation.py.
+
+    _tr read (r13): quantize/dequantize + cosine are map-CPU-bound on a
+    single-split scan; interleaved A/B twice, B(_tr) won both (min
+    1.43->1.11 / 1.35->1.19, med ~1.5->1.4)."""
+    emb = _tr(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     deq = sim.dequantize_embeddings(sim.quantize_embeddings(emb))
