@@ -988,9 +988,14 @@ def paragraph_neardup_dedup(
     # totals — and each replayed the passage split + overflow-guard
     # projection from the raw scan (30 parquet scans in one plan,
     # plans/r12/paragraph_neardup_dedup_before.txt; measured
-    # 3.77 -> 2.58 s at sf0.1). Corpus-sized, same trade the cascade
-    # stage boundaries already make (dedup_cascade: 64 -> 4 s).
-    keyed = keyed.localCheckpoint(eager=True)
+    # 3.77 -> 2.58 s at sf0.1). Corpus-sized, so the materialization is
+    # SIZE-GATED (r13, VERDICT r12 #3): localCheckpoint locally,
+    # recomputable DISK_ONLY persist once the estimate says the tiled
+    # corpus would be a non-fault-tolerant executor-local copy — see
+    # staging.materialize_stage for the contract.
+    from polars_mas_spark.staging import materialize_stage
+
+    keyed = materialize_stage(keyed, "paragraph passages")
     # minhash_signatures aliases its id column to "doc_id"; here that
     # column carries the packed pid.
     sigs = minhash_signatures(keyed, "pid", "passage", num_hashes)

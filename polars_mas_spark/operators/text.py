@@ -1376,9 +1376,13 @@ def perplexity_thirds(
     # LM aggregate + broadcast score join): the before-plan for this
     # query carried 16 parquet scans of the document table (r12,
     # plans/r12/perplexity_thirds_before.txt); measured 7.20 -> 4.03 s
-    # at sf0.1. The checkpoint is one row per document, 5 narrow
-    # columns — bounded by corpus DOC count, the 100 TB-safe shape.
-    joined = joined.localCheckpoint(eager=True)
+    # at sf0.1. One row per document, 5 narrow columns — but still
+    # O(corpus doc count), so the materialization is SIZE-GATED (r13,
+    # VERDICT r12 #3): localCheckpoint locally, recomputable DISK_ONLY
+    # persist above the threshold (staging.materialize_stage).
+    from polars_mas_spark.staging import materialize_stage
+
+    joined = materialize_stage(joined, "perplexity per-doc scores")
     out = quantile_buckets(
         joined,
         "__s__",
