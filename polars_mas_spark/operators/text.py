@@ -704,9 +704,19 @@ def decontaminate_cascade(
             semantic_decontaminate,
         )
 
+        from polars_mas_spark.staging import materialize_stage
+
         surv_vecs = corpus_vectors.select(
             qcol(vec_id_col).alias("doc_id"), qcol(vec_col).alias("__v__")
         ).join(cur.select("doc_id"), on="doc_id", how="left_semi")
+        # Materialize the survivor-vector table ONCE (r13, VERDICT r12
+        # #7): semantic_decontaminate consumes its corpus in THREE
+        # driver actions (k-means seed TakeOrdered, the Lloyd means
+        # aggregate, the final bucketed scoring job) and each replayed
+        # this semi-join subtree — ~4 AQE stage-jobs per replay at the
+        # ~0.3-1 s/job driver-latency floor. Size-gated like every
+        # corpus-width stage (staging.materialize_stage).
+        surv_vecs = materialize_stage(surv_vecs, "survivor vectors")
         sem_hit = semantic_decontaminate(
             surv_vecs,
             benchmark_vectors.select(
