@@ -171,8 +171,26 @@ def main() -> None:
     # stays as the load-insensitive estimator (single-shot numbers on a
     # shared box swing ±15% with background load).
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # Host-load canary (r13, VERDICT r12 #9 — additions-only): a fixed
+    # tiny aggregate timed at the start and end of every pass. The r12
+    # driver's 32-core run was uniformly inflated by host load with
+    # tight per-query spreads — undetectable by min-of-2 alone; a
+    # canary far above its ~0.05-0.15 s idle cost flags an inflated
+    # window mechanically, so the next PERF comparison can discount it.
+    canary_df = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    canary_sec: list[float] = []
+
+    def canary():
+        t0 = time.time()
+        canary_df.groupBy("r_name").count().write.format("noop").mode(
+            "overwrite"
+        ).save()
+        canary_sec.append(round(time.time() - t0, 3))
+
     for p in range(passes + 1):
         timed = p > 0
+        if timed:
+            canary()
         # Drop every persisted Dataset between passes: Spark's
         # CacheManager substitutes cached plans by CANONICALIZED-PLAN
         # equality, so a repeat of an identical query whose pipeline
@@ -195,6 +213,8 @@ def main() -> None:
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 if timed:
                     samples.setdefault(name, [])
+        if timed:
+            canary()  # end-of-pass canary (see above)
 
     # min is the load-insensitive headline; spread = (max-min)/min over
     # the timed passes exposes same-process run-to-run noise so a driver
@@ -225,6 +245,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "passes": passes,
+                "canary_sec": canary_sec,
                 "spread": spread_map,
                 "queries": timings,
                 "value": total,
