@@ -60,16 +60,23 @@ def test_mllib_fit_matches_numpy_kernel(spark):
     X = np.stack([_featurize(t, buckets, salt) for _, t, _ in rows])
     y = np.array([float(yy) for *_, yy in rows])
     used = np.flatnonzero(X.any(axis=0))
-    beta, _cov, converged = logistic_mle(add_intercept(X[:, used]), y)
-    assert converged
     # Mean-pooled features sum to 1 per doc, so the intercept is
-    # collinear with the feature block and the MLE is a gauge ridge
-    # (w + c, bias - c all equivalent — see the trainer docstring).
-    # Compare the IDENTIFIABLE per-bucket logit contribution w[b]+bias;
-    # intercept is appended LAST by add_intercept.
-    np.testing.assert_allclose(
-        np.array(w)[used] + bias, beta[:-1] + beta[-1], atol=1e-4
-    )
+    # collinear with the full feature block and the MLE is a gauge
+    # ridge (w + c, bias - c all equivalent — see the trainer
+    # docstring). Fit the numpy reference on the IDENTIFIED design
+    # (drop one used column; full rank with the intercept): on the
+    # ridge itself Newton's `converged` flag depends on whether
+    # LAPACK's singularity detection fires on a cond~1e17 hessian —
+    # observed flipping with the BLAS environment (r13), while the
+    # identifiable quantities below were always stable.
+    beta, _cov, converged = logistic_mle(add_intercept(X[:, used[1:]]), y)
+    assert converged
+    # Compare the IDENTIFIABLE per-bucket logit contribution w[b]+bias:
+    # with column used[0] dropped and sum(x)=1, its contribution is the
+    # intercept alone (appended LAST by add_intercept), every other
+    # bucket's is beta_b + intercept.
+    ident = np.concatenate([[beta[-1]], beta[:-1] + beta[-1]])
+    np.testing.assert_allclose(np.array(w)[used] + bias, ident, atol=1e-4)
     # unused hash slots carry exactly zero weight (no spurious signal)
     unused = [b for b in range(buckets) if b not in set(used.tolist())]
     assert all(w[b] == 0.0 for b in unused)
